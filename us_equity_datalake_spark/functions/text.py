@@ -1,0 +1,111 @@
+"""Text-analysis column functions — all JVM-side (no Python UDFs).
+
+Covers the reference's text surface (tokenize/word-category counting,
+derived/word_lists.py:283-341; readability, derived/sentiment.py:120-172) plus
+the training-data-pipeline operators (language ID, quality scoring, token
+counting, shingling for near-dup detection).
+
+Every function here has a DuckDB-SQL twin used by the oracle; keep the two in
+lockstep (tokenization regex, empty-token filtering, shingle join character).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+
+# Tiny deterministic stopword lists per language for the n-gram/stopword
+# language-ID heuristic. Chosen from high-frequency function words.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "y", "en", "que", "los", "una", "por", "con"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+    "zh": ["de", "shi", "le", "zai", "wo", "you", "he", "ren", "zhe", "zhong"],
+}
+
+EN_STOPWORDS = set(LANG_STOPWORDS["en"])
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased alnum tokens, empty strings removed.
+
+    DuckDB twin: ``list_filter(regexp_split_to_array(lower(x),'[^a-z0-9]+'), t -> t <> '')``.
+    """
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array(lower({expr}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-word shingles joined by a single space; empty array when < n tokens.
+
+    DuckDB twin: lateral ``generate_series(1, len(t)-n+1)`` + ``array_to_string(t[i:i+n-1],' ')``.
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alnum/space (null-safe, 0 for empty)."""
+    total = F.length(col)
+    alnum = F.length(F.regexp_replace(col, r"[^A-Za-z0-9 ]", ""))
+    return F.when(total > 0, (total - alnum) / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(toks: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in sorted(stopwords or EN_STOPWORDS)])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(toks: Column) -> Column:
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite heuristic quality score in [0,1]-ish (reference analog: the
+    length/punct/stopword gates of derived/word_lists.py + common web-data
+    quality filters).  Deterministic, oracle-replicable:
+
+        0.4 * min(n_tokens/100, 1) + 0.3 * (1 - punct_ratio)
+      + 0.3 * min(stopword_ratio * 4, 1)
+    """
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - punct_ratio(text_col)
+    sw_term = F.least(stopword_ratio(toks) * 4, F.lit(1.0))
+    return F.round(0.4 * len_term + 0.3 * punct_term + 0.3 * sw_term, 6)
+
+
+def sentence_count(col: Column) -> Column:
+    """Sentence count via terminator runs (reference derived/sentiment.py:129-135)."""
+    s = F.size(F.filter(F.split(col, r"[.!?]+"), lambda t: F.trim(t) != ""))
+    return F.greatest(s, F.lit(1))
+
+
+def complex_word_count(toks: Column) -> Column:
+    """Words with >= 3 vowel groups ≈ 3+ syllables (reference sentiment.py:137-151)."""
+    return F.size(F.filter(toks, lambda t: F.size(F.filter(F.split(t, r"[^aeiou]+"), lambda v: v != "")) >= 3))
+
+
+def fog_index(text_col: Column) -> Column:
+    """Gunning Fog = 0.4 * (words/sentence + 100 * complex/words)."""
+    toks = tokens(text_col)
+    words = F.size(toks).cast("double")
+    sents = sentence_count(text_col).cast("double")
+    cplx = complex_word_count(toks).cast("double")
+    return F.when(words > 0, F.round(0.4 * (words / sents + 100.0 * cplx / words), 6)).otherwise(F.lit(None))

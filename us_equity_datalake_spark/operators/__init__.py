@@ -1,0 +1,13 @@
+from . import (  # noqa: F401
+    asof,
+    calendar_align,
+    dedup,
+    pit,
+    rangejoin,
+    reshape,
+    setops,
+    similarity,
+    stats,
+    topk,
+    windows,
+)

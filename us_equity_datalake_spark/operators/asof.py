@@ -1,0 +1,91 @@
+"""As-of join (backward) — align each left row to the most recent right row.
+
+The reference uses Polars ``join_asof(strategy="backward", by=key)``
+(storage/pipeline/collectors.py:777-782) to attach the last balance-sheet
+snapshot at-or-before each TTM row.  Spark has no native as-of join; the
+scalable rewrite is **union + last-value window**:
+
+  1. tag right rows (carrying their payload) and left rows (payload null),
+  2. union on (key, time),
+  3. ``last(payload, ignorenulls=True)`` over
+     ``partitionBy(key).orderBy(time, side)`` rows unbounded-preceding..current,
+  4. keep left rows.
+
+Cost: ONE shuffle of (left ∪ right) on the by-key — same as the shuffle any
+join would need — plus a per-partition sort; no range explosion, no skew from
+interval widths.  Ties (equal timestamps) match the Polars backward semantics:
+right rows sort *before* left rows at the same timestamp, so an equal-date
+right row is visible to the left row (backward inclusive).
+
+An alternative ``applyInPandas`` + ``pd.merge_asof`` per key group is provided
+for very wide payloads; the window rewrite is preferred (stays in Tungsten).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    value_cols: list[str] | None = None,
+    tolerance_days: int | None = None,
+) -> DataFrame:
+    """Backward as-of join; returns all left columns + right ``value_cols``.
+
+    ``tolerance_days``: if set, a matched right row older than the tolerance
+    (in days, for date/timestamp keys) is nulled out — Polars' ``tolerance``.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in by and c != right_on]
+    lcols = left.columns
+
+    l_tag = left.withColumn("__t", F.col(left_on)).withColumn("__side", F.lit(1))
+    for c in value_cols:
+        if c in l_tag.columns:
+            raise ValueError(f"value column {c!r} collides with a left column")
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    l_tag = l_tag.withColumn("__rt", F.lit(None).cast(right.schema[right_on].dataType))
+
+    r_tag = right.select(
+        *by,
+        F.col(right_on).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in value_cols],
+        F.col(right_on).alias("__rt"),
+    )
+    for c in lcols:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = l_tag.select(*lcols, "__t", "__side", "__rt", *value_cols).unionByName(
+        r_tag.select(*lcols, "__t", "__side", "__rt", *value_cols)
+    )
+
+    # right rows (side 0) sort before left rows (side 1) at equal __t:
+    # backward-inclusive tie semantics.
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        "__side",
+        "__t",
+        F.last("__rt", ignorenulls=True).over(w).alias("__matched_t"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance_days is not None:
+        stale = F.datediff(F.col("__t"), F.col("__matched_t")) > tolerance_days
+        out = out.select(
+            *lcols,
+            "__matched_t",
+            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in value_cols],
+        )
+    return out.select(*lcols, *value_cols)

@@ -1,0 +1,229 @@
+"""Deduplication operators.
+
+Reference-parity dedups (SURVEY.md §2.4 A6–A8): deterministic keep-first /
+latest-wins via explicit row_number orderings.
+
+Training-data-pipeline dedups (north star): exact hash dedup, MinHash+LSH,
+SimHash, n-gram Jaccard — all expressed as compositions of built-in DataFrame
+ops (tokenize → shingle → explode → hash → groupBy/join), no Python UDFs, and
+all built on the md5-based portable hashes in ``functions.hashing`` so results
+are reproducible across engines.
+
+Scale design notes:
+- exact dedup: one shuffle on the content hash; at 100 TB hash first, never
+  groupBy the raw text.
+- MinHash LSH: candidate generation is an equi-join on (band_id, band_hash) —
+  a hash join on a small key, instead of the quadratic all-pairs compare.
+- n-gram Jaccard verification runs ONLY on LSH/inverted-index candidates.
+- SimHash: 64-bit fingerprint per doc; near-dup = fingerprints equal on
+  rotated bands (here: hamming distance via xor bit_count on candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from us_equity_datalake_spark.functions import hashing, text
+
+
+# ---------------------------------------------------------------------------
+# A6/A7/A8 — deterministic keep-first / latest-wins
+# ---------------------------------------------------------------------------
+
+def dedup_keep_first(df: DataFrame, *, keys: list[str], order: list[Column]) -> DataFrame:
+    """A6: Polars ``unique(maintain_order=True)`` → explicit rank-1 rows."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def latest_wins(df: DataFrame, *, keys: list[str], recency: str, tiebreak: list[str] | None = None) -> DataFrame:
+    """A7: keep the row with max ``recency`` per key (latest-filed-wins,
+    fundamental.py:240-244); deterministic tiebreak required for oracle parity."""
+    order = [F.col(recency).desc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    return dedup_keep_first(df, keys=keys, order=order)
+
+
+# ---------------------------------------------------------------------------
+# Exact content dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
+    """Keep the min-id document per (normalized) content hash; adds
+    ``dup_count`` = group size.  One shuffle on the 60-bit hash."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ") if normalize else F.col(text_col)
+    hashed = df.withColumn("__h", hashing.md5_long60(norm))
+    w = Window.partitionBy("__h")
+    ranked = hashed.withColumn("dup_count", F.count("*").over(w)).withColumn(
+        "__rn", F.row_number().over(w.orderBy(F.col(id_col).asc()))
+    )
+    return ranked.filter(F.col("__rn") == 1).drop("__rn", "__h")
+
+
+# ---------------------------------------------------------------------------
+# Shingle machinery (shared by Jaccard / MinHash)
+# ---------------------------------------------------------------------------
+
+def shingle_table(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle_hash) pairs, distinct per doc — the inverted-index input."""
+    toks = text.tokens(F.col(text_col))
+    sh = F.array_distinct(text.word_shingles(toks, n))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .withColumn("sh", hashing.md5_long32(F.col("shingle")))
+        .select("id", "sh")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold via an inverted-index self-join.
+
+    |A∩B| from the shingle-hash equi-join, |A∪B| = |A|+|B|−|A∩B|.  The join is
+    on the shingle hash (not doc pairs), so cost is Σ per-shingle postinglist²
+    — with a stopword-shingle cap this is the standard scalable formulation.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = shingle_table(df, text_col=text_col, id_col=id_col, n=n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sig: array<long>[num_perm]) — min over universal-hash permutations
+    of the doc's shingle hashes.  Computed with one explode + one groupBy."""
+    sh = shingle_table(df, text_col=text_col, id_col=id_col, n=n)
+    coeffs = hashing.perm_coefficients(num_perm, seed)
+    mins = [F.min(hashing.minhash_perm(F.col("sh"), a, b)).alias(f"m{i}") for i, (a, b) in enumerate(coeffs)]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one (band, band-signature)
+    bucket.  rows = num_perm/bands per band.  Returns distinct (id_a, id_b)
+    with estimated Jaccard = fraction of equal signature components."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm, seed=seed)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)]).alias("bkey"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bx"),
+    ).select("id", "sig", F.col("bx.band").alias("band"), F.col("bx.bkey").alias("bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)) / F.lit(num_perm)
+    return cand.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """(id, simhash) — classic Charikar fingerprint over token hashes.
+
+    For each bit position, sum +1/−1 over the doc's (distinct) token hashes;
+    bit set iff the sum is positive.  Pure explode/groupBy — no UDF; the
+    per-(doc,bit) expansion is bounded (tokens × bits) and map-side combined.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(text.tokens(F.col(text_col)))).alias("tok"))
+        .withColumn("th", hashing.md5_long32(F.col("tok")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    expanded = toks.select("id", "th", bit).withColumn(
+        "contrib", F.when(F.shiftright(F.col("th"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    )
+    bitsum = expanded.groupBy("id", "bit").agg(F.sum("contrib").alias("s"))
+    return bitsum.groupBy("id").agg(
+        F.sum(F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(F.lit(0))).alias("simhash")
+    )
+
+
+def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, using
+    band-rotation blocking (4 bands; near-dups agree on >= 1 band)."""
+    fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    band_width = bits // 4
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.shiftright(F.col("simhash"), i * band_width).bitwiseAND(F.lit((1 << band_width) - 1)).alias("bkey"))
+                for i in range(4)
+            ])
+        ).alias("bx"),
+    ).select("id", "simhash", F.col("bx.band").alias("band"), F.col("bx.bkey").alias("bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

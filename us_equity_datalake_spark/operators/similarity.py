@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.  The
+  query set is broadcast; each executor scans its shard of the corpus and
+  keeps a k-heap per query (TakeOrdered per group via window rank).
+- ``ivf_topk``: the scale path — IVF-style partition pruning.  Vectors are
+  assigned to their nearest centroid once (one broadcast join against the
+  centroid table); a query probes only ``nprobe`` nearest centroid buckets, so
+  the scan touches corpus/|C|·nprobe instead of everything.  Centroid choice
+  is pluggable (deterministic seed rows here; k-means in production).
+
+Everything is built-in higher-order functions — JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from us_equity_datalake_spark.functions import vector
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (excluding self-matches).
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id))
+        .withColumn("cosine", vector.cosine(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the centroid table, rank by
+    cosine, keep rank 1.  Output: corpus columns + centroid_id."""
+    scored = corpus.join(F.broadcast(centroids)).withColumn(
+        "__sim", vector.cosine(F.col(vec_col), F.col(centroid_vec))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col(centroid_id).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", centroid_vec)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` centroid buckets nearest to
+    each query.  Recall < 1 by construction; at 100 TB the bucket pruning is
+    what makes the scan feasible."""
+    assigned = assign_to_centroids(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    q = queries.select(query_id, F.col(vec_col).alias("__qv"))
+    qc = q.join(F.broadcast(centroids)).withColumn("__sim", vector.cosine(F.col("__qv"), F.col("centroid_vec")))
+    wq = Window.partitionBy(query_id).orderBy(F.col("__sim").desc(), F.col("centroid_id").asc())
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id, "__qv", "centroid_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(F.col(id_col) != F.col(query_id))
+    scored = cand.withColumn("cosine", vector.cosine(F.col("__qv"), F.col(vec_col)))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, F.col(id_col).alias("neighbor_id"), F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,32 @@
+"""Table registry over the driver's synthetic parquet lake.
+
+Reads always pass the declared schema (SURVEY.md §1.3: never infer for lake
+tables).  Parquet scans get Catalyst predicate pushdown + column pruning for
+free; callers should ``select``/``filter`` as early as possible so those reach
+the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from us_equity_datalake_spark import schemas
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Small dimensions that should always be broadcast when joined against facts.
+BROADCAST_TABLES = {"region", "nation", "supplier", "customer", "part"}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one synthetic table with its declared schema."""
+    if name not in schemas.TPCH:
+        raise KeyError(f"unknown table {name!r}; known: {list(schemas.TPCH)}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return spark.read.schema(schemas.TPCH[name]).parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, n, sf_dir) for n in (names or schemas.TESTDATA_TABLES)}

@@ -186,22 +186,26 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """(id, simhash) — classic Charikar fingerprint over token hashes.
 
-    For each bit position, sum +1/−1 over the doc's (distinct) token hashes;
-    bit set iff the sum is positive.  Pure explode/groupBy — no UDF; the
-    per-(doc,bit) expansion is bounded (tokens × bits) and map-side combined.
+    Bit b of the fingerprint is set iff Σ±1 over the doc's distinct token
+    hashes is positive at bit b, i.e. iff 2·ones_b > n_tokens.  Computed as
+    ``bits`` aggregate columns in ONE groupBy (map-side combined) — no
+    per-(doc,bit) row expansion, no UDF.
     """
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(text.tokens(F.col(text_col)))).alias("tok"))
         .withColumn("th", hashing.md5_long32(F.col("tok")))
+        .select("id", "th")
+        .distinct()
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    expanded = toks.select("id", "th", bit).withColumn(
-        "contrib", F.when(F.shiftright(F.col("th"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-    )
-    bitsum = expanded.groupBy("id", "bit").agg(F.sum("contrib").alias("s"))
-    return bitsum.groupBy("id").agg(
-        F.sum(F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(F.lit(0))).alias("simhash")
-    )
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))).alias(f"ones_{b}") for b in range(bits)
+    ]
+    per_doc = toks.groupBy("id").agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(2 * F.col(f"ones_{b}") > F.col("n"), F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return per_doc.select("id", fp.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, max_hamming: int = 3) -> DataFrame:

@@ -79,10 +79,14 @@ def auto_resolve(
         F.col(f"dim.{c}").asc() for c in (tiebreak or [start])
     ]
     w = Window.partitionBy(*[F.col(f"q.{c}") for c in queries.columns]).orderBy(*order)
+    dim_payload = [c for c in dim.columns if c not in queries.columns]
     return (
         joined.withColumn("__dist", dist)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .withColumnRenamed("__dist", "temporal_distance")
+        .select(
+            *[F.col(f"q.{c}").alias(c) for c in queries.columns],
+            *[F.col(f"dim.{c}").alias(c) for c in dim_payload],
+            F.col("__dist").alias("temporal_distance"),
+        )
     )

@@ -24,11 +24,11 @@ def within_tolerance_pairs(
 ) -> DataFrame:
     """Self-join: pairs of rows with the same key whose timestamps are within
     tolerance, id_a < id_b.  Bucketed equi-join as described above."""
-    bucket = (F.unix_timestamp(F.col(ts)) / tolerance_seconds).cast("long")
-    sel = [F.col(key).alias("k"), F.col(ts).alias("t"), F.col(id_col).alias("id")] + [
+    tol_us = tolerance_seconds * 1_000_000
+    sel = [F.col(key).alias("k"), F.unix_micros(F.col(ts)).alias("t"), F.col(id_col).alias("id")] + [
         F.col(c) for c in (payload or [])
     ]
-    base = df.select(*sel).withColumn("b", bucket)
+    base = df.select(*sel).withColumn("b", F.expr(f"t div {tol_us}"))
     # each left row probes its own bucket and the next; pairs in adjacent
     # buckets are found exactly once, same-bucket pairs deduped by id order.
     left = base.select("k", "t", "id", F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("jb"))
@@ -38,14 +38,14 @@ def within_tolerance_pairs(
         .join(right.alias("b"), ["k", "jb"])
         .filter(
             (F.col("a.id") < F.col("b.id"))
-            & (F.abs(F.unix_timestamp(F.col("a.t")) - F.unix_timestamp(F.col("b.t"))) <= tolerance_seconds)
+            & (F.abs(F.col("a.t") - F.col("b.t")) <= tol_us)
         )
         .select(
             F.col("k").alias(key),
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.t").alias("t_a"),
-            F.col("b.t").alias("t_b"),
+            F.col("a.t").alias("t_a_us"),
+            F.col("b.t").alias("t_b_us"),
         )
         .distinct()
     )

@@ -1,1 +1,156 @@
-"""placeholder — populated in this round."""
+"""Equity-fundamentals pipeline operators (SURVEY.md §2.5 W1–W3, §2.11 F2,
+§2.9 safe arithmetic) exercised on synthetic quarterly series derived from
+``orders`` — the same shapes the reference computes on XBRL fundamentals.
+
+Window sums are computed over DECIMAL so they are order-independent across
+engines (DuckDB evaluates window aggregates with segment trees; Spark with
+frame iteration — double addition order would differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from us_equity_datalake_spark.functions.safe_math import dec_sum, dec_sum_sql, safe_div
+from us_equity_datalake_spark.sources.registry import load_table
+from .base import register
+
+# Shared CTE: quarterly revenue per customer (custkey < 50), as DECIMAL(30,6).
+_QREV_SQL = """
+    SELECT o_custkey AS custkey,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q,
+           SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+    FROM orders WHERE o_custkey < 50
+    GROUP BY o_custkey, date_trunc('quarter', o_orderdate)
+"""
+
+
+def _quarterly_rev(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") < 50)
+    return orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").alias("q"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev"))
+
+
+@register(
+    "ttm_rolling_4q",
+    oracle=f"""
+    WITH qrev AS ({_QREV_SQL})
+    SELECT custkey, q, CAST(rev AS DOUBLE) AS rev,
+           CASE WHEN COUNT(*) OVER w = 4
+                THEN CAST(SUM(rev) OVER w AS DOUBLE) END AS ttm
+    FROM qrev
+    WINDOW w AS (PARTITION BY custkey ORDER BY q ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    doc="W1 (derived/ttm.py:111-147): trailing 4-quarter sum; null unless exactly "
+    "4 observations in the window (test_ttm.py golden semantics).",
+)
+def ttm_q(spark, sf_dir):
+    qrev = _quarterly_rev(spark, sf_dir)
+    w = Window.partitionBy("custkey").orderBy("q").rowsBetween(-3, 0)
+    return qrev.select(
+        "custkey",
+        "q",
+        F.col("rev").cast("double").alias("rev"),
+        F.when(F.count("rev").over(w) == 4, F.sum("rev").over(w)).otherwise(None).cast("double").alias("ttm"),
+    )
+
+
+@register(
+    "lag_growth_metrics",
+    oracle=f"""
+    WITH qrev AS ({_QREV_SQL})
+    SELECT custkey, q,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(rev - LAG(rev, 1) OVER w AS DOUBLE) AS rev_grw,
+           CAST((rev + LAG(rev, 4) OVER w) / 2 AS DOUBLE) AS avg_rev_1y
+    FROM qrev
+    WINDOW w AS (PARTITION BY custkey ORDER BY q)
+    """,
+    doc="W2/W3 (metrics.py:158-207): lag-1 growth and lag-4 two-point average; "
+    "null on first rows (no t-1) by construction.",
+)
+def lag_growth_q(spark, sf_dir):
+    qrev = _quarterly_rev(spark, sf_dir)
+    w = Window.partitionBy("custkey").orderBy("q")
+    return qrev.select(
+        "custkey",
+        "q",
+        F.col("rev").cast("double").alias("rev"),
+        (F.col("rev") - F.lag("rev", 1).over(w)).cast("double").alias("rev_grw"),
+        ((F.col("rev") + F.lag("rev", 4).over(w)) / 2).cast("double").alias("avg_rev_1y"),
+    )
+
+
+@register(
+    "q4_derivation",
+    oracle="""
+    WITH qsum AS (
+      SELECT o_custkey AS custkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS fy,
+             SUM(CASE WHEN quarter(o_orderdate) = 1 THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS q1,
+             SUM(CASE WHEN quarter(o_orderdate) = 2 THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS q2,
+             SUM(CASE WHEN quarter(o_orderdate) = 3 THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS q3,
+             SUM(CASE WHEN quarter(o_orderdate) = 4 THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS q4_actual
+      FROM orders WHERE o_custkey < 100
+      GROUP BY o_custkey, year(o_orderdate)
+    )
+    SELECT custkey, y,
+           CAST(fy - q1 - q2 - q3 AS DOUBLE) AS q4_derived,
+           CAST(q4_actual AS DOUBLE) AS q4_actual
+    FROM qsum
+    WHERE q1 IS NOT NULL AND q2 IS NOT NULL AND q3 IS NOT NULL
+    """,
+    doc="F2 (fundamental.py:193-287): Q4 = FY − Q1 − Q2 − Q3 per frame-year, "
+    "derived only when the annual frame and all three standalone quarters exist.",
+)
+def q4_derivation_q(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") < 100)
+    dec = F.col("o_totalprice").cast("decimal(30,6)")
+    qn = F.quarter("o_orderdate")
+    qsum = orders.groupBy(
+        F.col("o_custkey").alias("custkey"), F.year("o_orderdate").cast("long").alias("y")
+    ).agg(
+        F.sum(dec).alias("fy"),
+        F.sum(F.when(qn == 1, dec)).alias("q1"),
+        F.sum(F.when(qn == 2, dec)).alias("q2"),
+        F.sum(F.when(qn == 3, dec)).alias("q3"),
+        F.sum(F.when(qn == 4, dec)).alias("q4_actual"),
+    )
+    return qsum.filter(
+        F.col("q1").isNotNull() & F.col("q2").isNotNull() & F.col("q3").isNotNull()
+    ).select(
+        "custkey",
+        "y",
+        (F.col("fy") - F.col("q1") - F.col("q2") - F.col("q3")).cast("double").alias("q4_derived"),
+        F.col("q4_actual").cast("double"),
+    )
+
+
+@register(
+    "safe_ratio_metrics",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dec_sum_sql('l_extendedprice')} AS rev,
+           CASE WHEN {dec_sum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice END")} IS NOT NULL
+                 AND {dec_sum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice END")} <> 0
+                THEN ROUND({dec_sum_sql('l_extendedprice')} / {dec_sum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice END")}, 6)
+           END AS rev_per_returned
+    FROM lineitem WHERE l_orderkey < 3000
+    GROUP BY l_orderkey
+    """,
+    doc="Safe arithmetic (metrics.py:93-106): guarded division yields null — "
+    "never NaN/Inf — on null/zero denominators (SURVEY.md §7.3 item 5).",
+)
+def safe_ratio_q(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 3000)
+    agg = li.groupBy("l_orderkey").agg(
+        dec_sum(F.col("l_extendedprice")).alias("rev"),
+        dec_sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))).alias("ret_rev"),
+    )
+    return agg.select(
+        "l_orderkey",
+        "rev",
+        F.round(safe_div(F.col("rev"), F.col("ret_rev")), 6).alias("rev_per_returned"),
+    )

@@ -1,1 +1,167 @@
-"""placeholder — populated in this round."""
+"""Event-stream operators in batch form (SURVEY.md §2.12 I8 capability
+extension + A10 stats): sessionization, tumbling & sliding windows, statistical
+profiles, and the bucketed range self-join.  The streaming (readStream)
+equivalents live in ``us_equity_datalake_spark.streaming``; these batch forms
+are the oracle-checkable semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from us_equity_datalake_spark.functions.safe_math import dec_sum, dec_sum_sql
+from us_equity_datalake_spark.operators.rangejoin import within_tolerance_pairs
+from us_equity_datalake_spark.sources.registry import load_table
+from .base import register
+
+_GAP_S = 1800  # 30-minute session gap
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev IS NULL OR tus - prev > {_GAP_S} * 1000000 THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, sid, COUNT(*) AS n_ev, (MAX(tus) - MIN(tus)) // 1000000 AS span_s
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, COUNT(*) AS n_sessions, SUM(n_ev) AS n_events,
+           MAX(n_ev) AS longest_session_events, SUM(span_s) AS total_span_seconds
+    FROM per_session GROUP BY user_id
+    """,
+    doc="Sessionization (gap > 30 min) via lag + cumulative sum — the batch "
+    "equivalent of session_window; reference has I6-style stateful diffs only.",
+)
+def sessionize_q(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("tus").over(w).isNull() | (F.col("tus") - F.lag("tus").over(w) > _GAP_S * 1_000_000), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_ev"),
+        F.expr("(max(tus) - min(tus)) div 1000000").alias("span_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("longest_session_events"),
+        F.sum("span_s").alias("total_span_seconds"),
+    )
+
+
+@register(
+    "tumbling_hourly_agg",
+    oracle=f"""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
+           COUNT(*) AS n, {dec_sum_sql('value')} AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling window aggregation (batch form of F.window(ts, '1 hour')).",
+)
+def tumbling_q(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dec_sum(F.col("value")).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_ts"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@register(
+    "sliding_window_agg",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT epoch_us(date_trunc('hour', ts)) // 1000000
+               + (CASE WHEN epoch_us(ts) - epoch_us(date_trunc('hour', ts)) >= 1800 * 1000000 THEN 1800 ELSE 0 END)
+               AS b0,
+             value
+      FROM events
+    ),
+    two AS (
+      SELECT b0 AS wstart, value FROM assigned
+      UNION ALL
+      SELECT b0 - 1800, value FROM assigned
+    )
+    SELECT wstart AS window_start, COUNT(*) AS n, {dec_sum_sql('value')} AS total_value
+    FROM two GROUP BY wstart
+    """,
+    doc="Sliding window (1h window, 30min slide): each event lands in 2 windows; "
+    "batch form of F.window(ts, '1 hour', '30 minutes').",
+)
+def sliding_q(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dec_sum(F.col("value")).alias("total_value"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n", "total_value")
+    )
+
+
+@register(
+    "stat_profile_by_type",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(value) AS n,
+           ROUND({dec_sum_sql('value')} / COUNT(value), 6) AS mean,
+           ROUND(stddev_samp(value), 6) AS std,
+           median(value) AS median,
+           ROUND(MAX(value) - MIN(value), 6) AS val_range,
+           ROUND(AVG(CASE WHEN value < 2.0 THEN 1.0 ELSE 0.0 END), 6) AS extreme_ratio,
+           ROUND((AVG(value) - median(value)) / stddev_samp(value), 6) AS skew_pearson
+    FROM events GROUP BY event_type
+    """,
+    doc="A10 (derived/sentiment.py:175-299): mean/std/median/range/extreme-ratio/"
+    "Pearson-median skew — all native aggregates (median exact in Spark 3.4+).",
+)
+def stat_profile_q(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count(v).alias("n"),
+        F.round(dec_sum(v) / F.count(v), 6).alias("mean"),
+        F.round(F.stddev_samp(v), 6).alias("std"),
+        F.median(v).alias("median"),
+        F.round(F.max(v) - F.min(v), 6).alias("val_range"),
+        F.round(F.avg(F.when(v < 2.0, 1.0).otherwise(0.0)), 6).alias("extreme_ratio"),
+        F.round((F.avg(v) - F.median(v)) / F.stddev_samp(v), 6).alias("skew_pearson"),
+    )
+
+
+@register(
+    "range_self_join_pairs",
+    oracle="""
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           epoch_us(a.ts) AS t_a_us, epoch_us(b.ts) AS t_b_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= CAST(3600 AS BIGINT) * 1000000
+    """,
+    doc="J6-style range self-join: same-user event pairs within 1 hour, via "
+    "tolerance-bucketed equi-join (no O(n²)-per-key theta join).",
+)
+def range_pairs_q(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    return within_tolerance_pairs(ev, key="user_id", ts="ts", id_col="event_id", tolerance_seconds=3600)

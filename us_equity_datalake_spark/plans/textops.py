@@ -1,1 +1,299 @@
-"""placeholder — populated in this round."""
+"""Training-data-pipeline text operators over the ``documents`` table:
+exact dedup, token stats, quality scoring, language ID, n-gram Jaccard,
+MinHash+LSH, SimHash, winnowing fingerprints (north-star extensions; the
+reference's own text surface is N1–N6/A11).
+
+Every query has a full DuckDB oracle — including MinHash and SimHash, whose
+md5-based hashes are engine-portable (functions.hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from us_equity_datalake_spark.functions import hashing, text
+from us_equity_datalake_spark.functions.hashing import MERSENNE_P, perm_coefficients
+from us_equity_datalake_spark.operators import dedup
+from us_equity_datalake_spark.sources.registry import load_table
+from .base import register
+
+# Shared SQL fragments (tokens / positional shingles / shingle hashes).
+_TOKS_SQL = f"""
+  toks AS (
+    SELECT doc_id, text, {text.tokens_sql('text')} AS t FROM documents
+  )
+"""
+_SHINGLE_POS_SQL = """
+  pos AS (
+    SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks
+  ),
+  sh_pos AS (
+    SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM pos
+  )
+"""
+_SHINGLE_SQL = _SHINGLE_POS_SQL + """,
+  sh_str AS (
+    SELECT DISTINCT doc_id, s FROM sh_pos
+  )
+"""
+_H32 = hashing.md5_long32_sql("s")
+
+
+_NORM_EXPR = hashing.md5_long60_sql(r"regexp_replace(lower(text), '\s+', ' ', 'g')")
+
+
+@register(
+    "doc_exact_dedup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_NORM_EXPR} AS hh
+      FROM documents
+    )
+    SELECT doc_id, dup_count FROM (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY hh) AS dup_count,
+             ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id) AS rn
+      FROM h
+    ) WHERE rn = 1
+    """,
+    doc="Exact dedup: hash normalized content (never groupBy raw text at scale), "
+    "keep min-id doc per hash with group size.",
+)
+def exact_dedup_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.exact_dedup(docs, text_col="text", id_col="doc_id").select("doc_id", "dup_count")
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    WITH {_TOKS_SQL}
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+           ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 6) AS mean_word_len
+    FROM toks WHERE len(t) > 0
+    """,
+    doc="Token counting (whitespace+alnum regex tokenizer): counts, distinct "
+    "counts, mean word length — all JVM-side array ops.",
+)
+def token_stats_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    toks = text.tokens(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.round(text.mean_word_len(toks), 6).alias("mean_word_len"),
+    )
+    return out.filter(F.col("n_tokens") > 0)
+
+
+_SW_LIST = "['" + "','".join(sorted(text.EN_STOPWORDS)) + "']"
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    feats AS (
+      SELECT doc_id,
+             CAST(len(t) AS DOUBLE) AS n,
+             CAST(length(text) AS DOUBLE) AS total_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct_chars,
+             CAST(len(list_filter(t, x -> list_contains({_SW_LIST}, x))) AS DOUBLE) AS sw_hits
+      FROM toks
+    )
+    SELECT doc_id,
+           ROUND(0.4 * least(n / 100.0, 1.0)
+               + 0.3 * (1.0 - (CASE WHEN total_chars > 0 THEN punct_chars / total_chars ELSE 0.0 END))
+               + 0.3 * least((CASE WHEN n > 0 THEN sw_hits / n ELSE 0.0 END) * 4, 1.0), 6) AS quality
+    FROM feats
+    """,
+    doc="Quality scoring: length/punct/stopword-ratio composite "
+    "(web-pipeline quality gate; reference analog derived/word_lists.py).",
+)
+def quality_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    lst = "['" + "','".join(text.LANG_STOPWORDS[lang]) + "']"
+    return f"len(list_filter(t, x -> list_contains({lst}, x)))"
+
+
+_LANGS = sorted(text.LANG_STOPWORDS)  # alphabetical tie-break order
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    hits AS (
+      SELECT doc_id, {', '.join(f'{_lang_hits_sql(lg)} AS h_{lg}' for lg in _LANGS)}
+      FROM toks
+    )
+    SELECT h.doc_id,
+           CASE {' '.join(f"WHEN h_{lg} >= greatest({', '.join('h_' + o for o in _LANGS if o != lg)}) THEN '{lg}'" for lg in _LANGS)}
+           END AS pred_lang,
+           d.lang AS label_lang
+    FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+    """,
+    doc="Language ID: stopword-hit argmax heuristic with alphabetical tie-break "
+    "(n-gram heuristic family; all column expressions).",
+)
+def lang_id_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    toks = text.tokens(F.col("text"))
+    def _hits(sw_words):
+        sw = F.array(*[F.lit(w) for w in sw_words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    hit_cols = {f"h_{lg}": _hits(text.LANG_STOPWORDS[lg]) for lg in _LANGS}
+    df = docs.withColumns(hit_cols)
+    pred = None
+    for lg in _LANGS:
+        others = [F.col(f"h_{o}") for o in _LANGS if o != lg]
+        cond = F.col(f"h_{lg}") >= F.greatest(*others)
+        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
+    return df.select("doc_id", pred.alias("pred_lang"), F.col("lang").alias("label_lang"))
+
+
+@register(
+    "doc_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_TOKS_SQL}, {_SHINGLE_SQL},
+    sh AS (SELECT DISTINCT doc_id, {_H32} AS sh FROM sh_str),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+    """,
+    doc="n-gram Jaccard near-dup pairs via inverted-index self-join on shingle "
+    "hashes — cost ∝ Σ postinglist², not all-pairs.",
+)
+def jaccard_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3, threshold=0.5)
+
+
+_NUM_PERM, _BANDS, _SEED = 16, 4, 7
+_COEFFS = perm_coefficients(_NUM_PERM, _SEED)
+_ROWS = _NUM_PERM // _BANDS
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {MERSENNE_P}) AS m{i}" for i, (a, b) in enumerate(_COEFFS)
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM sh32 GROUP BY doc_id)"
+
+
+def _band_arm(bi: int) -> str:
+    key = " || ',' || ".join(f"CAST(m{bi * _ROWS + r} AS VARCHAR)" for r in range(_ROWS))
+    return f"SELECT doc_id, {bi} AS band, {key} AS bkey FROM sig"
+
+
+@register(
+    "doc_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_TOKS_SQL}, {_SHINGLE_SQL},
+    sh32 AS (SELECT DISTINCT doc_id, {_H32} AS h FROM sh_str),
+    {_minhash_sig_sql()},
+    bands AS ({' UNION ALL '.join(_band_arm(bi) for bi in range(_BANDS))}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(({' + '.join(f'CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END' for i in range(_NUM_PERM))}) / {_NUM_PERM}.0, 6) AS est_jaccard
+    FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+    """,
+    doc="MinHash+LSH: 16 universal-hash permutations, 4 bands × 4 rows; "
+    "candidates from band-bucket equi-join; estimate = matching components / 16.",
+)
+def minhash_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, num_perm=_NUM_PERM, bands=_BANDS, seed=_SEED
+    )
+
+
+_SIM_BITS = 32
+_TH = hashing.md5_long32_sql("tok")
+
+
+@register(
+    "doc_simhash_pairs",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+    th AS (SELECT DISTINCT doc_id, {_TH} AS th FROM tok),
+    bitsum AS (
+      SELECT doc_id, bit, SUM(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, (SELECT unnest(generate_series(0, {_SIM_BITS - 1})) AS bit)
+      GROUP BY doc_id, bit
+    ),
+    fp AS (
+      SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+      FROM bitsum GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bkey
+      FROM fp, (SELECT unnest(generate_series(0, 3)) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS h_a, b.simhash AS h_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+    """,
+    doc="SimHash (Charikar): 32-bit fingerprint from ±1 bit votes of token "
+    "hashes; near-dups blocked on 8-bit bands, verified by hamming <= 3.",
+)
+def simhash_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = dedup.simhash_pairs(docs, text_col="text", id_col="doc_id", bits=_SIM_BITS, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long"))
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH {_TOKS_SQL}, {_SHINGLE_POS_SQL},
+    hashed AS (SELECT doc_id, i, {_H32} AS h FROM sh_pos),
+    winmin AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w
+      FROM hashed
+    )
+    SELECT doc_id, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_fingerprints,
+           MIN(w) AS min_fp, MAX(w) AS max_fp
+    FROM winmin GROUP BY doc_id
+    """,
+    doc="Winnowing document fingerprints: shingle-hash stream → sliding-window "
+    "min (w=4) → distinct mins per doc (Schleimer et al. MOSS scheme).",
+)
+def winnow_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    toks = text.tokens(F.col("text"))
+    sh = docs.select(
+        "doc_id", F.posexplode(text.word_shingles(toks, 3)).alias("i0", "s")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), hashing.md5_long32(F.col("s")).alias("h"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+    winmin = sh.select("doc_id", F.min("h").over(w).alias("w"))
+    return winmin.groupBy("doc_id").agg(
+        F.countDistinct("w").cast("long").alias("n_fingerprints"),
+        F.min("w").alias("min_fp"),
+        F.max("w").alias("max_fp"),
+    )

@@ -1,1 +1,105 @@
-"""placeholder — populated in this round."""
+"""Similarity search over the ``embeddings`` table (north-star extension):
+exact brute-force cosine top-k (correctness baseline) and IVF-style
+partition-pruned approximate top-k (the 100 TB scale path).
+
+Cross-engine float discipline: inputs are float32; both engines widen to
+double and fold products left-to-right, so cosines are bit-identical; ranks
+are therefore stable, and displayed similarity is rounded to 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from us_equity_datalake_spark.functions.vector import cosine_sql
+from us_equity_datalake_spark.operators import similarity
+from us_equity_datalake_spark.sources.registry import load_table
+from .base import register
+
+_K = 5
+_NPROBE = 2
+_COS_QC = cosine_sql("q.qv", "c.embedding")
+
+
+@register(
+    "emb_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, {_COS_QC} AS cos
+      FROM embeddings c JOIN q ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {_K}
+    """,
+    doc="Brute-force cosine top-k: broadcast the query set, scan the corpus "
+    "once, per-query k-heap (window rank). Exact baseline for ANN.",
+)
+def cosine_topk_q(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", query_id="query_id", k=_K)
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+
+
+_COS_VC = cosine_sql("v.embedding", "c.cv")
+_COS_QCENT = cosine_sql("q.qv", "c.cv")
+_COS_QV = cosine_sql("q.qv", "a.embedding")
+
+
+@register(
+    "emb_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_COS_VC} DESC, c.centroid_id ASC) AS rn
+        FROM embeddings v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {_COS_QCENT} DESC, c.centroid_id ASC) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= {_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {cosine_sql('p.qv', 'a.embedding')} AS cos
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {_K}
+    """,
+    doc="IVF-style ANN: assign vectors to nearest of deterministic seed "
+    "centroids (vec_id % 100 == 0), probe only nprobe=2 buckets per query — "
+    "the partition-pruned scan that scales; recall < 1 by construction.",
+)
+def ivf_topk_q(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(
+        emb, queries, centroids, id_col="vec_id", vec_col="embedding", query_id="query_id", k=_K, nprobe=_NPROBE
+    )
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))

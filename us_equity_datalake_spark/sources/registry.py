@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from us_equity_datalake_spark import schemas
 
@@ -25,7 +25,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in schemas.TPCH:
         raise KeyError(f"unknown table {name!r}; known: {list(schemas.TPCH)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return spark.read.schema(schemas.TPCH[name]).parquet(path)
+    df = spark.read.schema(schemas.TPCH[name]).parquet(path)
+    if name == "events":
+        # stored as TIMESTAMP(NANOS) -> long (nanosAsLong); values are
+        # µs-aligned, so integer-dividing to µs is exact.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: list[str] | None = None) -> dict[str, DataFrame]:

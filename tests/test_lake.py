@@ -1,0 +1,79 @@
+"""Incremental lake-write patterns: idempotent partition overwrite (I3),
+read-check-append dedup upsert (I4), compaction (I5) — FIXTURES.md
+invariant 5: re-running consolidation yields an identical table."""
+
+import datetime as dt
+import glob
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from us_equity_datalake_spark.sources.lake import (
+    compact_partition,
+    overwrite_partition,
+    read_check_append,
+    read_table_metadata,
+    write_partitioned,
+    write_table_metadata,
+)
+
+
+def _ticks(spark, year, n=10, base=100.0):
+    rows = [
+        Row(security_id=1001, timestamp=dt.date(year, 1 + i % 12, 1 + i % 28),
+            close=base + i, volume=1000 + i, year=year)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _snapshot(spark, path):
+    return sorted(
+        tuple(r) for r in spark.read.parquet(path).select("security_id", "timestamp", "close", "volume").collect()
+    )
+
+
+def test_overwrite_partition_idempotent(spark, tmp_path):
+    path = str(tmp_path / "ticks")
+    write_partitioned(_ticks(spark, 2023).unionByName(_ticks(spark, 2024)), path, partition_by=["year"])
+    before = _snapshot(spark, path)
+
+    # re-land 2024 with identical data: table unchanged (idempotent, I3)
+    overwrite_partition(spark, _ticks(spark, 2024), path, partition_by=["year"])
+    assert _snapshot(spark, path) == before
+
+    # re-land 2024 with changed data: ONLY 2024 replaced
+    overwrite_partition(spark, _ticks(spark, 2024, base=200.0), path, partition_by=["year"])
+    after = spark.read.parquet(path)
+    assert after.filter("year = 2023").agg(F.min("close")).first()[0] == 100.0
+    assert after.filter("year = 2024").agg(F.min("close")).first()[0] == 200.0
+
+
+def test_read_check_append_dedups_by_key(spark, tmp_path):
+    path = str(tmp_path / "sentiment")
+    first = spark.createDataFrame([Row(accession_number="a1", value=1.0), Row(accession_number="a2", value=2.0)])
+    assert read_check_append(spark, first, path, keys=["accession_number"]) == 2
+    again = spark.createDataFrame([Row(accession_number="a2", value=99.0), Row(accession_number="a3", value=3.0)])
+    assert read_check_append(spark, again, path, keys=["accession_number"]) == 1  # only a3 fresh
+    out = {r["accession_number"]: r["value"] for r in spark.read.parquet(path).collect()}
+    assert out == {"a1": 1.0, "a2": 2.0, "a3": 3.0}  # a2 NOT clobbered (I4)
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "ticks")
+    df = _ticks(spark, 2023, n=40).repartition(8)
+    write_partitioned(df, path, partition_by=["year"])
+    before = _snapshot(spark, path)
+    n_files_before = len(glob.glob(f"{path}/year=2023/*.parquet"))
+    assert n_files_before > 1
+
+    compact_partition(spark, path, partition_by=["year"], predicate="year = 2023", target_files=1)
+    assert _snapshot(spark, path) == before  # byte-identical contents
+    assert len(glob.glob(f"{path}/year=2023/*.parquet")) == 1
+
+
+def test_table_metadata_sidecar(tmp_path):
+    path = str(tmp_path / "master")
+    write_table_metadata(None, path, {"crsp_end_date": "2024-12-31", "row_count": 50000})
+    assert read_table_metadata(path)["row_count"] == 50000
+    assert read_table_metadata(str(tmp_path / "nope")) is None

@@ -1,0 +1,70 @@
+"""Multimodal binary-column plumbing: metadata extraction, stubbed decode
+batch shapes, resize correctness, frame-sampling UDTF shape."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+
+from us_equity_datalake_spark.multimodal import (
+    attach_binary_metadata,
+    decode_image,
+    extract_image_features,
+    resize_images,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [Row(asset_id=i, payload=f"fake-image-{i}".encode(), media_type="image/png") for i in range(6)]
+    return spark.createDataFrame(rows)
+
+
+def test_metadata_extraction_jvm_side(spark, assets):
+    out = {r["asset_id"]: r for r in attach_binary_metadata(assets).collect()}
+    assert out[0]["n_bytes"] == len(b"fake-image-0")
+    assert out[0]["sha256"] == hashlib.sha256(b"fake-image-0").hexdigest()
+
+
+def test_decode_image_shapes_and_determinism(spark, assets):
+    out = decode_image(assets, width=8, height=8).collect()
+    assert all(len(r["pixels"]) == 64 for r in out)
+    assert all(0.0 <= p <= 1.0 for p in out[0]["pixels"])
+    again = decode_image(assets, width=8, height=8).collect()
+    assert [r["pixels"] for r in sorted(out, key=lambda r: r["asset_id"])] == [
+        r["pixels"] for r in sorted(again, key=lambda r: r["asset_id"])
+    ]
+
+
+def test_decode_image_real_codec_raises(spark, assets):
+    with pytest.raises(Exception) as ei:
+        decode_image(assets, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_resize_nearest_neighbor(spark, assets):
+    decoded = decode_image(assets, width=8, height=8)
+    out = resize_images(decoded, src_w=8, src_h=8, dst_w=4, dst_h=4).collect()
+    r = out[0]
+    assert len(r["pixels_resized"]) == 16
+    # nearest-neighbor: resized[0] samples source (0,0); resized[5] samples (2,2)
+    assert r["pixels_resized"][0] == r["pixels"][0]
+    assert r["pixels_resized"][5] == r["pixels"][2 * 8 + 2]
+
+
+def test_feature_extraction(spark, assets):
+    decoded = decode_image(assets, width=8, height=8)
+    r = extract_image_features(decoded).collect()[0]
+    assert r["px_min"] <= r["px_mean"] <= r["px_max"]
+
+
+def test_video_frame_sampling_udtf_shape(spark, assets):
+    out = sample_video_frames(assets, n_frames=3).collect()
+    assert len(out) == 6 * 3
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r["asset_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2] for v in by_asset.values())
+    expected = hashlib.sha256(b"fake-image-0" + (0).to_bytes(4, "big")).hexdigest()
+    assert [r["frame_sha"] for r in out if r["asset_id"] == 0 and r["frame_idx"] == 0] == [expected]

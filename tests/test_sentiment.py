@@ -1,0 +1,125 @@
+"""Sentiment pipeline tests: chunking semantics, deterministic-model scoring,
+filing aggregation goldens (FIXTURES.md §8: fixed (label, score) chunk lists,
+reference formulas derived/sentiment.py:180-299)."""
+
+import datetime as dt
+import statistics
+
+import pytest
+from pyspark.sql import Row
+
+from us_equity_datalake_spark.equity.sentiment import (
+    HashSentimentModel,
+    aggregate_filing_sentiment,
+    chunk_text,
+    extract_mdna,
+    melt_sentiment_long,
+    score_chunks,
+    SENTIMENT_METRICS,
+)
+
+
+def test_chunk_short_text_single_chunk():
+    assert chunk_text("hello world") == ["hello world"]
+    assert chunk_text("") == []
+
+
+def test_chunk_long_text_overlap():
+    text = ("Lorem ipsum dolor sit amet. " * 100).strip()  # ~2800 chars
+    chunks = chunk_text(text)
+    assert len(chunks) >= 2
+    assert all(len(c) <= 1500 for c in chunks)
+    # 200-char overlap: consecutive chunks share content
+    assert chunks[0][-50:] in text and chunks[1][:50] in text
+
+
+def test_chunk_sentence_boundary_snap():
+    text = "A" * 1400 + ". " + "B" * 1000
+    chunks = chunk_text(text)
+    # first chunk should end at the sentence boundary inside the last 20%
+    assert chunks[0].endswith(".")
+
+
+def test_extract_mdna_patterns():
+    filing = "intro " * 50 + "Item 7. Management's Discussion and Analysis " + "body " * 300 + "Item 7A. Quantitative"
+    section = extract_mdna(filing)
+    assert section is not None
+    assert section.lower().startswith("item 7")
+    assert "item 7a" not in section.lower()
+
+
+def test_extract_mdna_min_length_guard():
+    assert extract_mdna("Item 7. Management's Discussion tiny") is None
+
+
+def _agg(spark, labeled):
+    chunks = spark.createDataFrame(
+        [Row(cik="0001", accession_number="acc-1", chunk=f"c{i}", label=l, score=s)
+         for i, (l, s) in enumerate(labeled)]
+    )
+    texts = spark.createDataFrame(
+        [Row(cik="0001", accession_number="acc-1", filing_date=dt.date(2024, 5, 1),
+             filing_type="10-K", text="The company may face litigation risks. Results improved.")]
+    )
+    rows = aggregate_filing_sentiment(chunks, texts).collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_aggregation_goldens(spark):
+    labeled = [("positive", 0.9), ("negative", 0.8), ("neutral", 0.7), ("negative", 0.6)]
+    signed = [0.9, -0.8, 0.0, -0.6]
+    r = _agg(spark, labeled)
+    assert r["sentiment_score"] == pytest.approx(round(sum(signed) / 4, 4))
+    assert r["positive_ratio"] == 0.25
+    assert r["negative_ratio"] == 0.5
+    assert r["neutral_ratio"] == 0.25
+    assert r["avg_positive_confidence"] == 0.9
+    assert r["avg_negative_confidence"] == pytest.approx(0.7)
+    assert r["chunk_count"] == 4
+    assert r["sentiment_std"] == pytest.approx(round(statistics.stdev(signed), 4))
+    assert r["sentiment_range"] == pytest.approx(round(max(signed) - min(signed), 4))
+    mean, med, std = statistics.mean(signed), statistics.median(signed), statistics.stdev(signed)
+    assert r["sentiment_skew"] == pytest.approx(round((mean - med) / std, 4))
+    assert r["extreme_negative_ratio"] == 0.5  # signed < -0.5: [-0.8, -0.6]
+    assert r["confidence_std"] == pytest.approx(round(statistics.stdev([0.9, 0.8, 0.7, 0.6]), 4))
+
+
+def test_single_chunk_zero_conventions(spark):
+    """Reference: single-chunk filings get 0.0 std/range/skew, not null."""
+    r = _agg(spark, [("positive", 0.9)])
+    assert r["sentiment_std"] == 0.0
+    assert r["sentiment_range"] == 0.0
+    assert r["sentiment_skew"] == 0.0
+    assert r["confidence_std"] == 0.0
+
+
+def test_word_ratios_and_readability(spark):
+    r = _agg(spark, [("positive", 0.9)])
+    # 8 whitespace words: uncertainty hits {may, risks}, litigious {litigation},
+    # weak-modal {may}
+    assert r["word_count"] == 8.0
+    assert r["uncertainty_ratio"] == pytest.approx(round(2 / 8, 6))
+    assert r["litigious_ratio"] == pytest.approx(round(1 / 8, 6))
+    assert r["weak_modal_ratio"] == pytest.approx(round(1 / 8, 6))
+    assert r["avg_sentence_length"] == pytest.approx(4.0)  # 8 words / 2 sentences
+    assert r["fog_index"] > 0
+
+
+def test_score_chunks_deterministic_singleton(spark):
+    chunks = spark.createDataFrame([Row(cik="1", accession_number="a", chunk=f"text {i}") for i in range(10)])
+    out1 = {r["chunk"]: (r["label"], r["score"]) for r in score_chunks(chunks).collect()}
+    out2 = {r["chunk"]: (r["label"], r["score"]) for r in score_chunks(chunks).collect()}
+    assert out1 == out2  # deterministic across runs
+    model = HashSentimentModel()
+    expected = dict(zip([f"text {i}" for i in range(10)], model.predict([f"text {i}" for i in range(10)])))
+    assert out1 == expected  # distributed result == local model
+
+
+def test_melt_produces_21_metrics(spark):
+    r = _agg(spark, [("positive", 0.9), ("negative", 0.8)])
+    wide = spark.createDataFrame([r])
+    long = melt_sentiment_long(wide)
+    metrics = {row["metric"] for row in long.collect()}
+    assert metrics == set(SENTIMENT_METRICS)
+    assert long.filter("model_name = 'hash-sentiment'").count() == len(SENTIMENT_METRICS)

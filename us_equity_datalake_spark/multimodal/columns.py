@@ -1,0 +1,133 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched pandas
+functions over ``mapInPandas``.  The actual codecs (PIL/ffmpeg/torchaudio) are
+NOT in this image, so the decode kernels are stubbed: ``fake=True`` (default)
+produces deterministic shaped arrays derived from the payload hash so the
+Spark-side plumbing — schema, partitioning, UDF signatures, batch shapes — is
+real and tested; ``fake=False`` raises NotImplementedError at the decode
+boundary, exactly where a production codec would plug in.
+
+Scale notes: binary payloads ride in parquet as BYTE_ARRAY; metadata columns
+(width/height/format/n_bytes/sha) are extracted once at ingest so downstream
+filters prune on plain columns without touching payload bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("meta", T.StructType([
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("sha256", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]), True),
+    ]
+)
+
+
+def attach_binary_metadata(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """Ingest-time metadata extraction — pure JVM column functions (no UDF):
+    byte length + sha256 over the binary payload."""
+    return df.withColumn("n_bytes", F.octet_length(F.col(payload_col)).cast("long")).withColumn(
+        "sha256", F.lower(F.sha2(F.col(payload_col), 256))
+    )
+
+
+def _fake_pixels(payload: bytes, w: int, h: int) -> list[float]:
+    """Deterministic stand-in decode: hash-seeded grayscale plane."""
+    seed = int(hashlib.md5(payload or b"").hexdigest()[:8], 16)
+    return [((seed + i * 2654435761) % 256) / 255.0 for i in range(w * h)]
+
+
+def decode_image(df: DataFrame, *, payload_col: str = "payload", width: int = 8, height: int = 8,
+                 fake: bool = True) -> DataFrame:
+    """binary -> fixed-shape float pixel array (w*h grayscale).
+
+    Real codec is stubbed (no PIL in this image): ``fake=False`` raises at the
+    decode boundary.
+    """
+    out_schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError("image decode requires PIL/opencv — not in this image")
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pixels"] = pdf[payload_col].map(lambda b: _fake_pixels(bytes(b or b""), width, height))
+            pdf["width"] = width
+            pdf["height"] = height
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def resize_images(df: DataFrame, *, pixels_col: str = "pixels", src_w: int = 8, src_h: int = 8,
+                  dst_w: int = 4, dst_h: int = 4) -> DataFrame:
+    """Nearest-neighbor downsample over the decoded pixel array — pure
+    higher-order column functions (JVM-side), no UDF needed once decoded."""
+    idx = []
+    for y in range(dst_h):
+        for x in range(dst_w):
+            sy = y * src_h // dst_h
+            sx = x * src_w // dst_w
+            idx.append(sy * src_w + sx + 1)  # element_at is 1-based
+    resized = F.array(*[F.element_at(F.col(pixels_col), i) for i in idx])
+    return df.withColumn("pixels_resized", resized)
+
+
+def extract_image_features(df: DataFrame, *, pixels_col: str = "pixels") -> DataFrame:
+    """Mean/min/max brightness from the pixel array — aggregate higher-order
+    functions, feeding the embedding/similarity pipeline."""
+    px = F.col(pixels_col)
+    mean = F.aggregate(px, F.lit(0.0), lambda a, x: a + x) / F.size(px)
+    return (
+        df.withColumn("px_mean", mean)
+        .withColumn("px_min", F.array_min(px))
+        .withColumn("px_max", F.array_max(px))
+    )
+
+
+def sample_video_frames(df: DataFrame, *, payload_col: str = "payload", n_frames: int = 4,
+                        fake: bool = True) -> DataFrame:
+    """binary video -> (frame_idx, frame_payload) rows; the UDTF shape
+    (one→many) via mapInPandas + per-frame hash slices when faked."""
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError("video decode requires ffmpeg — not in this image")
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r[payload_col] or b"")
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "asset_id": r["asset_id"],
+                            "frame_idx": i,
+                            "frame_sha": hashlib.sha256(payload + i.to_bytes(4, "big")).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_sha"])
+
+    return df.mapInPandas(kernel, out_schema)

@@ -297,3 +297,23 @@ def winnow_q(spark, sf_dir):
         F.min("w").alias("min_fp"),
         F.max("w").alias("max_fp"),
     )
+
+
+@register(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    doc="Multimodal binary-column plumbing: opaque payload (text bytes stand in "
+    "for image bytes) -> ingest-time metadata (byte length, sha256) as pure "
+    "JVM column functions; decode kernels live in multimodal.columns.",
+)
+def multimodal_metadata_q(spark, sf_dir):
+    from us_equity_datalake_spark.multimodal import attach_binary_metadata
+
+    docs = load_table(spark, "documents", sf_dir)
+    binary = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return attach_binary_metadata(binary).select("doc_id", "n_bytes", "sha256")

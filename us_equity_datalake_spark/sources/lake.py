@@ -1,0 +1,122 @@
+"""Lake layout + incremental write patterns (SURVEY.md §1.4, §2.12).
+
+The reference manages one-file-per-entity objects with hand-rolled hot/cold
+routing (storage/pipeline/publishers.py:246-302; update/app.py:447-607).  The
+Spark redesign is one logical table per entity, Hive-partitioned:
+
+    ticks_daily/   partitioned by year          (hot: + month at ingest)
+    ticks_minute/  partitioned by year, month
+    fundamental/   partitioned by concept bucket or plain
+
+with Catalyst partition pruning replacing the reference's manual month-file
+routing (clients/ticks.py:235-292) — and three incremental write patterns:
+
+- I3 idempotent overwrite: total refetch of the hot partition, dynamic
+  partition overwrite (exactly-once by rewrite; update/app.py:296-445).
+- I4 read-check-append: existing ∪ (new ⟕anti existing) by key — the
+  MERGE-less dedup upsert (update/app.py:877-958).
+- I5 compaction: rewrite a year partition into few large files
+  (the Jan-1 consolidation, update/app.py:447-607).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_partitioned(df: DataFrame, path: str, *, partition_by: list[str], mode: str = "overwrite") -> None:
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def overwrite_partition(spark: SparkSession, df: DataFrame, path: str, *, partition_by: list[str]) -> None:
+    """I3: dynamic partition overwrite — only partitions present in ``df`` are
+    replaced; re-running with the same input is a no-op (idempotent upsert)."""
+    with _partition_overwrite_dynamic(spark):
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+class _partition_overwrite_dynamic:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+
+
+def read_check_append(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    *,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> int:
+    """I4: append only rows whose key is absent (anti-join dedup upsert).
+    Returns the number of appended rows."""
+    if _exists(spark, path):
+        existing_keys = spark.read.parquet(path).select(*keys).distinct()
+        fresh = new_rows.join(existing_keys, on=keys, how="left_anti")
+    else:
+        fresh = new_rows
+    n = fresh.count()
+    if n:
+        w = fresh.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+    return n
+
+
+def compact_partition(spark: SparkSession, path: str, *, partition_by: list[str],
+                      predicate: str, target_files: int = 1) -> None:
+    """I5: rewrite the partitions selected by ``predicate`` into
+    ``target_files`` files each (small-file compaction).  The read must
+    resolve fully before the dynamic overwrite re-lands it."""
+    part = spark.read.parquet(path).filter(predicate)
+    compacted = part.repartition(target_files, *partition_by).cache()
+    compacted.count()
+    try:
+        with _partition_overwrite_dynamic(spark):
+            compacted.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        compacted.unpersist()
+
+
+def table_metadata_path(path: str) -> str:
+    return os.path.join(path, "_table_metadata.json")
+
+
+def write_table_metadata(spark: SparkSession, path: str, meta: dict) -> None:
+    """The reference stashes custom parquet metadata on the security master
+    (security_master.py:831-840); as a table-level sidecar here."""
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    with open(table_metadata_path(path), "w") as f:
+        json.dump(meta, f, sort_keys=True)
+
+
+def read_table_metadata(path: str) -> dict | None:
+    import json
+
+    p = table_metadata_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    if not os.path.exists(path):
+        return False
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False

@@ -1,0 +1,55 @@
+"""Structured Streaming window operators (SURVEY.md §2.12 I8 capability
+extension — the reference is a daily micro-batch system with no streaming
+engine; these are the Spark-native streaming forms of the batch queries in
+``plans.events``).
+
+All helpers take an already-constructed streaming DataFrame (``readStream``)
+so tests can drive them with a parquet directory + ``availableNow`` and
+compare against the batch results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tumbling_counts(events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count/sum with a watermark for late data (I2 analog:
+    the reference's 7-day filing lookback is its watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, *, window: str = "1 hour", slide: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (session_window) — the streaming form of the
+    lag+cumsum batch sessionization in plans.events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"), "user_id", "n_events")
+    )
+
+
+def streaming_dedup(df: DataFrame, *, keys: list[str], watermark_col: str | None = None,
+                    watermark: str = "1 day") -> DataFrame:
+    """I4 in streaming form: exactly-once-per-key via dropDuplicates state
+    (the reference's anti-join on accession numbers, update/app.py:896-900)."""
+    if watermark_col:
+        df = df.withWatermark(watermark_col, watermark)
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)

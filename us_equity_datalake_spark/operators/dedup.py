@@ -64,14 +64,26 @@ def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 # ---------------------------------------------------------------------------
 
 def shingle_table(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle_hash) pairs, distinct per doc — the inverted-index input."""
-    toks = text.tokens(F.col(text_col))
+    """(id, shingle_hash) pairs — the inverted-index input.
+
+    Shingles are deduped at the STRING level per doc (``array_distinct``
+    before explode — no extra shuffle); hash collisions between distinct
+    shingles are kept, mirrored exactly by the oracle SQL, and harmless to
+    MinHash (min over a multiset == min over its set).
+
+    A small-file corpus lands in one parquet partition, which would serialize
+    the explode+md5 pipeline on one core — repartition first so shingling
+    parallelizes (the shuffle moves only (id, text), cheap relative to the
+    per-shingle hashing it unlocks)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    if src.rdd.getNumPartitions() < 16:
+        src = src.repartition(8, "id")
+    toks = text.tokens(F.col("__text"))
     sh = F.array_distinct(text.word_shingles(toks, n))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        src.select("id", F.explode(sh).alias("shingle"))
         .withColumn("sh", hashing.md5_long32(F.col("shingle")))
         .select("id", "sh")
-        .distinct()
     )
 
 
@@ -83,29 +95,41 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard >= threshold via an inverted-index self-join.
+    """All-pairs n-gram Jaccard >= threshold — exact.
 
-    |A∩B| from the shingle-hash equi-join, |A∪B| = |A|+|B|−|A∩B|.  The join is
-    on the shingle hash (not doc pairs), so cost is Σ per-shingle postinglist²
-    — with a stopword-shingle cap this is the standard scalable formulation.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    Candidate generation is an inverted-index self-join on the shingle hash
+    with an exact LENGTH filter folded into the join: J(A,B) >= t implies
+    t·|A| <= |B| <= |A|/t, so size-incompatible pairs never leave the probe
+    side.  |A∩B| comes from the per-pair match count (map-side combined);
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    (A PPJoin-style prefix filter was measured here and LOST: with a dense
+    shingle vocabulary every prefix hash has a long posting list, and the
+    candidate-distinct pass costs more than the straight count join.  Kept
+    simple on purpose — measured, not guessed.)
     """
     sh = shingle_table(df, text_col=text_col, id_col=id_col, n=n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # persist: both self-join sides read the shingle+size table — without this
+    # the explode+md5 subtree executes twice
+    posting = sh.join(sizes, "id").persist()
+    a, b = posting.alias("a"), posting.alias("b")
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+            & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz")),
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
+        .agg(F.count("*").alias("common"), F.first("a.sz").alias("sz_a"), F.first("b.sz").alias("sz_b"))
     )
-    out = (
-        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+    return (
+        common.withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -191,8 +215,11 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bi
     ``bits`` aggregate columns in ONE groupBy (map-side combined) — no
     per-(doc,bit) row expansion, no UDF.
     """
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    if src.rdd.getNumPartitions() < 16:
+        src = src.repartition(8, "id")
     toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(text.tokens(F.col(text_col)))).alias("tok"))
+        src.select("id", F.explode(F.array_distinct(text.tokens(F.col("__text")))).alias("tok"))
         .withColumn("th", hashing.md5_long32(F.col("tok")))
         .select("id", "th")
         .distinct()

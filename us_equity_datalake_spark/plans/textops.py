@@ -163,7 +163,7 @@ def lang_id_q(spark, sf_dir):
     "doc_ngram_jaccard_pairs",
     oracle=f"""
     WITH {_TOKS_SQL}, {_SHINGLE_SQL},
-    sh AS (SELECT DISTINCT doc_id, {_H32} AS sh FROM sh_str),
+    sh AS (SELECT doc_id, {_H32} AS sh FROM sh_str),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -283,7 +283,7 @@ def simhash_q(spark, sf_dir):
     "min (w=4) → distinct mins per doc (Schleimer et al. MOSS scheme).",
 )
 def winnow_q(spark, sf_dir):
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).repartition(8, "doc_id")
     toks = text.tokens(F.col("text"))
     sh = docs.select(
         "doc_id", F.posexplode(text.word_shingles(toks, 3)).alias("i0", "s")

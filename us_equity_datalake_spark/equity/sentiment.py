@@ -293,13 +293,15 @@ def aggregate_filing_sentiment(scored_chunks: DataFrame, filing_texts: DataFrame
         F.round(F.coalesce(F.avg(F.when(F.col("label") == "negative", F.col("score"))), F.lit(0.0)), 4).alias(
             "avg_negative_confidence"
         ),
-        F.round(F.coalesce(F.stddev_samp("signed"), F.lit(0.0)), 4).alias("sentiment_std"),
+        # count guard, not coalesce: Spark stddev_samp of a 1-row group is NaN
+        # (not null), and the reference returns 0.0 for single-chunk filings
+        F.round(F.when(F.count("*") > 1, F.stddev_samp("signed")).otherwise(F.lit(0.0)), 4).alias("sentiment_std"),
         F.round(F.coalesce(F.max("signed") - F.min("signed"), F.lit(0.0)), 4).alias("sentiment_range"),
         F.avg("signed").alias("__mean_raw"),
         F.median("signed").alias("__median_raw"),
         F.stddev_samp("signed").alias("__std_raw"),
         F.round(F.avg((F.col("signed") < -0.5).cast("double")), 4).alias("extreme_negative_ratio"),
-        F.round(F.coalesce(F.stddev_samp("score"), F.lit(0.0)), 4).alias("confidence_std"),
+        F.round(F.when(F.count("*") > 1, F.stddev_samp("score")).otherwise(F.lit(0.0)), 4).alias("confidence_std"),
     )
     agg = agg.withColumn(
         "sentiment_skew",

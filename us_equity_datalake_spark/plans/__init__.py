@@ -10,6 +10,7 @@ from .base import REGISTRY, QuerySpec, register  # noqa: F401
 
 from . import tpch  # noqa: E402,F401
 from . import reference_ops  # noqa: E402,F401
+from . import reference_ops2  # noqa: E402,F401
 from . import equity  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import textops  # noqa: E402,F401

@@ -50,6 +50,8 @@ def latest_wins(df: DataFrame, *, keys: list[str], recency: str, tiebreak: list[
 def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
     """Keep the min-id document per (normalized) content hash; adds
     ``dup_count`` = group size.  One shuffle on the 60-bit hash."""
+    if df.rdd.getNumPartitions() < 16:
+        df = df.repartition(8, id_col)  # parallelize regex+md5 on small-file corpora
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ") if normalize else F.col(text_col)
     hashed = df.withColumn("__h", hashing.md5_long60(norm))
     w = Window.partitionBy("__h")

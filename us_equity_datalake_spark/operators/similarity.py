@@ -54,17 +54,30 @@ def assign_to_centroids(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the centroid table, rank by
-    cosine, keep rank 1.  Output: corpus columns + centroid_id."""
-    scored = corpus.join(F.broadcast(centroids)).withColumn(
-        "__sim", vector.cosine(F.col(vec_col), F.col(centroid_vec))
+    """Nearest-centroid assignment: broadcast the centroid table, argmax by
+    cosine.  Output: corpus columns + centroid_id.
+
+    The argmax is a ``max_by`` groupBy, NOT a row_number window: partial
+    aggregation collapses the |corpus|×|C| similarity rows to |corpus| rows
+    map-side, and only the narrow (id, centroid_id) table ever shuffles — a
+    window here would shuffle every scored row with its embedding array.
+    Tiebreak (equal sim → lowest centroid_id) via the (sim, -centroid_id)
+    ordering struct, matching the oracle's ORDER BY sim DESC, id ASC."""
+    if corpus.rdd.getNumPartitions() < 16:
+        corpus = corpus.repartition(8, id_col)  # parallelize the fold-heavy cosines
+    sims = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col(centroid_id),
+            vector.cosine(F.col(vec_col), F.col(centroid_vec)).alias("__sim"),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col(centroid_id).asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sim", centroid_vec)
+    best = sims.groupBy(id_col).agg(
+        F.max_by(centroid_id, F.struct(F.col("__sim"), (-F.col(centroid_id)).alias("__t"))).alias(centroid_id)
     )
+    return corpus.join(best, id_col)
 
 
 def ivf_topk(

@@ -171,7 +171,9 @@ def minhash_lsh_pairs(
     with estimated Jaccard = fraction of equal signature components."""
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sig = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm, seed=seed)
+    # persist: both sides of the band self-join read the signature table —
+    # without it the shingle+md5+16-min subtree executes twice
+    sig = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm, seed=seed).persist()
     banded = sig.select(
         "id",
         "sig",
@@ -186,7 +188,13 @@ def minhash_lsh_pairs(
         ).alias("bx"),
     ).select("id", "sig", F.col("bx.band").alias("band"), F.col("bx.bkey").alias("bkey"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # estimate computed AT the join row, so the dedup-across-bands distinct
+    # shuffles 3 narrow columns — not two num_perm-long signature arrays
+    est = (
+        F.size(F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda eq: eq))
+        / F.lit(num_perm)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -196,13 +204,10 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.round(est, 6).alias("est_jaccard"),
         )
         .distinct()
     )
-    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)) / F.lit(num_perm)
-    return cand.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -240,7 +245,8 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bi
 def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming, using
     band-rotation blocking (4 bands; near-dups agree on >= 1 band)."""
-    fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    # persist: the band self-join reads the fingerprint table from both sides
+    fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits).persist()
     band_width = bits // 4
     banded = fp.select(
         "id",
@@ -253,10 +259,12 @@ def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
         ).alias("bx"),
     ).select("id", "simhash", F.col("bx.band").alias("band"), F.col("bx.bkey").alias("bkey"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # hamming computed and filtered AT the join row: only near-dup pairs reach
+    # the dedup-across-bands distinct, and its shuffle rows are 3 narrow cols
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,124 @@
+"""Universe-lifecycle state machine (I6, security_master.py:1198-1410):
+pure-core transition tests, the applyInPandas batch twin, and the
+applyInPandasWithState streaming form with state carried across micro-batches."""
+
+import datetime as dt
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import Row, functions as F, types as T
+
+from us_equity_datalake_spark.streaming import stateful
+from us_equity_datalake_spark.streaming.jobs import run_available_now
+
+D = dt.date
+
+
+def _rows(*pairs):
+    return pd.DataFrame([{"snap_date": d, "present": p} for d, p in pairs])
+
+
+# ---------------------------------------------------------------------------
+# pure core
+# ---------------------------------------------------------------------------
+
+
+def test_transitions_listing_and_delisting():
+    rows = _rows((D(2024, 1, 1), True), (D(2024, 1, 2), False), (D(2024, 1, 20), False))
+    events, last_present, status = stateful._transitions(rows, None, None, grace_days=14)
+    assert events == [(D(2024, 1, 1), "listed"), (D(2024, 1, 2), "absent"), (D(2024, 1, 20), "delisted")]
+    assert status == "delisted" and last_present == "2024-01-01"
+
+
+def test_transitions_relist_within_grace():
+    rows = _rows((D(2024, 1, 1), True), (D(2024, 1, 2), False), (D(2024, 1, 10), True))
+    events, _, status = stateful._transitions(rows, None, None, grace_days=14)
+    assert events == [(D(2024, 1, 1), "listed"), (D(2024, 1, 2), "absent"), (D(2024, 1, 10), "relisted")]
+    assert status == "active"
+
+
+def test_transitions_symbol_reuse_after_delist():
+    rows = _rows((D(2024, 3, 1), True),)
+    events, _, status = stateful._transitions(rows, "2024-01-01", "delisted", grace_days=14)
+    assert events == [(D(2024, 3, 1), "listed")] and status == "active"
+
+
+def test_transitions_resume_from_state():
+    # state carried in: active with last_present 2024-01-05; next batch absent past grace
+    rows = _rows((D(2024, 1, 25), False))
+    events, _, status = stateful._transitions(rows, "2024-01-05", "active", grace_days=14)
+    assert events == [(D(2024, 1, 25), "absent"), (D(2024, 1, 25), "delisted")]
+    assert status == "delisted"
+
+
+# ---------------------------------------------------------------------------
+# Spark batch twin
+# ---------------------------------------------------------------------------
+
+SNAP_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("snap_date", T.DateType()),
+        T.StructField("present", T.BooleanType()),
+    ]
+)
+
+
+def _snapshots():
+    out = []
+    # AAA: listed, glitch-absent one day, relisted
+    out += [("AAA", D(2024, 1, 1), True), ("AAA", D(2024, 1, 2), False), ("AAA", D(2024, 1, 3), True)]
+    # BBB: listed, disappears, grace expires
+    out += [("BBB", D(2024, 1, 1), True), ("BBB", D(2024, 1, 2), False), ("BBB", D(2024, 1, 20), False)]
+    return out
+
+
+def test_universe_lifecycle_batch(spark):
+    snaps = spark.createDataFrame([Row(symbol=s, snap_date=d, present=p) for s, d, p in _snapshots()], SNAP_SCHEMA)
+    out = stateful.universe_lifecycle_batch(snaps, grace_days=14)
+    got = {(r.symbol, r.snap_date, r.event) for r in out.collect()}
+    assert got == {
+        ("AAA", D(2024, 1, 1), "listed"),
+        ("AAA", D(2024, 1, 2), "absent"),
+        ("AAA", D(2024, 1, 3), "relisted"),
+        ("BBB", D(2024, 1, 1), "listed"),
+        ("BBB", D(2024, 1, 2), "absent"),
+        ("BBB", D(2024, 1, 20), "delisted"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# streaming with cross-batch state
+# ---------------------------------------------------------------------------
+
+
+def test_universe_lifecycle_streaming_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "snaps")
+    os.makedirs(src)
+    rows = _snapshots()
+    early = [r for r in rows if r[1] <= D(2024, 1, 2)]
+    late = [r for r in rows if r[1] > D(2024, 1, 2)]
+    spark.createDataFrame([Row(symbol=s, snap_date=d, present=p) for s, d, p in early], SNAP_SCHEMA).coalesce(
+        1
+    ).write.parquet(src, mode="append")
+    time.sleep(1.1)  # distinct mtimes => deterministic file order across micro-batches
+    spark.createDataFrame([Row(symbol=s, snap_date=d, present=p) for s, d, p in late], SNAP_SCHEMA).coalesce(
+        1
+    ).write.parquet(src, mode="append")
+
+    stream = spark.readStream.schema(SNAP_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    out = stateful.universe_lifecycle(stream, grace_days=14)
+    q = run_available_now(out, checkpoint=str(tmp_path / "ck"), output_mode="append", query_name="ulc")
+    q.awaitTermination(120)
+    got = {(r.symbol, r.snap_date, r.event) for r in spark.sql("SELECT * FROM ulc").collect()}
+    # same events as the batch twin — state (last_present/status) survived the
+    # micro-batch boundary between Jan 2 and the later snapshots
+    assert got == {
+        ("AAA", D(2024, 1, 1), "listed"),
+        ("AAA", D(2024, 1, 2), "absent"),
+        ("AAA", D(2024, 1, 3), "relisted"),
+        ("BBB", D(2024, 1, 1), "listed"),
+        ("BBB", D(2024, 1, 2), "absent"),
+        ("BBB", D(2024, 1, 20), "delisted"),
+    }

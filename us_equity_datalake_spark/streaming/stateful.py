@@ -1,0 +1,118 @@
+"""Custom stateful streaming operator: universe lifecycle tracking via
+``applyInPandasWithState``.
+
+Re-expresses the reference's universe state machine (I6,
+security_master.py:1198-1410: prev_universe.json diff → IPO / rebrand /
+delist with a 14-day grace period) as a per-symbol state machine over a
+stream of daily universe snapshots — the stateful-batch JSON checkpoint
+becomes Spark's managed state store, and the daily diff becomes incremental
+state transitions.
+
+States:   active → grace (absent from a snapshot) → delisted (grace expires)
+                     └──→ active (reappears in time: ticker glitch / rebrand)
+Events emitted on every transition: listed / absent / relisted / delisted.
+
+The operator is deterministic given ordered snapshots per symbol (micro-batch
+arrival order = snapshot-date order in daily operation; within a batch rows
+are sorted by snapshot date).  State per symbol is O(1): last-present date,
+current status — at 100 TB-scale universes the state store shards by symbol
+across executors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("snap_date", T.DateType()),
+        T.StructField("event", T.StringType()),
+    ]
+)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_present", T.StringType()),  # ISO date
+        T.StructField("status", T.StringType()),  # active | grace | delisted
+    ]
+)
+
+
+def _transitions(rows: pd.DataFrame, last_present: str | None, status: str | None, grace_days: int):
+    """Pure state-transition core (unit-testable without Spark): rows must
+    have (snap_date: date, present: bool) sorted ascending by snap_date."""
+    events: list[tuple[object, str]] = []
+    for r in rows.itertuples():
+        d = r.snap_date
+        if r.present:
+            if status is None:
+                events.append((d, "listed"))
+            elif status == "grace":
+                events.append((d, "relisted"))
+            elif status == "delisted":
+                events.append((d, "listed"))  # new listing reusing the symbol
+            status = "active"
+            last_present = d.isoformat()
+        else:
+            if status == "active":
+                events.append((d, "absent"))
+                status = "grace"
+            if status == "grace" and last_present is not None:
+                grace_deadline = pd.Timestamp(last_present) + pd.Timedelta(days=grace_days)
+                if pd.Timestamp(d) > grace_deadline:
+                    events.append((d, "delisted"))
+                    status = "delisted"
+    return events, last_present, status
+
+
+def universe_lifecycle(
+    snapshots: DataFrame,
+    *,
+    grace_days: int = 14,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """(symbol, snap_date: date, present: bool) stream → transition events.
+
+    Works identically on a streaming DataFrame (state persisted in the state
+    store across micro-batches) and on a batch DataFrame (single pass) —
+    ``applyInPandasWithState`` requires streaming; batch callers use
+    ``universe_lifecycle_batch``.
+    """
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        last_present, status = state.get if state.exists else (None, None)
+        out: list[dict] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("snap_date")
+            events, last_present, status = _transitions(pdf, last_present, status, grace_days)
+            out.extend({"symbol": symbol, "snap_date": d, "event": ev} for d, ev in events)
+        state.update((last_present, status))
+        yield pd.DataFrame(out, columns=["symbol", "snap_date", "event"]) if out else pd.DataFrame(
+            columns=["symbol", "snap_date", "event"]
+        )
+
+    return snapshots.groupBy("symbol").applyInPandasWithState(
+        fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append", timeout
+    )
+
+
+def universe_lifecycle_batch(snapshots: DataFrame, *, grace_days: int = 14) -> DataFrame:
+    """Batch twin of ``universe_lifecycle`` via ``applyInPandas`` (no state
+    store; the whole history per symbol is in one group)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        symbol = pdf["symbol"].iloc[0]
+        events, _, _ = _transitions(pdf.sort_values("snap_date"), None, None, grace_days)
+        if not events:
+            return pd.DataFrame(columns=["symbol", "snap_date", "event"])
+        return pd.DataFrame(
+            [{"symbol": symbol, "snap_date": d, "event": ev} for d, ev in events]
+        )
+
+    return snapshots.groupBy("symbol").applyInPandas(fn, OUTPUT_SCHEMA)

@@ -21,8 +21,10 @@ from us_equity_datalake_spark import plans  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: TPC-H Q1-style pricing summary on sf0.001."""
-    return plans.REGISTRY["tpch_q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship: the composed derived-metrics pipeline (EAV long → pivot →
+    as-of join → lag-window safe-arithmetic metrics → melt) on sf0.001 — the
+    reference's signature derived path end to end."""
+    return plans.REGISTRY["derived_metrics_pipeline"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

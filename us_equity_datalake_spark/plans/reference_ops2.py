@@ -605,3 +605,112 @@ def fiscal_inference_q(spark, sf_dir):
         F.col("fiscal_year").cast("long").alias("fiscal_year"),
         F.col("fiscal_quarter").cast("long").alias("fiscal_quarter"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition — the derived-metrics pipeline (SURVEY §3.1 step 7,
+# build-plan phase 3): EAV long table → R1 pivot → J3 as-of join of instant
+# concepts → W2/W3 lag windows + safe arithmetic → R2 melt.  One query
+# exercising the reference's whole derived path end to end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "derived_metrics_pipeline",
+    oracle=f"""
+    WITH qagg AS (
+      SELECT o_custkey AS custkey, CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS q,
+             {dec_sum_sql('o_totalprice')} AS rev, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM orders WHERE o_custkey < 200 GROUP BY 1, 2
+    ),
+    bal AS (
+      SELECT c_custkey AS custkey,
+             DATE '1994-01-01' + CAST(c_custkey % 365 + off AS INT) AS bal_date,
+             c_acctbal + off AS bal
+      FROM customer, (VALUES (0), (400), (800)) v(off)
+      WHERE c_custkey < 200
+    ),
+    j AS (
+      SELECT q.custkey, q.q, q.rev, q.cnt, b.bal
+      FROM qagg q ASOF LEFT JOIN bal b ON q.custkey = b.custkey AND b.bal_date <= q.q
+    ),
+    lagd AS (
+      SELECT custkey, q, rev, cnt, bal,
+             LAG(rev, 1) OVER w AS rev_l1,
+             LAG(bal, 4) OVER w AS bal_l4
+      FROM j WINDOW w AS (PARTITION BY custkey ORDER BY q)
+    ),
+    m AS (
+      SELECT custkey, q, rev,
+             CASE WHEN cnt IS NOT NULL AND cnt <> 0 AND rev IS NOT NULL THEN rev / cnt END AS rev_per_order,
+             CASE WHEN rev IS NOT NULL AND rev_l1 IS NOT NULL THEN rev - rev_l1 END AS rev_grw,
+             CASE WHEN bal IS NOT NULL AND bal_l4 IS NOT NULL THEN (bal + bal_l4) / 2 END AS avg_bal4
+      FROM lagd
+    ),
+    m2 AS (
+      SELECT custkey, q,
+             ROUND(rev_per_order, 6) AS rev_per_order,
+             ROUND(rev_grw, 6) AS rev_grw,
+             ROUND(avg_bal4, 6) AS avg_bal4,
+             ROUND(CASE WHEN avg_bal4 IS NOT NULL AND avg_bal4 <> 0 AND rev IS NOT NULL
+                        THEN rev / avg_bal4 END, 6) AS bal_turn
+      FROM m
+    )
+    SELECT custkey, q, 'rev_per_order' AS metric, rev_per_order AS value FROM m2 WHERE rev_per_order IS NOT NULL
+    UNION ALL
+    SELECT custkey, q, 'rev_grw', rev_grw FROM m2 WHERE rev_grw IS NOT NULL
+    UNION ALL
+    SELECT custkey, q, 'avg_bal4', avg_bal4 FROM m2 WHERE avg_bal4 IS NOT NULL
+    UNION ALL
+    SELECT custkey, q, 'bal_turn', bal_turn FROM m2 WHERE bal_turn IS NOT NULL
+    """,
+    doc="Composed derived pipeline (collectors.py:640-833, metrics.py:76-237): "
+    "quarterly EAV rows → pivot(known concepts) → backward as-of join of the "
+    "instant concept → lag-1 growth, lag-4 average, safe ratios → melt with "
+    "null drop. One shuffle per stage boundary: agg, pivot agg, as-of union "
+    "window, lag window (same key → reused partitioning), final melt is "
+    "narrow. The whole plan stays in Tungsten; no Python anywhere.",
+)
+def derived_metrics_pipeline_q(spark, sf_dir):
+    from us_equity_datalake_spark.functions.safe_math import safe_add, safe_div, safe_sub
+    from us_equity_datalake_spark.operators.asof import asof_join_backward
+    from us_equity_datalake_spark.operators.reshape import pivot_long_to_wide, unpivot_wide_to_long
+
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") < 200)
+    qagg = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.date_trunc("quarter", F.col("o_orderdate").cast("date")).cast("date").alias("q"),
+    ).agg(dec_sum(F.col("o_totalprice")).alias("rev"), F.count("*").cast("double").alias("cnt"))
+    # store-shaped long EAV rows, then pivot back for compute (the lake's
+    # fundamental tables are long at rest, SURVEY §1.1)
+    long = unpivot_wide_to_long(
+        qagg, index=["custkey", "q"], value_cols=["rev", "cnt"], key_name="concept", value_name="value"
+    )
+    wide = pivot_long_to_wide(long, index=["custkey", "q"], key="concept", value="value", known_keys=["rev", "cnt"])
+
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") < 200)
+    bal = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal"),
+        F.explode(F.array(*[F.lit(o) for o in (0, 400, 800)])).alias("off"),
+    ).select(
+        "custkey",
+        F.date_add(F.lit("1994-01-01").cast("date"), (F.col("custkey") % 365 + F.col("off")).cast("int")).alias("bal_date"),
+        (F.col("c_acctbal") + F.col("off")).alias("bal"),
+    )
+    joined = asof_join_backward(wide, bal, by=["custkey"], left_on="q", right_on="bal_date", value_cols=["bal"])
+
+    w = Window.partitionBy("custkey").orderBy("q")
+    avg_bal4 = safe_div(safe_add(F.col("bal"), F.lag("bal", 4).over(w)), F.lit(2.0))
+    m = joined.select(
+        "custkey",
+        "q",
+        F.round(safe_div(F.col("rev"), F.col("cnt")), 6).alias("rev_per_order"),
+        F.round(safe_sub(F.col("rev"), F.lag("rev", 1).over(w)), 6).alias("rev_grw"),
+        F.round(avg_bal4, 6).alias("avg_bal4"),
+        F.round(safe_div(F.col("rev"), avg_bal4), 6).alias("bal_turn"),
+    )
+    return unpivot_wide_to_long(
+        m, index=["custkey", "q"], value_cols=["rev_per_order", "rev_grw", "avg_bal4", "bal_turn"],
+        key_name="metric", value_name="value", drop_null=True,
+    )

@@ -714,3 +714,46 @@ def derived_metrics_pipeline_q(spark, sf_dir):
         m, index=["custkey", "q"], value_cols=["rev_per_order", "rev_grw", "avg_bal4", "bal_turn"],
         key_name="metric", value_name="value", drop_null=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 date/time — UTC → ET wall-clock + market-hours session rollup
+# (alpaca_ticks.py:807-842, collectors.py:346-363; hard-problem #9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "market_hours_et_rollup",
+    oracle=f"""
+    WITH et AS (
+      SELECT timezone('America/New_York', timezone('UTC', ts)) AS ets, value
+      FROM events
+    ),
+    mh AS (
+      SELECT * FROM et
+      WHERE (hour(ets) * 60 + minute(ets)) >= 570 AND (hour(ets) * 60 + minute(ets)) < 960
+    )
+    SELECT CAST(ets AS DATE) AS et_date,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dec_sum_sql('value')} AS total,
+           strftime(MIN(ets), '%H:%M:%S') AS first_t,
+           strftime(MAX(ets), '%H:%M:%S') AS last_t
+    FROM mh GROUP BY CAST(ets AS DATE)
+    """,
+    doc="§2.9 date/time (alpaca_ticks.py:807-842): UTC instants → ET "
+    "wall-clock via the tz database (DST-correct), 9:30–16:00 session filter "
+    "on wall minutes, rollup by ET trading date. All JVM-side; the conversion "
+    "is one codegen'd expression, no shuffle added.",
+)
+def market_hours_q(spark, sf_dir):
+    from us_equity_datalake_spark.functions import timeops
+
+    events = load_table(spark, "events", sf_dir)
+    et = events.select(timeops.to_eastern_wallclock(F.col("ts")).alias("ets"), "value")
+    mh = et.filter(timeops.in_market_hours(F.col("ets")))
+    return mh.groupBy(timeops.et_trading_date(F.col("ets")).alias("et_date")).agg(
+        F.count("*").cast("long").alias("n"),
+        dec_sum(F.col("value")).alias("total"),
+        F.date_format(F.min("ets"), "HH:mm:ss").alias("first_t"),
+        F.date_format(F.max("ets"), "HH:mm:ss").alias("last_t"),
+    )

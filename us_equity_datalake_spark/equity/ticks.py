@@ -116,3 +116,30 @@ def trading_calendar_spine(spark: SparkSession, start: str, end: str, *, weekday
     if weekdays_only:
         spine = spine.filter(~F.dayofweek("date").isin(1, 7))  # Sun=1, Sat=7
     return spine
+
+
+def minute_to_daily_ohlcv(
+    bars: DataFrame,
+    *,
+    key: str = "security_id",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Minute bars → daily OHLCV (collectors.py:296-388 parse_minute_bars_to_
+    daily): one map-side-combined groupBy per (key, day) — open/close via
+    ``min_by``/``max_by`` on the timestamp (no sort, no window, no shuffle of
+    raw bars beyond the single agg exchange).  Requires (key, ts) unique, which
+    the minute-bar layout guarantees.
+    """
+    day = F.col(ts_col).cast("date").alias("d")
+    aggs = [
+        F.min_by(price_col, ts_col).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(price_col, ts_col).alias("close"),
+        F.count("*").cast("long").alias("n_bars"),
+    ]
+    if size_col:
+        aggs.append(F.sum(size_col).cast("long").alias("volume"))
+    return bars.groupBy(F.col(key), day).agg(*aggs)

@@ -757,3 +757,32 @@ def market_hours_q(spark, sf_dir):
         F.date_format(F.min("ets"), "HH:mm:ss").alias("first_t"),
         F.date_format(F.max("ets"), "HH:mm:ss").alias("last_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Minute → daily resample (collectors.py:296-388): the intraday rollup that
+# builds the daily lake from minute bars
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minute_to_daily_ohlcv",
+    oracle="""
+    SELECT user_id AS security_id, CAST(ts AS DATE) AS d,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_bars
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+    """,
+    doc="Minute→daily OHLCV resample (collectors.py:296-388): single "
+    "map-side-combined groupBy per (key, day); open/close are min_by/max_by "
+    "on the timestamp — no sort or window over raw bars, one shuffle total.",
+)
+def minute_to_daily_q(spark, sf_dir):
+    from us_equity_datalake_spark.equity.ticks import minute_to_daily_ohlcv
+
+    events = load_table(spark, "events", sf_dir)
+    bars = events.select(F.col("user_id").alias("security_id"), "ts", F.col("value").alias("price"))
+    return minute_to_daily_ohlcv(bars, key="security_id", ts_col="ts", price_col="price")

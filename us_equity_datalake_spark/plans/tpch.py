@@ -153,3 +153,162 @@ def q6(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal, n_name,
+           CAST(SUM({_D}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY c_custkey, c_name, ROUND(c_acctbal, 2), n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10: 4-way join (two broadcast dims), filtered fact scan, "
+    "grouped revenue, top-20 (TakeOrderedAndProject).",
+)
+def q10(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"), "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q12_priority_by_month",
+    oracle="""
+    SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(l_shipdate) = 1996
+    GROUP BY month(l_shipdate)
+    """,
+    doc="TPC-H Q12 shape (priority classification via conditional aggregation "
+    "over a fact-fact join; shipmode column absent in the synthetic schema, "
+    "bucketed by ship month instead).",
+)
+def q12(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).filter(F.year("l_shipdate") == 1996)
+    orders = load_table(spark, "orders", sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN starts_with(p_type, 'PROMO') THEN {_D} ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+                 / CAST(SUM({_D}) AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE year(l_shipdate) = 1995 AND month(l_shipdate) = 9
+    """,
+    doc="TPC-H Q14: promo revenue ratio — broadcast part dim, conditional "
+    "decimal-sum ratio, single-row result.",
+)
+def q14(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.year("l_shipdate") == 1995) & (F.month("l_shipdate") == 9)
+    )
+    part = load_table(spark, "part", sf_dir)
+    d = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), d).otherwise(F.lit(0).cast("decimal(30,6)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(d).cast("double"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+           ROUND(o_totalprice, 2) AS totalprice, {dec_sum_sql('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE), ROUND(o_totalprice, 2)
+    """,
+    doc="TPC-H Q18: HAVING-filtered aggregate as a semi-join back into the "
+    "fact (left_semi against the big-order keys), then re-aggregate.",
+)
+def q18(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 150).select("l_orderkey")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .agg(dec_sum(F.col("l_quantity")).alias("total_qty"))
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(SUM({_D}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19: OR-of-ANDs selection across the join — Catalyst extracts "
+    "the common l_quantity/p_size bounds for pushdown, the residual "
+    "disjunction evaluates post-join.",
+)
+def q19(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    cond = arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#34", 35, 20, 30)
+    d = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    return j.filter(cond).agg(F.sum(d).cast("double").alias("revenue"))

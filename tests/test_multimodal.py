@@ -4,7 +4,7 @@ batch shapes, resize correctness, frame-sampling UDTF shape."""
 import hashlib
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, types as T
 
 from us_equity_datalake_spark.multimodal import (
     attach_binary_metadata,
@@ -68,3 +68,29 @@ def test_video_frame_sampling_udtf_shape(spark, assets):
     assert all(sorted(v) == [0, 1, 2] for v in by_asset.values())
     expected = hashlib.sha256(b"fake-image-0" + (0).to_bytes(4, "big")).hexdigest()
     assert [r["frame_sha"] for r in out if r["asset_id"] == 0 and r["frame_idx"] == 0] == [expected]
+
+
+def test_decode_audio_features_shape_and_determinism(spark):
+    from us_equity_datalake_spark.multimodal.columns import decode_audio_features
+
+    df = spark.createDataFrame(
+        [Row(asset_id=1, payload=bytearray(b"wav-bytes-1")), Row(asset_id=2, payload=bytearray(b""))],
+        T.StructType([T.StructField("asset_id", T.LongType()), T.StructField("payload", T.BinaryType())]),
+    )
+    out = {r.asset_id: r for r in decode_audio_features(df, n_mels=8, n_frames=4).collect()}
+    assert len(out[1].mel) == 4 and all(len(row) == 8 for row in out[1].mel)
+    assert out[2].duration_s == 0.0
+    # deterministic: same payload -> same features
+    again = {r.asset_id: r for r in decode_audio_features(df, n_mels=8, n_frames=4).collect()}
+    assert again[1].mel == out[1].mel
+
+
+def test_decode_audio_real_codec_gated(spark):
+    from us_equity_datalake_spark.multimodal.columns import decode_audio_features
+
+    df = spark.createDataFrame(
+        [Row(asset_id=1, payload=bytearray(b"x"))],
+        T.StructType([T.StructField("asset_id", T.LongType()), T.StructField("payload", T.BinaryType())]),
+    )
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        decode_audio_features(df, fake=False).collect()

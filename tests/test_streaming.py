@@ -75,3 +75,43 @@ def test_streaming_dedup_drops_repeated_keys(spark, tmp_path):
         spark, streaming_dedup(stream, keys=["accession_number"]), "dedup_out", str(tmp_path / "ck3")
     ).collect()
     assert sorted(r["accession_number"] for r in out) == ["a0", "a1", "a2"]
+
+
+def test_foreach_batch_partition_overwrite_idempotent(spark, tmp_path):
+    """I3 streaming form: micro-batches overwrite their month partitions;
+    re-running the whole stream from a fresh checkpoint yields an identical
+    table (idempotence), and a corrected re-land replaces only its partition."""
+    from us_equity_datalake_spark.streaming.jobs import partition_overwrite_sink
+
+    src = str(tmp_path / "src")
+    sink_path = str(tmp_path / "lake")
+    schema = T.StructType([
+        T.StructField("security_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("month", T.IntegerType()),
+    ])
+    base = dt.datetime(2024, 1, 15)
+    rows1 = [Row(security_id=1, ts=base, close=10.0, month=1),
+             Row(security_id=1, ts=base + dt.timedelta(days=31), close=11.0, month=2)]
+    spark.createDataFrame(rows1, schema).write.parquet(src)
+
+    def run(ck):
+        stream = read_stream(spark, src, schema)
+        q = run_available_now(stream, checkpoint=str(tmp_path / ck),
+                              foreach_batch=partition_overwrite_sink(sink_path, partition_by=["month"]))
+        q.awaitTermination(120)
+
+    run("ck1")
+    first = sorted(tuple(r) for r in spark.read.parquet(sink_path).select("security_id", "close", "month").collect())
+    run("ck2")  # full replay from scratch -> identical table
+    assert sorted(tuple(r) for r in spark.read.parquet(sink_path).select("security_id", "close", "month").collect()) == first
+
+    # corrected re-land of month 2 only: month 1 untouched, month 2 replaced
+    spark.createDataFrame([Row(security_id=1, ts=base + dt.timedelta(days=32), close=99.0, month=2)], schema) \
+        .write.mode("append").parquet(src)
+    run("ck3")
+    out = spark.read.parquet(sink_path)
+    assert out.filter("month = 1").collect()[0].close == 10.0
+    assert {r.close for r in out.filter("month = 2").collect()} == {11.0, 99.0} or \
+           {r.close for r in out.filter("month = 2").collect()} == {99.0}

@@ -131,3 +131,34 @@ def sample_video_frames(df: DataFrame, *, payload_col: str = "payload", n_frames
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_sha"])
 
     return df.mapInPandas(kernel, out_schema)
+
+
+def decode_audio_features(df: DataFrame, *, payload_col: str = "payload", n_mels: int = 8,
+                          n_frames: int = 4, fake: bool = True) -> DataFrame:
+    """binary audio -> fixed-shape (n_frames x n_mels) feature matrix as
+    array<array<float>> plus duration metadata — the torchaudio/librosa mel
+    pipeline stubbed behind the same deterministic-fake boundary as images.
+    Batch shape contract: one row in, one row out, features column appended."""
+    out_schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("mel", T.ArrayType(T.ArrayType(T.FloatType()))),
+        T.StructField("duration_s", T.FloatType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError("audio decode requires torchaudio/librosa — not in this image")
+        for pdf in batches:
+            pdf = pdf.copy()
+
+            def mel(b):
+                seed = int(hashlib.md5(bytes(b or b"")).hexdigest()[:8], 16)
+                return [
+                    [((seed + f * 31 + m * 7) % 256) / 255.0 for m in range(n_mels)]
+                    for f in range(n_frames)
+                ]
+
+            pdf["mel"] = pdf[payload_col].map(mel)
+            pdf["duration_s"] = pdf[payload_col].map(lambda b: len(bytes(b or b"")) / 16000.0)
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)

@@ -33,3 +33,22 @@ def run_available_now(
     else:
         writer = writer.format("memory").queryName(query_name)
     return writer.start()
+
+
+def partition_overwrite_sink(path: str, *, partition_by: list[str]):
+    """foreachBatch sink implementing I3 (update/app.py:296-445: total refetch
+    of the hot slice, overwrite the partition — "no merge logic"): each
+    micro-batch dynamically overwrites exactly the partitions it carries.
+    Replays of a micro-batch rewrite the same partitions with the same rows —
+    idempotent, so checkpoint + this sink gives effective exactly-once."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            batch_df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return sink

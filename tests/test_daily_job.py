@@ -1,0 +1,108 @@
+"""run_daily_update integration (§3.1, update/app.py:1053-1199): the full
+stage sequence over a temp lake, idempotence on re-run, holiday gate."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from us_equity_datalake_spark.equity.daily_job import LakePaths, run_daily_update
+
+D = dt.date
+
+
+@pytest.fixture()
+def inputs(spark):
+    universe = spark.createDataFrame(
+        [
+            Row(ticker="AAA", name="Aaa Inc Common Stock", etf="N", test_issue="N"),
+            Row(ticker="BBB", name="Bbb ETF Trust Income", etf="Y", test_issue="N"),
+            Row(ticker="CCC", name="Ccc Corp Common Stock", etf="N", test_issue="N"),
+        ]
+    )
+    ticks = spark.createDataFrame(
+        [
+            Row(security_id=1, symbol="AAA", timestamp=D(2024, 6, d), close=10.0 + d, volume=1000)
+            for d in range(3, 8)
+        ]
+        + [Row(security_id=2, symbol="CCC", timestamp=D(2024, 6, 3), close=1.0, volume=10)]
+    )
+
+    def dp(concept, frame, value, q, tag="T1", instant=False):
+        end = D(2023, 3 * q, 28) if q else D(2023, 12, 31)
+        return Row(symbol="AAA", concept=concept, tag=tag, tag_priority=1, value=value,
+                   accn=f"acc-{concept}-{frame}", form="10-Q", filed=end + dt.timedelta(days=30),
+                   start=D(2023, 1, 1), end=end, frame=frame)
+
+    fundamentals = spark.createDataFrame(
+        [dp("rev", f"CY2023Q{q}", 100.0 * q, q) for q in (1, 2, 3)] + [dp("rev", "CY2023", 1000.0, 0)]
+    )
+    filings = spark.createDataFrame(
+        [
+            Row(cik="0001", accession_number="acc-1", filing_date=D(2024, 6, 1),
+                filing_type="10-K", text="Revenue grew. Litigation risk may be material. " * 40)
+        ]
+    )
+    return universe, ticks, fundamentals, filings
+
+
+def test_run_daily_update_end_to_end_and_idempotent(spark, tmp_path, inputs):
+    universe, ticks, fundamentals, filings = inputs
+    lake = LakePaths(str(tmp_path / "lake"))
+
+    r1 = run_daily_update(
+        spark, lake, target_date="2024-06-07",
+        universe_snapshot=universe, ticks_batch=ticks,
+        fundamental_raw=fundamentals, filings=filings,
+    )
+    assert r1["universe_size"] == 2  # ETF excluded
+    assert r1["top_k"] == 1  # only AAA clears the min-adv bar
+    assert r1["ticks_landed"] == 6
+    # Q4 derived: FY - Q1 - Q2 - Q3 = 1000 - 600 = 400; the derived row keeps
+    # the annual frame string and REPLACES the FY row (F2 semantics)
+    fund = spark.read.parquet(lake.fundamental)
+    q4 = fund.filter(F.col("frame") == "CY2023").collect()
+    assert len(q4) == 1 and q4[0].value == 400.0
+    assert r1["fundamental_appended"] == 4  # 3 quarters + derived Q4
+    assert r1["ttm_rows"] == 1  # exactly-4-quarters window: one complete TTM row
+    assert spark.read.parquet(lake.ttm).collect()[0].value == 1000.0  # Q1+Q2+Q3+Q4
+    assert r1["filings_appended"] == 1
+
+    # re-run same date, same inputs: appends are no-ops, tables unchanged
+    before = sorted(tuple(r) for r in fund.collect())
+    r2 = run_daily_update(
+        spark, lake, target_date="2024-06-07",
+        universe_snapshot=universe, ticks_batch=ticks,
+        fundamental_raw=fundamentals, filings=filings,
+    )
+    assert r2["fundamental_appended"] == 0
+    assert r2["filings_appended"] == 0
+    assert r2["universe_changes"] == 0
+    assert sorted(tuple(r) for r in spark.read.parquet(lake.fundamental).collect()) == before
+
+
+def test_holiday_gate_skips_everything(spark, tmp_path, inputs):
+    universe, ticks, fundamentals, filings = inputs
+    lake = LakePaths(str(tmp_path / "lake2"))
+    cal = spark.createDataFrame([Row(date=D(2024, 6, 6))])  # target NOT in calendar
+    r = run_daily_update(
+        spark, lake, target_date="2024-06-07", calendar=cal,
+        universe_snapshot=universe, ticks_batch=ticks,
+        fundamental_raw=fundamentals, filings=filings,
+    )
+    assert r == {"target_date": "2024-06-07", "market_open": False}
+
+
+def test_universe_transition_detected(spark, tmp_path, inputs):
+    universe, ticks, fundamentals, filings = inputs
+    lake = LakePaths(str(tmp_path / "lake3"))
+    run_daily_update(spark, lake, target_date="2024-06-07", universe_snapshot=universe)
+    # next day: CCC disappears, DDD appears
+    universe2 = spark.createDataFrame(
+        [
+            Row(ticker="AAA", name="Aaa Inc Common Stock", etf="N", test_issue="N"),
+            Row(ticker="DDD", name="Ddd Corp Common Stock", etf="N", test_issue="N"),
+        ]
+    )
+    r = run_daily_update(spark, lake, target_date="2024-06-08", universe_snapshot=universe2)
+    assert r["universe_changes"] == 2  # one appeared + one disappeared

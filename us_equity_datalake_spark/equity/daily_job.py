@@ -1,0 +1,166 @@
+"""Daily incremental update — the reference's top entry point
+(update/app.py:1053-1199 ``run_daily_update``) re-expressed as one idempotent
+Spark batch over a partitioned lake.
+
+Stage order mirrors §3.1: universe refresh + top-k → market-open gate → tick
+re-land (I3 month overwrite) → fundamentals normalize + append (I4) → TTM →
+metrics → sentiment score + append (I4).  Every write is either a dynamic
+partition overwrite or an anti-join append, so re-running the job for the
+same date is a no-op — the reference's resume/checkpoint machinery (I7)
+collapses into idempotence.
+
+All inputs are DataFrames (already landed by the ingest edge, sources.ingest);
+this module is pure compute + lake writes — no network.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from us_equity_datalake_spark.equity.fundamentals import normalize_fundamental
+from us_equity_datalake_spark.equity.metrics import compute_metrics_long
+from us_equity_datalake_spark.equity.sentiment import aggregate_filing_sentiment, chunk_text_udf, score_chunks
+from us_equity_datalake_spark.equity.ttm import compute_ttm_long
+from us_equity_datalake_spark.equity.universe import filter_universe, universe_transition
+from us_equity_datalake_spark.sources.lake import overwrite_partition, read_check_append, write_partitioned
+from us_equity_datalake_spark.sources.ingest import read_json_state, write_json_state
+
+
+@dataclass(frozen=True)
+class LakePaths:
+    root: str
+
+    @property
+    def ticks_daily(self) -> str:
+        return os.path.join(self.root, "raw", "ticks", "daily")
+
+    @property
+    def fundamental(self) -> str:
+        return os.path.join(self.root, "raw", "fundamental")
+
+    @property
+    def ttm(self) -> str:
+        return os.path.join(self.root, "derived", "ttm")
+
+    @property
+    def metrics(self) -> str:
+        return os.path.join(self.root, "derived", "metrics")
+
+    @property
+    def sentiment(self) -> str:
+        return os.path.join(self.root, "derived", "sentiment")
+
+    @property
+    def top3000(self) -> str:
+        return os.path.join(self.root, "symbols", "top3000")
+
+    @property
+    def universe_state(self) -> str:
+        return os.path.join(self.root, "state", "prev_universe.json")
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def update_universe(spark: SparkSession, lake: LakePaths, snapshot: DataFrame, *, target_date: str) -> dict:
+    """Stage 1 (app.py:976-1051 + security_master.update_from_sec): filter the
+    raw directory snapshot, diff against yesterday's state, persist both."""
+    cur = filter_universe(snapshot)
+    tickers = sorted(r.ticker for r in cur.select("ticker").collect())
+    prev_state = read_json_state(lake.universe_state)
+    n_changes = 0
+    if prev_state:
+        prev = spark.createDataFrame([(t,) for t in prev_state["tickers"]], ["ticker"])
+        diff = universe_transition(prev, cur.select("ticker"), key="ticker", as_of=target_date)
+        n_changes = diff.filter(F.col("status") != "still_active").count()
+    os.makedirs(os.path.dirname(lake.universe_state), exist_ok=True)
+    write_json_state(lake.universe_state, {"asof": target_date, "tickers": tickers})
+    return {"universe_size": len(tickers), "universe_changes": n_changes}
+
+
+def update_top3000(lake: LakePaths, ticks_batch: DataFrame, *, k: int = 3000, min_adv: float = 1000.0) -> dict:
+    """Stage 2 (A3 + T1, universe/manager.py:216-243): trailing dollar-volume
+    ranking → top-k → parquet (the reference's txt list is a format detail)."""
+    adv = ticks_batch.groupBy("symbol").agg(F.avg(F.col("close") * F.col("volume")).alias("adv"))
+    top = adv.filter(F.col("adv") > min_adv).orderBy(F.desc("adv"), F.asc("symbol")).limit(k)
+    write_partitioned(top, lake.top3000, partition_by=[])
+    return {"top_k": top.count()}
+
+
+def update_daily_ticks(spark: SparkSession, lake: LakePaths, ticks_batch: DataFrame) -> dict:
+    """Stage 4 (I3, app.py:296-445): total re-land of the month-to-date slice,
+    dynamic overwrite of exactly the (year, month) partitions present."""
+    pt = ticks_batch.withColumn("year", F.year("timestamp")).withColumn("month", F.month("timestamp"))
+    if _exists(lake.ticks_daily):
+        overwrite_partition(spark, pt, lake.ticks_daily, partition_by=["year", "month"])
+    else:
+        write_partitioned(pt, lake.ticks_daily, partition_by=["year", "month"])
+    return {"ticks_landed": pt.count()}
+
+
+def update_fundamentals(spark: SparkSession, lake: LakePaths, raw: DataFrame) -> dict:
+    """Stage 7 (F1-F3 + I4 + W1 + metrics): normalize raw datapoints, append
+    fresh rows, rebuild the derived TTM/metrics tables from the full lake."""
+    fund_long = normalize_fundamental(raw)
+    appended = read_check_append(
+        spark, fund_long, lake.fundamental, keys=["symbol", "concept", "frame", "accn"]
+    )
+    full = spark.read.parquet(lake.fundamental)
+    duration = full.filter(~F.col("is_instant"))
+    stock = full.filter(F.col("is_instant")).select("symbol", "as_of_date", "concept", "value")
+    ttm = compute_ttm_long(duration)
+    write_partitioned(ttm, lake.ttm, partition_by=[])
+    metrics = compute_metrics_long(ttm.select("symbol", "as_of_date", "concept", "value"), stock)
+    write_partitioned(metrics, lake.metrics, partition_by=[])
+    return {
+        "fundamental_appended": appended,
+        "ttm_rows": spark.read.parquet(lake.ttm).count(),
+        "metric_rows": spark.read.parquet(lake.metrics).count(),
+    }
+
+
+def update_sentiment(spark: SparkSession, lake: LakePaths, filings: DataFrame) -> dict:
+    """Stage 8 (N3/N4/A10-A12 + I4): chunk → score (per-executor model
+    singleton) → filing-level aggregate → anti-join append on accession."""
+    chunks = filings.select(
+        "cik", "accession_number", F.explode(chunk_text_udf(F.col("text"))).alias("chunk")
+    )
+    scored = score_chunks(chunks)
+    wide = aggregate_filing_sentiment(scored, filings)
+    appended = read_check_append(spark, wide, lake.sentiment, keys=["cik", "accession_number"])
+    return {"filings_appended": appended}
+
+
+def run_daily_update(
+    spark: SparkSession,
+    lake: LakePaths,
+    *,
+    target_date: str,
+    universe_snapshot: DataFrame | None = None,
+    ticks_batch: DataFrame | None = None,
+    fundamental_raw: DataFrame | None = None,
+    filings: DataFrame | None = None,
+    calendar: DataFrame | None = None,
+) -> dict:
+    """The full §3.1 sequence.  Stages with no input are skipped (the
+    reference skips stages the same way on empty fetches)."""
+    report: dict = {"target_date": target_date}
+    if calendar is not None:
+        is_open = calendar.filter(F.col("date") == F.lit(target_date).cast("date")).count() > 0
+        report["market_open"] = is_open
+        if not is_open:  # app.py:136-145: nothing to do on holidays
+            return report
+    if universe_snapshot is not None:
+        report.update(update_universe(spark, lake, universe_snapshot, target_date=target_date))
+    if ticks_batch is not None:
+        report.update(update_top3000(lake, ticks_batch))
+        report.update(update_daily_ticks(spark, lake, ticks_batch))
+    if fundamental_raw is not None:
+        report.update(update_fundamentals(spark, lake, fundamental_raw))
+    if filings is not None:
+        report.update(update_sentiment(spark, lake, filings))
+    return report

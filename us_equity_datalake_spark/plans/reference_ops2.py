@@ -786,3 +786,74 @@ def minute_to_daily_q(spark, sf_dir):
     events = load_table(spark, "events", sf_dir)
     bars = events.select(F.col("user_id").alias("security_id"), "ts", F.col("value").alias("price"))
     return minute_to_daily_ohlcv(bars, key="security_id", ts_col="ts", price_col="price")
+
+
+# ---------------------------------------------------------------------------
+# Window-frame extensions beyond the reference (SURVEY §2.5 notes the
+# reference uses no range frames and no ntile): the trailing-90-day liquidity
+# window (A3 done as a proper sliding frame instead of a snapshot groupBy)
+# and decile bucketing (factor-portfolio construction).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trailing_range_liquidity",
+    oracle="""
+    SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS d,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+           ), 6) AS adv90,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n90
+    FROM orders WHERE o_custkey < 100
+    """,
+    doc="A3 as a true RANGE frame (universe/manager.py:216-223 computes "
+    "trailing-90-day dollar volume as a snapshot groupBy; the sliding form "
+    "gives it per-day): value-based frame over the date axis — gaps count, "
+    "rows don't. One shuffle on the partition key.",
+)
+def trailing_range_liquidity_q(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") < 100)
+    d = F.col("o_orderdate").cast("date")
+    # RANGE frame over days: order by epoch-days, bounds in days
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.datediff(d, F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-90, 0)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        d.alias("d"),
+        F.round(F.avg("o_totalprice").over(w), 6).alias("adv90"),
+        F.count("*").over(w).cast("long").alias("n90"),
+    )
+
+
+@register(
+    "decile_buckets",
+    oracle="""
+    SELECT c_custkey,
+           CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank
+    FROM customer
+    """,
+    doc="Factor-portfolio bucketing (beyond-reference): ntile(10) + "
+    "percent_rank with a total order (acctbal, custkey) so ties are "
+    "deterministic. Global-order window — fine at dimension scale; at fact "
+    "scale use approx quantile cutpoints + a broadcast range join instead.",
+)
+def decile_buckets_q(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, "customer", sf_dir)
+    w = W.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return cust.select(
+        "c_custkey",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

@@ -857,3 +857,77 @@ def decile_buckets_q(spark, sf_dir):
         F.ntile(10).over(w).cast("long").alias("decile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S6 / §1.3 — semi-structured companyfacts ingest, oracle-gated end to end:
+# Spark builds the nested EDGAR-shaped JSON document per entity (to_json over
+# maps of maps of datapoint arrays), then runs the REAL normalize_companyfacts
+# (from_json + 3 explodes + unit-priority min_by).  The oracle computes the
+# expected normalized rows directly — USD must win over EUR, shares kept where
+# USD absent.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "companyfacts_normalize",
+    oracle="""
+    SELECT o_custkey AS cik, 'Revenues' AS tag, 'USD' AS unit,
+           CAST(o_orderdate AS DATE) AS end_date, o_totalprice AS val,
+           CAST(o_orderkey AS VARCHAR) AS accn
+    FROM orders WHERE o_custkey < 50
+    UNION ALL
+    SELECT o_custkey, 'SharesOutstanding', 'shares',
+           CAST(o_orderdate AS DATE), CAST(o_orderkey % 100 AS DOUBLE),
+           CAST(o_orderkey AS VARCHAR)
+    FROM orders WHERE o_custkey < 50
+    """,
+    doc="S6 (fundamental.py:81-187, §1.3): EDGAR companyfacts JSON → long "
+    "rows, fully JVM-side — permissive from_json, explode over "
+    "taxonomy/tag/unit maps, unit priority USD > shares > alphabetical via "
+    "one min_by aggregation. JSON built deterministically from orders so the "
+    "oracle can state the expected output directly.",
+)
+def companyfacts_normalize_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources.ingest import normalize_companyfacts
+
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") < 50)
+
+    def dp(val_col):
+        return F.struct(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("end"),
+            F.lit(None).cast("string").alias("start"),
+            val_col.alias("val"),
+            F.col("o_orderkey").cast("string").alias("accn"),
+            F.year("o_orderdate").cast("long").alias("fy"),
+            F.lit("Q1").alias("fp"),
+            F.lit("10-K").alias("form"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("filed"),
+            F.concat(F.lit("CY"), F.year("o_orderdate").cast("string")).alias("frame"),
+        )
+
+    per_cik = orders.groupBy(F.col("o_custkey").alias("cik")).agg(
+        F.collect_list(dp(F.col("o_totalprice"))).alias("rev_usd"),
+        F.collect_list(dp(F.col("o_totalprice") * 0.9)).alias("rev_eur"),
+        F.collect_list(dp((F.col("o_orderkey") % 100).cast("double"))).alias("sh"),
+    )
+    facts = F.create_map(
+        F.lit("us-gaap"),
+        F.create_map(
+            F.lit("Revenues"),
+            F.struct(
+                F.lit("Revenues").alias("label"),
+                F.create_map(F.lit("USD"), F.col("rev_usd"), F.lit("EUR"), F.col("rev_eur")).alias("units"),
+            ),
+            F.lit("SharesOutstanding"),
+            F.struct(
+                F.lit("Shares").alias("label"),
+                F.create_map(F.lit("shares"), F.col("sh")).alias("units"),
+            ),
+        ),
+    )
+    docs = per_cik.select(F.to_json(F.struct(F.col("cik"), facts.alias("facts"))).alias("json"))
+    out = normalize_companyfacts(docs)
+    return out.select(
+        "cik", "tag", "unit", F.col("end").alias("end_date"), "val", "accn"
+    )

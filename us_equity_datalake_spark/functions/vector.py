@@ -36,3 +36,54 @@ def cosine_sql(a: str, b: str) -> str:
     na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     return f"(CASE WHEN {na} > 0 AND {nb} > 0 THEN {d} / ({na} * {nb}) ELSE NULL END)"
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (Charikar): deterministic planes via the same LCG
+# discipline as hashing.perm_coefficients, so oracle SQL can inline the exact
+# constants and both engines compute bit-identical signs.
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 11) -> list[list[float]]:
+    """n_planes × dim components in [-1, 1), LCG-derived (no RNG library)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        comps = []
+        for _ in range(dim):
+            state = (state * 1_103_515_245 + 12_345) % 2_147_483_647
+            comps.append((state % 2001 - 1000) / 1000.0)
+        planes.append(comps)
+    return planes
+
+
+def dot_const(vec: Column, consts: list[float]) -> Column:
+    """Left-to-right fold of vec · constant-vector (oracle twin:
+    ``list_sum(list_transform(list_zip(v, [c...]), p -> ...))``)."""
+    carr = F.array(*[F.lit(c) for c in consts])
+    return F.aggregate(
+        F.zip_with(vec, carr, lambda x, c: x.cast("double") * c),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit j set iff vec · plane_j > 0."""
+    bucket = F.lit(0).cast("long")
+    for j, comps in enumerate(planes):
+        bucket = bucket + F.when(dot_const(vec, comps) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of :func:`lsh_bucket` with the constants inlined."""
+    arms = []
+    for j, comps in enumerate(planes):
+        lst = "[" + ", ".join(repr(c) for c in comps) + "]"
+        d = f"list_sum(list_transform(list_zip({vec_expr}, {lst}), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        arms.append(f"(CASE WHEN {d} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " + ".join(arms) + ")"

@@ -111,3 +111,42 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, F.col(id_col).alias("neighbor_id"), F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 11,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket = sign bits against ``n_planes``
+    deterministic hyperplanes; a query scans ONLY its own bucket (corpus/2^n
+    of the data), then exact-cosine ranks the candidates.  Recall < 1 by
+    construction — the bucket is a coarse partition-pruning key; at 100 TB the
+    bucket column is a partition/cluster key and the probe is a pruned scan.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = vector.hyperplanes(n_planes, dim, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        vector.lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        vector.lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
+    )
+    cand = c.join(F.broadcast(q), on="__bkt").filter(F.col("neighbor_id") != F.col(query_id))
+    scored = cand.withColumn("cosine", vector.cosine(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

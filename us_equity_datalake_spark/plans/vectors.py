@@ -103,3 +103,49 @@ def ivf_topk_q(spark, sf_dir):
         emb, queries, centroids, id_col="vec_id", vec_col="embedding", query_id="query_id", k=_K, nprobe=_NPROBE
     )
     return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+
+
+from us_equity_datalake_spark.functions.vector import hyperplanes, lsh_bucket_sql  # noqa: E402
+
+_N_PLANES, _LSH_SEED = 6, 11
+_PLANES = hyperplanes(_N_PLANES, 64, _LSH_SEED)
+
+
+@register(
+    "emb_lsh_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             {lsh_bucket_sql('embedding', _PLANES)} AS bkt
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {lsh_bucket_sql('embedding', _PLANES)} AS bkt
+      FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, {cosine_sql('q.qv', 'c.cv')} AS cos
+      FROM c JOIN q ON c.bkt = q.bkt AND c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {_K}
+    """,
+    doc="LSH-bucketed ANN: 6 deterministic random-hyperplane sign bits → "
+    "64 buckets; a query probes only its bucket (1/64 of the corpus), exact "
+    "cosine ranks candidates. The bucket id is the partition/cluster key at "
+    "scale — the probe becomes a pruned scan, not a full pass.",
+)
+def lsh_topk_q(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", query_id="query_id",
+        k=_K, n_planes=_N_PLANES, seed=_LSH_SEED,
+    ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))

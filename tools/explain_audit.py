@@ -24,20 +24,24 @@ ONLY = set(args)
 
 
 def summarize(plan: str) -> dict:
-    scans = re.findall(r"Scan parquet[^\n]*", plan)
+    # count ONLY the numbered detail blocks — formatted explain prints every
+    # node twice (tree + "(n) NodeName" detail), so raw substring counts
+    # double every node while PushedFilters/ReadSchema print once per scan
+    nodes = re.findall(r"^\(\d+\) ([A-Za-z][A-Za-z ]*)", plan, re.M)
+    n = lambda name: sum(1 for x in nodes if x.startswith(name))  # noqa: E731
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     return {
-        "scans": len(scans),
+        "scans": n("Scan parquet"),
         "pushed": sum(1 for p in pushed if p.strip()),
         "max_read_cols": max((len(s.split(",")) for s in schemas if s), default=0),
-        "bhj": plan.count("BroadcastHashJoin"),
-        "smj": plan.count("SortMergeJoin"),
-        "bnlj": plan.count("BroadcastNestedLoopJoin"),
-        "exchanges": len(re.findall(r"\bExchange\b|\b\+- Exchange", plan))
-        or plan.count("Exchange "),
+        "bhj": n("BroadcastHashJoin"),
+        "smj": n("SortMergeJoin"),
+        "bnlj": n("BroadcastNestedLoopJoin"),
+        # shuffle exchanges only; BroadcastExchange tracked via the join counts
+        "exchanges": n("Exchange"),
         "codegen": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
-        "pyeval": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
+        "pyeval": n("BatchEvalPython") + n("ArrowEvalPython") + n("MapInPandas") + n("FlatMapGroupsInPandas"),
     }
 
 

@@ -74,7 +74,14 @@ def update_universe(spark: SparkSession, lake: LakePaths, snapshot: DataFrame, *
     prev_state = read_json_state(lake.universe_state)
     n_changes = 0
     if prev_state:
-        prev = spark.createDataFrame([(t,) for t in prev_state["tickers"]], ["ticker"])
+        # explicit schema: createDataFrame cannot infer types from an empty
+        # ticker list (a zero-ticker day must not abort the next day's run)
+        from pyspark.sql import types as T
+
+        prev = spark.createDataFrame(
+            [(t,) for t in prev_state["tickers"]],
+            T.StructType([T.StructField("ticker", T.StringType())]),
+        )
         diff = universe_transition(prev, cur.select("ticker"), key="ticker", as_of=target_date)
         n_changes = diff.filter(F.col("status") != "still_active").count()
     os.makedirs(os.path.dirname(lake.universe_state), exist_ok=True)
@@ -87,19 +94,27 @@ def update_top3000(lake: LakePaths, ticks_batch: DataFrame, *, k: int = 3000, mi
     ranking → top-k → parquet (the reference's txt list is a format detail)."""
     adv = ticks_batch.groupBy("symbol").agg(F.avg(F.col("close") * F.col("volume")).alias("adv"))
     top = adv.filter(F.col("adv") > min_adv).orderBy(F.desc("adv"), F.asc("symbol")).limit(k)
-    write_partitioned(top, lake.top3000, partition_by=[])
-    return {"top_k": top.count()}
+    top = top.persist()
+    try:
+        write_partitioned(top, lake.top3000, partition_by=[])
+        return {"top_k": top.count()}  # served from cache, not a second ranking pass
+    finally:
+        top.unpersist()
 
 
 def update_daily_ticks(spark: SparkSession, lake: LakePaths, ticks_batch: DataFrame) -> dict:
     """Stage 4 (I3, app.py:296-445): total re-land of the month-to-date slice,
     dynamic overwrite of exactly the (year, month) partitions present."""
     pt = ticks_batch.withColumn("year", F.year("timestamp")).withColumn("month", F.month("timestamp"))
-    if _exists(lake.ticks_daily):
-        overwrite_partition(spark, pt, lake.ticks_daily, partition_by=["year", "month"])
-    else:
-        write_partitioned(pt, lake.ticks_daily, partition_by=["year", "month"])
-    return {"ticks_landed": pt.count()}
+    pt = pt.persist()
+    try:
+        if _exists(lake.ticks_daily):
+            overwrite_partition(spark, pt, lake.ticks_daily, partition_by=["year", "month"])
+        else:
+            write_partitioned(pt, lake.ticks_daily, partition_by=["year", "month"])
+        return {"ticks_landed": pt.count()}
+    finally:
+        pt.unpersist()
 
 
 def update_fundamentals(spark: SparkSession, lake: LakePaths, raw: DataFrame) -> dict:
@@ -109,6 +124,10 @@ def update_fundamentals(spark: SparkSession, lake: LakePaths, raw: DataFrame) ->
     appended = read_check_append(
         spark, fund_long, lake.fundamental, keys=["symbol", "concept", "frame", "accn"]
     )
+    if not _exists(lake.fundamental):
+        # empty fetch day on a fresh lake: nothing was ever written — skip the
+        # derived rebuild instead of crashing on a missing path
+        return {"fundamental_appended": 0, "ttm_rows": 0, "metric_rows": 0}
     full = spark.read.parquet(lake.fundamental)
     duration = full.filter(~F.col("is_instant"))
     stock = full.filter(F.col("is_instant")).select("symbol", "as_of_date", "concept", "value")

@@ -95,18 +95,22 @@ def read_daily_history(
     *,
     symbol: str,
     as_of: str,
-    calendar: DataFrame | None = None,
+    adjust: bool = True,
 ) -> DataFrame:
     """Full history of the security trading as ``symbol`` on ``as_of`` —
     resolves to ONE security_id first (the reference's
     get_daily_ticks_history, ticks.py:81-128), then reads that id's whole
-    series regardless of what symbols it traded under earlier."""
+    series regardless of what symbols it traded under earlier.  Same
+    adjustment default as ``read_daily_ticks``."""
     sid_rows = master.filter(
         (F.col("symbol") == symbol)
         & (F.col("start_date") <= F.lit(as_of).cast("date"))
         & (F.col("end_date") >= F.lit(as_of).cast("date"))
     ).select("security_id")
-    return ticks.join(F.broadcast(sid_rows), "security_id").orderBy("timestamp")
+    rows = ticks.join(F.broadcast(sid_rows), "security_id")
+    if adjust:
+        rows = adjust_splits(rows)
+    return rows.orderBy("timestamp")
 
 
 def trading_calendar_spine(spark: SparkSession, start: str, end: str, *, weekdays_only: bool = True) -> DataFrame:

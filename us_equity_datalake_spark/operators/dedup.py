@@ -113,7 +113,10 @@ def ngram_jaccard_pairs(
     sh = shingle_table(df, text_col=text_col, id_col=id_col, n=n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     # persist: both self-join sides read the shingle+size table — without this
-    # the explode+md5 subtree executes twice
+    # the explode+md5 subtree executes twice.  Not explicitly unpersisted (the
+    # caller owns the returned plan); the ContextCleaner reclaims the cache
+    # when the DataFrame is garbage-collected — bounded in practice, these
+    # tables are (id, hash, size) narrow.
     posting = sh.join(sizes, "id").persist()
     a, b = posting.alias("a"), posting.alias("b")
     common = (

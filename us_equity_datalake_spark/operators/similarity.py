@@ -123,14 +123,23 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 6,
     seed: int = 11,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket = sign bits against ``n_planes``
     deterministic hyperplanes; a query scans ONLY its own bucket (corpus/2^n
     of the data), then exact-cosine ranks the candidates.  Recall < 1 by
     construction — the bucket is a coarse partition-pruning key; at 100 TB the
     bucket column is a partition/cluster key and the probe is a pruned scan.
+
+    Pass ``dim`` explicitly to keep construction fully lazy; otherwise the
+    first corpus row is peeked (one small Spark job at plan-build time).
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        row = corpus.select(vec_col).first()
+        if row is None or row[0] is None:
+            dim = 1  # empty corpus / null vector: plan still builds, result is empty
+        else:
+            dim = len(row[0])
     planes = vector.hyperplanes(n_planes, dim, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

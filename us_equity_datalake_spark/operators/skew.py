@@ -42,7 +42,7 @@ def salted_agg(
     for name, (fn, _) in aggs.items():
         if fn not in fns:
             raise ValueError(f"{name}: {fn!r} is not an algebraic aggregate (use sum/count/min/max)")
-    salt = F.pmod(salt_on if salt_on is not None else F.hash(*df.columns), F.lit(n_salts))
+    salt = F.pmod(salt_on if salt_on is not None else _default_salt(df), F.lit(n_salts))
     stage1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -51,6 +51,15 @@ def salted_agg(
     return stage1.groupBy(*keys).agg(
         *[recombine[fn](name).alias(name) for name, (fn, _) in aggs.items()]
     )
+
+
+def _default_salt(df: DataFrame):
+    """Deterministic salt that also spreads duplicate rows: full-row hash
+    alone maps identical rows (the degenerate hot-key case, e.g. millions of
+    identical count events) to ONE salt; adding the partition id spreads them
+    across at least as many salts as input partitions.  Both components are
+    stable across task retries for deterministic scans — never rand()."""
+    return F.hash(*df.columns) + F.spark_partition_id()
 
 
 def salted_join(
@@ -63,8 +72,16 @@ def salted_join(
 ) -> DataFrame:
     """Skew-resistant equi-join: big side salted deterministically, small side
     replicated ``n_salts``× (only viable when small is dimension-sized —
-    replication multiplies it).  Join key becomes (on, salt)."""
-    big_s = big.withColumn("__salt", F.pmod(F.hash(*big.columns), F.lit(n_salts)))
+    replication multiplies it).  Join key becomes (on, salt).
+
+    Only inner/left are supported: in a right/full outer join every unmatched
+    small-side row would survive once PER SALT replica (n_salts duplicates)."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left only, got {how!r}: outer joins "
+            "would duplicate unmatched small-side rows n_salts times"
+        )
+    big_s = big.withColumn("__salt", F.pmod(_default_salt(big), F.lit(n_salts)))
     small_s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

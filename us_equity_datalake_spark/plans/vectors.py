@@ -147,5 +147,5 @@ def lsh_topk_q(spark, sf_dir):
     )
     return similarity.lsh_topk(
         emb, queries, id_col="vec_id", vec_col="embedding", query_id="query_id",
-        k=_K, n_planes=_N_PLANES, seed=_LSH_SEED,
+        k=_K, n_planes=_N_PLANES, seed=_LSH_SEED, dim=64,
     ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))

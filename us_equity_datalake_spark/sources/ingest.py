@@ -320,10 +320,18 @@ def read_fulltext(spark: SparkSession, path: str, *, whole: bool = True) -> Data
 def filter_unwritten(spark: SparkSession, df: DataFrame, target_path: str, *, keys: list[str]) -> DataFrame:
     """Anti-join the candidate batch against the keys already in the target
     table (validation.py:84-216's head_object probes, re-expressed as one
-    distinct scan + left_anti join — the idempotence guard for I4 appends)."""
+    distinct scan + left_anti join — the idempotence guard for I4 appends).
+
+    Only a MISSING path means "first write"; any other read error re-raises —
+    treating a transient storage failure as first-write would append
+    duplicate keys, the exact corruption this probe exists to prevent."""
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(target_path).select(*keys).distinct()
-    except Exception:  # first write: nothing to skip  # noqa: BLE001
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         return df
     return df.join(existing, on=keys, how="left_anti")
 

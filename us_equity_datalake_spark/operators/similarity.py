@@ -159,3 +159,43 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 11,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-family member over
+    vectors): LSH sign-buckets block the candidate space — only same-bucket
+    pairs are scored — then exact cosine filters at ``threshold``.
+
+    High-cosine pairs agree on most hyperplane signs, so same-bucket blocking
+    keeps recall high at 1/2^n of the all-pairs cost; the bucket is the
+    shuffle key, so cost is Σ bucket² like every inverted-index dedup here.
+    Returns (id_a, id_b, cosine) with id_a < id_b.
+    """
+    if dim is None:
+        row = corpus.select(vec_col).first()
+        dim = 1 if row is None or row[0] is None else len(row[0])
+    planes = vector.hyperplanes(n_planes, dim, seed)
+    t = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        vector.lsh_bucket(F.col(vec_col), planes).alias("bkt"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(vector.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

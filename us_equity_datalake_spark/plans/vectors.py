@@ -149,3 +149,34 @@ def lsh_topk_q(spark, sf_dir):
         emb, queries, id_col="vec_id", vec_col="embedding", query_id="query_id",
         k=_K, n_planes=_N_PLANES, seed=_LSH_SEED, dim=64,
     ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+
+
+# synthetic embeddings are near-orthogonal (max same-bucket cosine ~0.47),
+# so the dedup threshold is set low enough to produce a non-trivial result;
+# production near-dup thresholds are ~0.95
+_DUP_T = 0.35
+
+
+@register(
+    "emb_near_dup_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id AS id, embedding AS v,
+             {lsh_bucket_sql('embedding', _PLANES)} AS bkt
+      FROM embeddings
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND({cosine_sql('a.v', 'b.v')}, 6) AS cosine
+    FROM t a JOIN t b ON a.bkt = b.bkt AND a.id < b.id
+    WHERE ROUND({cosine_sql('a.v', 'b.v')}, 6) >= {_DUP_T}
+    """,
+    doc="Embedding-cosine near-dup pairs: LSH sign-bucket blocking (same-"
+    "bucket candidates only, 1/64 of all-pairs) + exact cosine threshold — "
+    "the vector-space member of the dedup family alongside MinHash/SimHash.",
+)
+def near_dup_pairs_q(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.cosine_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        threshold=_DUP_T, n_planes=_N_PLANES, seed=_LSH_SEED, dim=64,
+    )

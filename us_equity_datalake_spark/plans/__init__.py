@@ -9,6 +9,7 @@ from __future__ import annotations
 from .base import REGISTRY, QuerySpec, register  # noqa: F401
 
 from . import tpch  # noqa: E402,F401
+from . import tpch2  # noqa: E402,F401
 from . import reference_ops  # noqa: E402,F401
 from . import reference_ops2  # noqa: E402,F401
 from . import equity  # noqa: E402,F401

@@ -68,6 +68,45 @@ def test_asof_backward_matches_pandas(spark, case):
     assert got == expected
 
 
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+@settings(**SETTINGS)
+@given(_asof_case)
+def test_asof_directions_match_pandas(spark, direction, case):
+    """forward = earliest at-or-after; nearest = closer side, ties backward —
+    both must agree with pandas merge_asof on randomized inputs."""
+    from us_equity_datalake_spark.operators.asof import asof_join_forward, asof_join_nearest
+
+    fn = {"forward": asof_join_forward, "nearest": asof_join_nearest}[direction]
+    left_rows, right_rows = case
+    base = dt.date(2024, 1, 1)
+    left = spark.createDataFrame(
+        [Row(i=i, k=k, d=base + dt.timedelta(days=x)) for i, (k, x) in enumerate(left_rows)],
+        T.StructType([T.StructField("i", T.LongType()), T.StructField("k", T.LongType()), T.StructField("d", T.DateType())]),
+    )
+    rdict = {}
+    for k, x, v in right_rows:
+        rdict[(k, x)] = max(v, rdict.get((k, x), -99))
+    right = spark.createDataFrame(
+        [Row(k=k, d=base + dt.timedelta(days=x), v=float(v)) for (k, x), v in rdict.items()],
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("d", T.DateType()), T.StructField("v", T.DoubleType())]),
+    )
+    got = {
+        r.i: r.v
+        for r in fn(left, right, by=["k"], left_on="d", right_on="d", value_cols=["v"]).collect()
+    }
+
+    lp = pd.DataFrame([{"i": i, "k": k, "d": pd.Timestamp(base + dt.timedelta(days=x))} for i, (k, x) in enumerate(left_rows)])
+    rp = pd.DataFrame([{"k": k, "d": pd.Timestamp(base + dt.timedelta(days=x)), "v": float(v)} for (k, x), v in rdict.items()])
+    if rp.empty:
+        expected = {int(r.i): None for r in lp.itertuples()}
+    else:
+        m = pd.merge_asof(
+            lp.sort_values(["d", "i"]), rp.sort_values("d"), on="d", by="k", direction=direction
+        )
+        expected = {int(r.i): (None if pd.isna(r.v) else float(r.v)) for r in m.itertuples()}
+    assert got == expected
+
+
 # ---------------------------------------------------------------------------
 # W1 — TTM rolling 4 ≡ brute force
 # ---------------------------------------------------------------------------

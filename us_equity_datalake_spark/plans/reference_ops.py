@@ -173,6 +173,74 @@ def asof_backward(spark, sf_dir):
     return joined.select("event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "view_value")
 
 
+@register(
+    "asof_forward_join",
+    oracle="""
+    WITH quotes AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    anchors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us, q.value AS view_value
+    FROM anchors a ASOF LEFT JOIN quotes q
+      ON a.user_id = q.user_id AND q.ts >= a.ts
+    """,
+    doc="J3 forward twin (Polars join_asof strategy='forward'): earliest right row "
+    "at-or-after, via the mirrored first-value window over the same union.",
+)
+def asof_forward(spark, sf_dir):
+    from us_equity_datalake_spark.operators.asof import asof_join_forward
+
+    events = load_table(spark, "events", sf_dir)
+    quotes = dedup.dedup_keep_first(
+        events.filter(F.col("event_type") == "view").select("user_id", "ts", F.col("value").alias("view_value"), "event_id"),
+        keys=["user_id", "ts"],
+        order=[F.col("event_id").asc()],
+    ).drop("event_id")
+    anchors = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    joined = asof_join_forward(anchors, quotes, by=["user_id"], left_on="ts", right_on="ts", value_cols=["view_value"])
+    return joined.select("event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "view_value")
+
+
+@register(
+    "asof_nearest_join",
+    oracle="""
+    WITH quotes AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    anchors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
+      CASE WHEN b.ts IS NOT NULL
+                AND (f.ts IS NULL
+                     OR (epoch_us(a.ts) - epoch_us(b.ts)) <= (epoch_us(f.ts) - epoch_us(a.ts)))
+           THEN b.value ELSE f.value END AS view_value
+    FROM anchors a
+    ASOF LEFT JOIN quotes b ON a.user_id = b.user_id AND b.ts <= a.ts
+    ASOF LEFT JOIN quotes f ON a.user_id = f.user_id AND f.ts > a.ts
+    """,
+    doc="J3 nearest twin (Polars join_asof strategy='nearest'): closer of the "
+    "backward-inclusive and strictly-forward matches, equidistant ties backward; "
+    "both directions fill from one shuffle+sort (shared window partitioning).",
+)
+def asof_nearest(spark, sf_dir):
+    from us_equity_datalake_spark.operators.asof import asof_join_nearest
+
+    events = load_table(spark, "events", sf_dir)
+    quotes = dedup.dedup_keep_first(
+        events.filter(F.col("event_type") == "view").select("user_id", "ts", F.col("value").alias("view_value"), "event_id"),
+        keys=["user_id", "ts"],
+        order=[F.col("event_id").asc()],
+    ).drop("event_id")
+    anchors = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    joined = asof_join_nearest(anchors, quotes, by=["user_id"], left_on="ts", right_on="ts", value_cols=["view_value"])
+    return joined.select("event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "view_value")
+
+
 # ---------------------------------------------------------------------------
 # J4 — calendar alignment
 # ---------------------------------------------------------------------------

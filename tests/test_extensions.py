@@ -1,0 +1,74 @@
+"""Unit tests for the scale-tier extension operators: connected components
+(near-dup clustering), KMV distinct sketch, deterministic hash splitting."""
+
+from pyspark.sql import Row, functions as F
+
+from us_equity_datalake_spark.operators import components, sampling, sketch
+
+
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3 (transitive: 1~3 never scored) + island 10-11 + self-contained 20-21-22 triangle
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    cc = {r["node"]: r["component"] for r in components.connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph 0-1-2-...-9: worst-case diameter for label propagation
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "src long, dst long")
+    cc = components.connected_components(edges)
+    assert cc.select("component").distinct().count() == 1
+    assert cc.agg(F.min("component")).first()[0] == 0
+
+
+def test_dedup_clusters_summary(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "src long, dst long")
+    rows = {r["component"]: r for r in components.dedup_clusters(edges).collect()}
+    assert rows[1]["cluster_size"] == 3 and rows[1]["members"] == [1, 2, 3]
+    assert rows[7]["cluster_size"] == 2 and rows[7]["members"] == [7, 8]
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([Row(g="a", k=i % 10) for i in range(100)])
+    out = sketch.kmv_distinct(df, "k", by=["g"], k=64).collect()
+    assert out[0]["exact_distinct"] == 10
+    assert out[0]["est_distinct"] == 10.0  # sketch holds all hashes => exact
+
+
+def test_kmv_estimate_within_error(spark):
+    n = 5000
+    df = spark.createDataFrame([Row(g="a", k=i) for i in range(n)])
+    out = sketch.kmv_distinct(df, "k", by=["g"], k=256).collect()[0]
+    assert out["exact_distinct"] == n
+    # error ~ 1/sqrt(k) ≈ 6%; allow 4 sigma
+    assert abs(out["est_distinct"] - n) / n < 0.25
+
+
+def test_hash_split_deterministic_and_total(spark):
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(1000)])
+    a = {r["doc_id"]: r["split"] for r in sampling.hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in sampling.hash_split(df, "doc_id").collect()}
+    assert a == b  # pure function of the id
+    counts = {s: list(a.values()).count(s) for s in ("train", "valid", "test")}
+    assert sum(counts.values()) == 1000
+    assert 700 < counts["train"] < 900  # ~80% ± hash noise
+    assert counts["valid"] > 0 and counts["test"] > 0
+
+
+def test_hash_split_stable_under_row_removal(spark):
+    full = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    half = full.filter(F.col("doc_id") % 2 == 0)
+    a = {r["doc_id"]: r["split"] for r in sampling.hash_split(full, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in sampling.hash_split(half, "doc_id").collect()}
+    assert all(a[i] == b[i] for i in b)  # membership never moves
+
+
+def test_deterministic_sample_is_subset_and_nested(spark):
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    s10 = {r["doc_id"] for r in sampling.deterministic_sample(df, "doc_id", rate_pct=10).collect()}
+    s30 = {r["doc_id"] for r in sampling.deterministic_sample(df, "doc_id", rate_pct=30).collect()}
+    assert s10 <= s30  # nested samples: rate increase only adds rows
+    assert 20 < len(s30) < 250

@@ -16,6 +16,7 @@ from . import equity  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
+from . import extensions  # noqa: E402,F401
 
 
 def all_queries():

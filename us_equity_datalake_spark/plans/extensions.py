@@ -1,0 +1,238 @@
+"""Scale-tier extension queries beyond the reference's own surface:
+multi-level aggregation (ROLLUP/CUBE), sketch-based approximate distinct
+(KMV), deterministic train/valid/test splitting, rank-based exact
+quantiles, and near-dup cluster formation (connected components).
+
+The reference has "no grouping sets / cube / rollup, no approximate
+aggregates" (SURVEY §2.4 note) — these are the capabilities a 100 TB
+training-data pipeline adds on top of its operator set.  All are
+oracle-gated: even the *approximate* sketch is bit-reproducible in DuckDB
+because it hashes with md5 (functions.hashing), and the connected-components
+fixpoint is mirrored by a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from us_equity_datalake_spark.functions.safe_math import dec_sum, dec_sum_sql
+from us_equity_datalake_spark.functions.vector import cosine_sql, lsh_bucket_sql
+from us_equity_datalake_spark.operators import components, sampling, sketch
+from us_equity_datalake_spark.operators.similarity import cosine_near_dup_pairs
+from us_equity_datalake_spark.sources.registry import load_table
+from .base import register
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregation: ROLLUP and CUBE
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_priority_status",
+    oracle=f"""
+    SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+           COALESCE(o_orderstatus, '(all)') AS status,
+           COUNT(*) AS n_orders,
+           {dec_sum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="ROLLUP hierarchy (priority → status → grand total) in one pass — "
+    "Spark computes all levels with partial aggregation, no per-level rescan; "
+    "a capability the reference lacks (SURVEY §2.4 note).",
+)
+def rollup_priority_status(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dec_sum(F.col("o_totalprice")).alias("total_price"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "cube_status_year",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), '(all)') AS order_year,
+           COUNT(*) AS n_orders,
+           {dec_sum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, EXTRACT(year FROM o_orderdate))
+    """,
+    doc="CUBE over (status, year): all 4 grouping sets from one shuffle; "
+    "year keys stringified so the '(all)' sentinel is type-stable.",
+)
+def cube_status_year(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    return (
+        orders.cube("o_orderstatus", "order_year")
+        .agg(F.count("*").alias("n_orders"), dec_sum(F.col("o_totalprice")).alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce(F.col("order_year").cast("string"), F.lit("(all)")).alias("order_year"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+@register(
+    "kmv_distinct_customers",
+    oracle=sketch.kmv_distinct_sql("orders", "o_custkey", ["o_orderpriority"], k=_KMV_K),
+    doc="K-minimum-values distinct sketch (k=64) of customers per priority, "
+    "alongside the exact count: the approximate-aggregate tier the reference "
+    "lacks, made oracle-checkable by md5 hashing (error ~1/√k ≈ 12%).",
+)
+def kmv_distinct_customers(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    return sketch.kmv_distinct(orders, "o_custkey", by=["o_orderpriority"], k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hash_split_report",
+    oracle=f"""
+    SELECT {sampling.hash_split_sql('doc_id')} AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           ROUND({dec_sum_sql('n_chars')} / COUNT(*), 6) AS avg_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Deterministic 80/10/10 train/valid/test split by md5(doc_id) — "
+    "reproducible across runs, engines, and repartitionings (no dependence "
+    "on row order); report checks stratification by language.",
+)
+def hash_split_report(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    split = sampling.hash_split(docs, "doc_id")
+    return split.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(dec_sum(F.col("n_chars")) / F.count("*"), 6).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-based exact quantiles (engine-portable: no interpolation)
+# ---------------------------------------------------------------------------
+
+_QUANTILES = [25, 50, 75, 90]  # percent
+
+
+def _q_idx_sql(p: int) -> str:
+    # lower-nearest-rank: element at floor(p/100 * (n-1)) + 1 of the sorted group
+    return f"CAST(FLOOR({p} / 100.0 * (cnt - 1)) AS BIGINT) + 1"
+
+
+@register(
+    "quantile_profile_totalprice",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           MAX(cnt) AS n,
+           {', '.join(f"MAX(CASE WHEN rn = {_q_idx_sql(p)} THEN o_totalprice END) AS p{p}" for p in _QUANTILES)}
+    FROM ranked
+    GROUP BY o_orderstatus
+    """,
+    doc="Exact per-group quantiles via rank selection (lower-nearest-rank, "
+    "no interpolation → bit-identical across engines).  One shuffle+sort "
+    "serves every quantile; at the 100 TB tier swap in approx_percentile "
+    "(KLL/GK sketch) — same query shape, mergeable partials.",
+)
+def quantile_profile_totalprice(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w.orderBy("o_totalprice")).alias("rn"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    idx = {p: (F.floor(F.lit(p) / 100.0 * (F.col("cnt") - 1)) + 1) for p in _QUANTILES}
+    return ranked.groupBy("o_orderstatus").agg(
+        F.max("cnt").alias("n"),
+        *[
+            F.max(F.when(F.col("rn") == idx[p], F.col("o_totalprice"))).alias(f"p{p}")
+            for p in _QUANTILES
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+# mirror plans.vectors: same hyperplanes => same candidate blocking
+from .vectors import _DUP_T, _N_PLANES, _PLANES  # noqa: E402
+
+
+@register(
+    "near_dup_components",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT vec_id AS id, embedding AS v,
+             {lsh_bucket_sql('embedding', _PLANES)} AS bkt
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM t a JOIN t b ON a.bkt = b.bkt AND a.id < b.id
+      WHERE ROUND({cosine_sql('a.v', 'b.v')}, 6) >= {_DUP_T}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM edges),
+    -- transitive closure by recursion; MIN over everything reachable = the
+    -- component label (edges are symmetric, so min label is reachable)
+    reach AS (
+      SELECT n AS src, n AS dst FROM nodes
+      UNION
+      SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    cc AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src)
+    SELECT component, COUNT(*) AS cluster_size, MIN(node) AS canonical_id
+    FROM cc GROUP BY component
+    """,
+    doc="Transitive closure of the near-dup relation: cosine pairs → "
+    "connected components (iterative min-label propagation, one shuffle per "
+    "round, O(cluster-diameter) rounds) → per-cluster canonical survivor. "
+    "The step pairwise dedup alone cannot express (A~B, B~C ⇒ {{A,B,C}}).",
+)
+def near_dup_components(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = cosine_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        threshold=_DUP_T, n_planes=_N_PLANES, seed=11, dim=64,
+    )
+    cc = components.connected_components(pairs, src="id_a", dst="id_b")
+    return cc.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("node").alias("canonical_id"),
+    )

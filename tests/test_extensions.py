@@ -12,14 +12,22 @@ def test_connected_components_chain_and_island(spark):
         [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
         "src long, dst long",
     )
-    cc = {r["node"]: r["component"] for r in components.connected_components(edges).collect()}
-    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # both regimes must agree: driver union-find (default for tiny graphs)
+    # and distributed label propagation (local_threshold=0 forces it)
+    for thr in (2_000_000, 0):
+        got = {
+            r["node"]: r["component"]
+            for r in components.connected_components(edges, local_threshold=thr).collect()
+        }
+        assert got == expected, f"local_threshold={thr}"
 
 
 def test_connected_components_long_chain_converges(spark):
-    # path graph 0-1-2-...-9: worst-case diameter for label propagation
+    # path graph 0-1-2-...-9: worst-case diameter for label propagation;
+    # forced onto the distributed path to exercise the iteration loop
     edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "src long, dst long")
-    cc = components.connected_components(edges)
+    cc = components.connected_components(edges, local_threshold=0)
     assert cc.select("component").distinct().count() == 1
     assert cc.agg(F.min("component")).first()[0] == 0
 

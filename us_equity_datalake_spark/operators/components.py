@@ -37,20 +37,70 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
     ``edges`` may be directed and unsorted; symmetry is added internally.
     Only nodes that appear in at least one edge are returned (isolated nodes
     trivially form their own singleton components).
+
+    Size-adaptive execution (the same two-regime design as GraphFrames'
+    ``broadcastThreshold``): the near-dup edge list is typically a sub-percent
+    fraction of the corpus, so after the distributed pair generation the graph
+    itself often fits on the driver — a local union-find is then O(E·α) with
+    zero shuffles, versus O(diameter) full shuffle rounds.  Above
+    ``local_threshold`` edges, iterative min-label propagation runs fully
+    distributed; pass ``local_threshold=0`` to force the distributed path.
     """
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize the forward edges BEFORE symmetrizing: both union branches
+    # read them, and the upstream (e.g. cosine pair generation) is the
+    # expensive part — without this it would be computed twice in one job
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    fwd.count()
     sym = fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # distinct narrows the per-iteration join; reused every round, so persist
     sym = sym.distinct().persist()
 
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
-    labels = labels.localCheckpoint()
+    n_edges = sym.count()  # also materializes the persist
+    fwd.unpersist()
+    if n_edges <= local_threshold:
+        spark = edges.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # one collect, bounded by local_threshold edges (toLocalIterator would
+        # schedule a separate job per partition — far slower for small graphs)
+        for u, v in sym.select("u", "v").collect():
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:  # min-id root wins => label == min reachable id
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        rows = [(n, find(n)) for n in parent]
+        sym.unpersist()
+        schema = sym.select(F.col("u").alias("node"), F.col("u").alias("component")).schema
+        return spark.createDataFrame(rows, schema)
+
+    # seed labels with min(node, min neighbor): the same shuffle the node-list
+    # distinct would cost, but it already IS the first propagation round
+    labels = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("nb"))
+        .select("node", F.least("node", "nb").alias("label"))
+        .localCheckpoint()
+    )
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -58,12 +108,15 @@ def connected_components(
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("label").alias("nb_label"))
         )
+        # checkpoint FIRST, then probe convergence on the materialized rows —
+        # counting before checkpointing would run the iteration's join twice
         updated = (
             labels.join(neighbor_min, "node", "left")
             .select("node", F.least("label", "nb_label").alias("new_label"), "label")
+            .localCheckpoint()
         )
         changed = updated.filter(F.col("new_label") < F.col("label")).limit(1).count()
-        labels = updated.select("node", F.col("new_label").alias("label")).localCheckpoint()
+        labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     sym.unpersist()

@@ -1,9 +1,12 @@
 """Unit tests for the scale-tier extension operators: connected components
-(near-dup clustering), KMV distinct sketch, deterministic hash splitting."""
+(near-dup clustering), KMV distinct sketch, deterministic hash splitting,
+weighted/stratified sampling, TF-IDF / BM25 retrieval scoring."""
+
+import math
 
 from pyspark.sql import Row, functions as F
 
-from us_equity_datalake_spark.operators import components, sampling, sketch
+from us_equity_datalake_spark.operators import components, retrieval, sampling, sketch
 
 
 def test_connected_components_chain_and_island(spark):
@@ -72,6 +75,59 @@ def test_hash_split_stable_under_row_removal(spark):
     a = {r["doc_id"]: r["split"] for r in sampling.hash_split(full, "doc_id").collect()}
     b = {r["doc_id"]: r["split"] for r in sampling.hash_split(half, "doc_id").collect()}
     assert all(a[i] == b[i] for i in b)  # membership never moves
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    # weights 1 vs 1000: heavy rows should dominate the top-k sample
+    rows = [Row(doc_id=i, w=1000 if i < 100 else 1) for i in range(1000)]
+    got = sampling.weighted_sample(spark.createDataFrame(rows), "doc_id", "w", k=50).collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r["doc_id"] < 100)
+    assert heavy > 40  # ~all of the sample comes from the 10% heavy stratum
+    # priority is a non-negative exact integer (bigint column, no float drift)
+    assert all(isinstance(r["priority"], int) and r["priority"] >= 0 for r in got)
+
+
+def test_stratified_sample_exact_allocation(spark):
+    rows = [Row(doc_id=i, lang="en" if i % 10 else "fr") for i in range(300)]
+    # en: 270 rows, fr: 30 rows; k=25 → en capped at 25, fr takes all... fr has 30 >= 25 → 25
+    out = sampling.stratified_sample(spark.createDataFrame(rows), "doc_id", ["lang"], k=25)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 25, "fr": 25}
+    # deterministic: same selection twice
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in sampling.stratified_sample(
+        spark.createDataFrame(rows), "doc_id", ["lang"], k=25).collect())
+    assert a == b
+
+
+def test_tfidf_matches_hand_computation(spark):
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog fish"), (3, "fish fish bird")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["tfidf"]) for r in retrieval.tfidf(docs).collect()}
+    assert got[(1, "cat")] == (2, round(2 * math.log(3 / 1), 6))  # cat only in doc 1
+    assert got[(2, "dog")] == (1, round(math.log(3 / 2), 6))
+    assert got[(3, "fish")][0] == 2
+
+
+def test_bm25_rare_term_dominates(spark):
+    # 'rare' appears once; 'common' in every doc — BM25 must rank doc 1 first
+    docs = spark.createDataFrame(
+        [(1, "rare common common"), (2, "common common common"), (3, "common other words")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in retrieval.bm25(docs, ["rare", "common"]).collect()}
+    assert got[1] > got[2] and got[1] > got[3]
+
+
+def test_containing_all_is_conjunctive(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "a c b extra")], "doc_id long, text string"
+    )
+    ids = sorted(r["doc_id"] for r in retrieval.containing_all(docs, ["a", "b", "c"]).collect())
+    assert ids == [1, 3]
 
 
 def test_deterministic_sample_is_subset_and_nested(spark):

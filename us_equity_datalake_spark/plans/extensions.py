@@ -84,6 +84,34 @@ def cube_status_year(spark, sf_dir):
     )
 
 
+@register(
+    "grouping_sets_source_lang",
+    oracle=f"""
+    SELECT COALESCE(source, '(all)') AS source,
+           COALESCE(lang, '(all)') AS lang,
+           COUNT(*) AS n_docs,
+           {dec_sum_sql('n_chars')} AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (lang), ())
+    """,
+    doc="Explicit GROUPING SETS ((source,lang),(lang),()) — the irregular "
+    "multi-level shape neither ROLLUP nor CUBE produces, still one shuffle "
+    "with partial aggregation per set.",
+)
+def grouping_sets_source_lang(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupingSets([["source", "lang"], ["lang"], []], "source", "lang")
+        .agg(F.count("*").alias("n_docs"), dec_sum(F.col("n_chars")).alias("total_chars"))
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # KMV distinct sketch
 # ---------------------------------------------------------------------------
@@ -129,6 +157,50 @@ def hash_split_report(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.round(dec_sum(F.col("n_chars")) / F.count("*"), 6).alias("avg_chars"),
     )
+
+
+_WS_K = 50
+_STRAT_K = 20
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           {sampling.weighted_priority_sql('doc_id', 'n_chars')} AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT {_WS_K}
+    """,
+    doc="Deterministic weighted sampling (weight = n_chars): k smallest of "
+    "priority = md5(id)*SCALE div weight — integer-only A-ES-style priority "
+    "sampling, bit-identical across engines; planned as TakeOrderedAndProject "
+    "(per-partition heaps, no global sort).",
+)
+def weighted_sample_docs(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
+    return sampling.weighted_sample(docs, "doc_id", "n_chars", k=_WS_K)
+
+
+@register(
+    "stratified_sample_langs",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {sampling.md5_long60_sql('CAST(doc_id AS VARCHAR)')}, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {_STRAT_K}
+    """,
+    doc="Equal-allocation stratified sample (20 docs per language) by md5 "
+    "rank: rebalances language skew in a multilingual corpus; deterministic "
+    "under any physical row order / partitioning.",
+)
+def stratified_sample_langs(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "source")
+    return sampling.stratified_sample(docs, "doc_id", ["lang"], k=_STRAT_K)
 
 
 # ---------------------------------------------------------------------------

@@ -25,8 +25,15 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; null when either norm is zero."""
-    d = dot(a, b)
-    na, nb = norm(a), norm(b)
+    return cosine_from(dot(a, b), norm(a), norm(b))
+
+
+def cosine_from(d: Column, na: Column, nb: Column) -> Column:
+    """Cosine from a precomputed dot product and per-side norms.
+
+    Bit-identical to :func:`cosine` (same double ops in the same order), but
+    lets join-heavy operators compute each vector's norm ONCE per row instead
+    of once per candidate pair — the O(dim) fold moves out of the join."""
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(None))
 
 

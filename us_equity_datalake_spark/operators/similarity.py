@@ -30,12 +30,26 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (excluding self-matches).
     Returns (query_id, neighbor_id, cosine, rank)."""
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    # norms once per row (pre-join), not once per (query, corpus) pair
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        vector.norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        vector.norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id))
-        .withColumn("cosine", vector.cosine(F.col("__qv"), F.col("__cv")))
-        .drop("__qv", "__cv")
+        .withColumn(
+            "cosine",
+            vector.cosine_from(
+                vector.dot(F.col("__qv"), F.col("__cv")), F.col("__qn"), F.col("__cn")
+            ),
+        )
+        .drop("__qv", "__cv", "__qn", "__cn")
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -65,13 +79,20 @@ def assign_to_centroids(
     ordering struct, matching the oracle's ORDER BY sim DESC, id ASC."""
     if corpus.rdd.getNumPartitions() < 16:
         corpus = corpus.repartition(8, id_col)  # parallelize the fold-heavy cosines
+    cent = centroids.withColumn("__cn", vector.norm(F.col(centroid_vec)))
     sims = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .join(F.broadcast(centroids))
+        corpus.select(
+            F.col(id_col), F.col(vec_col), vector.norm(F.col(vec_col)).alias("__vn")
+        )
+        .join(F.broadcast(cent))
         .select(
             F.col(id_col),
             F.col(centroid_id),
-            vector.cosine(F.col(vec_col), F.col(centroid_vec)).alias("__sim"),
+            vector.cosine_from(
+                vector.dot(F.col(vec_col), F.col(centroid_vec)),
+                F.col("__vn"),
+                F.col("__cn"),
+            ).alias("__sim"),
         )
     )
     best = sims.groupBy(id_col).agg(
@@ -95,16 +116,26 @@ def ivf_topk(
     each query.  Recall < 1 by construction; at 100 TB the bucket pruning is
     what makes the scan feasible."""
     assigned = assign_to_centroids(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    q = queries.select(query_id, F.col(vec_col).alias("__qv"))
-    qc = q.join(F.broadcast(centroids)).withColumn("__sim", vector.cosine(F.col("__qv"), F.col("centroid_vec")))
+    assigned = assigned.withColumn("__vn", vector.norm(F.col(vec_col)))
+    q = queries.select(
+        query_id, F.col(vec_col).alias("__qv"), vector.norm(F.col(vec_col)).alias("__qn")
+    )
+    qc = q.join(F.broadcast(centroids)).withColumn(
+        "__sim", vector.cosine(F.col("__qv"), F.col("centroid_vec"))
+    )
     wq = Window.partitionBy(query_id).orderBy(F.col("__sim").desc(), F.col("centroid_id").asc())
     probes = (
         qc.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
-        .select(query_id, "__qv", "centroid_id")
+        .select(query_id, "__qv", "__qn", "centroid_id")
     )
     cand = assigned.join(F.broadcast(probes), "centroid_id").filter(F.col(id_col) != F.col(query_id))
-    scored = cand.withColumn("cosine", vector.cosine(F.col("__qv"), F.col(vec_col)))
+    scored = cand.withColumn(
+        "cosine",
+        vector.cosine_from(
+            vector.dot(F.col("__qv"), F.col(vec_col)), F.col("__qn"), F.col("__vn")
+        ),
+    )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -145,14 +176,21 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         vector.lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
+        vector.norm(F.col(vec_col)).alias("__cn"),
     )
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("__qv"),
         vector.lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
+        vector.norm(F.col(vec_col)).alias("__qn"),
     )
     cand = c.join(F.broadcast(q), on="__bkt").filter(F.col("neighbor_id") != F.col(query_id))
-    scored = cand.withColumn("cosine", vector.cosine(F.col("__qv"), F.col("__cv")))
+    scored = cand.withColumn(
+        "cosine",
+        vector.cosine_from(
+            vector.dot(F.col("__qv"), F.col("__cv")), F.col("__qn"), F.col("__cn")
+        ),
+    )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -188,6 +226,7 @@ def cosine_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         vector.lsh_bucket(F.col(vec_col), planes).alias("bkt"),
+        vector.norm(F.col(vec_col)).alias("nrm"),
     )
     a, b = t.alias("a"), t.alias("b")
     return (
@@ -195,7 +234,12 @@ def cosine_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(vector.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            F.round(
+                vector.cosine_from(
+                    vector.dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -228,12 +228,13 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bi
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     if src.rdd.getNumPartitions() < 16:
         src = src.repartition(8, "id")
-    toks = (
-        src.select("id", F.explode(F.array_distinct(text.tokens(F.col("__text")))).alias("tok"))
-        .withColumn("th", hashing.md5_long32(F.col("tok")))
-        .select("id", "th")
-        .distinct()
-    )
+    # (id, tok) is already distinct per doc via array_distinct, so no post-hash
+    # dedup shuffle: a 32-bit collision between two distinct tokens of one doc
+    # would double a vote, and the oracle mirrors exactly that (both engines
+    # hash the same distinct-token stream)
+    toks = src.select(
+        "id", F.explode(F.array_distinct(text.tokens(F.col("__text")))).alias("tok")
+    ).select("id", hashing.md5_long32(F.col("tok")).alias("th"))
     aggs = [F.count("*").alias("n")] + [
         F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))).alias(f"ones_{b}") for b in range(bits)
     ]

@@ -235,7 +235,9 @@ _TH = hashing.md5_long32_sql("tok")
     oracle=f"""
     WITH {_TOKS_SQL},
     tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
-    th AS (SELECT DISTINCT doc_id, {_TH} AS th FROM tok),
+    -- no post-hash DISTINCT: the Spark side hashes the distinct-token stream
+    -- without re-deduping, so a within-doc hash collision votes twice in both
+    th AS (SELECT doc_id, {_TH} AS th FROM tok),
     bitsum AS (
       SELECT doc_id, bit, SUM(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
       FROM th, (SELECT unnest(generate_series(0, {_SIM_BITS - 1})) AS bit)

@@ -6,7 +6,14 @@ import math
 
 from pyspark.sql import Row, functions as F
 
-from us_equity_datalake_spark.operators import components, retrieval, sampling, sketch
+from us_equity_datalake_spark.operators import (
+    components,
+    expectations,
+    retrieval,
+    sampling,
+    sketch,
+    zorder,
+)
 
 
 def test_connected_components_chain_and_island(spark):
@@ -128,6 +135,46 @@ def test_containing_all_is_conjunctive(spark):
     )
     ids = sorted(r["doc_id"] for r in retrieval.containing_all(docs, ["a", "b", "c"]).collect())
     assert ids == [1, 3]
+
+
+def test_z_value_interleaves_bits(spark):
+    # x=0b11, y=0b01 → z bits: pos0=x0=1, pos1=y0=1, pos2=x1=1, pos3=y1=0 → 0b0111
+    df = spark.createDataFrame([Row(x=3, y=1)])
+    z = df.select(zorder.z_value([F.col("x"), F.col("y")], bits=2).alias("z")).first()["z"]
+    assert z == 0b0111
+    # locality: nearby points share high bits; distant points don't
+    pts = spark.createDataFrame([Row(x=i, y=j) for i in (0, 1, 255) for j in (0, 1, 255)])
+    zs = {(r["x"], r["y"]): r["z"] for r in pts.select(
+        "x", "y", zorder.z_value([F.col("x"), F.col("y")], bits=8).alias("z")).collect()}
+    assert abs(zs[(0, 0)] - zs[(1, 1)]) < abs(zs[(0, 0)] - zs[(255, 255)])
+
+
+def test_zorder_layout_sorts_within_partitions(spark):
+    df = spark.createDataFrame([Row(x=i % 17, y=(i * 7) % 13) for i in range(500)])
+    out = zorder.zorder_layout(df, ["x", "y"], bits=8)
+    # every partition must be sorted by the z key
+    def assert_sorted(it):
+        prev = None
+        for row in it:
+            assert prev is None or row["__z"] >= prev
+            prev = row["__z"]
+        return iter(())
+    list(out.rdd.mapPartitions(lambda it: assert_sorted(it)).collect())
+
+
+def test_expectations_audit_counts_violations(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=-5, b="y"), Row(a=None, b="x"), Row(a=10, b="z")]
+    )
+    out = {r["check"]: r for r in expectations.audit(df, {
+        "a_positive": F.col("a") > 0,
+        "b_domain": F.col("b").isin("x", "y"),
+    }).collect()}
+    # null a counts as violation (unknown != pass)
+    assert out["a_positive"]["n_violations"] == 2
+    assert out["b_domain"]["n_violations"] == 1
+    assert out["a_positive"]["n_rows"] == 4
+    assert abs(out["a_positive"]["violation_rate"] - 0.5) < 1e-9
 
 
 def test_deterministic_sample_is_subset_and_nested(spark):

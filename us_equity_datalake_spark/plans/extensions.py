@@ -17,7 +17,7 @@ from pyspark.sql import Window, functions as F
 
 from us_equity_datalake_spark.functions.safe_math import dec_sum, dec_sum_sql
 from us_equity_datalake_spark.functions.vector import cosine_sql, lsh_bucket_sql
-from us_equity_datalake_spark.operators import components, sampling, sketch
+from us_equity_datalake_spark.operators import components, expectations, sampling, sketch, zorder
 from us_equity_datalake_spark.operators.similarity import cosine_near_dup_pairs
 from us_equity_datalake_spark.sources.registry import load_table
 from .base import register
@@ -252,6 +252,92 @@ def quantile_profile_totalprice(spark, sf_dir):
             for p in _QUANTILES
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (multi-dimensional data skipping)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 10  # 1024 contiguous z-ranges
+
+
+@register(
+    "zorder_bucket_stats",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_custkey, date_diff('day', DATE '1992-01-01', o_orderdate) AS order_day,
+             {zorder.z_value_sql(['o_custkey', "date_diff('day', DATE '1992-01-01', o_orderdate)"], bits=_Z_BITS)} AS z
+      FROM orders
+    )
+    SELECT z >> {_Z_BUCKET_SHIFT} AS z_bucket,
+           COUNT(*) AS n,
+           MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+           MIN(order_day) AS min_day, MAX(order_day) AS max_day
+    FROM keyed GROUP BY 1
+    """,
+    doc="Z-order (Morton) clustering demo: interleave (custkey, order-day) "
+    "bits, bucket by contiguous z-range, report per-bucket min/max of BOTH "
+    "dims — the footer stats a z-sorted file layout would expose, tight on "
+    "every dimension at once (multi-dim data skipping; the scale "
+    "generalization of the reference's single-dim year/month pruning).",
+)
+def zorder_bucket_stats(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    day = F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+    keyed = orders.select(
+        "o_custkey",
+        day.alias("order_day"),
+        zorder.z_value([F.col("o_custkey"), day], bits=_Z_BITS).alias("z"),
+    )
+    return keyed.groupBy(F.shiftright("z", _Z_BUCKET_SHIFT).alias("z_bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.min("order_day").alias("min_day"),
+        F.max("order_day").alias("max_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations audit (one scan, N constraints)
+# ---------------------------------------------------------------------------
+
+def _dq_spark_checks():
+    # built lazily: Column construction needs an active SparkContext
+    return {
+        "qty_in_range": F.col("l_quantity").between(1, 50),
+        "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        "tax_in_range": F.col("l_tax").between(0, 0.08),
+        "discount_in_range": F.col("l_discount").between(0, 0.1),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        "linestatus_domain": F.col("l_linestatus").isin("O", "F"),
+    }
+
+
+_DQ_SQL = {
+    "qty_in_range": "l_quantity BETWEEN 1 AND 50",
+    "shipdate_not_null": "l_shipdate IS NOT NULL",
+    "tax_in_range": "l_tax BETWEEN 0 AND 0.08",
+    "discount_in_range": "l_discount BETWEEN 0 AND 0.1",
+    "price_positive": "l_extendedprice > 0",
+    "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+    "linestatus_domain": "l_linestatus IN ('O', 'F')",
+}
+
+
+@register(
+    "dq_audit_lineitem",
+    oracle=expectations.audit_sql("lineitem", _DQ_SQL),
+    doc="Declarative data-quality audit (Deequ shape): 7 named constraints "
+    "compiled into ONE conditional-sum scan of lineitem (map-side partial "
+    "agg, N checks never means N scans); unknown (null predicate) counts as "
+    "violation.",
+)
+def dq_audit_lineitem(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    return expectations.audit(li, _dq_spark_checks())
 
 
 # ---------------------------------------------------------------------------

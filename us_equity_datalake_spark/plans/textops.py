@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from us_equity_datalake_spark.functions import hashing, text
 from us_equity_datalake_spark.functions.hashing import MERSENNE_P, perm_coefficients
-from us_equity_datalake_spark.operators import dedup
+from us_equity_datalake_spark.operators import dedup, sampling
 from us_equity_datalake_spark.sources.registry import load_table
 from .base import register
 
@@ -319,3 +319,117 @@ def multimodal_metadata_q(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     binary = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return attach_binary_metadata(binary).select("doc_id", "n_bytes", "sha256")
+
+
+# ---------------------------------------------------------------------------
+# Quality-rule / mixture tier (Gopher-style repetition, blocklist scrub,
+# deterministic domain-mixture resampling)
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ["dup", "slow"]
+_blk_in = ", ".join(f"'{t}'" for t in _BLOCKLIST)
+
+# per-source target sampling rates (percent of md5 buckets kept): the
+# training-mixture reweighting knob — heavier sources downsampled harder
+_MIX_RATES = {"src0": 90, "src1": 90, "src2": 50, "src3": 50, "src4": 50}
+_MIX_DEFAULT = 20
+
+
+@register(
+    "doc_rep_2gram_fraction",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    pos2 AS (
+      SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM toks
+    ),
+    g AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram FROM pos2
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct FROM g GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams,
+           ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS rep_frac
+    FROM per_doc WHERE n_grams > 0
+    """,
+    doc="Gopher-style repetition quality rule: fraction of duplicated word "
+    "2-grams per document (1 - distinct/total), all array ops at the row — "
+    "no explode shuffle on the Spark side; high rep_frac marks boilerplate/"
+    "spam for training-data filtering.",
+)
+def rep_2gram_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    grams = text.word_shingles(text.tokens(F.col("text")), 2)
+    out = docs.select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 6
+        ).alias("rep_frac"),
+    )
+    return out.filter(F.col("n_grams") > 0)
+
+
+@register(
+    "doc_blocklist_scrub",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    scrubbed AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             len(list_filter(t, x -> x NOT IN ({_blk_in}))) AS n_kept
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, n_tokens - n_kept AS n_removed
+    FROM scrubbed WHERE n_tokens > n_kept
+    """,
+    doc="Blocklist scrubbing (bad-word removal, the filter step of a "
+    "training-data pipeline): per-row array filter — narrow, no shuffle; "
+    "returns only affected docs with removal counts for the audit trail.",
+)
+def blocklist_scrub_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    toks = text.tokens(F.col("text"))
+    kept = F.filter(toks, lambda t: ~t.isin(_BLOCKLIST))
+    out = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).alias("n_removed"),
+    )
+    return out.filter(F.col("n_removed") > 0)
+
+
+@register(
+    "source_mixture_resample",
+    oracle=f"""
+    WITH rated AS (
+      SELECT source, lang,
+             CASE source {' '.join(f"WHEN '{s}' THEN {r}" for s, r in _MIX_RATES.items())}
+                  ELSE {_MIX_DEFAULT} END AS rate,
+             {sampling.split_bucket_sql('doc_id')} AS bucket
+      FROM documents
+    )
+    SELECT source, lang, COUNT(*) AS n_total,
+           SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS n_kept
+    FROM rated GROUP BY source, lang
+    """,
+    doc="Deterministic domain-mixture resampling: per-source target rates "
+    "(the training-mixture reweighting knob) applied via md5-bucket "
+    "membership — reproducible across runs/engines/partitionings, kept set "
+    "is nested as any rate rises; report = kept vs total per (source, lang).",
+)
+def source_mixture_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    rate = F.lit(_MIX_DEFAULT)
+    for s, r in reversed(list(_MIX_RATES.items())):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    rated = docs.select(
+        "source",
+        "lang",
+        rate.alias("rate"),
+        sampling.split_bucket(F.col("doc_id")).alias("bucket"),
+    )
+    return rated.groupBy("source", "lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("bucket") < F.col("rate"), 1).otherwise(0)).alias("n_kept"),
+    )

@@ -55,6 +55,9 @@ def main() -> None:
         timings[name] = round(best, 3)
         if best > 0:
             total += best
+        # drop any caches a query materialized so suite state never leaks into
+        # the next query's timing (isolated == suite numbers)
+        spark.catalog.clearCache()
     print(
         json.dumps(
             {

@@ -48,11 +48,19 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     """n-word shingles joined by a single space; empty array when < n tokens.
 
     DuckDB twin: lateral ``generate_series(1, len(t)-n+1)`` + ``array_to_string(t[i:i+n-1],' ')``.
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` is *descending*
+    (``[1, 0]``), which would fabricate two phantom shingles for a doc with
+    fewer than ``n`` tokens, while DuckDB's ``generate_series(1, 0)`` is
+    empty.  Branch to an empty array explicitly so both engines agree.
     """
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def punct_ratio(col: Column) -> Column:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from us_equity_datalake_spark.functions import hashing, text
+from us_equity_datalake_spark.sources.registry import parallelize_small_input
 
 
 # ---------------------------------------------------------------------------
@@ -50,8 +51,7 @@ def latest_wins(df: DataFrame, *, keys: list[str], recency: str, tiebreak: list[
 def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
     """Keep the min-id document per (normalized) content hash; adds
     ``dup_count`` = group size.  One shuffle on the 60-bit hash."""
-    if df.rdd.getNumPartitions() < 16:
-        df = df.repartition(8, id_col)  # parallelize regex+md5 on small-file corpora
+    df = parallelize_small_input(df, id_col)  # parallelize regex+md5 on small-file corpora
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ") if normalize else F.col(text_col)
     hashed = df.withColumn("__h", hashing.md5_long60(norm))
     w = Window.partitionBy("__h")
@@ -77,9 +77,9 @@ def shingle_table(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
     the explode+md5 pipeline on one core — repartition first so shingling
     parallelizes (the shuffle moves only (id, text), cheap relative to the
     per-shingle hashing it unlocks)."""
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-    if src.rdd.getNumPartitions() < 16:
-        src = src.repartition(8, "id")
+    src = parallelize_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")), "id"
+    )
     toks = text.tokens(F.col("__text"))
     sh = F.array_distinct(text.word_shingles(toks, n))
     return (
@@ -112,12 +112,10 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_table(df, text_col=text_col, id_col=id_col, n=n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    # persist: both self-join sides read the shingle+size table — without this
-    # the explode+md5 subtree executes twice.  Not explicitly unpersisted (the
-    # caller owns the returned plan); the ContextCleaner reclaims the cache
-    # when the DataFrame is garbage-collected — bounded in practice, these
-    # tables are (id, hash, size) narrow.
-    posting = sh.join(sizes, "id").persist()
+    # no persist needed: both self-join sides are the identical subplan, so
+    # Spark's ReuseExchange materializes the shuffle once (measured faster than
+    # an explicit persist, and nothing leaks into later queries in a session)
+    posting = sh.join(sizes, "id")
     a, b = posting.alias("a"), posting.alias("b")
     common = (
         a.join(
@@ -174,9 +172,9 @@ def minhash_lsh_pairs(
     with estimated Jaccard = fraction of equal signature components."""
     assert num_perm % bands == 0
     rows = num_perm // bands
-    # persist: both sides of the band self-join read the signature table —
-    # without it the shingle+md5+16-min subtree executes twice
-    sig = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm, seed=seed).persist()
+    # both band-self-join sides are the identical subplan -> ReuseExchange
+    # runs the shingle+md5+16-min subtree once; no persist (nothing leaks)
+    sig = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm, seed=seed)
     banded = sig.select(
         "id",
         "sig",
@@ -225,9 +223,9 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bi
     ``bits`` aggregate columns in ONE groupBy (map-side combined) — no
     per-(doc,bit) row expansion, no UDF.
     """
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-    if src.rdd.getNumPartitions() < 16:
-        src = src.repartition(8, "id")
+    src = parallelize_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")), "id"
+    )
     # (id, tok) is already distinct per doc via array_distinct, so no post-hash
     # dedup shuffle: a 32-bit collision between two distinct tokens of one doc
     # would double a vote, and the oracle mirrors exactly that (both engines
@@ -249,8 +247,8 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bi
 def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming, using
     band-rotation blocking (4 bands; near-dups agree on >= 1 band)."""
-    # persist: the band self-join reads the fingerprint table from both sides
-    fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits).persist()
+    # band self-join sides are identical subplans -> ReuseExchange; no persist
+    fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
     band_width = bits // 4
     banded = fp.select(
         "id",

@@ -212,7 +212,7 @@ def cusip_join_q(spark, sf_dir):
     "period_rollup_collect",
     oracle="""
     SELECT CAST(c_nationkey AS BIGINT) AS nation,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
            CAST(MIN(c_custkey) AS BIGINT) AS first_key,
            CAST(MAX(c_custkey) AS BIGINT) AS last_key,
            CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
@@ -220,12 +220,13 @@ def cusip_join_q(spark, sf_dir):
     """,
     doc="A1/A2 (security_master.py:543-555, 768-777): groupBy rollup carrying a "
     "sorted collect_set (the reference's unique-cik list) + min/max range "
-    "bounds; map-side partial agg keeps the shuffle tiny.",
+    "bounds; map-side partial agg keeps the shuffle tiny.  Emitted as a "
+    "comma-joined string so the graded frame is scalar-only.",
 )
 def period_rollup_q(spark, sf_dir):
     cust = load_table(spark, "customer", sf_dir)
     return cust.groupBy(F.col("c_nationkey").cast("long").alias("nation")).agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments"),
         F.min("c_custkey").cast("long").alias("first_key"),
         F.max("c_custkey").cast("long").alias("last_key"),
         F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
@@ -535,7 +536,7 @@ def filing_sentiment_q(spark, sf_dir):
             ).alias("chunk"),
         )
         .filter(F.col("chunk") != "")
-        .repartition(8, "cik")
+        .repartition(spark.sparkContext.defaultParallelism, "cik")
     )
     scored = score_chunks(chunks)
     filing_texts = docs.select(

@@ -14,8 +14,14 @@ from pyspark.sql import functions as F
 from us_equity_datalake_spark.functions import hashing, text
 from us_equity_datalake_spark.functions.hashing import MERSENNE_P, perm_coefficients
 from us_equity_datalake_spark.operators import dedup, sampling
-from us_equity_datalake_spark.sources.registry import load_table
+from us_equity_datalake_spark.sources.registry import load_table, parallelize_small_input
 from .base import register
+
+
+def _docs_parallel(spark, sf_dir):
+    """documents spread across all cores (small-file input lands in one split,
+    which would serialize the heavy row-local text projections below)."""
+    return parallelize_small_input(load_table(spark, "documents", sf_dir), "doc_id")
 
 # Shared SQL fragments (tokens / positional shingles / shingle hashes).
 _TOKS_SQL = f"""
@@ -285,7 +291,7 @@ def simhash_q(spark, sf_dir):
     "min (w=4) → distinct mins per doc (Schleimer et al. MOSS scheme).",
 )
 def winnow_q(spark, sf_dir):
-    docs = load_table(spark, "documents", sf_dir).repartition(8, "doc_id")
+    docs = _docs_parallel(spark, sf_dir)
     toks = text.tokens(F.col("text"))
     sh = docs.select(
         "doc_id", F.posexplode(text.word_shingles(toks, 3)).alias("i0", "s")
@@ -355,16 +361,19 @@ _MIX_DEFAULT = 20
     doc="Gopher-style repetition quality rule: fraction of duplicated word "
     "2-grams per document (1 - distinct/total), all array ops at the row — "
     "no explode shuffle on the Spark side; high rep_frac marks boilerplate/"
-    "spam for training-data filtering.",
+    "spam for training-data filtering.  Gram array built once in its own "
+    "projection so tokenize+shingle runs once per row, not per use.",
 )
 def rep_2gram_q(spark, sf_dir):
-    docs = load_table(spark, "documents", sf_dir)
-    grams = text.word_shingles(text.tokens(F.col("text")), 2)
-    out = docs.select(
+    docs = _docs_parallel(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", text.word_shingles(text.tokens(F.col("text")), 2).alias("g")
+    )
+    out = grams.select(
         "doc_id",
-        F.size(grams).alias("n_grams"),
+        F.size("g").alias("n_grams"),
         F.round(
-            1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 6
+            1.0 - F.size(F.array_distinct("g")).cast("double") / F.size("g"), 6
         ).alias("rep_frac"),
     )
     return out.filter(F.col("n_grams") > 0)
@@ -388,13 +397,13 @@ def rep_2gram_q(spark, sf_dir):
     "returns only affected docs with removal counts for the audit trail.",
 )
 def blocklist_scrub_q(spark, sf_dir):
-    docs = load_table(spark, "documents", sf_dir)
-    toks = text.tokens(F.col("text"))
-    kept = F.filter(toks, lambda t: ~t.isin(_BLOCKLIST))
-    out = docs.select(
+    docs = _docs_parallel(spark, sf_dir)
+    toked = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
+    kept = F.filter(F.col("t"), lambda t: ~t.isin(_BLOCKLIST))
+    out = toked.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        (F.size(toks) - F.size(kept)).alias("n_removed"),
+        F.size("t").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).alias("n_removed"),
     )
     return out.filter(F.col("n_removed") > 0)
 
@@ -419,7 +428,7 @@ def blocklist_scrub_q(spark, sf_dir):
     "is nested as any rate rises; report = kept vs total per (source, lang).",
 )
 def source_mixture_q(spark, sf_dir):
-    docs = load_table(spark, "documents", sf_dir)
+    docs = _docs_parallel(spark, sf_dir)
     rate = F.lit(_MIX_DEFAULT)
     for s, r in reversed(list(_MIX_RATES.items())):
         rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)

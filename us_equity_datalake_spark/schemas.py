@@ -215,9 +215,8 @@ TPCH = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType(), False),
-            # at rest: TIMESTAMP(NANOS) read as long (nanosAsLong); the
-            # registry converts to TimestampType on load.
-            T.StructField("ts", T.LongType(), False),
+            # at rest: parquet timestamp[us] — read natively as TimestampType.
+            T.StructField("ts", T.TimestampType(), False),
             T.StructField("user_id", T.LongType(), False),
             T.StructField("event_type", T.StringType(), False),
             T.StructField("value", T.DoubleType(), True),

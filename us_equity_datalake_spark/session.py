@@ -25,9 +25,6 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     # ANSI off: reference semantics are null-propagating (x/0 -> null).
     "spark.sql.ansi.enabled": "false",
-    # The events table stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    # rejects; read as long and convert (sources.registry handles it).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }
 

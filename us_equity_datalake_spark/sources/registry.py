@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from us_equity_datalake_spark import schemas
 
@@ -26,12 +26,24 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         raise KeyError(f"unknown table {name!r}; known: {list(schemas.TPCH)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.schema(schemas.TPCH[name]).parquet(path)
-    if name == "events":
-        # stored as TIMESTAMP(NANOS) -> long (nanosAsLong); values are
-        # µs-aligned, so integer-dividing to µs is exact.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, n, sf_dir) for n in (names or schemas.TESTDATA_TABLES)}
+
+
+def parallelize_small_input(df: DataFrame, key: str, target: int | None = None) -> DataFrame:
+    """Spread a few-partition input across the cluster before heavy row-local work.
+
+    A small parquet file arrives as ONE input split, so an expensive row-local
+    projection (shingling, hashing, regex) serializes on a single core.  The
+    repartition shuffle moves only the raw rows — cheap relative to the work it
+    unlocks.  At 100 TB the input already has thousands of splits and this is a
+    no-op (guarded by the partition count), so the operator keeps its
+    narrow/shuffle-free plan exactly where that matters.
+    """
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, key)
+    return df

@@ -27,8 +27,23 @@ def main() -> None:
     from us_equity_datalake_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm up: JVM, codegen, parquet footer caches
+    # Warm up: JVM, codegen, parquet footer caches.  The HOF/array/md5-heavy
+    # text+vector queries additionally need their interpreted-expression and
+    # generated-code paths C2-compiled — cold, the SAME query runs 5-20x
+    # slower purely on JVM warmup (measured), which BASELINE.md's protocol
+    # excludes.  Run those shapes once at the tiny sf to pay compilation
+    # before any timing starts.
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    warm_dir = "/root/testdata/sf0.001"
+    warm_prefixes = ("doc_", "emb_", "near_dup", "multimodal", "source_mixture", "filing_")
+    if os.path.isdir(warm_dir):
+        for name, fn in entrymod.queries().items():
+            if name.startswith(warm_prefixes):
+                try:
+                    fn(spark, warm_dir).count()
+                except Exception:
+                    pass
+        spark.catalog.clearCache()
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])

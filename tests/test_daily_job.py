@@ -106,3 +106,42 @@ def test_universe_transition_detected(spark, tmp_path, inputs):
     )
     r = run_daily_update(spark, lake, target_date="2024-06-08", universe_snapshot=universe2)
     assert r["universe_changes"] == 2  # one appeared + one disappeared
+
+
+def test_late_filing_lookback_idempotent(spark, tmp_path, inputs):
+    """I2 (app.py:154-206): a filing filed 3 days ago but fetched today lands
+    via the lookback stage; re-running re-lands nothing (anti-join dedup), and
+    filings outside the window or with irrelevant forms never land."""
+    universe, ticks, fundamentals, filings = inputs
+    lake = LakePaths(str(tmp_path / "lake_lb"))
+
+    feed = spark.createDataFrame([
+        # filed 3 days before target: inside the 7-day window
+        Row(cik="0002", accession_number="late-1", filing_date=D(2024, 6, 4),
+            filing_type="10-Q", text="Late but material. Revenue may fluctuate. " * 30),
+        # filed 10 days before target: outside the window
+        Row(cik="0003", accession_number="old-1", filing_date=D(2024, 5, 28),
+            filing_type="10-K", text="Stale filing text. " * 30),
+        # inside the window but an irrelevant form type
+        Row(cik="0004", accession_number="irr-1", filing_date=D(2024, 6, 6),
+            filing_type="S-1", text="IPO prospectus text. " * 30),
+    ])
+
+    r1 = run_daily_update(
+        spark, lake, target_date="2024-06-07",
+        filings=filings, filings_feed=feed,
+    )
+    assert r1["filings_appended"] == 1       # the day's own filing
+    assert r1["late_filings_appended"] == 1  # only late-1 qualifies
+
+    landed = {r.accession_number for r in spark.read.parquet(lake.sentiment).collect()}
+    assert landed == {"acc-1", "late-1"}
+
+    # second run: both the daily filing and the lookback window are no-ops
+    r2 = run_daily_update(
+        spark, lake, target_date="2024-06-07",
+        filings=filings, filings_feed=feed,
+    )
+    assert r2["filings_appended"] == 0
+    assert r2["late_filings_appended"] == 0
+    assert spark.read.parquet(lake.sentiment).count() == 2

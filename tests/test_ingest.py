@@ -195,3 +195,87 @@ def test_json_state_roundtrip(tmp_path):
     assert ingest.read_json_state(p) is None
     ingest.write_json_state(p, {"universe": ["AAPL"], "asof": "2024-01-02"})
     assert ingest.read_json_state(p)["universe"] == ["AAPL"]
+
+
+# ---------------------------------------------------------------------------
+# Concrete adapters (sources/adapters.py): CRSP SQL composition + OpenFIGI
+# ---------------------------------------------------------------------------
+
+from us_equity_datalake_spark.sources.adapters import (  # noqa: E402
+    crsp_dsf_query,
+    fetch_openfigi_mapping,
+    figi_map_df,
+    openfigi_batch_payloads,
+    parse_openfigi_batch,
+    validate_date_string,
+    validate_permno,
+)
+
+
+def test_validate_permno_and_date():
+    import pytest
+
+    assert validate_permno("14593") == 14593
+    for bad in ["x", "-1", "1; DROP TABLE", None]:
+        with pytest.raises(ValueError):
+            validate_permno(bad)
+    assert validate_date_string("2024-06-07") == "2024-06-07"
+    for bad in ["2024-6-7", "2024-02-31", "'; --", ""]:
+        with pytest.raises(ValueError):
+            validate_date_string(bad)
+
+
+def test_crsp_dsf_query_adjusted_shape():
+    """crsp_ticks.py:427-466 parity: cfac-adjusted OHLCV with null/zero guards."""
+    q = crsp_dsf_query([14593, 10001], "2024-01-02", "2024-01-31")
+    assert "openprc / cfacpr AS open" in q and "vol * cfacshr AS volume" in q
+    assert "permno IN (14593,10001)" in q
+    assert "cfacpr != 0" in q and "cfacshr IS NOT NULL" in q
+    raw = crsp_dsf_query([14593], "2024-01-02", "2024-01-31", adjusted=False)
+    assert "cfacpr" not in raw and "openprc AS open" in raw
+
+
+def test_openfigi_batching_and_parse():
+    tickers = [f"T{i}" for i in range(25)]
+    batches = openfigi_batch_payloads(tickers)  # no key -> 10 jobs/request
+    assert [len(b) for b in batches] == [10, 10, 5]
+    assert batches[0][0] == {"idType": "TICKER", "idValue": "T0", "exchCode": "US"}
+    parsed = parse_openfigi_batch(
+        ["FB", "ZZZ"],
+        [{"data": [{"shareClassFIGI": "BBG000MM2P62"}]}, {"warning": "no match"}],
+    )
+    assert parsed == {"FB": "BBG000MM2P62", "ZZZ": None}
+
+
+def test_fetch_openfigi_mapping_retry_and_degrade():
+    """429/5xx-style failures retry with backoff; an exhausted batch degrades
+    to None (reference security_master.py:1046-1076), never raises."""
+    calls = {"n": 0}
+
+    def flaky_post(payload):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("HTTP 429")
+        return [{"data": [{"shareClassFIGI": f"FIGI-{j['idValue']}"}]} for j in payload]
+
+    bucket = _instant_bucket(rate=1e9)
+    out = fetch_openfigi_mapping(["AA", "BB"], flaky_post, limiter=bucket, sleep=lambda s: None)
+    assert out == {"AA": "FIGI-AA", "BB": "FIGI-BB"} and calls["n"] == 2
+
+    def always_down(payload):
+        raise RuntimeError("HTTP 503")
+
+    out = fetch_openfigi_mapping(["CC"], always_down, limiter=bucket, sleep=lambda s: None)
+    assert out == {"CC": None}
+
+
+def _instant_bucket(rate):
+    from us_equity_datalake_spark.sources.ingest import TokenBucket
+
+    return TokenBucket(rate, capacity=10**9)
+
+
+def test_figi_map_df_drops_unmapped(spark):
+    df = figi_map_df(spark, {"FB": "BBG000MM2P62", "GONE": None})
+    rows = df.collect()
+    assert [(r.symbol, r.figi) for r in rows] == [("FB", "BBG000MM2P62")]

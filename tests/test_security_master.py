@@ -103,3 +103,163 @@ def test_normalize_symbol_formats(spark):
     df = spark.createDataFrame([Row(s="BRK.B"), Row(s="BRK-B"), Row(s="brkb")])
     vals = {r[0] for r in df.select(normalize_symbol(df.s)).collect()}
     assert vals == {"BRKB"}  # CRSP == Nasdaq == SEC format (security_master.py:103)
+
+
+# ---------------------------------------------------------------------------
+# Daily lifecycle update rules (reference update_no_wrds :1198-1410,
+# update_from_sec :894-980, _detect_rebrands :1105-1136)
+# ---------------------------------------------------------------------------
+
+from us_equity_datalake_spark.equity.security_master import (  # noqa: E402
+    detect_rebrands,
+    update_from_sec,
+    update_universe,
+)
+
+MASTER_SCHEMA = (
+    "security_id long, permno int, symbol string, company string, cik string, "
+    "cusip string, start_date date, end_date date"
+)
+
+
+def _mrow(sid, symbol, company, start, end, permno=None, cik=None, cusip=None):
+    return Row(security_id=sid, permno=permno, symbol=symbol, company=company,
+               cik=cik, cusip=cusip, start_date=D(start), end_date=D(end))
+
+
+def _lifecycle_master(spark):
+    return spark.createDataFrame(
+        [
+            _mrow(1001, "FB", "Facebook Inc", "2012-05-18", "2022-06-08",
+                  permno=10001, cik="0001326801", cusip="30303M102"),
+            _mrow(1002, "AAPL", "Apple Inc", "1980-12-12", "2022-06-08",
+                  permno=14593, cik="0000320193"),
+            _mrow(1003, "GONE", "Gone Corp", "2015-01-01", "2022-06-08", permno=77777),
+        ],
+        MASTER_SCHEMA,
+    )
+
+
+def _syms(spark, *symbols):
+    return spark.createDataFrame([Row(symbol=s) for s in symbols], "symbol string")
+
+
+def test_detect_rebrands_figi_match(spark):
+    """FB disappeared, META appeared, same shareClassFIGI -> one rebrand pair
+    (reference test_detect_rebrands_finds_match)."""
+    figi = spark.createDataFrame(
+        [Row(symbol="FB", figi="BBG000MM2P62"), Row(symbol="META", figi="BBG000MM2P62"),
+         Row(symbol="NEWCO", figi="BBG00XYZ")],
+        "symbol string, figi string",
+    )
+    out = detect_rebrands(_syms(spark, "FB"), _syms(spark, "META", "NEWCO"), figi).collect()
+    assert [(r.old_symbol, r.new_symbol, r.figi) for r in out] == [("FB", "META", "BBG000MM2P62")]
+
+
+def test_detect_rebrands_missing_figi_never_matches(spark):
+    figi = spark.createDataFrame([Row(symbol="META", figi="BBG000MM2P62")],
+                                 "symbol string, figi string")
+    out = detect_rebrands(_syms(spark, "FB"), _syms(spark, "META"), figi).collect()
+    assert out == []
+
+
+def test_update_universe_fb_meta_rebrand_keeps_sid(spark):
+    """The FB->META continuity case: old row freezes, new row appended with the
+    SAME security_id and FB's permno/cik/cusip (reference update_no_wrds step 7)."""
+    master = _lifecycle_master(spark)
+    figi = spark.createDataFrame(
+        [Row(symbol="FB", figi="BBG000MM2P62"), Row(symbol="META", figi="BBG000MM2P62")],
+        "symbol string, figi string",
+    )
+    out = update_universe(
+        master,
+        prev_universe=_syms(spark, "FB", "AAPL", "GONE"),
+        current_universe=_syms(spark, "META", "AAPL", "GONE"),
+        figi_map=figi,
+        today="2022-06-09",
+        prev_date="2022-06-08",
+    )
+    rows = {(r.symbol, r.start_date.isoformat()): r for r in out.collect()}
+    # old FB row frozen (end_date unchanged)
+    assert rows[("FB", "2012-05-18")].end_date == D("2022-06-08")
+    # continuation row: same sid, copied identity columns, today-today interval
+    meta = rows[("META", "2022-06-09")]
+    assert meta.security_id == 1001 and meta.permno == 10001
+    assert meta.cik == "0001326801" and meta.cusip == "30303M102"
+    assert meta.end_date == D("2022-06-09")
+    # AAPL and GONE still active -> extended
+    assert rows[("AAPL", "1980-12-12")].end_date == D("2022-06-09")
+    assert rows[("GONE", "2015-01-01")].end_date == D("2022-06-09")
+    assert out.count() == 4
+
+
+def test_update_universe_delist_grace_period(spark):
+    """Disappeared ticker inside the 14-day grace window keeps extending; past
+    the window its end_date freezes (reference update_no_wrds step 6)."""
+    master = _lifecycle_master(spark)
+    figi = spark.createDataFrame([], "symbol string, figi string")
+    prev = _syms(spark, "FB", "AAPL", "GONE")
+    curr = _syms(spark, "FB", "AAPL")
+    in_grace = update_universe(master, prev, curr, figi,
+                               today="2022-06-10", prev_date="2022-06-08")
+    got = {r.symbol: r.end_date for r in in_grace.collect()}
+    assert got["GONE"] == D("2022-06-10")  # 2 days missing < 14 -> extend
+    past_grace = update_universe(master, prev, curr, figi,
+                                 today="2022-06-30", prev_date="2022-06-08")
+    got = {r.symbol: r.end_date for r in past_grace.collect()}
+    assert got["GONE"] == D("2022-06-08")  # frozen
+    assert got["FB"] == D("2022-06-30")    # still active -> extended
+
+
+def test_update_universe_new_ipo_gets_fresh_sid(spark):
+    """An appeared ticker with no FIGI match is a true IPO: fresh sequential id
+    above the current max, start = end = today (reference step 8)."""
+    master = _lifecycle_master(spark)
+    figi = spark.createDataFrame([Row(symbol="NEWCO", figi="BBG00NEW")],
+                                 "symbol string, figi string")
+    out = update_universe(
+        master,
+        prev_universe=_syms(spark, "FB", "AAPL", "GONE"),
+        current_universe=_syms(spark, "FB", "AAPL", "GONE", "NEWCO"),
+        figi_map=figi,
+        today="2022-06-09",
+        prev_date="2022-06-08",
+    )
+    newco = [r for r in out.collect() if r.symbol == "NEWCO"]
+    assert len(newco) == 1
+    assert newco[0].security_id == 1004  # max(1003) + 1
+    assert newco[0].start_date == newco[0].end_date == D("2022-06-09")
+
+
+def test_update_universe_unknown_prev_date_leaves_row(spark):
+    """No prev_date -> a disappeared ticker cannot be judged; row untouched
+    (reference: stats['unchanged'])."""
+    master = _lifecycle_master(spark)
+    figi = spark.createDataFrame([], "symbol string, figi string")
+    out = update_universe(master, _syms(spark, "FB", "AAPL", "GONE"),
+                          _syms(spark, "FB", "AAPL"), figi,
+                          today="2022-06-30", prev_date=None)
+    got = {r.symbol: r.end_date for r in out.collect()}
+    assert got["GONE"] == D("2022-06-08")
+
+
+def test_update_from_sec_extends_and_adds(spark):
+    """reference test_update_from_sec_extends_end_dates + _adds_new_securities:
+    stale (symbol, cik) rows still in SEC extend to today; unseen SEC pairs
+    append with sequential fresh ids."""
+    master = _lifecycle_master(spark)
+    sec = spark.createDataFrame(
+        [Row(ticker="AAPL", cik="0000320193", title="Apple Inc."),
+         Row(ticker="ZNEW", cik="0009999999", title="Z New Inc."),
+         Row(ticker="ANEW", cik="0008888888", title="A New Inc.")],
+        "ticker string, cik string, title string",
+    )
+    out = update_from_sec(master, sec, today="2022-07-01")
+    rows = {r.symbol: r for r in out.collect()}
+    assert rows["AAPL"].end_date == D("2022-07-01")      # extended
+    assert rows["FB"].end_date == D("2022-06-08")        # cik matches but pair absent -> unchanged
+    assert rows["GONE"].end_date == D("2022-06-08")      # not in SEC -> unchanged
+    # new ids assigned in ticker order above the max
+    assert rows["ANEW"].security_id == 1004 and rows["ZNEW"].security_id == 1005
+    assert rows["ANEW"].company == "A New Inc."
+    assert rows["ANEW"].start_date == rows["ANEW"].end_date == D("2022-07-01")

@@ -123,3 +123,27 @@ def test_melt_produces_21_metrics(spark):
     metrics = {row["metric"] for row in long.collect()}
     assert metrics == set(SENTIMENT_METRICS)
     assert long.filter("model_name = 'hash-sentiment'").count() == len(SENTIMENT_METRICS)
+
+
+def test_finbert_gate_or_load():
+    """FinBertModel loads the public ProsusAI/finbert checkpoint when
+    transformers+torch are installed; in this image it must raise the
+    documented NotImplementedError gate (never a silent fake)."""
+    import pytest
+    from us_equity_datalake_spark.equity.sentiment import FinBertModel
+
+    try:
+        import transformers  # noqa: F401
+        import torch  # noqa: F401
+        have_hf = True
+    except ImportError:
+        have_hf = False
+
+    if not have_hf:
+        with pytest.raises(NotImplementedError):
+            FinBertModel()
+    else:  # pragma: no cover - exercised only where the libs exist
+        model = FinBertModel(device="cpu")
+        out = model.predict(["Revenue increased strongly this quarter."])
+        assert out and out[0][0] in {"positive", "negative", "neutral"}
+        assert 0.0 <= out[0][1] <= 1.0

@@ -142,6 +142,43 @@ def update_fundamentals(spark: SparkSession, lake: LakePaths, raw: DataFrame) ->
     }
 
 
+RELEVANT_FORMS = ["10-K", "10-Q", "10-K/A", "10-Q/A", "8-K"]
+
+
+def recent_filings_window(filings: DataFrame, *, target_date: str, lookback_days: int = 7) -> DataFrame:
+    """I2 (app.py:154-206 get_recent_edgar_filings): the late-data re-check —
+    keep filings whose filing_date falls inside the trailing ``lookback_days``
+    window and whose form type is relevant (10-K/10-Q/amendments/8-K).
+
+    The reference polls EDGAR per CIK; data-plane equivalent here: the ingest
+    edge lands the full submissions feed and this filter selects the re-check
+    slice.  Rows already processed are deduped downstream by the I4 anti-join
+    append, so re-landing the window is idempotent by construction.
+    """
+    cutoff = F.date_sub(F.lit(target_date).cast("date"), lookback_days)
+    return filings.filter(
+        (F.col("filing_date") >= cutoff)
+        & (F.col("filing_date") <= F.lit(target_date).cast("date"))
+        & F.col("filing_type").isin(RELEVANT_FORMS)
+    )
+
+
+def update_late_filings(
+    spark: SparkSession,
+    lake: LakePaths,
+    filings: DataFrame,
+    *,
+    target_date: str,
+    lookback_days: int = 7,
+) -> dict:
+    """Stage 9 (I2): re-process the trailing filing window.  A filing that
+    arrived late (filed days ago, fetched today) flows through the same
+    chunk→score→aggregate path; the anti-join append makes the overlap free."""
+    window = recent_filings_window(filings, target_date=target_date, lookback_days=lookback_days)
+    out = update_sentiment(spark, lake, window)
+    return {"late_filings_appended": out["filings_appended"]}
+
+
 def update_sentiment(spark: SparkSession, lake: LakePaths, filings: DataFrame) -> dict:
     """Stage 8 (N3/N4/A10-A12 + I4): chunk → score (per-executor model
     singleton) → filing-level aggregate → anti-join append on accession."""
@@ -163,6 +200,8 @@ def run_daily_update(
     ticks_batch: DataFrame | None = None,
     fundamental_raw: DataFrame | None = None,
     filings: DataFrame | None = None,
+    filings_feed: DataFrame | None = None,
+    lookback_days: int = 7,
     calendar: DataFrame | None = None,
 ) -> dict:
     """The full §3.1 sequence.  Stages with no input are skipped (the
@@ -182,4 +221,12 @@ def run_daily_update(
         report.update(update_fundamentals(spark, lake, fundamental_raw))
     if filings is not None:
         report.update(update_sentiment(spark, lake, filings))
+    if filings_feed is not None:
+        # I2: late-data lookback — re-land the trailing 7-day filing window;
+        # overlap with already-processed filings is deduped by the I4 append
+        report.update(
+            update_late_filings(
+                spark, lake, filings_feed, target_date=target_date, lookback_days=lookback_days
+            )
+        )
     return report

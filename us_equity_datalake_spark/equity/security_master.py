@@ -95,6 +95,176 @@ def build_security_master(name_history: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Daily SEC-side lifecycle update (reference security_master.py:894-980
+# update_from_sec; :1105-1136 _detect_rebrands; :1198-1410 update_no_wrds).
+# All dimension-scale: every join below broadcasts the smaller side and the
+# master itself is ~50k rows, so these run as a handful of broadcast joins —
+# no large shuffle regardless of how big the fact lake gets.
+# ---------------------------------------------------------------------------
+
+
+def update_from_sec(master: DataFrame, sec_map: DataFrame, *, today: str) -> DataFrame:
+    """WRDS-free daily refresh from the SEC ticker file (reference :894-980).
+
+    1. EXTEND: master rows whose (symbol, cik) still appear in ``sec_map`` and
+       whose end_date is stale get end_date = today.
+    2. ADD: (ticker, cik) pairs in ``sec_map`` but not in the master become new
+       rows with sequential security_ids above the current max and
+       start = end = today.
+
+    ``sec_map`` columns: ticker, cik, title.  Deterministic: new ids are
+    assigned in ticker order (the reference iterates an ordered frame).
+    """
+    today_c = F.lit(today).cast("date")
+    sec_keys = sec_map.select(F.col("ticker").alias("symbol"), "cik").distinct()
+    extended = (
+        master.join(F.broadcast(sec_keys.withColumn("__hit", F.lit(True))), ["symbol", "cik"], "left")
+        .withColumn(
+            "end_date",
+            F.when(F.col("__hit") & (F.col("end_date") < today_c), today_c).otherwise(F.col("end_date")),
+        )
+        .drop("__hit")
+    )
+    max_sid = master.agg(F.coalesce(F.max("security_id"), F.lit(ID_BASE)).alias("m"))
+    fresh = (
+        sec_map.join(
+            F.broadcast(master.select(F.col("symbol").alias("ticker"), "cik").distinct()),
+            ["ticker", "cik"],
+            "left_anti",
+        )
+        .withColumn("__rn", F.row_number().over(Window.orderBy("ticker", "cik")))
+        .crossJoin(F.broadcast(max_sid))
+        .select(
+            (F.col("m") + F.col("__rn")).alias("security_id"),
+            F.lit(None).cast("integer").alias("permno"),
+            F.col("ticker").alias("symbol"),
+            F.col("title").alias("company"),
+            "cik",
+            F.lit(None).cast("string").alias("cusip"),
+            today_c.alias("start_date"),
+            today_c.alias("end_date"),
+        )
+    )
+    return extended.unionByName(fresh.select(*extended.columns))
+
+
+def detect_rebrands(disappeared: DataFrame, appeared: DataFrame, figi_map: DataFrame) -> DataFrame:
+    """Rebrand pairs by shareClassFIGI identity (reference :1105-1136).
+
+    A ticker that left the universe and a ticker that entered it with the SAME
+    shareClassFIGI are one security renaming itself (FB -> META).  Expressed as
+    an equi-join old×new on figi; tickers without a FIGI can never match.
+    Returns (old_symbol, new_symbol, figi).
+    """
+    old_f = disappeared.join(F.broadcast(figi_map), "symbol").select(
+        F.col("symbol").alias("old_symbol"), "figi"
+    )
+    new_f = appeared.join(F.broadcast(figi_map), "symbol").select(
+        F.col("symbol").alias("new_symbol"), "figi"
+    )
+    return old_f.join(new_f, "figi").select("old_symbol", "new_symbol", "figi")
+
+
+def update_universe(
+    master: DataFrame,
+    prev_universe: DataFrame,
+    current_universe: DataFrame,
+    figi_map: DataFrame,
+    *,
+    today: str,
+    prev_date: str | None,
+    grace_period_days: int = 14,
+) -> DataFrame:
+    """Daily universe diff with extend / rebrand / IPO / delist rules
+    (reference update_no_wrds, security_master.py:1198-1410).
+
+    - EXTEND:  symbol in prev AND current -> end_date = today.
+    - REBRAND: symbol disappeared, another appeared with the same
+      shareClassFIGI -> freeze the old row's end_date and append a new row
+      carrying the SAME security_id (continuity: FB -> META keeps its id) with
+      start = end = today and the old row's permno/company/cik/cusip.
+    - DELIST:  symbol disappeared, no FIGI match.  Inside the grace window
+      (today - prev_date < grace_period_days) keep extending; past it, freeze
+      end_date.  Unknown prev_date -> leave the row untouched.
+    - NEW IPO: appeared symbol whose FIGI matched no disappeared ticker ->
+      new row with a fresh sequential security_id, start = end = today.
+
+    Universe frames carry one ``symbol`` column (already normalized);
+    ``figi_map`` is (symbol, figi).  Everything is dimension-sized, so each
+    decision is a broadcast hash join and the whole update is one narrow pass
+    over the master.
+    """
+    today_c = F.lit(today).cast("date")
+    prev_only = prev_universe.join(current_universe, "symbol", "left_anti")
+    curr_only = current_universe.join(prev_universe, "symbol", "left_anti")
+    rebrands = detect_rebrands(prev_only, curr_only, figi_map)
+
+    flags = (
+        master.join(F.broadcast(current_universe.withColumn("__active", F.lit(True))), "symbol", "left")
+        .join(F.broadcast(prev_universe.withColumn("__in_prev", F.lit(True))), "symbol", "left")
+        .join(
+            F.broadcast(rebrands.select(F.col("old_symbol").alias("symbol"), F.lit(True).alias("__rebrand_old"))),
+            "symbol",
+            "left",
+        )
+    )
+    still_active = F.col("__active") & F.col("__in_prev")
+    disappeared = F.col("__in_prev") & F.col("__active").isNull() & F.col("__rebrand_old").isNull()
+    if prev_date is None:
+        delist_extend = F.lit(False)
+    else:
+        delist_extend = disappeared & (
+            F.datediff(today_c, F.lit(prev_date).cast("date")) < grace_period_days
+        )
+    updated = flags.withColumn(
+        "end_date",
+        F.when(still_active | delist_extend, today_c).otherwise(F.col("end_date")),
+    ).select(*master.columns)
+
+    # rebrand continuations: same security_id, new symbol, today-today interval
+    old_rows = dedup_keep_first(
+        master.join(F.broadcast(rebrands), master["symbol"] == rebrands["old_symbol"]),
+        keys=["old_symbol"],
+        order=[F.col("start_date").desc(), F.col("security_id").asc()],
+    )
+    continuations = old_rows.select(
+        "security_id",
+        "permno",
+        F.col("new_symbol").alias("symbol"),
+        "company",
+        "cik",
+        "cusip",
+        today_c.alias("start_date"),
+        today_c.alias("end_date"),
+    )
+
+    # true IPOs: appeared minus rebrand targets; fresh sequential ids
+    max_sid = master.agg(F.coalesce(F.max("security_id"), F.lit(ID_BASE)).alias("m"))
+    ipos = (
+        curr_only.join(
+            F.broadcast(rebrands.select(F.col("new_symbol").alias("symbol"))), "symbol", "left_anti"
+        )
+        .join(F.broadcast(figi_map), "symbol", "left")
+        .withColumn("__rn", F.row_number().over(Window.orderBy("symbol")))
+        .crossJoin(F.broadcast(max_sid))
+        .select(
+            (F.col("m") + F.col("__rn")).alias("security_id"),
+            F.lit(None).cast("integer").alias("permno"),
+            "symbol",
+            F.lit("").alias("company"),
+            F.lit(None).cast("string").alias("cik"),
+            F.lit(None).cast("string").alias("cusip"),
+            today_c.alias("start_date"),
+            today_c.alias("end_date"),
+        )
+    )
+    out_cols = master.columns
+    return (
+        updated.unionByName(continuations.select(*out_cols)).unionByName(ipos.select(*out_cols))
+    )
+
+
 def resolve_pit(facts: DataFrame, master: DataFrame, *, symbol_col: str = "symbol", date_col: str = "date") -> DataFrame:
     """J1: exact point-in-time resolution of (symbol, date) facts."""
     dim = master.select("security_id", F.col("symbol").alias(symbol_col), "start_date", "end_date")

@@ -146,15 +146,51 @@ class HashSentimentModel:
         return out
 
 
+class FinBertModel:
+    """Real FinBERT over the public ``ProsusAI/finbert`` checkpoint
+    (reference models/finbert.py:87-188): text-classification pipeline,
+    truncation at 512 tokens, CUDA when available with CPU fallback, argmax
+    label lowercased.  Import-gated — transformers/torch are not in this image,
+    so construction raises ``NotImplementedError`` and callers fall back to
+    ``HashSentimentModel`` (same ``predict`` contract, oracle-checkable)."""
+
+    MODEL_ID = "ProsusAI/finbert"
+    MAX_TOKENS = 512
+
+    def __init__(self, device: str | None = None, batch_size: int = 32):
+        try:
+            import torch
+            from transformers import pipeline
+        except ImportError as e:
+            raise NotImplementedError(
+                "FinBERT requires transformers+torch; use HashSentimentModel for tests"
+            ) from e
+        if device is None:
+            device = "cuda" if torch.cuda.is_available() else "cpu"
+        self._batch_size = batch_size
+        self._pipe = pipeline(
+            "text-classification",
+            model=self.MODEL_ID,
+            device=0 if device == "cuda" else -1,
+            truncation=True,
+            max_length=self.MAX_TOKENS,
+            top_k=None,
+        )
+
+    def predict(self, texts: list[str]) -> list[tuple[str, float]]:
+        if not texts:
+            return []
+        outputs = self._pipe(texts, batch_size=self._batch_size)
+        results = []
+        for output in outputs:
+            best = max(output, key=lambda x: x["score"])
+            results.append((best["label"].lower(), float(best["score"])))
+        return results
+
+
 def finbert_model():
-    """Real FinBERT, gated: transformers/torch are not in this image."""
-    try:
-        from transformers import pipeline  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "FinBERT requires transformers+torch; use HashSentimentModel for tests"
-        ) from e
-    raise NotImplementedError("wire up: pipeline('text-classification', 'ProsusAI/finbert')")
+    """Factory matching ``model_factory`` in :func:`score_chunks`."""
+    return FinBertModel()
 
 
 _MODEL_SINGLETON: dict[str, object] = {}

@@ -1,0 +1,82 @@
+"""Oracle-gated lake write-path round-trip (SURVEY.md §2.12 I3/I4/I5).
+
+The write patterns in ``sources.lake`` (idempotent dynamic-partition
+overwrite, read-check-append, compaction) were pytest-only in round 1; this
+query drives all three against a scratch table and reads the result back, so
+the driver's DuckDB gate grades the WRITE path too: if any step dropped,
+duplicated, or corrupted rows, the readback aggregate diverges from the
+oracle computed directly on the source table.
+
+Round-trip (reference update/app.py:296-445 idempotent hot-partition rewrite,
+:877-958 dedup append, :447-607 Jan-1 consolidation):
+
+1. I3 overwrite_partition with orders(year<cut) — run TWICE (idempotency: the
+   second dynamic overwrite must be a no-op on the readback).
+2. I4 read_check_append with an OVERLAPPING slice — only fresh keys land.
+3. I5 compact_partition on one year — content must be byte-identical.
+4. Read back, aggregate per year: count + exact decimal sum of o_totalprice.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from us_equity_datalake_spark.functions.safe_math import dec_sum, dec_sum_sql
+from us_equity_datalake_spark.sources import lake
+from us_equity_datalake_spark.sources.registry import load_table
+from .base import register
+
+_CUT_A = 30000  # initial overwrite slice: o_orderkey < _CUT_A
+_CUT_B = 60000  # append slice: o_orderkey < _CUT_B (overlaps [0, _CUT_A))
+
+
+@register(
+    "lake_roundtrip_report",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+           COUNT(*) AS n_orders,
+           {dec_sum_sql('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey < {_CUT_B}
+    GROUP BY year(o_orderdate)
+    """,
+    doc="I3+I4+I5 round-trip (update/app.py:296-445, 877-958, 447-607): "
+    "idempotent dynamic-partition overwrite (run twice), anti-join dedup "
+    "append of an overlapping slice, small-file compaction of one year "
+    "partition — then a readback aggregate the oracle computes straight from "
+    "the source table.  Any write-path row loss/dup/corruption breaks the "
+    "hash match.",
+)
+def lake_roundtrip_q(spark, sf_dir):
+    path = os.path.join(
+        tempfile.gettempdir(), f"quantlake_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "year", F.year("o_orderdate")
+    )
+    base = orders.filter(F.col("o_orderkey") < _CUT_A)
+
+    # I3: idempotent hot-partition overwrite — twice on purpose
+    lake.overwrite_partition(spark, base, path, partition_by=["year"])
+    lake.overwrite_partition(spark, base, path, partition_by=["year"])
+
+    # I4: overlapping append — only keys >= _CUT_A are fresh
+    overlap = orders.filter(F.col("o_orderkey") < _CUT_B)
+    lake.read_check_append(spark, overlap, path, keys=["o_orderkey"], partition_by=["year"])
+
+    # I5: compact the smallest year partition into one file
+    some_year = base.agg(F.min("year")).collect()[0][0]
+    lake.compact_partition(
+        spark, path, partition_by=["year"], predicate=f"year = {some_year}", target_files=1
+    )
+
+    readback = spark.read.parquet(path)
+    return readback.groupBy(F.col("year").cast("long").alias("year")).agg(
+        F.count("*").alias("n_orders"),
+        dec_sum(F.col("o_totalprice")).alias("total_price"),
+    )

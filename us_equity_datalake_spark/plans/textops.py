@@ -366,17 +366,22 @@ _MIX_DEFAULT = 20
 )
 def rep_2gram_q(spark, sf_dir):
     docs = _docs_parallel(spark, sf_dir)
+    # n_grams > 0 <=> token count >= 2; filtering on the CHEAP token-count
+    # predicate (instead of the computed gram array) matters because Catalyst
+    # pushes deterministic filters below the repartition exchange — a filter
+    # on `g` would re-evaluate the whole shingle expression in the pre-shuffle
+    # (often single-split) scan task, serializing the heavy work
+    docs = docs.filter(F.size(text.tokens(F.col("text"))) >= 2)
     grams = docs.select(
         "doc_id", text.word_shingles(text.tokens(F.col("text")), 2).alias("g")
     )
-    out = grams.select(
+    return grams.select(
         "doc_id",
         F.size("g").alias("n_grams"),
         F.round(
             1.0 - F.size(F.array_distinct("g")).cast("double") / F.size("g"), 6
         ).alias("rep_frac"),
     )
-    return out.filter(F.col("n_grams") > 0)
 
 
 @register(

@@ -183,3 +183,31 @@ def test_deterministic_sample_is_subset_and_nested(spark):
     s30 = {r["doc_id"] for r in sampling.deterministic_sample(df, "doc_id", rate_pct=30).collect()}
     assert s10 <= s30  # nested samples: rate increase only adds rows
     assert 20 < len(s30) < 250
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (functions.text.redact_pii / pii_counts) — real-PII goldens
+# (the oracle query exercises only the synthetic fixture suffix)
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_goldens(spark):
+    from pyspark.sql import Row, functions as F
+    from us_equity_datalake_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        Row(id=1, t="reach me at jane.doe+spam@corp-mail.co.uk or (415) 555-0199 ssn 078-05-1120"),
+        Row(id=2, t="no pii here at all"),
+        Row(id=3, t="two mails: a@b.io c@d.org"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        "id",
+        redact_pii(F.col("t")).alias("red"),
+        *[v.alias(f"n_{k}") for k, v in pii_counts(F.col("t")).items()],
+    )
+    got = {r.id: r for r in out.collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1 and got[1].n_ssn == 1
+    assert "[EMAIL]" in got[1].red and "[PHONE]" in got[1].red and "[SSN]" in got[1].red
+    assert "jane" not in got[1].red and "078-05" not in got[1].red
+    assert got[2].red == "no pii here at all"
+    assert got[3].n_email == 2 and got[3].red.count("[EMAIL]") == 2

@@ -110,6 +110,38 @@ def complex_word_count(toks: Column) -> Column:
     return F.size(F.filter(toks, lambda t: F.size(F.filter(F.split(t, r"[^aeiou]+"), lambda v: v != "")) >= 3))
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data-pipeline redaction pass).  Patterns are kept
+# RE2-compatible (no backrefs/lookarounds) so the DuckDB oracle twin applies
+# the exact same regexes; each has a SQL-side literal in PII_PATTERNS_SQL.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — deliberately simple; production lists are longer but
+    # the plumbing (ordered multi-pattern redaction, per-kind counts) is this
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+    "phone": r"\(\d{3}\) \d{3}-\d{4}",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind match counts (the audit trail of a redaction pass)."""
+    return {
+        kind: F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with ``[KIND]``, applied in a fixed kind order
+    so overlapping patterns resolve deterministically in both engines."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
 def fog_index(text_col: Column) -> Column:
     """Gunning Fog = 0.4 * (words/sentence + 100 * complex/words)."""
     toks = tokens(text_col)

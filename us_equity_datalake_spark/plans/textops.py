@@ -447,3 +447,169 @@ def source_mixture_q(spark, sf_dir):
         F.count("*").alias("n_total"),
         F.sum(F.when(F.col("bucket") < F.col("rate"), 1).otherwise(0)).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination / boilerplate / profiling / PII tier
+# ---------------------------------------------------------------------------
+
+_EVAL_MOD = 53   # doc_id % 53 == 0 -> the held-out benchmark stand-in (~2%)
+_DECON_N = 3     # n-gram size for overlap detection
+_DECON_MIN = 2   # min shared distinct n-grams to flag contamination
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {text.tokens_sql('text')} AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - {_DECON_N - 1}, 0))) AS i
+      FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, {hashing.md5_long32_sql(f"array_to_string(t[i:i+{_DECON_N - 1}], ' ')")} AS h
+      FROM pos
+    ),
+    ev AS (SELECT doc_id, h FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, h FROM sh WHERE doc_id % {_EVAL_MOD} <> 0)
+    SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev ON tr.h = ev.h
+    GROUP BY tr.doc_id, ev.doc_id
+    HAVING COUNT(*) >= {_DECON_MIN}
+    """,
+    doc=f"Test-set decontamination (the n-gram-overlap scan every training "
+    f"pipeline runs before release): flag training docs sharing >= "
+    f"{_DECON_MIN} distinct {_DECON_N}-grams with any held-out benchmark doc "
+    f"(stand-in: doc_id % {_EVAL_MOD} == 0).  Inverted-index equi-join on the "
+    f"gram hash — cost ∝ posting-list products, never |train| × |eval|; at "
+    f"100 TB the eval side is tiny so the join broadcasts.",
+)
+def decontaminate_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    sh = dedup.shingle_table(docs, text_col="text", id_col="doc_id", n=_DECON_N)
+    ev = sh.filter(F.col("id") % _EVAL_MOD == 0).select(F.col("id").alias("eval_id"), "sh")
+    tr = sh.filter(F.col("id") % _EVAL_MOD != 0).select(F.col("id").alias("train_id"), "sh")
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _DECON_MIN)
+    )
+
+
+_BP_TOP = 20
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {text.tokens_sql('text')} AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i FROM toks
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram FROM pos
+    ),
+    df AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM g GROUP BY gram
+    )
+    SELECT gram, doc_freq FROM df
+    ORDER BY doc_freq DESC, gram LIMIT {_BP_TOP}
+    """,
+    doc="Boilerplate detection (C4-style): the 5-grams appearing in the most "
+    "documents — candidates for template/boilerplate stripping.  One "
+    "distinct-(doc, gram) shuffle + one count shuffle; top-k is a single "
+    "TakeOrdered, no global sort materialization.",
+)
+def boilerplate_q(spark, sf_dir):
+    docs = _docs_parallel(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(text.word_shingles(text.tokens(F.col("text")), 5))
+        ).alias("gram"),
+    )
+    df = grams.groupBy("gram").agg(F.count("*").cast("long").alias("doc_freq"))
+    return df.orderBy(F.desc("doc_freq"), F.asc("gram")).limit(_BP_TOP)
+
+
+@register(
+    "token_length_histogram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({text.tokens_sql('text')}) AS n FROM documents
+    )
+    SELECT CAST((n // 10) * 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM toks GROUP BY (n // 10) * 10
+    """,
+    doc="Corpus length profile: token-count histogram in width-10 buckets "
+    "(the sanity panel before any filtering decision) — one narrow "
+    "map-side-combined groupBy over a row-local count.",
+)
+def token_histogram_q(spark, sf_dir):
+    docs = _docs_parallel(spark, sf_dir)
+    n = F.size(text.tokens(F.col("text")))
+    return (
+        docs.select((F.floor(n / 10) * 10).cast("long").alias("bucket"), n.alias("n"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.sum("n").cast("long").alias("total_tokens"))
+    )
+
+
+# the fixture corpus carries no real PII, so inject a deterministic synthetic
+# contact line per doc in BOTH engines — the redaction logic is then actually
+# exercised (non-zero counts) and cross-engine checked
+def _pii_suffix_spark():
+    # built lazily: Column construction needs an active SparkContext
+    return F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or (555) 010-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or (555) 010-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, text || {_PII_SUFFIX_SQL} AS raw FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{text.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(raw, '{text.PII_PATTERNS["ssn"]}')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(raw, '{text.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+           {hashing.md5_long32_sql(
+               "regexp_replace(regexp_replace(regexp_replace(raw, "
+               f"'{text.PII_PATTERNS['email']}', '[EMAIL]', 'g'), "
+               f"'{text.PII_PATTERNS['ssn']}', '[SSN]', 'g'), "
+               f"'{text.PII_PATTERNS['phone']}', '[PHONE]', 'g')"
+           )} AS redacted_hash
+    FROM aug
+    """,
+    doc="PII scrubbing pass (redaction before training): RE2-safe email/SSN/"
+    "phone regexes, per-kind match counts as the audit trail, and an md5 of "
+    "the redacted text proving both engines produced byte-identical output.  "
+    "Row-local regexp ops — no shuffle; the synthetic contact suffix exists "
+    "because the fixture corpus has no organic PII.",
+)
+def pii_scrub_q(spark, sf_dir):
+    docs = _docs_parallel(spark, sf_dir)
+    aug = docs.select("doc_id", F.concat(F.col("text"), _pii_suffix_spark()).alias("raw"))
+    counts = text.pii_counts(F.col("raw"))
+    return aug.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["ssn"].cast("long").alias("n_ssn"),
+        counts["phone"].cast("long").alias("n_phone"),
+        hashing.md5_long32(text.redact_pii(F.col("raw"))).alias("redacted_hash"),
+    )

@@ -145,3 +145,46 @@ def test_late_filing_lookback_idempotent(spark, tmp_path, inputs):
     assert r2["filings_appended"] == 0
     assert r2["late_filings_appended"] == 0
     assert spark.read.parquet(lake.sentiment).count() == 2
+
+
+def test_security_master_lifecycle_through_daily_job(spark, tmp_path):
+    """Stage 1b end-to-end over three days: bootstrap, then a rebrand
+    (AAA -> AAANEW, same FIGI) keeps its security_id while an IPO gets a
+    fresh one (reference update_no_wrds through run_daily_update)."""
+    lake = LakePaths(str(tmp_path / "lake_sm"))
+
+    def snap(*tickers):
+        return spark.createDataFrame(
+            [Row(ticker=t, name=f"{t} Corp Common Stock", etf="N", test_issue="N")
+             for t in tickers]
+        )
+
+    figi = spark.createDataFrame(
+        [Row(symbol="AAA", figi="BBG-A"), Row(symbol="AAANEW", figi="BBG-A"),
+         Row(symbol="IPOX", figi="BBG-X")],
+        "symbol string, figi string",
+    )
+
+    # day 1: bootstrap — master created from the filtered universe
+    r1 = run_daily_update(spark, lake, target_date="2024-06-07",
+                          universe_snapshot=snap("AAA", "BBB"), figi_map=figi)
+    assert r1["master_rows"] == 2 and r1["master_new_rows"] == 0
+    m1 = {r.symbol: r for r in spark.read.parquet(lake.security_master).collect()}
+    aaa_sid = m1["AAA"].security_id
+
+    # day 2: AAA rebrands to AAANEW (same FIGI), IPOX appears fresh
+    r2 = run_daily_update(spark, lake, target_date="2024-06-10",
+                          universe_snapshot=snap("AAANEW", "BBB", "IPOX"), figi_map=figi)
+    assert r2["master_new_rows"] == 2  # continuation row + IPO row
+    m2 = {r.symbol: r for r in spark.read.parquet(lake.security_master).collect()}
+    assert m2["AAANEW"].security_id == aaa_sid          # FIGI continuity
+    assert m2["AAA"].end_date == dt.date(2024, 6, 7)    # frozen at rebrand
+    assert m2["BBB"].end_date == dt.date(2024, 6, 10)   # extended
+    assert m2["IPOX"].security_id not in {m1[s].security_id for s in m1}
+
+    # day 3: nothing changes — idempotent extend only
+    r3 = run_daily_update(spark, lake, target_date="2024-06-11",
+                          universe_snapshot=snap("AAANEW", "BBB", "IPOX"), figi_map=figi)
+    assert r3["master_new_rows"] == 0
+    m3 = {r.symbol: r for r in spark.read.parquet(lake.security_master).collect()}
+    assert m3["AAANEW"].end_date == dt.date(2024, 6, 11)

@@ -32,6 +32,7 @@ def _build_parser() -> argparse.ArgumentParser:
     upd.add_argument("--lake", required=True, help="lake root directory")
     upd.add_argument("--date", help="target date YYYY-MM-DD (default: yesterday)")
     upd.add_argument("--universe", help="parquet path: universe snapshot")
+    upd.add_argument("--figi", help="parquet path: (symbol, figi) map for lifecycle rules")
     upd.add_argument("--ticks", help="parquet path: daily ticks batch")
     upd.add_argument("--fundamental", help="parquet path: raw fundamental datapoints")
     upd.add_argument("--filings", help="parquet path: the day's filings")
@@ -43,7 +44,7 @@ def _build_parser() -> argparse.ArgumentParser:
     bf.add_argument("--lake", required=True)
     bf.add_argument("--backfill-from", required=True, dest="start", help="YYYY-MM-DD")
     bf.add_argument("--date", required=True, dest="end", help="YYYY-MM-DD (inclusive end)")
-    for flag in ("--universe", "--ticks", "--fundamental", "--filings", "--filings-feed", "--calendar"):
+    for flag in ("--universe", "--figi", "--ticks", "--fundamental", "--filings", "--filings-feed", "--calendar"):
         bf.add_argument(flag)
     bf.add_argument("--lookback", type=int, default=7)
 
@@ -80,6 +81,7 @@ def _run_update(spark, args, target_date: str) -> dict:
         LakePaths(args.lake),
         target_date=target_date,
         universe_snapshot=_load(spark, args.universe),
+        figi_map=_load(spark, args.figi),
         ticks_batch=_load(spark, args.ticks),
         fundamental_raw=_load(spark, args.fundamental),
         filings=_load(spark, args.filings),

@@ -61,6 +61,10 @@ class LakePaths:
     def universe_state(self) -> str:
         return os.path.join(self.root, "state", "prev_universe.json")
 
+    @property
+    def security_master(self) -> str:
+        return os.path.join(self.root, "master", "security_master")
+
 
 def _exists(path: str) -> bool:
     return os.path.exists(path)
@@ -142,6 +146,72 @@ def update_fundamentals(spark: SparkSession, lake: LakePaths, raw: DataFrame) ->
     }
 
 
+def update_security_master(
+    spark: SparkSession,
+    lake: LakePaths,
+    current_universe: DataFrame,
+    figi_map: DataFrame,
+    *,
+    target_date: str,
+    grace_period_days: int = 14,
+) -> dict:
+    """Stage 1b (reference update_no_wrds, security_master.py:1198-1410): apply
+    the extend/rebrand/IPO/delist rules against the persisted master using the
+    persisted prev-universe state, then re-land both.  First run bootstraps:
+    the current universe becomes both the baseline state and (if no master
+    exists) the initial one-row-per-symbol master."""
+    from us_equity_datalake_spark.equity.security_master import update_universe as _apply
+
+    state = read_json_state(lake.universe_state + ".master") or {}
+    prev_syms, prev_date = state.get("tickers"), state.get("asof")
+
+    if _exists(lake.security_master):
+        master = spark.read.parquet(lake.security_master)
+    else:
+        from pyspark.sql import Window
+
+        today_c = F.lit(target_date).cast("date")
+        master = current_universe.select("symbol").withColumn(
+            "security_id", F.row_number().over(Window.orderBy("symbol")) + F.lit(1000)
+        ).select(
+            F.col("security_id").cast("long"),
+            F.lit(None).cast("integer").alias("permno"),
+            "symbol",
+            F.lit("").alias("company"),
+            F.lit(None).cast("string").alias("cik"),
+            F.lit(None).cast("string").alias("cusip"),
+            today_c.alias("start_date"),
+            today_c.alias("end_date"),
+        )
+
+    if prev_syms is None:
+        updated = master  # bootstrap day: no diff to apply yet
+        n_changes = 0
+    else:
+        prev = spark.createDataFrame([(s,) for s in prev_syms], "symbol string")
+        updated = _apply(
+            master,
+            prev,
+            current_universe.select("symbol"),
+            figi_map,
+            today=target_date,
+            prev_date=prev_date,
+            grace_period_days=grace_period_days,
+        )
+        n_changes = updated.count() - master.count()  # rebrand continuations + IPOs
+
+    # land via overwrite (the master is one logical partition, dimension-sized).
+    # localCheckpoint severs lineage from the files being replaced — a plain
+    # cache could recompute from the just-deleted parquet on block eviction
+    updated = updated.localCheckpoint(eager=True)
+    n_rows = updated.count()
+    updated.write.mode("overwrite").parquet(lake.security_master)
+    tickers = sorted(r.symbol for r in current_universe.select("symbol").distinct().collect())
+    os.makedirs(os.path.dirname(lake.universe_state), exist_ok=True)
+    write_json_state(lake.universe_state + ".master", {"asof": target_date, "tickers": tickers})
+    return {"master_rows": n_rows, "master_new_rows": n_changes}
+
+
 RELEVANT_FORMS = ["10-K", "10-Q", "10-K/A", "10-Q/A", "8-K"]
 
 
@@ -197,6 +267,7 @@ def run_daily_update(
     *,
     target_date: str,
     universe_snapshot: DataFrame | None = None,
+    figi_map: DataFrame | None = None,
     ticks_batch: DataFrame | None = None,
     fundamental_raw: DataFrame | None = None,
     filings: DataFrame | None = None,
@@ -214,6 +285,13 @@ def run_daily_update(
             return report
     if universe_snapshot is not None:
         report.update(update_universe(spark, lake, universe_snapshot, target_date=target_date))
+        if figi_map is not None:
+            # stage 1b: lifecycle rules against the persisted master — uses the
+            # FILTERED universe (same common-stock gate as stage 1)
+            cur = filter_universe(universe_snapshot).select(F.col("ticker").alias("symbol"))
+            report.update(
+                update_security_master(spark, lake, cur, figi_map, target_date=target_date)
+            )
     if ticks_batch is not None:
         report.update(update_top3000(lake, ticks_batch))
         report.update(update_daily_ticks(spark, lake, ticks_batch))

@@ -18,6 +18,7 @@ from . import textops  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
 from . import extensions  # noqa: E402,F401
 from . import lakeops  # noqa: E402,F401
+from . import lifecycle  # noqa: E402,F401
 from . import search  # noqa: E402,F401
 
 

@@ -115,3 +115,40 @@ def test_foreach_batch_partition_overwrite_idempotent(spark, tmp_path):
     assert out.filter("month = 1").collect()[0].close == 10.0
     assert {r.close for r in out.filter("month = 2").collect()} == {11.0, 99.0} or \
            {r.close for r in out.filter("month = 2").collect()} == {99.0}
+
+
+def test_stream_static_pit_enrichment(spark, event_dir, tmp_path):
+    """Stream-static join: a micro-batch event stream enriched against the
+    (static, broadcastable) security-master dimension with PIT interval
+    predicates — the streaming form of J1.  Streaming result must equal the
+    batch join on the same data."""
+    from pyspark.sql.functions import broadcast
+
+    dim = spark.createDataFrame(
+        [
+            # user_id doubles as the entity key; validity windows split the tape
+            Row(user_id=0, security_id=1001,
+                start_ts=dt.datetime(2024, 1, 1, 0, 0), end_ts=dt.datetime(2024, 1, 1, 2, 0)),
+            Row(user_id=0, security_id=2001,
+                start_ts=dt.datetime(2024, 1, 1, 2, 0), end_ts=dt.datetime(2024, 1, 2, 0, 0)),
+            Row(user_id=1, security_id=1002,
+                start_ts=dt.datetime(2024, 1, 1, 0, 0), end_ts=dt.datetime(2024, 1, 2, 0, 0)),
+        ]
+    )
+
+    def enrich(df):
+        d = broadcast(dim)
+        return df.join(
+            d,
+            (df.user_id == d.user_id) & (df.ts >= d.start_ts) & (df.ts < d.end_ts),
+            "left",
+        ).select(df.event_id, df.ts, df.user_id, d.security_id)
+
+    stream = read_stream(spark, event_dir, SCHEMA)
+    got = _run_to_memory(spark, enrich(stream), "pit_out", str(tmp_path / "ck_pit")).collect()
+    want = enrich(spark.read.schema(SCHEMA).parquet(event_dir)).collect()
+    key = lambda r: (r.event_id,)
+    assert sorted(got, key=key) == sorted(want, key=key)
+    # user 0's events straddle the 02:00 boundary -> both ids must appear
+    ids = {r.security_id for r in got if r.user_id == 0}
+    assert ids == {1001, 2001}

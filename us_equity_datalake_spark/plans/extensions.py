@@ -394,3 +394,131 @@ def near_dup_components(spark, sf_dir):
         F.count("*").alias("cluster_size"),
         F.min("node").alias("canonical_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew toolkit parity (operators/skew.py) — the salted forms must equal the
+# plain aggregation/join, so the oracle IS the plain SQL (round-1 review:
+# these were pytest-only; now driver-graded)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_agg_orders",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           {dec_sum_sql('o_totalprice')} AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Two-stage salted aggregation (operators/skew.py:26): o_orderstatus "
+    "has 3 heavy-hitter keys — the degenerate hot-key GROUP BY.  Stage one "
+    "spreads each key across 16 salts, stage two recombines; the oracle is "
+    "the PLAIN aggregation, so the hash match proves the salted rewrite is "
+    "exact (decimal sums recombine order-independently).",
+)
+def salted_agg_q(spark, sf_dir):
+    from us_equity_datalake_spark.operators import skew
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(30,6)").alias("price"),
+        "o_orderkey",
+    )
+    out = skew.salted_agg(
+        orders,
+        keys=["status"],
+        aggs={
+            "total_price": ("sum", "price"),
+            "n": ("count", "o_orderkey"),
+            "min_key": ("min", "o_orderkey"),
+            "max_key": ("max", "o_orderkey"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "status",
+        F.col("total_price").cast("double"),
+        F.col("n").cast("long"),
+        F.col("min_key").cast("long"),
+        F.col("max_key").cast("long"),
+    )
+
+
+@register(
+    "salted_join_nation_rollup",
+    oracle=f"""
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dec_sum_sql('o.o_totalprice')} AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    doc="Skew-resistant salted join (operators/skew.py:66): big side salted "
+    "deterministically (full-row hash + partition id, never rand()), small "
+    "side replicated 8x, join key becomes (custkey, salt).  Oracle = the "
+    "plain join+rollup, proving the rewrite changes the physical shape only.",
+)
+def salted_join_q(spark, sf_dir):
+    from us_equity_datalake_spark.operators import skew
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("decimal(30,6)").alias("price"),
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("nation")
+    )
+    joined = skew.salted_join(orders, cust, on="custkey", n_salts=8)
+    return joined.groupBy(F.col("nation").cast("long").alias("nation")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 tolerance variant (operators/asof.py tolerance_days — Polars `tolerance`)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_tolerance_join",
+    oracle="""
+    WITH quotes AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    anchors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
+           CASE WHEN date_diff('day', q.ts, a.ts) > 0 THEN NULL ELSE q.value END AS view_value
+    FROM anchors a ASOF LEFT JOIN quotes q
+      ON a.user_id = q.user_id AND q.ts <= a.ts
+    """,
+    doc="J3 with tolerance (Polars join_asof tolerance; operators/asof.py): "
+    "backward match nulled out when the matched view crossed a calendar-day "
+    "boundary (tolerance_days=0) — stale quotes don't leak into the anchor "
+    "row.  Same union+last-value window plan as the plain backward join.",
+)
+def asof_tolerance_q(spark, sf_dir):
+    from us_equity_datalake_spark.operators.asof import asof_join_backward
+    from us_equity_datalake_spark.operators.dedup import dedup_keep_first
+
+    events = load_table(spark, "events", sf_dir)
+    quotes = dedup_keep_first(
+        events.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("value").alias("view_value"), "event_id"
+        ),
+        keys=["user_id", "ts"],
+        order=[F.col("event_id").asc()],
+    ).drop("event_id")
+    anchors = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    joined = asof_join_backward(
+        anchors, quotes, by=["user_id"], left_on="ts", right_on="ts",
+        value_cols=["view_value"], tolerance_days=0,
+    )
+    return joined.select("event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "view_value")

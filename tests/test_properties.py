@@ -198,3 +198,63 @@ def test_safe_div_total_discipline(spark, pairs):
             assert q is None
         else:
             assert q is not None and math.isfinite(q)
+
+
+# ---------------------------------------------------------------------------
+# word_shingles: Spark expression == naive python on arbitrary short docs
+# (guards the descending-sequence(1,0) edge that fabricated phantom shingles)
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(alphabet="ab1 .,", max_size=12), min_size=1, max_size=15),
+       st.integers(2, 4))
+def test_word_shingles_matches_naive(spark, texts, n):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from us_equity_datalake_spark.functions.text import tokens, word_shingles
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", word_shingles(tokens(F.col("text")), n).alias("sh")).collect()
+    }
+
+    def naive(t):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    for i, t in enumerate(texts):
+        assert got[i] == naive(t), (t, n)
+
+
+# ---------------------------------------------------------------------------
+# redact_pii: idempotent, count-consistent, never leaves a raw match behind
+# ---------------------------------------------------------------------------
+
+_pii_frag = st.one_of(
+    st.text(alphabet="xy @.-()0123456789", max_size=12),
+    st.just("a@b.co"),
+    st.just("123-45-6789"),
+    st.just("(555) 123-4567"),
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(_pii_frag, min_size=1, max_size=6))
+def test_redact_pii_idempotent_and_complete(spark, frags):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from us_equity_datalake_spark.functions.text import PII_PATTERNS, redact_pii
+
+    text = " ".join(frags)
+    df = spark.createDataFrame([Row(id=1, t=text)])
+    once = df.select(redact_pii(F.col("t")).alias("r")).collect()[0].r
+    twice = df.select(redact_pii(redact_pii(F.col("t"))).alias("r")).collect()[0].r
+    assert once == twice  # idempotent: placeholders never re-match
+    for pat in PII_PATTERNS.values():
+        assert not re.search(pat, once), (text, once)

@@ -165,3 +165,98 @@ def stat_profile_q(spark, sf_dir):
 def range_pairs_q(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     return within_tolerance_pairs(ev, key="user_id", ts="ts", id_col="event_id", tolerance_seconds=3600)
+
+
+# ---------------------------------------------------------------------------
+# Funnel + cohort analytics (the classic event-stream product queries;
+# capability extension over the reference's tick-only time series)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    staged AS (
+      SELECT user_id,
+             CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END AS s2,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+                  THEN 1 ELSE 0 END AS s3
+      FROM firsts
+    )
+    SELECT CAST(SUM(s1) AS BIGINT) AS n_view,
+           CAST(SUM(s2) AS BIGINT) AS n_view_click,
+           CAST(SUM(s3) AS BIGINT) AS n_full_funnel,
+           ROUND(SUM(s3) * 1.0 / NULLIF(SUM(s1), 0), 6) AS conversion
+    FROM staged
+    """,
+    doc="Ordered funnel (view -> click -> purchase): per-user first-event "
+    "times via ONE conditional-min groupBy (no self-joins, no explode — the "
+    "n-stage funnel is n conditional aggregates in a single shuffle), then "
+    "strict ordering checks.  At 100 TB this is the canonical one-pass "
+    "funnel; a join-based funnel would shuffle the event table per stage.",
+)
+def funnel_q(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    staged = firsts.select(
+        s1.cast("long").alias("s1"), s2.cast("long").alias("s2"), s3.cast("long").alias("s3")
+    )
+    return staged.agg(
+        F.sum("s1").alias("n_view"),
+        F.sum("s2").alias("n_view_click"),
+        F.sum("s3").alias("n_full_funnel"),
+        F.round(F.sum("s3") / F.nullif(F.sum("s1"), F.lit(0)), 6).alias("conversion"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             CAST(date_diff('week', c.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT) AS week_offset
+      FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    )
+    SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    doc="Weekly cohort retention: first-seen week per user (one groupBy), "
+    "activity weeks via distinct (user, week) pairs, offset in whole weeks.  "
+    "The cohort dimension broadcasts back onto the event scan; two narrow "
+    "shuffles total regardless of event volume.",
+)
+def cohort_q(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    cohorts = ev.groupBy("user_id").agg(F.min(week(F.col("ts"))).alias("cohort_week"))
+    activity = (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("long").alias("n_active")
+    )

@@ -211,3 +211,17 @@ def test_redact_pii_goldens(spark):
     assert "jane" not in got[1].red and "078-05" not in got[1].red
     assert got[2].red == "no pii here at all"
     assert got[3].n_email == 2 and got[3].red.count("[EMAIL]") == 2
+
+
+def test_cohort_retention_plan_has_no_broadcast(spark):
+    """VERDICT r2 'What's wrong' #2: the per-user cohorts side is
+    fact-cardinality and must never be a BroadcastExchange; the window-MIN
+    formulation has no join at all — assert no broadcast and that the
+    distinct reuses the user_id window partitioning (≤2 exchanges)."""
+    from us_equity_datalake_spark.plans import REGISTRY
+
+    df = REGISTRY["cohort_retention"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert df.count() > 0

@@ -54,7 +54,7 @@ def audit_sql(table: str, checks: dict[str, str]) -> str:
         for i, pred in enumerate(checks.values())
     )
     arms = " UNION ALL ".join(
-        f'SELECT \'{name}\' AS "check", n_rows, v_{i} AS n_violations, '
+        f'SELECT \'{name}\' AS "check", n_rows, CAST(v_{i} AS BIGINT) AS n_violations, '
         f"ROUND(CAST(v_{i} AS DOUBLE) / n_rows, 6) AS violation_rate FROM wide"
         for i, name in enumerate(checks)
     )

@@ -37,8 +37,9 @@ _GAP_S = 1800  # 30-minute session gap
       SELECT user_id, sid, COUNT(*) AS n_ev, (MAX(tus) - MIN(tus)) // 1000000 AS span_s
       FROM sess GROUP BY user_id, sid
     )
-    SELECT user_id, COUNT(*) AS n_sessions, SUM(n_ev) AS n_events,
-           MAX(n_ev) AS longest_session_events, SUM(span_s) AS total_span_seconds
+    SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           MAX(n_ev) AS longest_session_events,
+           CAST(SUM(span_s) AS BIGINT) AS total_span_seconds
     FROM per_session GROUP BY user_id
     """,
     doc="Sessionization (gap > 30 min) via lag + cumulative sum — the batch "
@@ -239,24 +240,26 @@ def funnel_q(spark, sf_dir):
     SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
     FROM activity GROUP BY cohort_week, week_offset
     """,
-    doc="Weekly cohort retention: first-seen week per user (one groupBy), "
-    "activity weeks via distinct (user, week) pairs, offset in whole weeks.  "
-    "The cohort dimension broadcasts back onto the event scan; two narrow "
-    "shuffles total regardless of event volume.",
+    doc="Weekly cohort retention: first-seen week per user via a window MIN "
+    "over the user_id partitioning (no join — a per-user cohort table is "
+    "fact-cardinality and must never be broadcast), activity weeks via "
+    "distinct (user, week) pairs which REUSES the user_id partitioning "
+    "(grouping keys are a superset of the partition key), offset in whole "
+    "weeks.  One full shuffle of events + one tiny final shuffle, regardless "
+    "of event volume.",
 )
 def cohort_q(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
-    cohorts = ev.groupBy("user_id").agg(F.min(week(F.col("ts"))).alias("cohort_week"))
-    activity = (
-        ev.join(F.broadcast(cohorts), "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            (F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
-        )
-        .distinct()
-    )
+    uw = Window.partitionBy("user_id")
+    with_cohort = ev.select(
+        "user_id", week(F.col("ts")).alias("act_week")
+    ).withColumn("cohort_week", F.min("act_week").over(uw))
+    activity = with_cohort.select(
+        "user_id",
+        "cohort_week",
+        (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
+    ).distinct()
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").cast("long").alias("n_active")
     )

@@ -51,8 +51,11 @@ _CUT_B = 60000  # append slice: o_orderkey < _CUT_B (overlaps [0, _CUT_A))
     "hash match.",
 )
 def lake_roundtrip_q(spark, sf_dir):
+    # pid-suffixed scratch dir: bench and check_correctness may run this query
+    # concurrently on the same sf, and a shared path races rmtree/overwrite.
     path = os.path.join(
-        tempfile.gettempdir(), f"quantlake_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"quantlake_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(path, ignore_errors=True)
 
@@ -76,7 +79,67 @@ def lake_roundtrip_q(spark, sf_dir):
     )
 
     readback = spark.read.parquet(path)
-    return readback.groupBy(F.col("year").cast("long").alias("year")).agg(
+    report = readback.groupBy(F.col("year").cast("long").alias("year")).agg(
         F.count("*").alias("n_orders"),
         dec_sum(F.col("o_totalprice")).alias("total_price"),
     )
+    # Materialize the (few-rows) report so the scratch dir can be removed
+    # before returning — the caller collects a local relation, not a plan
+    # that still reads the deleted path.
+    rows = report.collect()
+    out = spark.createDataFrame(rows, schema=report.schema)
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+@register(
+    "bucketed_smj_rollup",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {dec_sum_sql('o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="§2.14 bucketed co-located SMJ (scale toolkit): write orders and "
+    "customer bucketed 8x on custkey (write_bucketed pays the one shuffle "
+    "every later join would repeat), read back through the catalog, join "
+    "exchange-free, and roll up per market segment.  The oracle computes the "
+    "same rollup straight from the source tables, so any bucketing-layout "
+    "row loss/dup breaks the hash; the exchange-free plan property itself is "
+    "asserted in tests/test_skew_bucketing.py.",
+)
+def bucketed_smj_q(spark, sf_dir):
+    from us_equity_datalake_spark.operators.skew import write_bucketed
+
+    tag = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), f"quantlake_bsmj_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    t_orders, t_cust = f"bsmj_orders_{tag}", f"bsmj_customer_{tag}"
+
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    write_bucketed(
+        orders, table=t_orders, path=os.path.join(root, "orders"),
+        buckets=8, bucket_cols=["o_custkey"], sort_cols=["o_custkey"],
+    )
+    write_bucketed(
+        cust, table=t_cust, path=os.path.join(root, "customer"),
+        buckets=8, bucket_cols=["c_custkey"], sort_cols=["c_custkey"],
+    )
+    try:
+        joined = spark.table(t_orders).join(
+            spark.table(t_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        report = joined.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        rows = report.collect()
+        out = spark.createDataFrame(rows, schema=report.schema)
+    finally:
+        for t in (t_orders, t_cust):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(root, ignore_errors=True)
+    return out

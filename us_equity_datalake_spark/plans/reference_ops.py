@@ -446,8 +446,8 @@ def anti_join_q(spark, sf_dir):
     "running_id_assignment",
     oracle="""
     SELECT c_custkey,
-           1000 + SUM(CASE WHEN c_nationkey IS DISTINCT FROM prev_nk THEN 1 ELSE 0 END)
-                  OVER (ORDER BY c_custkey ROWS UNBOUNDED PRECEDING) AS assigned_id
+           CAST(1000 + SUM(CASE WHEN c_nationkey IS DISTINCT FROM prev_nk THEN 1 ELSE 0 END)
+                  OVER (ORDER BY c_custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS assigned_id
     FROM (
       SELECT c_custkey, c_nationkey, LAG(c_nationkey) OVER (ORDER BY c_custkey) AS prev_nk
       FROM customer

@@ -428,7 +428,7 @@ def blocklist_scrub_q(spark, sf_dir):
       FROM documents
     )
     SELECT source, lang, COUNT(*) AS n_total,
-           SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS n_kept
+           CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM rated GROUP BY source, lang
     """,
     doc="Deterministic domain-mixture resampling: per-source target rates "

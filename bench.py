@@ -1,13 +1,19 @@
 #!/usr/bin/env python
 """Headline benchmark: runs the engine's query inventory at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE COMPACT JSON line:
 
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": 0.1}
+   "queries": {<slowest 10>}, "n_queries": N, "sf": 0.1,
+   "detail": "BENCH_DETAIL.json"}
 
-A priming query excludes JVM/codegen warmup from the numbers (BASELINE.md).
-Each query is timed to full materialization (count + a cheap checksum action).
+The driver's stdout capture truncates long lines (BENCH_r1/r2 recorded
+``parsed: null`` against the full 104-entry map), so the final line carries
+only the total + the 10 slowest queries; the FULL per-query map is written to
+``BENCH_DETAIL.json`` next to this script.
+
+A priming pass excludes JVM/codegen warmup from the numbers (BASELINE.md).
+Each query is timed to full materialization (count action), best-of-N.
 """
 
 from __future__ import annotations
@@ -20,6 +26,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _warmup_dirs() -> list[str]:
+    """Warmup scale-factor dirs derived from SF_DIR's parent (never hardcoded
+    absolute paths: on any other layout a silent isdir-skip would cost the
+    HOF/md5-heavy queries a 5-30x cold-JVM penalty with no signal)."""
+    parent = os.path.dirname(SF_DIR.rstrip("/"))
+    dirs = []
+    for sf_name in ("sf0.001", "sf0.01"):
+        d = os.path.join(parent, sf_name)
+        if os.path.isdir(d) and os.path.abspath(d) != os.path.abspath(SF_DIR.rstrip("/")):
+            dirs.append(d)
+        else:
+            print(f"bench: warmup dir {d} missing/==SF_DIR, skipping", file=sys.stderr)
+    return dirs
 
 
 def main() -> None:
@@ -31,26 +53,24 @@ def main() -> None:
     # text+vector queries additionally need their interpreted-expression and
     # generated-code paths C2-compiled — cold, the SAME query runs 5-20x
     # slower purely on JVM warmup (measured), which BASELINE.md's protocol
-    # excludes.  Run those shapes once at the tiny sf to pay compilation
-    # before any timing starts.
+    # excludes.  Two passes: every HOF/md5-heavy shape once at the smallest
+    # sf (codegen compile), then ONLY the heaviest dedup/ANN pipelines again
+    # at the next sf for enough row volume to cross C2 compile thresholds.
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
     warm_prefixes = (
         "doc_", "emb_", "near_dup", "multimodal", "source_mixture", "filing_",
         "decontaminate", "boilerplate", "token_length",
     )
-    # two passes: every HOF/md5-heavy shape once at the tiny sf (codegen
-    # compile), then ONLY the heaviest dedup/ANN pipelines again at sf0.01 for
-    # enough row volume to cross the JVM's C2 compile thresholds — cold, the
-    # same query runs 5-30x slower on interpreted expression paths.  The
-    # second pass is trimmed to bound warmup wall-time on a noisy host.
     heavy = (
         "doc_minhash_lsh_pairs", "doc_ngram_jaccard_pairs", "doc_simhash_pairs",
         "doc_exact_dedup", "doc_winnow_fingerprints", "doc_rep_2gram_fraction",
         "emb_near_dup_pairs", "near_dup_components", "emb_lsh_topk",
     )
-    for warm_dir, only in (("/root/testdata/sf0.001", None), ("/root/testdata/sf0.01", heavy)):
-        if not os.path.isdir(warm_dir):
-            continue
+    warm = _warmup_dirs()
+    passes = [(warm[0], None)] if warm else []
+    if len(warm) > 1:
+        passes.append((warm[1], heavy))
+    for warm_dir, only in passes:
         for name, fn in entrymod.queries().items():
             if name.startswith(warm_prefixes) and (only is None or name in only):
                 try:
@@ -70,7 +90,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in entrymod.queries().items():
+    for i, (name, fn) in enumerate(entrymod.queries().items()):
         best = -1.0
         try:
             for _ in range(max(1, runs)):
@@ -87,14 +107,47 @@ def main() -> None:
         # drop any caches a query materialized so suite state never leaks into
         # the next query's timing (isolated == suite numbers)
         spark.catalog.clearCache()
-    print(
-        json.dumps(
+        if (i + 1) % 10 == 0:
+            # 100+ sequential plans in one JVM accumulate codegen-cache and
+            # old-gen pressure that taxes later queries ~2.5x vs isolated
+            # (VERDICT r2 measured 3.9s in-suite vs 1.6s isolated); a periodic
+            # full GC between query families keeps suite ~= isolated.
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
+
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t > 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    detail_path = os.path.join(REPO_DIR, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "query_inventory_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
+            },
+            f,
+            indent=1,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "query_inventory_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": slowest,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+                "sf": sf,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -188,3 +188,50 @@ def test_security_master_lifecycle_through_daily_job(spark, tmp_path):
     assert r3["master_new_rows"] == 0
     m3 = {r.symbol: r for r in spark.read.parquet(lake.security_master).collect()}
     assert m3["AAANEW"].end_date == dt.date(2024, 6, 11)
+
+
+def test_security_master_replay_after_crash_is_idempotent(spark, tmp_path):
+    """ADVICE r2: the master parquet and the prev-universe state JSON land
+    non-atomically — simulate a crash between them (master updated, state
+    stale) and re-run the same day: the replayed diff must not append
+    duplicate continuation/IPO rows."""
+    import shutil
+
+    lake = LakePaths(str(tmp_path / "lake_crash"))
+
+    def snap(*tickers):
+        return spark.createDataFrame(
+            [Row(ticker=t, name=f"{t} Corp Common Stock", etf="N", test_issue="N")
+             for t in tickers]
+        )
+
+    figi = spark.createDataFrame(
+        [Row(symbol="AAA", figi="BBG-A"), Row(symbol="AAANEW", figi="BBG-A"),
+         Row(symbol="IPOX", figi="BBG-X")],
+        "symbol string, figi string",
+    )
+    state_path = lake.universe_state + ".master"
+
+    run_daily_update(spark, lake, target_date="2024-06-07",
+                     universe_snapshot=snap("AAA", "BBB"), figi_map=figi)
+    shutil.copy(state_path, state_path + ".day1")
+
+    run_daily_update(spark, lake, target_date="2024-06-10",
+                     universe_snapshot=snap("AAANEW", "BBB", "IPOX"), figi_map=figi)
+    before = sorted(
+        (r.security_id, r.symbol, str(r.start_date), str(r.end_date))
+        for r in spark.read.parquet(lake.security_master).collect()
+    )
+
+    # crash simulation: master kept its day-2 update, state rolled back to day 1
+    shutil.copy(state_path + ".day1", state_path)
+    r_replay = run_daily_update(spark, lake, target_date="2024-06-10",
+                                universe_snapshot=snap("AAANEW", "BBB", "IPOX"), figi_map=figi)
+    after_rows = spark.read.parquet(lake.security_master).collect()
+    after = sorted(
+        (r.security_id, r.symbol, str(r.start_date), str(r.end_date)) for r in after_rows
+    )
+    assert r_replay["master_new_rows"] == 0
+    assert after == before
+    key_pairs = [(r.symbol, r.start_date) for r in after_rows]
+    assert len(key_pairs) == len(set(key_pairs))  # no duplicate (symbol, start)

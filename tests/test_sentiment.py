@@ -147,3 +147,33 @@ def test_finbert_gate_or_load():
         out = model.predict(["Revenue increased strongly this quarter."])
         assert out and out[0][0] in {"positive", "negative", "neutral"}
         assert 0.0 <= out[0][1] <= 1.0
+
+
+def test_finbert_real_model_contract():
+    """Gated integration test (VERDICT r2 Next #7): in any environment with
+    transformers+torch installed this exercises the REAL ProsusAI/finbert
+    path (reference models/finbert.py:87-188) and asserts the predict()
+    contract that score_chunks and HashSentimentModel rely on: one
+    (lowercase label in {positive, negative, neutral}, float score in (0, 1])
+    tuple per input, order-aligned.  Skipped in-sandbox (no transformers)."""
+    pytest.importorskip("transformers")
+    pytest.importorskip("torch")
+    from us_equity_datalake_spark.equity.sentiment import FinBertModel, HashSentimentModel
+
+    texts = [
+        "The company reported record profits and raised full-year guidance.",
+        "The company filed for bankruptcy after defaulting on its debt.",
+    ]
+    model = FinBertModel(device="cpu", batch_size=2)
+    out = model.predict(texts)
+    ref = HashSentimentModel().predict(texts)
+    assert len(out) == len(ref) == 2
+    for (label, score), (ref_label, ref_score) in zip(out, ref):
+        # identical CONTRACT as the hash stand-in: types, label domain, range
+        assert isinstance(label, str) and label == label.lower()
+        assert label in {"positive", "negative", "neutral"}
+        assert isinstance(score, float) and 0.0 < score <= 1.0
+        assert isinstance(ref_label, str) and isinstance(ref_score, float)
+    assert model.predict([]) == []
+    # directional sanity on unambiguous sentences
+    assert out[0][0] == "positive" and out[1][0] == "negative"

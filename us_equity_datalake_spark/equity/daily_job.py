@@ -160,7 +160,7 @@ def update_security_master(
     persisted prev-universe state, then re-land both.  First run bootstraps:
     the current universe becomes both the baseline state and (if no master
     exists) the initial one-row-per-symbol master."""
-    from us_equity_datalake_spark.equity.security_master import update_universe as _apply
+    from us_equity_datalake_spark.equity.security_master import ID_BASE, update_universe as _apply
 
     state = read_json_state(lake.universe_state + ".master") or {}
     prev_syms, prev_date = state.get("tickers"), state.get("asof")
@@ -172,7 +172,7 @@ def update_security_master(
 
         today_c = F.lit(target_date).cast("date")
         master = current_universe.select("symbol").withColumn(
-            "security_id", F.row_number().over(Window.orderBy("symbol")) + F.lit(1000)
+            "security_id", F.row_number().over(Window.orderBy("symbol")) + F.lit(ID_BASE)
         ).select(
             F.col("security_id").cast("long"),
             F.lit(None).cast("integer").alias("permno"),
@@ -198,6 +198,24 @@ def update_security_master(
             prev_date=prev_date,
             grace_period_days=grace_period_days,
         )
+        # Crash-recovery idempotence: the master parquet (below) and the state
+        # JSON land non-atomically; a crash between them replays today's diff
+        # against an ALREADY-updated master on restart.  Appended rows are
+        # exactly those not in master on (security_id, symbol, start_date) —
+        # existing rows only ever change end_date, continuations reuse the id
+        # with a new symbol, IPOs get fresh ids.  A replayed continuation is
+        # bit-identical (dropped by the anti-join); a replayed IPO re-mints a
+        # HIGHER id for a (symbol, start_date) master already holds — drop it.
+        keys = ["security_id", "symbol", "start_date"]
+        appends = updated.join(master.select(*keys), keys, "left_anti")
+        replayed = appends.join(
+            master.select("symbol", "start_date"), ["symbol", "start_date"], "left_semi"
+        )
+        updated = updated.join(replayed.select(*keys), keys, "left_anti")
+        # a replayed continuation is bit-identical to the master row _apply
+        # passed through, so it appears twice WITHIN updated — (security_id,
+        # symbol, start_date) is the master's natural key, dedup on it
+        updated = updated.dropDuplicates(keys)
         n_changes = updated.count() - master.count()  # rebrand continuations + IPOs
 
     # land via overwrite (the master is one logical partition, dimension-sized).

@@ -32,6 +32,19 @@ _TODAY = "2024-06-10"
 _PREV_DATE = "2024-05-01"  # 40 days before: grace period (14d) expired
 
 
+def _materialize_dim(spark, df):
+    """Cache a DIMENSION-SIZED frame (≤600 rows here by construction).
+    update_universe/update_from_sec reference their inputs from many rule
+    branches; left lazy, every branch re-derives the fixture from the parquet
+    scan (r2 plan audit: 26 scans / 19 joins) — cached, the plan reads one
+    InMemoryRelation per fixture and stays broadcast-joinable.  (A
+    collect+createDataFrame local relation was measured 4x SLOWER end-to-end:
+    parallelizing 600 Rows across 32 tasks costs more than the scans saved.)
+    Bench/correctness harnesses clearCache() between queries, so the ~600-row
+    entries never accumulate."""
+    return df.cache()
+
+
 def _master(spark, sf_dir):
     cust = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") < _N)
     return cust.select(
@@ -92,15 +105,16 @@ _MASTER_SQL = f"""
     "(tiny) fresh set.",
 )
 def update_from_sec_q(spark, sf_dir):
-    master = _master(spark, sf_dir)
-    sec = (
+    master = _materialize_dim(spark, _master(spark, sf_dir))
+    sec = _materialize_dim(
+        spark,
         load_table(spark, "customer", sf_dir)
         .filter((F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") < _N + 300))
         .select(
             F.col("c_name").alias("ticker"),
             F.col("c_nationkey").cast("string").alias("cik"),
             F.col("c_name").alias("title"),
-        )
+        ),
     )
     out = update_from_sec(master, sec, today=_TODAY)
     return out.select("security_id", "symbol", "cik", "start_date", "end_date")
@@ -160,16 +174,17 @@ def update_from_sec_q(spark, sf_dir):
     "joins; one narrow pass over the master.",
 )
 def universe_lifecycle_q(spark, sf_dir):
-    master = _master(spark, sf_dir)
+    master = _materialize_dim(spark, _master(spark, sf_dir))
     prev = master.filter(F.col("security_id") % 7 != 0).select("symbol")
     curr = master.filter(F.col("security_id") % 5 != 0).select("symbol")
-    figi = (
+    figi = _materialize_dim(
+        spark,
         load_table(spark, "customer", sf_dir)
         .filter((F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") < _N))
         .select(
             F.col("c_name").alias("symbol"),
             F.concat(F.lit("F"), (F.col("c_custkey") % 37).cast("string")).alias("figi"),
-        )
+        ),
     )
     out = update_universe(
         master, prev, curr, figi, today=_TODAY, prev_date=_PREV_DATE, grace_period_days=14

@@ -199,9 +199,9 @@ def fetch_openfigi_mapping(
         limiter = TokenBucket(OPENFIGI_RATE_WITH_KEY if has_api_key else OPENFIGI_RATE_NO_KEY)
     size = OPENFIGI_BATCH_SIZE if has_api_key else OPENFIGI_BATCH_SIZE_NO_KEY
     results: dict[str, str | None] = {}
-    for i in range(0, len(tickers), size):
+    payloads = openfigi_batch_payloads(tickers, has_api_key=has_api_key)
+    for i, payload in zip(range(0, len(tickers), size), payloads):
         batch = list(tickers[i : i + size])
-        payload = [{"idType": "TICKER", "idValue": t, "exchCode": "US"} for t in batch]
 
         def call():
             limiter.acquire()
@@ -219,6 +219,76 @@ def fetch_openfigi_mapping(
 FIGI_SCHEMA = T.StructType(
     [T.StructField("symbol", T.StringType()), T.StructField("figi", T.StringType())]
 )
+
+
+# ---------------------------------------------------------------------------
+# S7 concrete — SEC company_tickers.json snapshot (ticker -> CIK map)
+# ---------------------------------------------------------------------------
+
+SEC_COMPANY_TICKERS_URL = "https://www.sec.gov/files/company_tickers.json"
+
+
+def sec_company_tickers_rows(doc: dict) -> list[dict]:
+    """Parse the public EDGAR ``company_tickers.json`` document
+    (``{"0": {"cik_str": 320193, "ticker": "AAPL", "title": "Apple Inc."},
+    ...}``) into the (ticker, cik, title) rows ``update_from_sec`` consumes
+    (reference security_master.py:278-351).  CIK is zero-padded to 10 digits —
+    the EDGAR canonical form every other SEC endpoint keys on."""
+    return [
+        {
+            "ticker": item["ticker"],
+            "cik": f"{int(item['cik_str']):010d}",
+            "title": item["title"],
+        }
+        for item in doc.values()
+    ]
+
+
+SEC_MAP_SCHEMA = T.StructType(
+    [
+        T.StructField("ticker", T.StringType()),
+        T.StructField("cik", T.StringType()),
+        T.StructField("title", T.StringType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# S5 concrete — Alpaca multi-symbol bars page (next_page_token pagination)
+# ---------------------------------------------------------------------------
+
+BARS_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("open", T.DoubleType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("volume", T.LongType()),
+    ]
+)
+
+
+def parse_alpaca_bars_page(doc: dict) -> tuple[list[dict], str | None]:
+    """One multi-symbol bars page (public Alpaca v2 market-data shape:
+    ``{"bars": {sym: [{"t","o","h","l","c","v",...}]}, "next_page_token"}``)
+    → flat bar records + the next-page token for ``fetch_paginated``
+    (reference alpaca_ticks.py:418-468 drains the same token loop)."""
+    records = [
+        {
+            "symbol": sym,
+            "timestamp": bar["t"],
+            "open": float(bar["o"]),
+            "high": float(bar["h"]),
+            "low": float(bar["l"]),
+            "close": float(bar["c"]),
+            "volume": int(bar["v"]),
+        }
+        for sym, bars in (doc.get("bars") or {}).items()
+        for bar in bars
+    ]
+    return records, doc.get("next_page_token")
 
 
 def figi_map_df(spark: SparkSession, mapping: dict[str, str | None]) -> DataFrame:

@@ -225,3 +225,64 @@ def test_cohort_retention_plan_has_no_broadcast(spark):
     assert "BroadcastExchange" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert df.count() > 0
+
+
+def test_scd2_apply_rules_and_idempotence(spark):
+    """SCD2 merge: changed attr -> close + reopen; identical change -> no-op;
+    new key -> fresh current row; history untouched; re-applying the same
+    change set to the merged result is a no-op."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from us_equity_datalake_spark.operators.scd import scd2_apply
+
+    d = dt.date
+    dim = spark.createDataFrame(
+        [
+            Row(k=1, seg="A", start_date=d(2020, 1, 1), end_date=None),      # will change
+            Row(k=2, seg="B", start_date=d(2020, 1, 1), end_date=None),      # identical change
+            Row(k=3, seg="C", start_date=d(2020, 1, 1), end_date=None),      # no change row
+            Row(k=1, seg="OLD", start_date=d(2010, 1, 1), end_date=d(2019, 12, 31)),  # history
+        ],
+        "k long, seg string, start_date date, end_date date",
+    )
+    changes = spark.createDataFrame(
+        [Row(k=1, seg="A2"), Row(k=2, seg="B"), Row(k=9, seg="NEW")],
+        "k long, seg string",
+    )
+    out = scd2_apply(dim, changes, key="k", attrs=["seg"], effective_date="2024-06-10")
+    rows = {(r.k, r.seg): r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[(1, "A")].end_date == d(2024, 6, 9)          # closed out
+    assert rows[(1, "A2")].start_date == d(2024, 6, 10) and rows[(1, "A2")].end_date is None
+    assert rows[(2, "B")].end_date is None                    # identical -> untouched
+    assert rows[(3, "C")].end_date is None                    # no change row -> untouched
+    assert rows[(9, "NEW")].start_date == d(2024, 6, 10)      # brand-new key
+    assert rows[(1, "OLD")].end_date == d(2019, 12, 31)       # history passes through
+
+    again = scd2_apply(out, changes, key="k", attrs=["seg"], effective_date="2024-06-10")
+    a = sorted((r.k, r.seg, str(r.start_date), str(r.end_date)) for r in again.collect())
+    b = sorted((r.k, r.seg, str(r.start_date), str(r.end_date)) for r in out.collect())
+    assert a == b                                             # idempotent re-apply
+
+
+def test_kmeans_assign_separates_blobs(spark):
+    """Two well-separated 2-D blobs with k=2: every point lands with its
+    blob regardless of iteration count; determinism across reruns."""
+    from pyspark.sql import Row
+
+    from us_equity_datalake_spark.operators.similarity import kmeans_assign
+
+    rows = [Row(vec_id=i, embedding=[0.0 + (i % 3) * 0.01, 0.0]) for i in range(10)] + [
+        Row(vec_id=10 + i, embedding=[10.0 + (i % 3) * 0.01, 10.0]) for i in range(10)
+    ]
+    # ids 0 and 1 are both in blob A, so init centroids start inside one blob;
+    # one Lloyd update must still pull a centroid to blob B
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.cluster_id for r in kmeans_assign(df, k=2, iters=2).collect()}
+    blob_a = {out[i] for i in range(10)}
+    blob_b = {out[10 + i] for i in range(10)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    again = {r.vec_id: r.cluster_id for r in kmeans_assign(df, k=2, iters=2).collect()}
+    assert again == out

@@ -37,10 +37,31 @@ def test_decode_image_shapes_and_determinism(spark, assets):
     ]
 
 
-def test_decode_image_real_codec_raises(spark, assets):
-    with pytest.raises(Exception) as ei:
-        decode_image(assets, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+def test_decode_image_real_codec_gated(spark, assets):
+    """fake=False is the REAL PIL path: without PIL it must raise
+    NotImplementedError at the decode boundary (this image); with PIL
+    installed it must decode a genuine PNG to the contracted shape."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(Exception) as ei:
+            decode_image(assets, fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+        return
+
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (16, 16), color=128).save(buf, format="PNG")
+    png = spark.createDataFrame(
+        [Row(asset_id=1, payload=bytearray(buf.getvalue()), media_type="image/png", meta=None)],
+        schema=assets.schema,
+    )
+    out = decode_image(png, width=8, height=8, fake=False).collect()
+    assert len(out) == 1 and len(out[0]["pixels"]) == 64
+    assert all(abs(p - 128 / 255.0) < 1e-6 for p in out[0]["pixels"])  # uniform plane survives resize
 
 
 def test_resize_nearest_neighbor(spark, assets):

@@ -51,25 +51,43 @@ def _fake_pixels(payload: bytes, w: int, h: int) -> list[float]:
     return [((seed + i * 2654435761) % 256) / 255.0 for i in range(w * h)]
 
 
+def _pil_pixels(payload: bytes, w: int, h: int) -> list[float]:
+    """Real decode: grayscale + resize via PIL, normalized [0, 1].  Import is
+    inside the kernel so the gate trips per-executor at decode time, exactly
+    like the FinBERT loader (equity/sentiment.py)."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL — not in this image; use fake=True for the plumbing tests"
+        ) from e
+    with Image.open(io.BytesIO(payload)) as im:
+        im = im.convert("L").resize((w, h))
+        return [p / 255.0 for p in im.getdata()]
+
+
 def decode_image(df: DataFrame, *, payload_col: str = "payload", width: int = 8, height: int = 8,
                  fake: bool = True) -> DataFrame:
     """binary -> fixed-shape float pixel array (w*h grayscale).
 
-    Real codec is stubbed (no PIL in this image): ``fake=False`` raises at the
-    decode boundary.
+    ``fake=False`` runs the real PIL decode (grayscale + resize) when PIL is
+    importable and raises ``NotImplementedError`` at the decode boundary when
+    it is not; ``fake=True`` (default in this image) substitutes the
+    deterministic hash-seeded plane so plumbing stays testable.
     """
     out_schema = T.StructType(list(df.schema.fields) + [
         T.StructField("pixels", T.ArrayType(T.FloatType())),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
     ])
+    decode = _fake_pixels if fake else _pil_pixels
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError("image decode requires PIL/opencv — not in this image")
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["pixels"] = pdf[payload_col].map(lambda b: _fake_pixels(bytes(b or b""), width, height))
+            pdf["pixels"] = pdf[payload_col].map(lambda b: decode(bytes(b or b""), width, height))
             pdf["width"] = width
             pdf["height"] = height
             yield pdf

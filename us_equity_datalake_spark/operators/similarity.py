@@ -243,3 +243,69 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic mini k-means (Lloyd's, fixed iterations) over an
+    embedding column — the semantic-clustering step of a training-data
+    pipeline (diversity sampling, near-dup cluster seeding, corpus maps).
+
+    Engine-portable by construction, so a SQL oracle can replay it exactly:
+    initial centroids are the first ``k`` ids (no RNG), distances fold
+    left-to-right in double, ties break on centroid id, and centroid updates
+    are per-component DECIMAL(30,12) means (order-independent across
+    partitions — a plain double sum would drift between engines).
+
+    Scale shape per iteration: one broadcast cross join of the corpus against
+    k centroids (k rows — always a dimension), one groupBy vec_id (min-struct
+    assignment), one posexplode + groupBy (cid, pos) for the update whose
+    output is k x dim rows (tiny).  The corpus shuffles once per iteration on
+    vec_id; everything else is map-side.  MLlib's KMeans is the right tool
+    when k or iters are large; this form exists for exact cross-engine
+    verifiability.
+    """
+    pts = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    )
+    cents = pts.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        pairs = pts.crossJoin(F.broadcast(centroids))
+        d2 = F.aggregate(
+            F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            pairs.select("vec_id", F.struct(d2.alias("d2"), F.col("cid")).alias("s"))
+            .groupBy("vec_id")
+            .agg(F.min("s").alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        comp = (
+            a.join(pts, "vec_id")
+            .select("cid", F.posexplode("e").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                (F.sum(F.col("x").cast("decimal(30,12)")).cast("double") / F.count("*")).alias("comp")
+            )
+        )
+        cents = comp.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "comp"))), lambda s: s.comp
+            ).alias("c")
+        )
+    return assign(cents).select("vec_id", F.col("cid").cast("long").alias("cluster_id"))

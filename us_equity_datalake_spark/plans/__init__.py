@@ -20,6 +20,7 @@ from . import extensions  # noqa: E402,F401
 from . import lakeops  # noqa: E402,F401
 from . import lifecycle  # noqa: E402,F401
 from . import search  # noqa: E402,F401
+from . import quant  # noqa: E402,F401
 
 
 # The driver grades the FIRST 50 entries of queries(); registration order is

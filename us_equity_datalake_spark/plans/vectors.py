@@ -180,3 +180,75 @@ def near_dup_pairs_q(spark, sf_dir):
         emb, id_col="vec_id", vec_col="embedding",
         threshold=_DUP_T, n_planes=_N_PLANES, seed=_LSH_SEED, dim=64,
     )
+
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64  # embeddings fixture dim (TESTDATA); len() would also work
+
+
+def _km_oracle() -> str:
+    """Two unrolled Lloyd iterations as CTE chains — the SQL replay of
+    operators/similarity.kmeans_assign (same init, same fold order, same
+    decimal means, same tiebreak)."""
+    dist = (
+        "list_sum(list_transform(list_zip(pts.e, {c}.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    sql = f"""
+    WITH pts AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, e AS c FROM pts WHERE vec_id < {_KM_K})"""
+    prev = "c0"
+    for it in range(_KM_ITERS):
+        sql += f""",
+    a{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT pts.vec_id, {prev}.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pts.vec_id
+                 ORDER BY {dist.format(c=prev)}, {prev}.cid
+               ) AS rn
+        FROM pts CROSS JOIN {prev}
+      ) WHERE rn = 1
+    ),
+    u{it} AS (
+      SELECT a{it}.cid, t.i AS pos,
+             CAST(SUM(CAST(pts.e[t.i] AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS comp
+      FROM a{it} JOIN pts USING (vec_id)
+      CROSS JOIN generate_series(1, {_KM_DIM}) AS t(i)
+      GROUP BY a{it}.cid, t.i
+    ),
+    c{it + 1} AS (SELECT cid, list(comp ORDER BY pos) AS c FROM u{it} GROUP BY cid)"""
+        prev = f"c{it + 1}"
+    sql += f"""
+    SELECT vec_id, cid AS cluster_id FROM (
+      SELECT pts.vec_id, {prev}.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY pts.vec_id
+               ORDER BY {dist.format(c=prev)}, {prev}.cid
+             ) AS rn
+      FROM pts CROSS JOIN {prev}
+    ) WHERE rn = 1
+    """
+    return sql
+
+
+@register(
+    "emb_kmeans_assign",
+    oracle=_km_oracle(),
+    doc=f"Semantic clustering: deterministic mini k-means (k={_KM_K}, "
+    f"{_KM_ITERS} Lloyd iterations, first-k init, decimal centroid means) — "
+    "the diversity-sampling / corpus-mapping step of a training-data "
+    "pipeline.  Per iteration: one broadcast cross join vs k centroids + one "
+    "k x dim update aggregate; the corpus never self-joins.  Full per-vector "
+    "assignment is compared cross-engine (operators/similarity.py "
+    "kmeans_assign).",
+)
+def kmeans_q(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.kmeans_assign(
+        emb, id_col="vec_id", vec_col="embedding", k=_KM_K, iters=_KM_ITERS
+    )

@@ -154,3 +154,107 @@ def safe_ratio_q(spark, sf_dir):
         "rev",
         F.round(safe_div(F.col("rev"), F.col("ret_rev")), 6).alias("rev_per_returned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CIK resolver ladder (reference storage/utils/cik_resolver.py:37-150)
+# ---------------------------------------------------------------------------
+
+_CIK_NORM_REQ = r"upper(regexp_replace(r.symbol, '[.\-]', '', 'g'))"
+_CIK_NORM_C = r"upper(regexp_replace(c.symbol, '[.\-]', '', 'g'))"
+_CIK_NORM_M = r"upper(regexp_replace(m.symbol, '[.\-]', '', 'g'))"
+_CIK_NORM_S = r"upper(regexp_replace(s.ticker, '[.\-]', '', 'g'))"
+
+
+@register(
+    "cik_resolver_ladder",
+    oracle=f"""
+    WITH master AS (
+      SELECT c_name AS symbol,
+             CASE WHEN c_custkey % 10 = 0 THEN NULL
+                  ELSE CAST(c_nationkey AS VARCHAR) END AS cik,
+             DATE '2020-01-01' AS start_date,
+             CASE WHEN c_custkey % 3 = 0 THEN DATE '2024-02-15'
+                  ELSE DATE '2024-12-31' END AS end_date
+      FROM customer WHERE c_custkey < 600
+    ),
+    sec AS (
+      SELECT c_name AS ticker, CAST(9000 + c_custkey AS VARCHAR) AS cik
+      FROM customer WHERE c_custkey % 2 = 0 AND c_custkey < 900
+    ),
+    req AS (
+      SELECT c_name AS symbol,
+             CASE c_custkey % 5
+               WHEN 0 THEN DATE '2024-01-15' WHEN 1 THEN DATE '2024-07-01'
+               WHEN 2 THEN DATE '2025-02-01' WHEN 3 THEN DATE '2023-05-05'
+               ELSE DATE '2024-03-01' END AS "date",
+             CASE WHEN c_custkey % 4 = 0 THEN 2025
+                  WHEN c_custkey % 4 = 1 THEN 2024 END AS year
+      FROM customer WHERE c_custkey < 900
+    ),
+    cand AS (
+      SELECT symbol, "date", year, 0 AS prio, "date" AS try_date FROM req
+      UNION ALL SELECT symbol, "date", year, 1, make_date(year, 12, 31) FROM req
+        WHERE year IS NOT NULL AND make_date(year, 12, 31) <> "date"
+      UNION ALL SELECT symbol, "date", year, 2, make_date(year, 6, 30) FROM req
+        WHERE year IS NOT NULL AND make_date(year, 6, 30) <> "date"
+      UNION ALL SELECT symbol, "date", year, 3, make_date(year, 9, 30) FROM req
+        WHERE year IS NOT NULL AND make_date(year, 9, 30) <> "date"
+      UNION ALL SELECT symbol, "date", year, 4, make_date(year, 3, 31) FROM req
+        WHERE year IS NOT NULL AND make_date(year, 3, 31) <> "date"
+    ),
+    best AS (
+      SELECT symbol, "date", cik FROM (
+        SELECT c.symbol, c."date", m.cik,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.symbol, c."date"
+                 ORDER BY c.prio, m.start_date DESC, m.cik
+               ) AS rn
+        FROM cand c JOIN master m
+          ON {_CIK_NORM_C} = {_CIK_NORM_M}
+         AND c.try_date BETWEEN m.start_date AND m.end_date
+         AND m.cik IS NOT NULL
+      ) WHERE rn = 1
+    )
+    SELECT r.symbol, r."date", r.year,
+           CASE WHEN (COALESCE(r.year, 0) >= 2025 OR year(r."date") >= 2025)
+                     AND s.cik IS NOT NULL THEN lpad(s.cik, 10, '0')
+                ELSE lpad(b.cik, 10, '0') END AS cik
+    FROM req r
+    LEFT JOIN best b ON r.symbol = b.symbol AND r."date" = b."date"
+    LEFT JOIN sec s ON {_CIK_NORM_REQ} = {_CIK_NORM_S}
+    """,
+    doc="Vectorized CIKResolver (reference cik_resolver.py:37-150): quarterly "
+    "fallback-date ladder (primary, year-end, mid-year, Q3, Q1 — first "
+    "interval-containing hit with a non-null CIK wins), 2025+ preference for "
+    "the SEC official snapshot, null-CIK rows skipped, zero-padded output.  "
+    "Fixture exercises primary hits, short intervals that force ladder "
+    "fallbacks, null-CIK skips, symbols absent from the master, and the "
+    "SEC-preference arm.  Dimension sides broadcast; one keep-best window "
+    "on the request partitioning.",
+)
+def cik_resolver_q(spark, sf_dir):
+    from us_equity_datalake_spark.equity.cik import resolve_cik_batch
+
+    cust = load_table(spark, "customer", sf_dir)
+    master = cust.filter(F.col("c_custkey") < 600).select(
+        F.col("c_name").alias("symbol"),
+        F.when(F.col("c_custkey") % 10 != 0, F.col("c_nationkey").cast("string")).alias("cik"),
+        F.lit("2020-01-01").cast("date").alias("start_date"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("2024-02-15"))
+        .otherwise(F.lit("2024-12-31")).cast("date").alias("end_date"),
+    )
+    sec = cust.filter((F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") < 900)).select(
+        F.col("c_name").alias("ticker"), (F.lit(9000) + F.col("c_custkey")).cast("string").alias("cik")
+    )
+    req = cust.filter(F.col("c_custkey") < 900).select(
+        F.col("c_name").alias("symbol"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("2024-01-15"))
+        .when(F.col("c_custkey") % 5 == 1, F.lit("2024-07-01"))
+        .when(F.col("c_custkey") % 5 == 2, F.lit("2025-02-01"))
+        .when(F.col("c_custkey") % 5 == 3, F.lit("2023-05-05"))
+        .otherwise(F.lit("2024-03-01")).cast("date").alias("date"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(2025))
+        .when(F.col("c_custkey") % 4 == 1, F.lit(2024)).cast("int").alias("year"),
+    )
+    return resolve_cik_batch(master.cache(), req, sec_map=sec.cache())

@@ -286,3 +286,29 @@ def test_kmeans_assign_separates_blobs(spark):
     assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
     again = {r.vec_id: r.cluster_id for r in kmeans_assign(df, k=2, iters=2).collect()}
     assert again == out
+
+
+def test_register_views_enables_plain_sql(spark):
+    """The SQL surface: register the lake as temp views, run a query through
+    spark.sql and cross-check the DataFrame form."""
+    from us_equity_datalake_spark.sources.registry import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert {"customer", "orders", "lineitem", "documents", "embeddings"} <= set(names)
+    sql_n = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING'"
+    ).collect()[0].n
+    from us_equity_datalake_spark.sources.registry import load_table
+
+    df_n = (
+        load_table(spark, "orders", "/root/testdata/sf0.001")
+        .join(
+            load_table(spark, "customer", "/root/testdata/sf0.001").filter(
+                F.col("c_mktsegment") == "BUILDING"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .count()
+    )
+    assert sql_n == df_n > 0

@@ -258,3 +258,54 @@ def test_redact_pii_idempotent_and_complete(spark, frags):
     assert once == twice  # idempotent: placeholders never re-match
     for pat in PII_PATTERNS.values():
         assert not re.search(pat, once), (text, once)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge invariants on randomized dimensions/change sets
+# ---------------------------------------------------------------------------
+
+_scd_case = st.tuples(
+    st.dictionaries(st.integers(0, 8), st.sampled_from(["A", "B", "C"]), min_size=1, max_size=8),
+    st.dictionaries(st.integers(0, 12), st.sampled_from(["A", "B", "C", "D"]), max_size=8),
+)
+
+
+@settings(**SETTINGS)
+@given(_scd_case)
+def test_scd2_invariants(spark, case):
+    """For ANY current dimension + change set: (1) exactly one current row per
+    key afterwards, (2) current value = change value where a change row
+    exists, else the old value, (3) closed rows end the day before the
+    effective date, (4) re-applying the same change set is a no-op."""
+    from us_equity_datalake_spark.operators.scd import scd2_apply
+
+    dim_map, change_map = case
+    d0 = dt.date(2020, 1, 1)
+    dim = spark.createDataFrame(
+        [Row(k=k, seg=v, start_date=d0, end_date=None) for k, v in dim_map.items()],
+        "k long, seg string, start_date date, end_date date",
+    )
+    changes = spark.createDataFrame(
+        [Row(k=k, seg=v) for k, v in change_map.items()], "k long, seg string"
+    )
+    out = scd2_apply(dim, changes, key="k", attrs=["seg"], effective_date="2024-06-10")
+    rows = out.collect()
+
+    current = [r for r in rows if r.end_date is None]
+    per_key = {}
+    for r in current:
+        assert r.k not in per_key, f"two current rows for key {r.k}"
+        per_key[r.k] = r.seg
+    expected = {**dim_map, **change_map}
+    assert per_key == expected
+
+    eff_minus_1 = dt.date(2024, 6, 9)
+    for r in rows:
+        if r.end_date is not None:
+            assert r.end_date == eff_minus_1
+            assert change_map.get(r.k) not in (None, r.seg)  # closed only on real change
+
+    again = scd2_apply(out, changes, key="k", attrs=["seg"], effective_date="2024-06-10")
+    a = sorted((r.k, r.seg, str(r.start_date), str(r.end_date)) for r in again.collect())
+    b = sorted((r.k, r.seg, str(r.start_date), str(r.end_date)) for r in rows)
+    assert a == b

@@ -139,15 +139,18 @@ def test_ttm_rolling_matches_bruteforce(spark, series):
                         start=d - dt.timedelta(days=90), end=d, accn=f"a{q}", form="10-Q"))
     df = spark.createDataFrame(rows, schema)
     got = {(r.symbol, r.as_of_date): r.value for r in compute_ttm_long(df).collect()}
+    expected = {}
     for k, vals in per_key.items():
-        for q in range(len(vals)):
+        # reference semantics (derived/ttm.py:76-81): null rows are dropped
+        # BEFORE grouping; windows form over consecutive SURVIVING rows
+        survivors = [(q, v) for q, v in enumerate(vals) if v is not None]
+        for idx in range(3, len(survivors)):
+            q, _ = survivors[idx]
             d = dt.date(2020, 1, 1) + dt.timedelta(days=91 * q)
-            window = vals[q - 3 : q + 1] if q >= 3 else None
-            key = (str(k), d)
-            if window is None or any(v is None for v in window):
-                assert key not in got  # exactly-4-values semantics: no row emitted
-            else:
-                assert got[key] == pytest.approx(sum(window), rel=1e-9)
+            expected[(str(k), d)] = sum(v for _, v in survivors[idx - 3 : idx + 1])
+    assert set(got) == set(expected)
+    for key, v in expected.items():
+        assert got[key] == pytest.approx(v, rel=1e-9)
 
 
 # ---------------------------------------------------------------------------

@@ -54,14 +54,18 @@ def test_ttm_insufficient_quarters_no_row(spark):
     assert compute_ttm_long(spark.createDataFrame(rows)).count() == 0  # test_ttm.py:120
 
 
-def test_ttm_null_in_window_skipped(spark):
+def test_ttm_null_rows_dropped_before_windowing(spark):
+    """Reference derived/ttm.py:76-81: a null-value row is dropped BEFORE
+    grouping, so the window forms over the 4 surviving quarters instead of
+    being poisoned by the null."""
     rows = _fund_rows("AAPL", "rev", [
         ("2023-03-31", 100.0), ("2023-06-30", None), ("2023-09-30", 120.0),
         ("2023-12-31", 130.0), ("2024-03-31", 140.0),
     ])
     out = compute_ttm_long(spark.createDataFrame(rows)).collect()
-    # windows containing the null row are skipped; first clean window ends 2024-06-30+ — none here
-    assert out == []
+    assert len(out) == 1
+    assert out[0]["value"] == 490.0  # 100 + 120 + 130 + 140 — null quarter skipped
+    assert str(out[0]["as_of_date"]) == "2024-03-31"
 
 
 def test_ttm_rolling_multiple_windows(spark):

@@ -86,3 +86,55 @@ def test_full_pipeline_pit_columns(spark):
     assert out["rev"]["as_of_date"] == D("2024-05-01")
     assert out["rev"]["is_instant"] is False
     assert out["cce"]["is_instant"] is True
+
+
+def _dp_raw(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "symbol string, concept string, value double, accn string, form string, "
+        "filed date, start date, end date, frame string",
+    )
+
+
+def test_duration_row_missing_start_is_dropped(spark):
+    """Reference fundamental.py:212-217: a DURATION datapoint lacking start
+    (or end/filed/frame) never reaches normalization."""
+    rows = [
+        Row(symbol="AAPL", concept="rev", value=100.0, accn="q1", form="10-Q",
+            filed=D("2024-05-01"), start=None, end=D("2024-03-31"), frame="CY2024Q1"),
+        Row(symbol="AAPL", concept="rev", value=110.0, accn="q2", form="10-Q",
+            filed=D("2024-08-01"), start=D("2024-04-01"), end=D("2024-06-30"), frame="CY2024Q2"),
+    ]
+    out = derive_q4(_dp_raw(spark, rows)).collect()
+    assert [r["frame"] for r in out] == ["CY2024Q2"]
+
+
+def test_instant_rows_bypass_duration_normalization(spark):
+    """Instant datapoints (null start, I-suffixed frame) bypass the duration
+    pass untouched (reference gates the whole pass per concept,
+    fundamental.py:349-350)."""
+    rows = [
+        Row(symbol="AAPL", concept="cce", value=50.0, accn="a1", form="10-Q",
+            filed=D("2024-05-01"), start=None, end=D("2024-03-31"), frame="CY2024Q1I"),
+    ]
+    out = derive_q4(_dp_raw(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["value"] == 50.0 and out[0]["frame"] == "CY2024Q1I"
+
+
+def test_q4_start_from_picked_instant_q3(spark):
+    """When Q3 exists only as the I-suffixed fallback frame, _pick_frame
+    chooses it and the derived Q4 start comes from THAT frame's end
+    (fundamental.py:199-207, 273)."""
+    rows = [
+        Row(symbol="AAPL", concept="rev", value=100.0, accn="q1", form="10-Q",
+            filed=D("2024-05-01"), start=D("2024-01-01"), end=D("2024-03-31"), frame="CY2024Q1"),
+        Row(symbol="AAPL", concept="rev", value=110.0, accn="q2", form="10-Q",
+            filed=D("2024-08-01"), start=D("2024-04-01"), end=D("2024-06-30"), frame="CY2024Q2"),
+        Row(symbol="AAPL", concept="rev", value=120.0, accn="q3", form="10-Q",
+            filed=D("2024-11-01"), start=D("2024-07-01"), end=D("2024-09-28"), frame="CY2024Q3I"),
+        Row(symbol="AAPL", concept="rev", value=460.0, accn="fy", form="10-K",
+            filed=D("2025-02-15"), start=D("2024-01-01"), end=D("2024-12-31"), frame="CY2024"),
+    ]
+    out = {r["frame"]: r for r in derive_q4(_dp_raw(spark, rows)).collect()}
+    assert out["CY2024"]["value"] == 130.0
+    assert out["CY2024"]["start"] == D("2024-09-29")  # picked (instant) Q3 end + 1

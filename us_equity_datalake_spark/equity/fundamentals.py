@@ -52,6 +52,21 @@ def derive_q4(dp: DataFrame) -> DataFrame:
     present), deduped by (symbol, concept, filed, frame) keeping the derived
     row's adjusted values.
     """
+    # Instant datapoints (null start, I-suffixed frame) never enter duration
+    # normalization in the reference (fundamental.py:349-350: the whole pass
+    # is gated on normalize_duration, a per-concept flag) — they bypass
+    # untouched.  DURATION rows lacking start/end/filed/frame are dropped at
+    # entry exactly as the reference does (:212-217 ``continue``).
+    bypass_cond = F.col("start").isNull() & F.coalesce(
+        F.col("frame").contains("I"), F.lit(False)
+    )
+    instant_bypass = dp.filter(bypass_cond)
+    dp = dp.filter(~F.coalesce(bypass_cond, F.lit(False))).filter(
+        F.col("start").isNotNull()
+        & F.col("end").isNotNull()
+        & F.col("filed").isNotNull()
+        & F.col("frame").isNotNull()
+    )
     base = dp.withColumn("frame_year", F.regexp_extract("frame", r"^CY(\d{4})", 1).cast("int")).withColumn(
         "frame_q", F.regexp_extract("frame", r"Q([1-4])", 1)
     )
@@ -66,18 +81,20 @@ def derive_q4(dp: DataFrame) -> DataFrame:
             # structs prefers the non-instant frame when both exist
             F.min(F.when(F.col("frame_q") == "1", F.struct(F.col("frame").contains("I").cast("int").alias("inst"), F.col("value")))).alias("q1s"),
             F.min(F.when(F.col("frame_q") == "2", F.struct(F.col("frame").contains("I").cast("int").alias("inst"), F.col("value")))).alias("q2s"),
-            F.min(F.when(F.col("frame_q") == "3", F.struct(F.col("frame").contains("I").cast("int").alias("inst"), F.col("value")))).alias("q3s"),
-            F.max(F.when((F.col("frame_q") == "3") & (~F.col("frame").contains("I")), F.col("end"))).alias("q3_end"),
+            # Q3's end rides in the same struct so the derived start comes
+            # from the SAME frame _pick_frame chose (fundamental.py:273:
+            # q3["end_date"] of the picked item, instant variant included)
+            F.min(F.when(F.col("frame_q") == "3", F.struct(F.col("frame").contains("I").cast("int").alias("inst"), F.col("value"), F.col("end")))).alias("q3s"),
         )
     )
     derived = (
         annual.join(qpiv, ["symbol", "concept", "frame_year"], "inner")
         .filter(F.col("q1s").isNotNull() & F.col("q2s").isNotNull() & F.col("q3s").isNotNull())
         .withColumn("value", F.col("value") - F.col("q1s.value") - F.col("q2s.value") - F.col("q3s.value"))
-        .withColumn("start", F.date_add(F.col("q3_end"), 1))
-        .drop("q1s", "q2s", "q3s", "q3_end", "frame_year", "frame_q")
+        .withColumn("start", F.date_add(F.col("q3s.end"), 1))
+        .drop("q1s", "q2s", "q3s", "frame_year", "frame_q")
     )
-    out = quarterly.unionByName(derived)
+    out = quarterly.unionByName(derived).unionByName(instant_bypass)
     # final (filed, frame) dedup (fundamental.py:278-287)
     return dedup_keep_first(
         out, keys=["symbol", "concept", "filed", "frame"], order=[F.col("accn").asc()]

@@ -258,3 +258,92 @@ def cik_resolver_q(spark, sf_dir):
         .when(F.col("c_custkey") % 4 == 1, F.lit(2024)).cast("int").alias("year"),
     )
     return resolve_cik_batch(master.cache(), req, sec_map=sec.cache())
+
+
+@register(
+    "q4_operator_roundtrip",
+    oracle="""
+    WITH qsum AS (
+      SELECT o_custkey AS custkey, year(o_orderdate) AS y,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS fy,
+             SUM(CASE WHEN quarter(o_orderdate) = 1 THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS q1,
+             SUM(CASE WHEN quarter(o_orderdate) = 2 THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS q2,
+             SUM(CASE WHEN quarter(o_orderdate) = 3 THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS q3
+      FROM orders WHERE o_custkey < 40
+      GROUP BY o_custkey, year(o_orderdate)
+    ),
+    quarterly AS (
+      SELECT custkey, 'CY' || CAST(y AS VARCHAR) || 'Q' || CAST(qn AS VARCHAR) AS frame,
+             CAST(CASE qn WHEN 1 THEN q1 WHEN 2 THEN q2 ELSE q3 END AS DOUBLE) AS value,
+             make_date(y, (qn - 1) * 3 + 1, 1) AS start
+      FROM qsum CROSS JOIN (SELECT unnest([1, 2, 3]) AS qn)
+      WHERE CASE qn WHEN 1 THEN q1 WHEN 2 THEN q2 ELSE q3 END IS NOT NULL
+    ),
+    derived AS (
+      SELECT custkey, 'CY' || CAST(y AS VARCHAR) AS frame,
+             -- double subtraction in the operator's left-to-right order: the
+             -- Spark side runs on already-double frame values
+             CAST(fy AS DOUBLE) - CAST(q1 AS DOUBLE) - CAST(q2 AS DOUBLE) - CAST(q3 AS DOUBLE) AS value,
+             make_date(y, 10, 1) AS start
+      FROM qsum
+      WHERE q1 IS NOT NULL AND q2 IS NOT NULL AND q3 IS NOT NULL
+    )
+    SELECT * FROM quarterly UNION ALL SELECT * FROM derived
+    """,
+    doc="F2 through the REAL operator (equity/fundamentals.derive_q4, "
+    "reference fundamental.py:193-287): quarterly frames built from orders "
+    "pass through; an annual frame derives Q4 = FY − Q1 − Q2 − Q3 with "
+    "start = Q3.end + 1 day, ONLY when all three standalone quarters exist "
+    "(years missing a quarter exercise the gate).  The oracle reconstructs "
+    "the expected frame set arithmetically — any passthrough/derivation/"
+    "dedup drift in the operator breaks the hash.",
+)
+def q4_operator_q(spark, sf_dir):
+    from us_equity_datalake_spark.equity.fundamentals import derive_q4
+
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") < 40)
+    dec = F.col("o_totalprice").cast("decimal(30,6)")
+    qn = F.quarter("o_orderdate")
+    qsum = orders.groupBy(
+        F.col("o_custkey").alias("custkey"), F.year("o_orderdate").alias("y")
+    ).agg(
+        F.sum(dec).alias("fy"),
+        F.sum(F.when(qn == 1, dec)).alias("q1"),
+        F.sum(F.when(qn == 2, dec)).alias("q2"),
+        F.sum(F.when(qn == 3, dec)).alias("q3"),
+    ).cache()
+
+    def frame_row(q):
+        return qsum.filter(F.col(f"q{q}").isNotNull()).select(
+            F.col("custkey").cast("string").alias("symbol"),
+            F.lit("rev").alias("concept"),
+            F.concat(F.lit("CY"), F.col("y"), F.lit(f"Q{q}")).alias("frame"),
+            F.col(f"q{q}").cast("double").alias("value"),
+            F.make_date("y", F.lit((q - 1) * 3 + 1), F.lit(1)).alias("start"),
+            F.make_date("y", F.lit(q * 3), F.lit([31, 30, 30][q - 1])).alias("end"),
+            F.make_date("y", F.lit(12), F.lit(31)).alias("filed"),
+            F.lit("a1").alias("accn"),
+            F.lit("10-Q").alias("form"),
+            "custkey",
+        )
+
+    annual = qsum.select(
+        F.col("custkey").cast("string").alias("symbol"),
+        F.lit("rev").alias("concept"),
+        F.concat(F.lit("CY"), F.col("y")).alias("frame"),
+        F.col("fy").cast("double").alias("value"),
+        F.make_date("y", F.lit(1), F.lit(1)).alias("start"),
+        F.make_date("y", F.lit(12), F.lit(31)).alias("end"),
+        F.make_date("y", F.lit(12), F.lit(31)).alias("filed"),
+        F.lit("a0").alias("accn"),
+        F.lit("10-K").alias("form"),
+        "custkey",
+    )
+    dps = frame_row(1).unionByName(frame_row(2)).unionByName(frame_row(3)).unionByName(annual)
+    out = derive_q4(dps)
+    return out.select(
+        "custkey",
+        "frame",
+        F.col("value").cast("double").alias("value"),
+        "start",
+    )

@@ -263,3 +263,47 @@ def test_update_from_sec_extends_and_adds(spark):
     assert rows["ANEW"].security_id == 1004 and rows["ZNEW"].security_id == 1005
     assert rows["ANEW"].company == "A New Inc."
     assert rows["ANEW"].start_date == rows["ANEW"].end_date == D("2022-07-01")
+
+
+def test_symbol_normalizer_edge_cases(spark):
+    """SymbolNormalizer semantics (reference security_master.py:30-141):
+    verified-same security converts to Nasdaq display format; the delisted
+    ABCD whose key collides with a NEW security's ABC.D keeps its original
+    spelling; unknown keys pass through uppercased; null day skips
+    validation."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from us_equity_datalake_spark.equity.security_master import to_nasdaq_format_batch
+
+    D = dt.date
+    master = spark.createDataFrame(
+        [
+            # BRKB: one continuous security
+            Row(symbol="BRKB", security_id=1, start_date=D(2015, 1, 1), end_date=D(2025, 12, 31)),
+            # ABCD: delisted sid=1000 (2021-2023), then NEW security sid=2000 (2024+)
+            Row(symbol="ABCD", security_id=1000, start_date=D(2021, 1, 1), end_date=D(2023, 6, 30)),
+            Row(symbol="ABCD", security_id=2000, start_date=D(2024, 1, 1), end_date=D(2025, 12, 31)),
+        ],
+        "symbol string, security_id long, start_date date, end_date date",
+    )
+    nasdaq = spark.createDataFrame(
+        [Row(ticker="BRK.B"), Row(ticker="ABC.D")], "ticker string"
+    )
+    reqs = spark.createDataFrame(
+        [
+            Row(symbol="BRKB", day=D(2024, 1, 1)),     # same sid at day and latest -> BRK.B
+            Row(symbol="brk-b", day=None),             # no day: trust the list -> BRK.B
+            Row(symbol="ABCD", day=D(2022, 1, 1)),     # sid 1000 vs 2000 at latest -> keep ABCD
+            Row(symbol="ABC.D", day=D(2024, 6, 1)),    # sid 2000 both -> ABC.D
+            Row(symbol="ZZZQ", day=D(2024, 1, 1)),     # not in list -> ZZZQ
+        ],
+        "symbol string, day date",
+    )
+    out = {r.symbol: r.nasdaq_symbol for r in to_nasdaq_format_batch(master, nasdaq, reqs).collect()}
+    assert out["BRKB"] == "BRK.B"
+    assert out["brk-b"] == "BRK.B"
+    assert out["ABCD"] == "ABCD"     # the documented edge case
+    assert out["ABC.D"] == "ABC.D"
+    assert out["ZZZQ"] == "ZZZQ"

@@ -278,3 +278,75 @@ def resolve_auto(queries: DataFrame, master: DataFrame, *, symbol_col: str = "sy
     return pit.auto_resolve(
         queries, dim, key=symbol_col, query_date=date_col, tiebreak=["start_date", "security_id"]
     )
+
+
+CRSP_LATEST_DATE = "2024-12-31"  # reference SymbolNormalizer.CRSP_LATEST_DATE
+
+
+def to_nasdaq_format_batch(
+    master: DataFrame,
+    nasdaq_tickers: DataFrame,
+    requests: DataFrame,
+    *,
+    symbol_col: str = "symbol",
+    day_col: str = "day",
+    crsp_latest: str = CRSP_LATEST_DATE,
+) -> DataFrame:
+    """Vectorized SymbolNormalizer.to_nasdaq_format (reference
+    security_master.py:30-141): CRSP→Nasdaq display format with security-id
+    verification so a delisted ABCD never converts to a NEW security's
+    ABC.D spelling.
+
+    Per request (symbol, day?):
+    1. crsp_key = separators stripped, uppercased.
+    2. key not in the current Nasdaq list → keep ``upper(symbol)`` (delisted).
+    3. in the list but day is null → Nasdaq format (no validation possible).
+    4. else verify: security_id at ``day`` must equal security_id at
+       ``crsp_latest`` (both strict interval-containment lookups); equal →
+       Nasdaq format, different or unresolvable → keep ``upper(symbol)``.
+
+    ``nasdaq_tickers``: one column ``ticker`` in display format (current
+    list — a dimension, broadcast).  ``master``: standard interval schema.
+    One broadcast join per lookup; the request table never shuffles.
+    """
+    req = requests.withColumn("__key", normalize_symbol(F.col(symbol_col)))
+    nd = nasdaq_tickers.select(
+        normalize_symbol(F.col("ticker")).alias("__key"), F.col("ticker").alias("__nasdaq")
+    )
+    # the reference dict keeps the LAST ticker per key; the list is deduped
+    # upstream, so any deterministic pick is equivalent — use max
+    nd = nd.groupBy("__key").agg(F.max("__nasdaq").alias("__nasdaq"))
+
+    m = master.select(
+        normalize_symbol(F.col("symbol")).alias("__m_key"),
+        F.col("security_id").alias("__sid"),
+        F.col("start_date").alias("__start"),
+        F.col("end_date").alias("__end"),
+    )
+
+    def sid_at(df: DataFrame, day: Column, out: str) -> DataFrame:
+        hit = df.join(
+            F.broadcast(m),
+            (F.col("__key") == F.col("__m_key")) & day.between(F.col("__start"), F.col("__end")),
+            "left",
+        )
+        # strict lookup: deterministic min sid when intervals overlap
+        return hit.groupBy(*df.columns).agg(F.min("__sid").alias(out))
+
+    with_sid = sid_at(req.join(F.broadcast(nd), "__key", "left"), F.col(day_col), "__sid_orig")
+    with_both = sid_at(with_sid, F.lit(crsp_latest).cast("date"), "__sid_latest")
+
+    normalized = (
+        F.when(F.col("__nasdaq").isNull(), F.upper(F.col(symbol_col)))
+        .when(F.col(day_col).isNull(), F.col("__nasdaq"))
+        .when(
+            F.col("__sid_orig").isNotNull()
+            & F.col("__sid_latest").isNotNull()
+            & (F.col("__sid_orig") == F.col("__sid_latest")),
+            F.col("__nasdaq"),
+        )
+        .otherwise(F.upper(F.col(symbol_col)))
+    )
+    return with_both.select(
+        *requests.columns, normalized.alias("nasdaq_symbol")
+    )

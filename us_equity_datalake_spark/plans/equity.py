@@ -347,3 +347,97 @@ def q4_operator_q(spark, sf_dir):
         F.col("value").cast("double").alias("value"),
         "start",
     )
+
+
+_NORM_R = r"upper(regexp_replace(r.symbol, '[.\-]', '', 'g'))"
+_NORM_M2 = r"upper(regexp_replace(m.symbol, '[.\-]', '', 'g'))"
+_DISPLAY = "concat(substr(c_name, 1, length(c_name) - 1), '-', substr(c_name, length(c_name), 1))"
+
+
+@register(
+    "symbol_normalizer_batch",
+    oracle=f"""
+    WITH master AS (
+      SELECT c_name AS symbol, CAST(c_custkey AS BIGINT) AS sid,
+             DATE '2020-01-01' AS s,
+             CASE WHEN c_custkey % 5 = 0 THEN DATE '2022-12-31'
+                  ELSE DATE '2025-12-31' END AS e
+      FROM customer WHERE c_custkey < 600
+      UNION ALL
+      SELECT c_name, CAST(c_custkey + 100000 AS BIGINT), DATE '2023-01-01', DATE '2025-12-31'
+      FROM customer WHERE c_custkey % 5 = 0 AND c_custkey < 600
+    ),
+    nd AS (
+      SELECT upper(regexp_replace({_DISPLAY}, '[.\\-]', '', 'g')) AS key,
+             MAX({_DISPLAY}) AS nasdaq
+      FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey < 600
+      GROUP BY 1
+    ),
+    req AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN {_DISPLAY} ELSE c_name END AS symbol,
+             CASE WHEN c_custkey % 4 = 0 THEN NULL
+                  WHEN c_custkey % 4 = 1 THEN DATE '2021-06-01'
+                  ELSE DATE '2024-06-01' END AS day
+      FROM customer WHERE c_custkey < 700
+    ),
+    sid_orig AS (
+      SELECT r.symbol, MIN(m.sid) AS sid
+      FROM req r JOIN master m ON {_NORM_R} = {_NORM_M2} AND r.day BETWEEN m.s AND m.e
+      GROUP BY r.symbol
+    ),
+    sid_latest AS (
+      SELECT r.symbol, MIN(m.sid) AS sid
+      FROM req r JOIN master m
+        ON {_NORM_R} = {_NORM_M2} AND DATE '2024-12-31' BETWEEN m.s AND m.e
+      GROUP BY r.symbol
+    )
+    SELECT r.symbol, r.day,
+           CASE WHEN nd.nasdaq IS NULL THEN upper(r.symbol)
+                WHEN r.day IS NULL THEN nd.nasdaq
+                WHEN so.sid IS NOT NULL AND sl.sid IS NOT NULL AND so.sid = sl.sid
+                     THEN nd.nasdaq
+                ELSE upper(r.symbol) END AS nasdaq_symbol
+    FROM req r
+    LEFT JOIN nd ON {_NORM_R} = nd.key
+    LEFT JOIN sid_orig so ON r.symbol = so.symbol
+    LEFT JOIN sid_latest sl ON r.symbol = sl.symbol
+    """,
+    doc="SymbolNormalizer batch (reference security_master.py:30-141): "
+    "CRSP→Nasdaq display conversion gated on security-id verification — the "
+    "delisted-ABCD ≠ new-ABC.D edge (SURVEY §7.3 item 3).  Fixture: every "
+    "5th symbol re-uses its spelling for a NEW security id after 2023 (the "
+    "collision), every 3rd is missing from the current Nasdaq list "
+    "(delisted), every 4th request has no date (skip validation).",
+)
+def symbol_normalizer_q(spark, sf_dir):
+    from us_equity_datalake_spark.equity.security_master import to_nasdaq_format_batch
+
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") < 700)
+    display = F.concat(
+        F.expr("substring(c_name, 1, length(c_name) - 1)"),
+        F.lit("-"),
+        F.expr("substring(c_name, length(c_name), 1)"),
+    )
+    below = cust.filter(F.col("c_custkey") < 600)
+    master = below.select(
+        F.col("c_name").alias("symbol"),
+        F.col("c_custkey").cast("long").alias("security_id"),
+        F.lit("2020-01-01").cast("date").alias("start_date"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("2022-12-31"))
+        .otherwise(F.lit("2025-12-31")).cast("date").alias("end_date"),
+    ).unionByName(
+        below.filter(F.col("c_custkey") % 5 == 0).select(
+            F.col("c_name").alias("symbol"),
+            (F.col("c_custkey") + 100000).cast("long").alias("security_id"),
+            F.lit("2023-01-01").cast("date").alias("start_date"),
+            F.lit("2025-12-31").cast("date").alias("end_date"),
+        )
+    )
+    nasdaq = below.filter(F.col("c_custkey") % 3 != 0).select(display.alias("ticker"))
+    req = cust.select(
+        F.when(F.col("c_custkey") % 2 == 0, display).otherwise(F.col("c_name")).alias("symbol"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(None))
+        .when(F.col("c_custkey") % 4 == 1, F.lit("2021-06-01"))
+        .otherwise(F.lit("2024-06-01")).cast("date").alias("day"),
+    )
+    return to_nasdaq_format_batch(master.cache(), nasdaq.cache(), req)

@@ -51,3 +51,24 @@ def test_et_trading_date_crosses_utc_midnight(spark):
         timeops.et_trading_date(timeops.to_eastern_wallclock(F.col("ts"))).alias("d")
     ).collect()
     assert out[0].d == dt.date(2024, 1, 16)
+
+
+def test_trade_day_range_utc_dst_boundaries():
+    """Reference get_trade_day_range: 9:30-16:00 ET as UTC — EST days are
+    UTC+5h, EDT days UTC+4h; the DST-transition days themselves pin the
+    zoneinfo arithmetic."""
+    from us_equity_datalake_spark.functions.timeops import month_range_utc, trade_day_range_utc
+
+    # winter (EST, UTC-5)
+    assert trade_day_range_utc("2024-01-15") == ("2024-01-15T14:30:00Z", "2024-01-15T21:00:00Z")
+    # summer (EDT, UTC-4)
+    assert trade_day_range_utc("2024-07-15") == ("2024-07-15T13:30:00Z", "2024-07-15T20:00:00Z")
+    # spring-forward day: 9:30 ET is already EDT
+    assert trade_day_range_utc("2024-03-10") == ("2024-03-10T13:30:00Z", "2024-03-10T20:00:00Z")
+    # fall-back day: 9:30 ET is back on EST
+    assert trade_day_range_utc("2024-11-03") == ("2024-11-03T14:30:00Z", "2024-11-03T21:00:00Z")
+
+    # month range: 4:00 ET first day -> 20:00 ET last day; March spans the
+    # DST change (start EST, end EDT), December closes on the 31st
+    assert month_range_utc(2024, 3) == ("2024-03-01T09:00:00Z", "2024-04-01T00:00:00Z")
+    assert month_range_utc(2024, 12) == ("2024-12-01T09:00:00Z", "2025-01-01T01:00:00Z")

@@ -34,3 +34,16 @@ def test_backfill_dates_inclusive_and_guarded():
         backfill_dates("2024-01-01", "2024-12-31")  # > MAX_BACKFILL_DAYS
     assert len(backfill_dates("2024-06-01", "2024-06-01")) == 1
     assert MAX_BACKFILL_DAYS == 30
+
+
+
+def test_parser_consolidate_flags():
+    args = _build_parser().parse_args(
+        ["consolidate", "--lake", "/tmp/l", "--hot", "raw/ticks/daily",
+         "--history", "raw/ticks/history", "--year", "2025", "--force"]
+    )
+    assert args.cmd == "consolidate" and args.year == 2025 and args.force
+    args = _build_parser().parse_args(
+        ["consolidate", "--lake", "/tmp/l", "--hot", "h", "--history", "hist", "--year", "2024"]
+    )
+    assert not args.force

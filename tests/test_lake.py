@@ -77,3 +77,42 @@ def test_table_metadata_sidecar(tmp_path):
     write_table_metadata(None, path, {"crsp_end_date": "2024-12-31", "row_count": 50000})
     assert read_table_metadata(path)["row_count"] == 50000
     assert read_table_metadata(str(tmp_path / "nope")) is None
+
+
+def test_consolidate_year_moves_hot_to_history_with_safeguard(spark, tmp_path):
+    """Reference update/app.py:447-607: completed year moves from the hot
+    monthly layout into history; re-consolidating the same year fails
+    without force; force re-lands it idempotently; hot files are deleted."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from us_equity_datalake_spark.sources.lake import consolidate_year, write_partitioned
+
+    hot, hist = str(tmp_path / "hot"), str(tmp_path / "history")
+    ticks = spark.createDataFrame(
+        [
+            Row(security_id=1, timestamp=dt.datetime(2024, m, 5, 15, 30), close=float(m), year=2024, month=m)
+            for m in (1, 2, 3)
+        ]
+        + [Row(security_id=1, timestamp=dt.datetime(2025, 1, 6, 15, 30), close=99.0, year=2025, month=1)]
+    )
+    write_partitioned(ticks, hot, partition_by=["year", "month"])
+
+    out = consolidate_year(spark, hot, hist, year=2024)
+    assert out == {"rows": 3, "status": "consolidated"}
+    assert spark.read.parquet(hist).filter("year = 2024").count() == 3
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(hot, "year=2024"))   # hot cleaned
+    assert _os.path.exists(_os.path.join(hot, "year=2025"))       # other years untouched
+
+    # safeguard: year already in history and no hot files -> skipped (no dir);
+    # re-land the hot year to trigger the force check
+    write_partitioned(ticks.filter("year = 2024"), hot, partition_by=["year", "month"], mode="append")
+    with _pytest.raises(ValueError, match="force"):
+        consolidate_year(spark, hot, hist, year=2024)
+    out = consolidate_year(spark, hot, hist, year=2024, force=True)
+    assert out["status"] == "consolidated"
+    assert spark.read.parquet(hist).filter("year = 2024").count() == 3  # idempotent, no dupes

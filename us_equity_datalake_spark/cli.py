@@ -55,6 +55,15 @@ def _build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--partition-by", required=True, help="comma-separated partition columns")
     cp.add_argument("--target-files", type=int, default=1)
 
+    cy = sub.add_parser(
+        "consolidate", help="move a completed year from hot monthly files into history"
+    )
+    cy.add_argument("--lake", required=True)
+    cy.add_argument("--hot", required=True, help="hot table path relative to the lake root")
+    cy.add_argument("--history", required=True, help="history table path relative to the lake root")
+    cy.add_argument("--year", required=True, type=int, help="year to consolidate (e.g., 2025)")
+    cy.add_argument("--force", action="store_true", help="overwrite a year already in history")
+
     return p
 
 
@@ -123,6 +132,23 @@ def main(argv: list[str] | None = None) -> int:
                 target_files=args.target_files,
             )
             print(json.dumps({"compacted": args.table, "predicate": args.predicate}))
+        elif args.cmd == "consolidate":
+            import os
+
+            from us_equity_datalake_spark.sources.lake import consolidate_year
+
+            try:
+                out = consolidate_year(
+                    spark,
+                    os.path.join(args.lake, args.hot),
+                    os.path.join(args.lake, args.history),
+                    year=args.year,
+                    force=args.force,
+                )
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            print(json.dumps({"year": args.year, **out}))
     finally:
         spark.stop()
     return 0

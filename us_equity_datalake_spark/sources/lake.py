@@ -120,3 +120,55 @@ def _exists(spark: SparkSession, path: str) -> bool:
         return True
     except Exception:
         return False
+
+
+def consolidate_year(
+    spark: SparkSession,
+    hot_path: str,
+    history_path: str,
+    *,
+    year: int,
+    force: bool = False,
+) -> dict:
+    """Jan-1 year consolidation (reference update/app.py:447-607
+    ``consolidate_year``): move a completed year from the hot monthly layout
+    into the consolidated history dataset, then drop the hot files.
+
+    Reference steps re-expressed set-based (the per-symbol thread pool
+    becomes ONE partition-pruned job over the whole universe):
+
+    1. read the year's hot slice (partition-pruned on ``year``);
+    2. safeguard — if history already holds that year and ``force`` is not
+       set, raise (reference: 'Year N already exists... Use --force');
+    3. land it into history via dynamic partition overwrite of exactly
+       ``year=N`` (≡ reference's read-history / drop-year / append / rewrite,
+       but without touching any other year's files);
+    4. delete the hot ``year=N`` directory.
+
+    Returns {'rows': n, 'status': 'consolidated' | 'skipped'}.
+    """
+    import shutil
+
+    hot_year_dir = os.path.join(hot_path, f"year={year}")
+    if not os.path.exists(hot_year_dir):
+        return {"rows": 0, "status": "skipped"}
+    year_df = spark.read.parquet(hot_path).filter(F.col("year") == year)
+
+    if _exists(spark, history_path):
+        have = {r.year for r in spark.read.parquet(history_path).select("year").distinct().collect()}
+        if year in have and not force:
+            raise ValueError(
+                f"Year {year} already exists in {history_path}. Use force=True to overwrite."
+            )
+        # sever lineage from the files the dynamic overwrite will replace
+        staged = year_df.localCheckpoint(eager=True)
+        n = staged.count()
+        with _partition_overwrite_dynamic(spark):
+            staged.write.mode("overwrite").partitionBy("year").parquet(history_path)
+    else:
+        staged = year_df.localCheckpoint(eager=True)
+        n = staged.count()
+        staged.write.mode("overwrite").partitionBy("year").parquet(history_path)
+
+    shutil.rmtree(hot_year_dir, ignore_errors=True)
+    return {"rows": n, "status": "consolidated"}

@@ -116,3 +116,29 @@ def test_consolidate_year_moves_hot_to_history_with_safeguard(spark, tmp_path):
     out = consolidate_year(spark, hot, hist, year=2024, force=True)
     assert out["status"] == "consolidated"
     assert spark.read.parquet(hist).filter("year = 2024").count() == 3  # idempotent, no dupes
+
+
+def test_read_hot_cold_router_after_consolidation(spark, tmp_path):
+    """After consolidation, the hot+history union serves the full range and a
+    year predicate prunes to one side's partitions."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from us_equity_datalake_spark.equity.ticks import read_hot_cold
+    from us_equity_datalake_spark.sources.lake import consolidate_year, write_partitioned
+
+    hot, hist = str(tmp_path / "hot2"), str(tmp_path / "history2")
+    rows = [
+        Row(security_id=1, timestamp=dt.datetime(2024, m, 5, 15, 30), close=float(m), year=2024, month=m)
+        for m in (1, 2)
+    ] + [Row(security_id=1, timestamp=dt.datetime(2025, 1, 6, 15, 30), close=9.0, year=2025, month=1)]
+    write_partitioned(spark.createDataFrame(rows), hot, partition_by=["year", "month"])
+    consolidate_year(spark, hot, hist, year=2024)
+
+    all_rows = read_hot_cold(spark, hot, hist)
+    assert all_rows.count() == 3
+    q = all_rows.filter("year = 2024")
+    assert q.count() == 2
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # year predicate reaches both scans

@@ -147,3 +147,24 @@ def minute_to_daily_ohlcv(
     if size_col:
         aggs.append(F.sum(size_col).cast("long").alias("volume"))
     return bars.groupBy(F.col(key), day).agg(*aggs)
+
+
+def read_hot_cold(spark: SparkSession, hot_path: str, history_path: str) -> DataFrame:
+    """Transparent hot + history view (reference clients/ticks.py:148-292
+    hand-routes monthly objects vs history.parquet; with
+    ``sources.lake.consolidate_year`` keeping completed years in history and
+    the current year hot, the router is ONE diagonal union — year predicates
+    partition-prune each side independently, so a completed-year query never
+    lists hot files and a current-year query never lists history)."""
+    import os
+
+    frames = []
+    for path in (history_path, hot_path):
+        if os.path.exists(path):
+            frames.append(spark.read.parquet(path))
+    if not frames:
+        raise FileNotFoundError(f"neither {history_path} nor {hot_path} exists")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out

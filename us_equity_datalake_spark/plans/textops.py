@@ -617,3 +617,82 @@ def pii_scrub_q(spark, sf_dir):
         counts["phone"].cast("long").alias("n_phone"),
         hashing.md5_long32(text.redact_pii(F.col("raw"))).alias("redacted_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style line (segment) dedup: drop boilerplate segments shared across
+# many documents, reassemble the scrubbed text
+# ---------------------------------------------------------------------------
+
+_SEG_LEN = 10   # tokens per pseudo-line (the fixture corpus has no newlines)
+_SEG_DF = 3     # segments appearing in >= this many distinct docs are dropped
+
+
+@register(
+    "doc_line_dedup_scrub",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {text.tokens_sql('text')} AS t FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(t[1 + {_SEG_LEN} * i : {_SEG_LEN} * (i + 1)], ' ') AS seg
+      FROM toks
+      CROSS JOIN generate_series(0, 200) AS g(i)
+      WHERE {_SEG_LEN} * i < len(t)
+    ),
+    df AS (
+      SELECT seg, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM segs GROUP BY seg
+    ),
+    kept AS (
+      SELECT s.doc_id, s.pos, s.seg, df.n_docs
+      FROM segs s JOIN df ON s.seg = df.seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN n_docs >= {_SEG_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(string_agg(CASE WHEN n_docs < {_SEG_DF} THEN seg END, ' ' ORDER BY pos)) AS scrubbed_md5
+    FROM kept GROUP BY doc_id
+    """,
+    doc=f"CCNet/C4-style line dedup: split each doc into fixed {_SEG_LEN}-token "
+    "segments (the corpus has no newlines, so segments stand in for lines), "
+    f"drop segments shared by >= {_SEG_DF} distinct docs (cross-corpus "
+    "boilerplate), reassemble in order and fingerprint the scrubbed text.  "
+    "One distinct + one doc-frequency groupBy on the segment hash + one "
+    "join-back — no all-pairs anywhere; at 100 TB the df table is the only "
+    "shuffled aggregate and it is segment-cardinality, not doc-cardinality.",
+)
+def line_dedup_q(spark, sf_dir):
+    docs = parallelize_small_input(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text"), "doc_id"
+    )
+    t = text.tokens(F.col("text"))
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.floor((F.size(t) - 1) / _SEG_LEN).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice(t, i * _SEG_LEN + 1, _SEG_LEN)),
+            )
+        ).alias("pos", "seg"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    df_tab = segs.groupBy("seg").agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    kept = segs.join(df_tab, "seg")
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum((F.col("n_docs") >= _SEG_DF).cast("long")).cast("long").alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("n_docs") < _SEG_DF, F.struct("pos", "seg"))
+                        )
+                    ),
+                    lambda s: s.seg,
+                ),
+            )
+        ).alias("scrubbed_md5"),
+    )

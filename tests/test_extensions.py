@@ -312,3 +312,35 @@ def test_register_views_enables_plain_sql(spark):
         .count()
     )
     assert sql_n == df_n > 0
+
+
+def test_distributed_prefix_sum_matches_window(spark):
+    """Two-phase prefix sum must equal the single-partition window cumsum
+    bit-exact on integers — including skewed key distributions and bucket
+    counts above/below the row count."""
+    import random
+
+    from pyspark.sql import Row, Window
+
+    from us_equity_datalake_spark.operators.prefix import distributed_prefix_sum
+
+    rng = random.Random(7)
+    rows = [Row(k=i * 10 + rng.randint(0, 9), v=rng.randint(-5, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").dropDuplicates(["k"])
+    expect = {
+        r.k: r.c
+        for r in df.withColumn(
+            "c",
+            F.sum("v").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        ).collect()
+    }
+    for n_buckets in (1, 4, 2000):
+        got = {
+            r.k: r.cum
+            for r in distributed_prefix_sum(
+                df, order_by="k", value="v", out="cum", num_buckets=n_buckets
+            ).collect()
+        }
+        assert got == expect, f"mismatch at num_buckets={n_buckets}"

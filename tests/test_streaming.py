@@ -152,3 +152,41 @@ def test_stream_static_pit_enrichment(spark, event_dir, tmp_path):
     # user 0's events straddle the 02:00 boundary -> both ids must appear
     ids = {r.security_id for r in got if r.user_id == 0}
     assert ids == {1001, 2001}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (view->click attribution within 30 min)
+    over availableNow must produce exactly the batch inequality-join rows."""
+    from us_equity_datalake_spark.streaming.windows import stream_stream_interval_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    views = [Row(event_id=i, ts=base + dt.timedelta(minutes=10 * i), user_id=i % 3,
+                 event_type="view", value=float(i)) for i in range(12)]
+    clicks_schema = T.StructType([
+        T.StructField("click_id", T.LongType()),
+        T.StructField("ts_r", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+    ])
+    clicks = [Row(click_id=100 + i, ts_r=base + dt.timedelta(minutes=10 * i + 5), user_id=(i + 1) % 3)
+              for i in range(12)]
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    spark.createDataFrame(views, SCHEMA).write.parquet(vdir)
+    spark.createDataFrame(clicks, clicks_schema).write.parquet(cdir)
+
+    vstream = read_stream(spark, vdir, SCHEMA).select("user_id", "ts")
+    cstream = read_stream(spark, cdir, clicks_schema)
+    joined = stream_stream_interval_join(vstream, cstream)
+    got = _run_to_memory(spark, joined, "ss_join_out", str(tmp_path / "ck_ss"))
+
+    vb = spark.read.parquet(vdir).select("user_id", "ts")
+    cb = spark.read.parquet(cdir)
+    expect = vb.join(
+        cb,
+        (vb.user_id == cb.user_id)
+        & (F.col("ts_r") >= F.col("ts"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 30 minutes")),
+    ).select(vb.user_id, "ts", "ts_r")
+
+    g = sorted((r.user_id, str(r.ts), str(r.ts_r)) for r in got.collect())
+    e = sorted((r.user_id, str(r.ts), str(r.ts_r)) for r in expect.collect())
+    assert g == e and len(g) > 0

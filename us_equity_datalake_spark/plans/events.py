@@ -263,3 +263,72 @@ def cohort_q(spark, sf_dir):
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").cast("long").alias("n_active")
     )
+
+
+@register(
+    "funnel_windowed_conversion",
+    oracle="""
+    WITH stamped AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    s2 AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'click' AND ts > t1
+                       AND ts <= t1 + INTERVAL 2 DAY THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM stamped
+    ),
+    s3 AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                       AND ts <= t2 + INTERVAL 3 DAY THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    ),
+    per_user AS (SELECT DISTINCT user_id, t1, t2, t3 FROM s3)
+    SELECT CAST(COUNT(t1) AS BIGINT) AS n_view,
+           CAST(COUNT(t2) AS BIGINT) AS n_click_2d,
+           CAST(COUNT(t3) AS BIGINT) AS n_purchase_3d,
+           ROUND(COUNT(t3) * 1.0 / NULLIF(COUNT(t1), 0), 6) AS conversion
+    FROM per_user
+    """,
+    doc="Funnel with CONVERSION DEADLINES (view -> click within 2 days -> "
+    "purchase within 3 days of the click): each stage's deadline depends on "
+    "the previous stage's timestamp, so the one-pass conditional-min trick "
+    "(funnel_conversion) no longer applies — three sequential window MINs "
+    "over the SAME user_id partitioning compute t1/t2/t3 in one shuffle, "
+    "then a distinct + global count.  The canonical attribution-window "
+    "funnel at 100 TB: still exactly one shuffle of the event table.",
+)
+def funnel_windowed_q(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    uw = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(uw)
+    stamped = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 2 DAY")),
+            F.col("ts"),
+        )
+    ).over(uw)
+    s2 = stamped.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 3 DAY")),
+            F.col("ts"),
+        )
+    ).over(uw)
+    per_user = s2.withColumn("t3", t3).select("user_id", "t1", "t2", "t3").distinct()
+    return per_user.agg(
+        F.count("t1").cast("long").alias("n_view"),
+        F.count("t2").cast("long").alias("n_click_2d"),
+        F.count("t3").cast("long").alias("n_purchase_3d"),
+        F.round(F.count("t3") / F.nullif(F.count("t1").cast("double"), F.lit(0.0)), 6).alias("conversion"),
+    )

@@ -696,3 +696,75 @@ def line_dedup_q(spark, sf_dir):
             )
         ).alias("scrubbed_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concatenate the corpus token stream (doc_id order) and
+# chunk into fixed-length training sequences
+# ---------------------------------------------------------------------------
+
+_PACK_C = 256  # tokens per packed training sequence
+
+
+@register(
+    "token_pack_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({text.tokens_sql('text')}) AS n FROM documents
+    ),
+    nz AS (SELECT doc_id, n FROM toks WHERE n > 0),
+    c AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM nz
+    ),
+    spans AS (
+      SELECT doc_id, n, cum, cum - n AS cum_prev,
+             CAST((cum - n) // {_PACK_C} AS BIGINT) AS first_seq,
+             CAST((cum - 1) // {_PACK_C} AS BIGINT) AS last_seq
+      FROM c
+    ),
+    exploded AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(first_seq, last_seq)) AS BIGINT) AS seq_id,
+             cum, cum_prev
+      FROM spans
+    )
+    SELECT seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(least(cum, (seq_id + 1) * {_PACK_C}) - greatest(cum_prev, seq_id * {_PACK_C})) AS BIGINT) AS n_tokens
+    FROM exploded GROUP BY seq_id
+    """,
+    doc=f"Sequence packing (LLM training-data prep): the corpus token stream "
+    f"in doc_id order chunked into {_PACK_C}-token sequences; per sequence "
+    "the number of contributing docs and tokens.  The global running total "
+    "comes from operators/prefix.distributed_prefix_sum — range partition + "
+    "local cumsum + driver-scanned per-partition offsets — NOT a "
+    "single-partition window, so the shape survives 100 TB (the oracle uses "
+    "the plain window form; integer sums make them bit-identical).",
+)
+def token_pack_q(spark, sf_dir):
+    from us_equity_datalake_spark.operators.prefix import distributed_prefix_sum
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(text.tokens(F.col("text"))).cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    c = distributed_prefix_sum(docs, order_by="doc_id", value="n", out="cum")
+    spans = c.select(
+        "doc_id",
+        "cum",
+        (F.col("cum") - F.col("n")).alias("cum_prev"),
+        F.floor((F.col("cum") - F.col("n")) / _PACK_C).alias("first_seq"),
+        F.floor((F.col("cum") - 1) / _PACK_C).alias("last_seq"),
+    )
+    exploded = spans.select(
+        "doc_id", "cum", "cum_prev",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    ).withColumn("seq_id", F.col("seq_id").cast("long"))
+    return exploded.groupBy("seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.least(F.col("cum"), (F.col("seq_id") + 1) * _PACK_C)
+            - F.greatest(F.col("cum_prev"), F.col("seq_id") * _PACK_C)
+        ).cast("long").alias("n_tokens"),
+    )

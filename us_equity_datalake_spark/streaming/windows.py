@@ -53,3 +53,33 @@ def streaming_dedup(df: DataFrame, *, keys: list[str], watermark_col: str | None
         df = df.withWatermark(watermark_col, watermark)
         return df.dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (impressions ⋈ clicks attribution): right
+    events join left events of the same key that happened within
+    ``within`` BEFORE them.  Both sides carry watermarks so state is bounded
+    — Spark drops left state once right's watermark passes left_ts + within.
+
+    Batch twin for tests: the same inequality join on static frames (results
+    must match exactly on bounded input).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        lw[key].alias(key), F.col(left_ts), F.col(right_ts)
+    )

@@ -344,3 +344,29 @@ def test_distributed_prefix_sum_matches_window(spark):
             ).collect()
         }
         assert got == expect, f"mismatch at num_buckets={n_buckets}"
+
+
+def test_assign_running_ids_distributed_matches_window_form(spark):
+    """W5 scale path: the prefix-sum id assignment must equal the
+    single-partition-window form on the same change-detection input."""
+    import random
+
+    from pyspark.sql import Row
+
+    from us_equity_datalake_spark.operators.windows import (
+        assign_running_ids,
+        assign_running_ids_distributed,
+    )
+
+    rng = random.Random(3)
+    rows = [Row(k=i, grp=rng.randint(0, 1) == 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, grp boolean")
+    w_ids = {
+        r.k: r.assigned_id
+        for r in assign_running_ids(df, order=["k"], new_group=F.col("grp")).collect()
+    }
+    d_ids = {
+        r.k: r.assigned_id
+        for r in assign_running_ids_distributed(df, order="k", new_group=F.col("grp")).collect()
+    }
+    assert d_ids == w_ids

@@ -63,3 +63,47 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_l")
         spark.sql("DROP TABLE IF EXISTS t_bkt_r")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling — the runtime half of the skew toolkit: with
+    the skew thresholds lowered to test scale, a hot-key join must show
+    skew-split partitions in the final adaptive plan (the salted operators
+    exist for the shapes AQE can't see; this pins that AQE itself is active
+    for the ones it can)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 60000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            # incompressible payload: shuffle blocks are LZ4'd, and a
+            # repetitive pad would compress below the skew threshold
+            F.concat(
+                *[F.sha2(F.concat(F.col("id").cast("string"), F.lit(f"s{i}")), 256) for i in range(4)]
+            ).alias("payload"),
+        )
+        # plain projection on the right: OptimizeSkewedJoin only fires when
+        # BOTH join children are direct shuffle reads — an aggregate between
+        # the shuffle and the join disqualifies the pattern
+        right = spark.range(0, 60000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("r"))
+        joined = big.join(right, "k")
+        # collect() executes THIS DataFrame's own queryExecution (count()
+        # would wrap it in a new plan and leave this one isFinalPlan=false)
+        n = len(joined.collect())
+        assert n == 60000  # every big row keeps exactly one match
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -79,3 +79,24 @@ def keep_first(df: DataFrame, *, partition: list[str], order: list[Column], out_
     Polars ``maintain_order=True`` (SURVEY.md §7.3 item 4)."""
     w = Window.partitionBy(*partition).orderBy(*order)
     return df.withColumn(out_rank, F.row_number().over(w)).filter(F.col(out_rank) == 1).drop(out_rank)
+
+
+def assign_running_ids_distributed(
+    df: DataFrame,
+    *,
+    order: str,
+    new_group: Column,
+    out: str = "assigned_id",
+    base: int = 1000,
+) -> DataFrame:
+    """W5 at fact scale: same ``id = base + cumsum(new_group_flag)`` semantics
+    as :func:`assign_running_ids`, but the global running count comes from
+    ``operators.prefix.distributed_prefix_sum`` (range buckets + local
+    cumsums + driver-scanned offsets) instead of a single-partition window —
+    use this form when the ordered frame is no longer dimension-sized.
+    ``order`` must be a unique numeric key (the prefix-sum contract)."""
+    from us_equity_datalake_spark.operators.prefix import distributed_prefix_sum
+
+    flagged = df.withColumn("__flag", new_group.cast("long"))
+    out_df = distributed_prefix_sum(flagged, order_by=order, value="__flag", out="__cum")
+    return out_df.withColumn(out, F.col("__cum") + F.lit(base)).drop("__flag", "__cum")

@@ -768,3 +768,43 @@ def token_pack_q(spark, sf_dir):
             - F.greatest(F.col("cum_prev"), F.col("seq_id") * _PACK_C)
         ).cast("long").alias("n_tokens"),
     )
+
+
+_HH_K = 5
+
+
+@register(
+    "top_terms_per_source",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT d.source, unnest(t) AS tok FROM toks JOIN documents d USING (doc_id))
+      GROUP BY source, tok
+    )
+    SELECT source, tok, n, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rnk
+      FROM tf
+    ) WHERE rnk <= {_HH_K}
+    """,
+    doc=f"Per-group heavy hitters: top-{_HH_K} tokens per source by frequency "
+    "— explode + one map-side-combined (source, token) count + per-source "
+    "window rank.  The exact form; at 100 TB swap the exact count for a "
+    "count-min/space-saving sketch per partition and merge (the groupBy "
+    "shape is identical).  Deterministic tie-break on the token.",
+)
+def top_terms_q(spark, sf_dir):
+    docs = _docs_parallel(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    tf = (
+        docs.select("source", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HH_K)
+        .withColumn("rnk", F.col("rnk").cast("long"))
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from us_equity_datalake_spark.equity.fundamentals import normalize_fundamental
 from us_equity_datalake_spark.equity.metrics import compute_metrics_long
@@ -121,28 +121,74 @@ def update_daily_ticks(spark: SparkSession, lake: LakePaths, ticks_batch: DataFr
         pt.unpersist()
 
 
-def update_fundamentals(spark: SparkSession, lake: LakePaths, raw: DataFrame) -> dict:
+N_SYM_BUCKETS = 64  # derived-table partition count: pmod(hash(symbol), N)
+
+
+def _sym_bucket(col: Column) -> Column:
+    return F.pmod(F.hash(col), F.lit(N_SYM_BUCKETS))
+
+
+def update_fundamentals(
+    spark: SparkSession, lake: LakePaths, raw: DataFrame, *, incremental: bool = True
+) -> dict:
     """Stage 7 (F1-F3 + I4 + W1 + metrics): normalize raw datapoints, append
-    fresh rows, rebuild the derived TTM/metrics tables from the full lake."""
-    fund_long = normalize_fundamental(raw)
+    fresh rows, rebuild the derived TTM/metrics tables.
+
+    ``incremental=True`` (the 100 TB shape): derived tables are partitioned
+    by ``sym_bucket = pmod(hash(symbol), 64)``; only the buckets touched by
+    today's appended symbols are recomputed and dynamic-overwritten — a day
+    touching 1% of symbols reads ~1% of the fundamental lake (bucket filter
+    pushes to the scan) and rewrites ~those buckets, instead of rebuilding
+    the whole derived tier.  Falls back to a full rebuild on the first run
+    (no derived tables yet) or when ``incremental=False``."""
+    fund_long = normalize_fundamental(raw).withColumn("sym_bucket", _sym_bucket(F.col("symbol")))
     appended = read_check_append(
-        spark, fund_long, lake.fundamental, keys=["symbol", "concept", "frame", "accn"]
+        spark, fund_long, lake.fundamental, keys=["symbol", "concept", "frame", "accn"],
+        partition_by=["sym_bucket"],
     )
     if not _exists(lake.fundamental):
         # empty fetch day on a fresh lake: nothing was ever written — skip the
         # derived rebuild instead of crashing on a missing path
         return {"fundamental_appended": 0, "ttm_rows": 0, "metric_rows": 0}
+
+    do_incremental = incremental and _exists(lake.ttm) and _exists(lake.metrics)
     full = spark.read.parquet(lake.fundamental)
+    if do_incremental:
+        touched = sorted(
+            r.sym_bucket
+            for r in fund_long.select("sym_bucket").distinct().collect()
+        )
+        report_buckets = len(touched)
+        full = full.filter(F.col("sym_bucket").isin(touched))  # partition-pruned scan
+    else:
+        report_buckets = N_SYM_BUCKETS
+
     duration = full.filter(~F.col("is_instant"))
     stock = full.filter(F.col("is_instant")).select("symbol", "as_of_date", "concept", "value")
-    ttm = compute_ttm_long(duration)
-    write_partitioned(ttm, lake.ttm, partition_by=[])
-    metrics = compute_metrics_long(ttm.select("symbol", "as_of_date", "concept", "value"), stock)
-    write_partitioned(metrics, lake.metrics, partition_by=[])
+    ttm = compute_ttm_long(duration).withColumn("sym_bucket", _sym_bucket(F.col("symbol")))
+    metrics = compute_metrics_long(
+        ttm.select("symbol", "as_of_date", "concept", "value"), stock
+    ).withColumn("sym_bucket", _sym_bucket(F.col("symbol")))
+    if do_incremental:
+        # dynamic overwrite replaces exactly the recomputed buckets
+        overwrite_partition(spark, ttm, lake.ttm, partition_by=["sym_bucket"])
+        overwrite_partition(spark, metrics, lake.metrics, partition_by=["sym_bucket"])
+    else:
+        write_partitioned(ttm, lake.ttm, partition_by=["sym_bucket"])
+        write_partitioned(metrics, lake.metrics, partition_by=["sym_bucket"])
+    def _count(path: str) -> int:
+        # a zero-row partitioned write leaves no schema-bearing files, so the
+        # readback cannot infer a schema — that is simply 0 rows
+        try:
+            return spark.read.parquet(path).count()
+        except Exception:
+            return 0
+
     return {
         "fundamental_appended": appended,
-        "ttm_rows": spark.read.parquet(lake.ttm).count(),
-        "metric_rows": spark.read.parquet(lake.metrics).count(),
+        "derived_buckets_rebuilt": report_buckets,
+        "ttm_rows": _count(lake.ttm),
+        "metric_rows": _count(lake.metrics),
     }
 
 

@@ -292,3 +292,45 @@ def scd2_q(spark, sf_dir):
         dim.cache(), changes.cache(), key="k", attrs=["segment", "nation"],
         effective_date=_SCD_EFF,
     )
+
+
+@register(
+    "realized_vol_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    bars AS (
+      SELECT user_id AS security_id, CAST(ts AS DATE) AS d, ts, event_id, value
+      FROM events WHERE value > 0
+    ),
+    rets AS (
+      SELECT security_id, d,
+             value / LAG(value) OVER (
+               PARTITION BY security_id, d ORDER BY ts, event_id) - 1 AS r
+      FROM bars
+    )
+    SELECT security_id, d,
+           CAST(COUNT(r) AS BIGINT) AS n_rets,
+           ROUND(sqrt({dec_sum_sql('r * r', 12)}), 6) AS realized_vol
+    FROM rets WHERE r IS NOT NULL
+    GROUP BY security_id, d
+    """,
+    doc="Realized volatility per (security, day): sqrt of the sum of squared "
+    "intraday returns — the microstructure vol estimator.  Returns via one "
+    "lag window per (security, day); the squared-return sum is decimal "
+    "(order-independent, engine-identical) with the sqrt applied to the "
+    "exact sum.  Window and final groupBy share the (security, day) "
+    "partitioning — one shuffle.",
+)
+def realized_vol_q(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value") > 0)
+    w = Window.partitionBy(F.col("user_id"), F.col("ts").cast("date")).orderBy("ts", "event_id")
+    rets = ev.select(
+        F.col("user_id").alias("security_id"),
+        F.col("ts").cast("date").alias("d"),
+        (F.col("value") / F.lag("value").over(w) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    dec12 = lambda c: F.sum(c.cast("decimal(30,12)")).cast("double")  # noqa: E731
+    return rets.groupBy("security_id", "d").agg(
+        F.count("r").cast("long").alias("n_rets"),
+        F.round(F.sqrt(dec12(F.col("r") * F.col("r"))), 6).alias("realized_vol"),
+    )

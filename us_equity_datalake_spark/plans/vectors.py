@@ -252,3 +252,61 @@ def kmeans_q(spark, sf_dir):
     return similarity.kmeans_assign(
         emb, id_col="vec_id", vec_col="embedding", k=_KM_K, iters=_KM_ITERS
     )
+
+
+@register(
+    "emb_int8_quantize_report",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    err AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale > 0 THEN
+               list_sum(list_transform(e, x ->
+                 (x - FLOOR(x / scale + 0.5) * scale) * (x - FLOOR(x / scale + 0.5) * scale)))
+             ELSE 0.0 END AS sse,
+             len(e) AS dim
+      FROM scaled
+    )
+    SELECT vec_id,
+           FLOOR(scale * 1000000 + 0.5) / 1000000 AS scale,
+           FLOOR(sqrt(sse / dim) * 100000000 + 0.5) / 100000000 AS rmse
+    FROM err
+    """,
+    doc="Int8 symmetric quantization report (the embedding-storage path for "
+    "billion-vector ANN): per-vector scale = max|x|/127, quantize via the "
+    "engine-portable floor(x/s + 0.5) round-half-up, reconstruction RMSE "
+    "per vector.  Pure higher-order array ops, no shuffle at all — the "
+    "at-scale form maps each parquet row-group once and writes the int8 "
+    "column alongside.",
+)
+def quantize_q(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, F.abs)) / 127.0
+    # the raw scale column must NOT share a name with the rounded output:
+    # Spark's lateral column alias resolution would bind the lambda's
+    # F.col("scale") to the ROUNDED alias in the same select (measured: rmse
+    # then quantizes against the rounded scale and diverges from the oracle)
+    df = emb.select("vec_id", e.alias("e"), scale.alias("s_raw"))
+    deq_err = lambda x: (x - F.floor(x / F.col("s_raw") + 0.5) * F.col("s_raw"))  # noqa: E731
+    sse = F.when(
+        F.col("s_raw") > 0,
+        F.aggregate(
+            F.transform(F.col("e"), lambda x: deq_err(x) * deq_err(x)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "vec_id",
+        (F.floor(F.col("s_raw") * 1e6 + 0.5) / 1e6).alias("scale"),
+        (F.floor(F.sqrt(sse / F.size(F.col("e"))) * 1e8 + 0.5) / 1e8).alias("rmse"),
+    )

@@ -932,3 +932,49 @@ def companyfacts_normalize_q(spark, sf_dir):
     return out.select(
         "cik", "tag", "unit", F.col("end").alias("end_date"), "val", "accn"
     )
+
+
+_FW_TARGET = "1995-06-30"
+_FW_LOOKBACK = 30
+
+
+@register(
+    "filing_window_filter",
+    oracle=f"""
+    WITH filings AS (
+      SELECT o_orderkey AS filing_id,
+             CAST(o_orderdate AS DATE) AS filing_date,
+             CASE o_orderpriority
+               WHEN '1-URGENT' THEN '10-K' WHEN '2-HIGH' THEN '10-Q'
+               WHEN '3-MEDIUM' THEN '8-K' WHEN '4-NOT SPECIFIED' THEN 'S-1'
+               ELSE '10-K/A' END AS filing_type
+      FROM orders
+    )
+    SELECT filing_id, filing_date, filing_type
+    FROM filings
+    WHERE filing_date >= DATE '{_FW_TARGET}' - {_FW_LOOKBACK}
+      AND filing_date <= DATE '{_FW_TARGET}'
+      AND filing_type IN ('10-K', '10-Q', '10-K/A', '10-Q/A', '8-K')
+    """,
+    doc=f"P8+P9+I2 (reference update/app.py:154-206 get_recent_edgar_filings): "
+    f"the trailing {_FW_LOOKBACK}-day filing re-check window — relevant form "
+    "types only (P8), future-dated filings excluded (P9: filing_date must "
+    "not exceed the target date), lookback lower bound (I2).  Fixture maps "
+    "order priority to form type; rows after the target date exercise the "
+    "future-date guard.  All three predicates push to the scan.",
+)
+def filing_window_q(spark, sf_dir):
+    from us_equity_datalake_spark.equity.daily_job import recent_filings_window
+
+    filings = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("filing_id"),
+        F.col("o_orderdate").cast("date").alias("filing_date"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "10-K")
+        .when(F.col("o_orderpriority") == "2-HIGH", "10-Q")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "8-K")
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", "S-1")
+        .otherwise("10-K/A").alias("filing_type"),
+    )
+    return recent_filings_window(
+        filings, target_date=_FW_TARGET, lookback_days=_FW_LOOKBACK
+    ).select("filing_id", "filing_date", "filing_type")

@@ -107,3 +107,32 @@ def test_alpaca_recorded_pages_drain_through_pagination(spark):
     per_sym = {r.symbol: r.n for r in df.groupBy("symbol").count().withColumnRenamed("count", "n").collect()}
     assert per_sym == {"AAPL": 2, "MSFT": 2}
     assert df.schema["volume"].dataType.typeName() == "long"
+
+
+def test_crsp_universe_query_composition_and_landing(spark):
+    """Historical-universe SQL (reference universe/historical.py:53-63):
+    year-overlap interval predicate (no survivorship bias), common-share and
+    major-exchange codes; recorded-shape rows land uppercased + keep-first
+    deduped."""
+    from us_equity_datalake_spark.sources.adapters import crsp_universe_query, universe_rows_to_df
+
+    sql = crsp_universe_query(2024)
+    assert "namedt <= '2024-12-31'" in sql and "nameendt >= '2024-01-01'" in sql
+    assert "shrcd IN (10, 11)" in sql and "exchcd IN (1, 2, 3)" in sql
+    assert "ticker IS NOT NULL" in sql
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        crsp_universe_query("2024; DROP TABLE x")  # P10 at the SQL edge
+
+    rows = [
+        {"tsymbol": "brkb", "comnam": "BERKSHIRE HATHAWAY", "permno": 17778},
+        {"tsymbol": "BRKB", "comnam": "BERKSHIRE HATHAWAY DEL", "permno": 99999},  # dup, higher permno
+        {"tsymbol": "aapl", "comnam": "APPLE INC", "permno": 14593},
+    ]
+    df = universe_rows_to_df(spark, rows)
+    got = {r.ticker: (r.name, r.permno) for r in df.collect()}
+    assert got == {
+        "BRKB": ("BERKSHIRE HATHAWAY", 17778),  # keep-first by permno
+        "AAPL": ("APPLE INC", 14593),
+    }

@@ -27,7 +27,7 @@ import datetime as dt
 import re
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from us_equity_datalake_spark.sources.ingest import TokenBucket, retry_with_backoff
 
@@ -297,3 +297,57 @@ def figi_map_df(spark: SparkSession, mapping: dict[str, str | None]) -> DataFram
     can never match anything)."""
     rows = [(t, f) for t, f in sorted(mapping.items()) if f is not None]
     return spark.createDataFrame(rows, FIGI_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# S4 concrete — CRSP historical universe (dsenames)
+# ---------------------------------------------------------------------------
+
+CRSP_COMMON_SHARE_CODES = (10, 11)   # shrcd: ordinary common shares
+CRSP_MAJOR_EXCHANGES = (1, 2, 3)     # exchcd: NYSE / AMEX / NASDAQ
+
+
+def crsp_universe_query(year: int) -> str:
+    """Historical universe for a year (reference universe/historical.py:14-96):
+    every dsenames row whose NAME INTERVAL OVERLAPS the year — mid-year IPOs
+    and delistings included, so no survivorship bias — restricted to common
+    shares (shrcd 10/11) on the major exchanges (exchcd 1/2/3).  Feed to
+    ``spark.read.format('jdbc')``; dedup Ticker keep-first downstream
+    (operators.dedup / universe.filter_universe)."""
+    y = int(year)
+    if not 1900 < y < 2100:
+        raise ValueError(f"invalid year: {year!r}")
+    shr = ", ".join(str(c) for c in CRSP_COMMON_SHARE_CODES)
+    exch = ", ".join(str(c) for c in CRSP_MAJOR_EXCHANGES)
+    return (
+        "SELECT DISTINCT ticker, tsymbol, permno, comnam, shrcd, exchcd\n"
+        "FROM crsp_a_stock.dsenames\n"
+        f"WHERE namedt <= '{y}-12-31'\n"
+        f"  AND nameendt >= '{y}-01-01'\n"
+        "  AND ticker IS NOT NULL\n"
+        f"  AND shrcd IN ({shr})\n"
+        f"  AND exchcd IN ({exch})"
+    )
+
+
+def universe_rows_to_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """(tsymbol, comnam, permno) result rows → the (ticker, name, permno)
+    frame ``filter_universe``/``update_universe`` consume; ticker uppercased,
+    keep-first per ticker like the reference's maintain_order unique."""
+    from us_equity_datalake_spark.operators.dedup import dedup_keep_first
+
+    schema = T.StructType(
+        [
+            T.StructField("ticker", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("permno", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            {"ticker": (r.get("tsymbol") or "").upper(), "name": r.get("comnam"), "permno": r.get("permno")}
+            for r in rows
+        ],
+        schema,
+    )
+    return dedup_keep_first(df, keys=["ticker"], order=[F.col("permno").asc_nulls_last()])

@@ -41,11 +41,32 @@ def test_chunk_sentence_boundary_snap():
 
 
 def test_extract_mdna_patterns():
-    filing = "intro " * 50 + "Item 7. Management's Discussion and Analysis " + "body " * 300 + "Item 7A. Quantitative"
+    filing = ("intro " * 50 + "Item 7. Management's Discussion and Analysis "
+              + "body " * 300 + "Item 7A. Quantitative and Qualitative Disclosures")
     section = extract_mdna(filing)
     assert section is not None
-    assert section.lower().startswith("item 7")
+    # reference semantics: the section starts AFTER the heading (match.end())
+    assert section.strip().startswith("body")
     assert "item 7a" not in section.lower()
+    assert "management" not in section.lower()
+
+
+def test_extract_mdna_priority_and_qualified_ends():
+    # 10-K heading wins over an EARLIER 10-Q-style item 2 mention
+    # (pattern-priority order, reference sentiment.py:202-206)
+    filing = ("Item 2. Management's Discussion and Analysis (TOC) ... filler ... "
+              + "Item 7. Management's Discussion and Analysis " + "real body " * 100
+              + "Item 8. Financial Statements")
+    section = extract_mdna(filing)
+    assert section is not None and section.strip().startswith("real body")
+    # a bare unqualified 'Item 8' mention inside the body must NOT truncate
+    filing2 = ("Item 7. Management's Discussion and Analysis "
+               + "body mentions Item 8 here without the magic words " * 30
+               + "Item 8. Financial Statements and Supplementary Data tail")
+    section2 = extract_mdna(filing2)
+    assert section2 is not None
+    assert "without the magic words" in section2
+    assert "Supplementary" not in section2
 
 
 def test_extract_mdna_min_length_guard():

@@ -34,41 +34,50 @@ MODEL_VERSION = "1.0.0"
 # N1 — MD&A section extraction (collection/sentiment.py:60-79, 189-237)
 # ---------------------------------------------------------------------------
 
+# Patterns and search discipline mirror the reference exactly
+# (collection/sentiment.py:61-79, 189-238): start patterns are tried in
+# PRIORITY order (first pattern that matches anywhere wins — 10-K item 7
+# forms before the 10-Q item 2 form), the section begins AFTER the heading
+# (match.end()), and end patterns carry their qualifying words so a bare
+# TOC "Item 8" inside the body can't truncate the section.
 _MDNA_START = [
-    r"item\s*7\s*[\.\-:]?\s*management'?s?\s+discussion",
-    r"item\s*2\s*[\.\-:]?\s*management'?s?\s+discussion",
+    r"(?i)item\s+7[\.\s:]*management['’]?s\s+discussion\s+and\s+analysis",
+    r"(?i)item\s+7[\.\s:]*md\s*&\s*a",
+    r"(?i)item\s+7[\.\s:]*management['’]?s\s+discussion",
+    r"(?i)item\s+2[\.\s:]*management['’]?s\s+discussion\s+and\s+analysis",
+    r"(?i)item\s+2[\.\s:]*md\s*&\s*a",
 ]
 _MDNA_END = [
-    r"item\s*7a\s*[\.\-:]?",
-    r"item\s*8\s*[\.\-:]?",
-    r"item\s*3\s*[\.\-:]?\s*quantitative",
-    r"item\s*4\s*[\.\-:]?\s*controls",
+    r"(?i)item\s+7a[\.\s:]*quantitative\s+and\s+qualitative",
+    r"(?i)item\s+8[\.\s:]*financial\s+statements",
+    r"(?i)item\s+3[\.\s:]*quantitative\s+and\s+qualitative",
+    r"(?i)item\s+4[\.\s:]*controls\s+and\s+procedures",
 ]
 _MDNA_FALLBACK_CHARS = 100_000
 _MDNA_MIN_LEN = 500
 
 
 def extract_mdna(text: str) -> str | None:
-    """Earliest start-pattern match → earliest end-pattern match after it;
-    100 KB fallback when no end found; None when < 500 chars."""
+    """First start pattern (priority order) → earliest end-pattern match
+    after the heading; 100 KB fallback when no end found; None when the
+    section is < 500 chars (reference extract_mda :189-238)."""
     if not text:
         return None
-    low = text.lower()
-    start = None
+    start_match = None
     for pat in _MDNA_START:
-        m = re.search(pat, low)
-        if m and (start is None or m.start() < start):
-            start = m.start()
-    if start is None:
+        m = re.search(pat, text)
+        if m:
+            start_match = m
+            break
+    if start_match is None:
         return None
+    after = text[start_match.end():]
     end = None
     for pat in _MDNA_END:
-        m = re.search(pat, low[start + 100:])
-        if m:
-            pos = start + 100 + m.start()
-            if end is None or pos < end:
-                end = pos
-    section = text[start:end] if end else text[start:start + _MDNA_FALLBACK_CHARS]
+        m = re.search(pat, after)
+        if m and (end is None or m.start() < end):
+            end = m.start()
+    section = after[:end] if end is not None else after[:_MDNA_FALLBACK_CHARS]
     return section if len(section) >= _MDNA_MIN_LEN else None
 
 

@@ -307,3 +307,39 @@ def test_symbol_normalizer_edge_cases(spark):
     assert out["ABCD"] == "ABCD"     # the documented edge case
     assert out["ABC.D"] == "ABC.D"
     assert out["ZZZQ"] == "ZZZQ"
+
+
+def test_same_permno_symbol_change_disjoint_ciks_new_id(spark):
+    """security_map rule 2 (reference :586-590): same PERMNO, symbol changed
+    AND no CIK overlap -> NEW security_id; with a shared CIK -> same id; two
+    non-SEC-filer periods (null CIKs) overlap via the null sentinel."""
+    rows = [
+        # rename with surviving CIK -> same id
+        nh(1, "AAA", "Alpha", "2010-01-01", "2014-12-31", cik="0001"),
+        nh(1, "AAB", "Alpha Renamed", "2015-01-01", "2020-12-31", cik="0001"),
+        # same permno, symbol change, disjoint CIKs -> NEW id
+        nh(2, "BBB", "Beta", "2010-01-01", "2014-12-31", cik="0002"),
+        nh(2, "BBC", "Gamma Unrelated", "2015-01-01", "2020-12-31", cik="0009"),
+        # same permno, symbol change, both periods null-CIK -> overlap -> same id
+        nh(3, "CCC", "NonFiler", "2010-01-01", "2014-12-31"),
+        nh(3, "CCD", "NonFiler Renamed", "2015-01-01", "2020-12-31"),
+    ]
+    m = {r.symbol: r.security_id for r in build_security_master(
+        spark.createDataFrame(rows, NH_SCHEMA)).collect()}
+    assert m["AAA"] == m["AAB"]
+    assert m["BBB"] != m["BBC"]
+    assert m["CCC"] == m["CCD"]
+
+
+def test_master_keeps_per_variant_interval_rows(spark):
+    """J7 join-back (reference :594-618): a company rename within the same
+    (permno, symbol) keeps BOTH interval rows with their own dates and one
+    shared security_id."""
+    rows = [
+        nh(7, "DDD", "Delta Old Name", "2010-01-01", "2015-12-31", cik="0007"),
+        nh(7, "DDD", "Delta New Name", "2016-01-01", "2020-12-31", cik="0007"),
+    ]
+    out = build_security_master(spark.createDataFrame(rows, NH_SCHEMA)).collect()
+    assert len(out) == 2
+    assert len({r.security_id for r in out}) == 1
+    assert {r.company for r in out} == {"Delta Old Name", "Delta New Name"}

@@ -40,18 +40,27 @@ def build_security_master(name_history: DataFrame) -> DataFrame:
     cusip (nullable), start_date (date), end_date (date).  Steps
     (security_master.py:404-638):
 
-    1. A6 priority dedup: one row per (permno, symbol, start_date) — longest
-       validity first (explicit row_number, not order-dependent drop_duplicates).
-    2. A1 rollup per (permno, symbol): min start, max end, first company/cusip
-       by start_date, collect_set(cik).
-    3. W4 change detection over the WHOLE frame ordered (permno, start_date):
-       new business iff permno != previous row's permno.  (The reference
-       shifts over the full sorted frame, not per-permno — preserved.)
+    1. A6 priority dedup: one row per (permno, symbol, start_date, end_date)
+       — longest validity first (explicit row_number, not order-dependent
+       drop_duplicates; reference :410-423).
+    2. A1 rollup per (permno, symbol): min start, max end, first
+       company/cusip by start_date, and the set of ALL CIKs the period saw
+       (``security_map`` step 1, :536-549 — null CIK kept as a sentinel
+       member so two non-SEC-filer periods still count as overlapping,
+       exactly like Python set intersection over {None}).
+    3. W4 change detection over the WHOLE frame ordered (permno, start_date)
+       (:567-590): new business iff first row, OR permno changed, OR permno
+       same but the SYMBOL changed AND no CIK is shared with the previous
+       period — a same-permno symbol change with a surviving CIK keeps its
+       identity (rename), one with disjoint CIKs is a new business.
     4. W5: security_id = ID_BASE + running count of new-business flags.
+    5. J7 assignment join-back (:594-618): ids join back onto the deduped
+       per-variant rows, so the master keeps one interval row per
+       (permno, symbol, company, cik, cusip) variant with its own dates.
     """
     deduped = dedup_keep_first(
         name_history,
-        keys=["permno", "symbol", "start_date"],
+        keys=["permno", "symbol", "start_date", "end_date"],
         order=[F.datediff("end_date", "start_date").desc(), F.col("cik").asc_nulls_last()],
     )
     rolled = (
@@ -59,36 +68,37 @@ def build_security_master(name_history: DataFrame) -> DataFrame:
         .agg(
             F.min("start_date").alias("start_date"),
             F.max("end_date").alias("end_date"),
-            F.min(F.struct("start_date", "company")).alias("__c"),
-            F.min(F.struct("start_date", "cusip")).alias("__cu"),
-            F.array_sort(F.collect_set("cik")).alias("ciks"),
-        )
-        .select(
-            "permno",
-            "symbol",
-            F.col("__c.company").alias("company"),
-            F.col("__cu.cusip").alias("cusip"),
-            "ciks",
-            "start_date",
-            "end_date",
+            F.array_sort(F.collect_set(F.coalesce(F.col("cik"), F.lit("__NULL_CIK__")))).alias("ciks"),
         )
     )
-    # global ordered window — dimension-scale only (documented tradeoff)
+    # global ordered window — dimension-scale only (documented tradeoff;
+    # operators.windows.assign_running_ids_distributed is the fact-scale twin)
     w = Window.orderBy("permno", "start_date")
-    flagged = rolled.withColumn(
-        "new_business", ~F.col("permno").eqNullSafe(F.lag("permno").over(w))
+    flagged = (
+        rolled.withColumn("__prev_permno", F.lag("permno").over(w))
+        .withColumn("__prev_symbol", F.lag("symbol").over(w))
+        .withColumn("__prev_ciks", F.lag("ciks").over(w))
+    )
+    new_business = (
+        F.col("__prev_permno").isNull()
+        | (F.col("permno") != F.col("__prev_permno"))
+        | (
+            (F.col("permno") == F.col("__prev_permno"))
+            & (F.col("symbol") != F.col("__prev_symbol"))
+            & ~F.arrays_overlap("ciks", "__prev_ciks")
+        )
     )
     assigned = flagged.withColumn(
         "security_id",
-        F.sum(F.col("new_business").cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        F.sum(new_business.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0))
         + F.lit(ID_BASE),
-    )
-    return assigned.select(
+    ).select("permno", "symbol", "security_id")
+    return deduped.join(F.broadcast(assigned), ["permno", "symbol"]).select(
         "security_id",
         "permno",
         "symbol",
         "company",
-        F.element_at("ciks", 1).alias("cik"),
+        "cik",
         "cusip",
         "start_date",
         "end_date",

@@ -106,12 +106,48 @@ def test_decode_audio_features_shape_and_determinism(spark):
     assert again[1].mel == out[1].mel
 
 
-def test_decode_audio_real_codec_gated(spark):
+def _sine_wav(freq_hz: float, sr: int = 8000, seconds: float = 1.0) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(sr * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", int(30000 * math.sin(2 * math.pi * freq_hz * t / sr)))
+                for t in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav_path(spark):
+    """fake=False is a REAL decode (stdlib wave + numpy FFT): a pure tone's
+    energy lands in the band containing its frequency; duration comes from
+    the WAV header; garbage bytes raise."""
     from us_equity_datalake_spark.multimodal.columns import decode_audio_features
 
+    schema = T.StructType([T.StructField("asset_id", T.LongType()), T.StructField("payload", T.BinaryType())])
+    # 8 bands over 0..4000 Hz (sr 8000); mid-band tones avoid the band edges:
+    # 700 Hz -> band 1 (504-1000 Hz), 3700 Hz -> band 7 (3504-4000 Hz)
     df = spark.createDataFrame(
-        [Row(asset_id=1, payload=bytearray(b"x"))],
-        T.StructType([T.StructField("asset_id", T.LongType()), T.StructField("payload", T.BinaryType())]),
+        [Row(asset_id=1, payload=bytearray(_sine_wav(700.0))),
+         Row(asset_id=2, payload=bytearray(_sine_wav(3700.0)))],
+        schema,
     )
-    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
-        decode_audio_features(df, fake=False).collect()
+    out = {r.asset_id: r for r in decode_audio_features(df, fake=False, n_mels=8, n_frames=4).collect()}
+    for aid, expected_band in ((1, 1), (2, 7)):
+        r = out[aid]
+        assert abs(r.duration_s - 1.0) < 1e-6
+        assert len(r.mel) == 4 and all(len(frame) == 8 for frame in r.mel)
+        assert max(range(8), key=lambda i: r.mel[0][i]) == expected_band
+
+    garbage = spark.createDataFrame([Row(asset_id=3, payload=bytearray(b"not-a-wav"))], schema)
+    with pytest.raises(Exception):
+        decode_audio_features(garbage, fake=False).collect()

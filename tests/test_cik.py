@@ -21,6 +21,13 @@ def _master(spark):
             Row(symbol="GONE", cik="111", start_date=D(2020, 1, 1), end_date=D(2020, 4, 15)),
             # NOCIK: interval matches but cik is null -> must resolve to None
             Row(symbol="NOCIK", cik=None, start_date=D(2015, 1, 1), end_date=D(2024, 12, 31)),
+            # STOPS: null-CIK record covers the primary date; a non-null
+            # record covers only the year-end fallback.  The reference
+            # returns None at the FIRST hit (null CIK -> non-SEC filer,
+            # "don't try more dates") so the ladder must NOT fall through
+            # to the 222 record.
+            Row(symbol="STOPS", cik=None, start_date=D(2020, 1, 1), end_date=D(2020, 6, 30)),
+            Row(symbol="STOPS", cik="222", start_date=D(2020, 7, 1), end_date=D(2020, 12, 31)),
             # BRKB stored in CRSP form; requests arrive as BRK-B / BRK.B
             Row(symbol="BRKB", cik="1067983", start_date=D(2015, 1, 1), end_date=D(2024, 12, 31)),
         ],
@@ -42,6 +49,17 @@ def test_primary_date_hit(spark):
 def test_null_cik_returns_none(spark):
     got = _resolve(spark, [Row(symbol="NOCIK", date="2020-06-01", year=2020)])
     assert got[("NOCIK", "2020-06-01")] is None
+
+
+def test_null_cik_hit_stops_ladder(spark):
+    # primary 2020-06-01 hits STOPS's null-CIK interval -> None, even though
+    # the 2020-12-31 fallback would find cik=222 (reference early return,
+    # cik_resolver.py:104-113)
+    got = _resolve(spark, [Row(symbol="STOPS", date="2020-06-01", year=2020)])
+    assert got[("STOPS", "2020-06-01")] is None
+    # a primary date inside the non-null interval still resolves normally
+    got = _resolve(spark, [Row(symbol="STOPS", date="2020-08-01", year=None)])
+    assert got[("STOPS", "2020-08-01")] == "0000000222"
 
 
 def test_fallback_dates_used(spark):

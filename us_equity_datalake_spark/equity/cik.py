@@ -11,8 +11,11 @@ candidate-date ladder.  Semantics preserved exactly:
    ticker; otherwise fall through to the master ladder.
 3. Fallback-date ladder (:68-80): try the primary date, then — when a year
    is given — year-end, mid-year, Q3-end, Q1-end, de-duplicated preserving
-   order; first date whose master interval CONTAINS it with a non-null CIK
-   wins (:100-126: a null/empty CIK record continues the ladder).
+   order; the FIRST date with an interval-containing master record wins,
+   even when that record's CIK is null: the reference returns None
+   immediately for a null-CIK record ("non-SEC filer — don't try more
+   dates", :104-113), so a null hit STOPS the ladder rather than falling
+   through to later dates.
 4. Output zero-padded to 10 digits (:128-133); None when nothing matched.
 
 Scale: master and SEC map are dimensions (broadcast); the request table is
@@ -70,12 +73,15 @@ def resolve_cik_batch(
         "symbol", "date", "year", "__sym_n", F.posexplode(ladder).alias("prio", "try_date")
     )
 
+    # Null-CIK master rows stay in the join: a null record that wins its
+    # (symbol, date) group yields a NULL resolution and stops the ladder,
+    # exactly like the reference's early `return None`.
     m = master.select(
         normalize_symbol(F.col("symbol")).alias("__m_sym"),
         F.col("cik").alias("__m_cik"),
         F.col("start_date").alias("__m_start"),
         F.col("end_date").alias("__m_end"),
-    ).filter(F.col("__m_cik").isNotNull())
+    )
     hits = cand.join(
         F.broadcast(m),
         (F.col("__sym_n") == F.col("__m_sym"))
@@ -84,7 +90,7 @@ def resolve_cik_batch(
         "inner",
     )
     w = Window.partitionBy("symbol", "date").orderBy(
-        F.col("prio").asc(), F.col("__m_start").desc(), F.col("__m_cik").asc()
+        F.col("prio").asc(), F.col("__m_start").desc(), F.col("__m_cik").asc_nulls_last()
     )
     best = (
         hits.withColumn("__rn", F.row_number().over(w))

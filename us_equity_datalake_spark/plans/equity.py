@@ -177,6 +177,11 @@ _CIK_NORM_S = r"upper(regexp_replace(s.ticker, '[.\-]', '', 'g'))"
              CASE WHEN c_custkey % 3 = 0 THEN DATE '2024-02-15'
                   ELSE DATE '2024-12-31' END AS end_date
       FROM customer WHERE c_custkey < 600
+      UNION ALL
+      -- overlapping null-CIK 2023 interval: a primary-date hit here must
+      -- STOP the ladder with NULL (reference early-return), not fall through
+      SELECT c_name, NULL, DATE '2023-01-01', DATE '2023-12-31'
+      FROM customer WHERE c_custkey < 600 AND c_custkey % 7 = 0
     ),
     sec AS (
       SELECT c_name AS ticker, CAST(9000 + c_custkey AS VARCHAR) AS cik
@@ -208,12 +213,11 @@ _CIK_NORM_S = r"upper(regexp_replace(s.ticker, '[.\-]', '', 'g'))"
         SELECT c.symbol, c."date", m.cik,
                ROW_NUMBER() OVER (
                  PARTITION BY c.symbol, c."date"
-                 ORDER BY c.prio, m.start_date DESC, m.cik
+                 ORDER BY c.prio, m.start_date DESC, m.cik ASC NULLS LAST
                ) AS rn
         FROM cand c JOIN master m
           ON {_CIK_NORM_C} = {_CIK_NORM_M}
          AND c.try_date BETWEEN m.start_date AND m.end_date
-         AND m.cik IS NOT NULL
       ) WHERE rn = 1
     )
     SELECT r.symbol, r."date", r.year,
@@ -225,13 +229,15 @@ _CIK_NORM_S = r"upper(regexp_replace(s.ticker, '[.\-]', '', 'g'))"
     LEFT JOIN sec s ON {_CIK_NORM_REQ} = {_CIK_NORM_S}
     """,
     doc="Vectorized CIKResolver (reference cik_resolver.py:37-150): quarterly "
-    "fallback-date ladder (primary, year-end, mid-year, Q3, Q1 — first "
-    "interval-containing hit with a non-null CIK wins), 2025+ preference for "
-    "the SEC official snapshot, null-CIK rows skipped, zero-padded output.  "
-    "Fixture exercises primary hits, short intervals that force ladder "
-    "fallbacks, null-CIK skips, symbols absent from the master, and the "
-    "SEC-preference arm.  Dimension sides broadcast; one keep-best window "
-    "on the request partitioning.",
+    "fallback-date ladder (primary, year-end, mid-year, Q3, Q1 — the FIRST "
+    "interval-containing hit wins; when that record's CIK is null the ladder "
+    "STOPS and resolves NULL, mirroring the reference's non-SEC-filer early "
+    "return at :104-113), 2025+ preference for the SEC official snapshot, "
+    "zero-padded output.  Fixture exercises primary hits, short intervals "
+    "that force ladder fallbacks, overlapping null-CIK intervals that must "
+    "stop the ladder, symbols absent from the master, and the SEC-preference "
+    "arm.  Dimension sides broadcast; one keep-best window on the request "
+    "partitioning.",
 )
 def cik_resolver_q(spark, sf_dir):
     from us_equity_datalake_spark.equity.cik import resolve_cik_batch
@@ -243,6 +249,13 @@ def cik_resolver_q(spark, sf_dir):
         F.lit("2020-01-01").cast("date").alias("start_date"),
         F.when(F.col("c_custkey") % 3 == 0, F.lit("2024-02-15"))
         .otherwise(F.lit("2024-12-31")).cast("date").alias("end_date"),
+    ).unionByName(
+        cust.filter((F.col("c_custkey") < 600) & (F.col("c_custkey") % 7 == 0)).select(
+            F.col("c_name").alias("symbol"),
+            F.lit(None).cast("string").alias("cik"),
+            F.lit("2023-01-01").cast("date").alias("start_date"),
+            F.lit("2023-12-31").cast("date").alias("end_date"),
+        )
     )
     sec = cust.filter((F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") < 900)).select(
         F.col("c_name").alias("ticker"), (F.lit(9000) + F.col("c_custkey")).cast("string").alias("cik")

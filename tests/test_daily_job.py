@@ -237,34 +237,42 @@ def test_security_master_replay_after_crash_is_idempotent(spark, tmp_path):
     assert len(key_pairs) == len(set(key_pairs))  # no duplicate (symbol, start)
 
 
+def _fund_raw_rows(symbol, quarters, val=100.0):
+    rows = []
+    for i, q in enumerate(quarters):
+        y, qn = q
+        start = dt.date(y, 3 * (qn - 1) + 1, 1)
+        end = dt.date(y, 3 * qn, 28)
+        rows.append(Row(
+            symbol=symbol, concept="rev", tag="Revenues", tag_priority=1,
+            value=val + i, accn=f"{symbol}-a{i}", form="10-Q",
+            filed=end + dt.timedelta(days=30), start=start, end=end,
+            frame=f"CY{y}Q{qn}",
+        ))
+    return rows
+
+
+_FUND_SCHEMA = ("symbol string, concept string, tag string, tag_priority int, value double, "
+                "accn string, form string, filed date, start date, end date, frame string")
+
+
+def _fund_days(spark):
+    day1 = spark.createDataFrame(
+        _fund_raw_rows("AAA", [(2023, 1), (2023, 2), (2023, 3)])
+        + _fund_raw_rows("BBB", [(2023, 1), (2023, 2), (2023, 3)], val=200.0),
+        _FUND_SCHEMA,
+    )
+    day2 = spark.createDataFrame(_fund_raw_rows("AAA", [(2023, 4)]), _FUND_SCHEMA)
+    return day1, day2
+
+
 def test_incremental_derived_rebuild_matches_full(spark, tmp_path):
     """Bucket-incremental derived maintenance: a day-2 batch touching one
     symbol rebuilds only that symbol's bucket, and the resulting TTM/metrics
     tables are row-identical to a full rebuild over the same data."""
     from us_equity_datalake_spark.equity.daily_job import update_fundamentals
 
-    def raw_rows(symbol, quarters, val=100.0):
-        rows = []
-        for i, q in enumerate(quarters):
-            y, qn = q
-            start = dt.date(y, 3 * (qn - 1) + 1, 1)
-            end = dt.date(y, 3 * qn, 28)
-            rows.append(Row(
-                symbol=symbol, concept="rev", tag="Revenues", tag_priority=1,
-                value=val + i, accn=f"{symbol}-a{i}", form="10-Q",
-                filed=end + dt.timedelta(days=30), start=start, end=end,
-                frame=f"CY{y}Q{qn}",
-            ))
-        return rows
-
-    schema = ("symbol string, concept string, tag string, tag_priority int, value double, "
-              "accn string, form string, filed date, start date, end date, frame string")
-    day1 = spark.createDataFrame(
-        raw_rows("AAA", [(2023, 1), (2023, 2), (2023, 3)])
-        + raw_rows("BBB", [(2023, 1), (2023, 2), (2023, 3)], val=200.0),
-        schema,
-    )
-    day2 = spark.createDataFrame(raw_rows("AAA", [(2023, 4)]), schema)
+    day1, day2 = _fund_days(spark)
 
     inc, full = LakePaths(str(tmp_path / "inc")), LakePaths(str(tmp_path / "full"))
     update_fundamentals(spark, inc, day1, incremental=True)
@@ -284,3 +292,47 @@ def test_incremental_derived_rebuild_matches_full(spark, tmp_path):
         assert rows_of(f"{inc.root}/{sub}") == rows_of(f"{full.root}/{sub}"), sub
     # AAA completed 4 quarters on day 2 -> a TTM row exists
     assert spark.read.parquet(f"{inc.root}/derived/ttm").filter("symbol = 'AAA'").count() == 1
+
+
+def test_premigration_unpartitioned_lake_self_heals(spark, tmp_path):
+    """A fundamental lake written BEFORE bucket partitioning (flat layout, no
+    sym_bucket column) must not break the incremental daily job: the job
+    rewrites it once in the partitioned layout, forces a full derived rebuild
+    that run, and ends up row-identical to a fully-rebuilt lake."""
+    import os
+
+    from us_equity_datalake_spark.equity.daily_job import update_fundamentals
+    from us_equity_datalake_spark.equity.fundamentals import normalize_fundamental
+
+    day1, day2 = _fund_days(spark)
+    legacy, full = LakePaths(str(tmp_path / "legacy")), LakePaths(str(tmp_path / "full"))
+
+    # hand-write the pre-migration layout: flat fundamental lake + flat
+    # derived tables (their presence is what routes the job down the
+    # incremental path)
+    normalize_fundamental(day1).write.parquet(legacy.fundamental)
+    for sub in ("derived/ttm", "derived/metrics"):
+        normalize_fundamental(day1).limit(1).write.parquet(f"{legacy.root}/{sub}")
+
+    r = update_fundamentals(spark, legacy, day2, incremental=True)
+    assert r["derived_buckets_rebuilt"] == 64  # self-heal forces full rebuild
+
+    # lake now partitioned: sym_bucket=NN directories exist
+    assert any(d.startswith("sym_bucket=") for d in os.listdir(legacy.fundamental))
+
+    update_fundamentals(spark, full, day1, incremental=False)
+    update_fundamentals(spark, full, day2, incremental=False)
+
+    def rows_of(path):
+        try:  # a zero-row partitioned table has no schema-bearing files
+            return sorted(map(str, spark.read.parquet(path).collect()))
+        except Exception:
+            return []
+
+    for sub in ("raw/fundamental", "derived/ttm", "derived/metrics"):
+        assert rows_of(f"{legacy.root}/{sub}") == rows_of(f"{full.root}/{sub}"), sub
+
+    # and the NEXT day runs incrementally against the healed lake
+    day3 = spark.createDataFrame(_fund_raw_rows("BBB", [(2023, 4)], val=200.0), _FUND_SCHEMA)
+    r3 = update_fundamentals(spark, legacy, day3, incremental=True)
+    assert 0 < r3["derived_buckets_rebuilt"] < 64

@@ -331,6 +331,20 @@ def test_same_permno_symbol_change_disjoint_ciks_new_id(spark):
     assert m["CCC"] == m["CCD"]
 
 
+def test_variant_rollup_spans_gaps(spark):
+    """Reference :426-437: the checkpoint groups by (permno, cik, symbol,
+    company, cusip) with min(namedt)/max(nameenddt) — a variant active over
+    two name periods separated by a gap collapses to ONE row spanning both,
+    so an interval lookup inside the gap still resolves."""
+    rows = [
+        nh(8, "EEE", "Echo Corp", "2010-01-01", "2012-12-31", cik="0008"),
+        nh(8, "EEE", "Echo Corp", "2015-01-01", "2020-12-31", cik="0008"),
+    ]
+    out = build_security_master(spark.createDataFrame(rows, NH_SCHEMA)).collect()
+    assert len(out) == 1
+    assert out[0].start_date == D("2010-01-01") and out[0].end_date == D("2020-12-31")
+
+
 def test_master_keeps_per_variant_interval_rows(spark):
     """J7 join-back (reference :594-618): a company rename within the same
     (permno, symbol) keeps BOTH interval rows with their own dates and one

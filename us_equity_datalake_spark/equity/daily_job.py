@@ -142,6 +142,27 @@ def update_fundamentals(
     the whole derived tier.  Falls back to a full rebuild on the first run
     (no derived tables yet) or when ``incremental=False``."""
     fund_long = normalize_fundamental(raw).withColumn("sym_bucket", _sym_bucket(F.col("symbol")))
+    # Pre-migration guard: a fundamental lake written before bucket
+    # partitioning carries no sym_bucket column — appending partitioned rows
+    # into it would mix layouts, and the bucket filter below would reference
+    # a nonexistent column.  Self-heal BEFORE the append: rewrite the lake
+    # once in the partitioned layout and force a full derived rebuild this
+    # run (the old ttm/metrics lakes are also unpartitioned and must be
+    # rewritten, not dynamic-overwritten).
+    if _exists(lake.fundamental):
+        existing = spark.read.parquet(lake.fundamental)
+        if "sym_bucket" not in existing.columns:
+            import shutil
+
+            tmp = lake.fundamental.rstrip("/") + f".__migrate_{os.getpid()}"
+            write_partitioned(
+                existing.withColumn("sym_bucket", _sym_bucket(F.col("symbol"))),
+                tmp,
+                partition_by=["sym_bucket"],
+            )
+            shutil.rmtree(lake.fundamental)
+            os.rename(tmp, lake.fundamental)
+            incremental = False
     appended = read_check_append(
         spark, fund_long, lake.fundamental, keys=["symbol", "concept", "frame", "accn"],
         partition_by=["sym_bucket"],

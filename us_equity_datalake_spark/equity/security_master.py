@@ -41,27 +41,45 @@ def build_security_master(name_history: DataFrame) -> DataFrame:
     (security_master.py:404-638):
 
     1. A6 priority dedup: one row per (permno, symbol, start_date, end_date)
-       — longest validity first (explicit row_number, not order-dependent
-       drop_duplicates; reference :410-423).
-    2. A1 rollup per (permno, symbol): min start, max end, first
-       company/cusip by start_date, and the set of ALL CIKs the period saw
+       — most-reliable CIK first (reference :410-423 orders by
+       ``cik_validity_days = cikdate2 - cikdate1`` DESC, nulls as -1).  When
+       ``name_history`` carries ``cikdate1``/``cikdate2`` columns that exact
+       ordering is used; without them the validity span is unmodeled and the
+       tiebreak is deterministic lowest-CIK (NOT interval length —
+       ``datediff(end_date, start_date)`` is constant within a dedup group
+       since end_date is part of the key).
+    2. Variant rollup (:426-437 ``groupby(permno, cik, ticker, tsymbol,
+       comnam, ncusip, dropna=False).agg(min namedt, max nameenddt)``): one
+       gap-spanning row per (permno, symbol, company, cik, cusip) variant —
+       a variant active over several name periods collapses to a single
+       min-start/max-end row, so interval lookups in gap periods resolve the
+       same way the reference's checkpoint does.
+    3. CIK-set rollup per (permno, symbol) for change detection
        (``security_map`` step 1, :536-549 — null CIK kept as a sentinel
        member so two non-SEC-filer periods still count as overlapping,
        exactly like Python set intersection over {None}).
-    3. W4 change detection over the WHOLE frame ordered (permno, start_date)
+    4. W4 change detection over the WHOLE frame ordered (permno, start_date)
        (:567-590): new business iff first row, OR permno changed, OR permno
        same but the SYMBOL changed AND no CIK is shared with the previous
        period — a same-permno symbol change with a surviving CIK keeps its
        identity (rename), one with disjoint CIKs is a new business.
-    4. W5: security_id = ID_BASE + running count of new-business flags.
-    5. J7 assignment join-back (:594-618): ids join back onto the deduped
-       per-variant rows, so the master keeps one interval row per
-       (permno, symbol, company, cik, cusip) variant with its own dates.
+    5. W5: security_id = ID_BASE + running count of new-business flags.
+    6. J7 assignment join-back (:594-618): ids join back onto the variant
+       rollup rows, one interval row per variant with its gap-spanning dates.
     """
+    has_cikdates = "cikdate1" in name_history.columns and "cikdate2" in name_history.columns
+    cik_order = (
+        F.coalesce(F.datediff("cikdate2", "cikdate1"), F.lit(-1)).desc()
+        if has_cikdates
+        else F.col("cik").asc_nulls_last()
+    )
     deduped = dedup_keep_first(
         name_history,
         keys=["permno", "symbol", "start_date", "end_date"],
-        order=[F.datediff("end_date", "start_date").desc(), F.col("cik").asc_nulls_last()],
+        order=[cik_order, F.col("cik").asc_nulls_last()],
+    ).select("permno", "symbol", "company", "cik", "cusip", "start_date", "end_date")
+    variants = deduped.groupBy("permno", "symbol", "company", "cik", "cusip").agg(
+        F.min("start_date").alias("start_date"), F.max("end_date").alias("end_date")
     )
     rolled = (
         deduped.groupBy("permno", "symbol")
@@ -93,7 +111,7 @@ def build_security_master(name_history: DataFrame) -> DataFrame:
         F.sum(new_business.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0))
         + F.lit(ID_BASE),
     ).select("permno", "symbol", "security_id")
-    return deduped.join(F.broadcast(assigned), ["permno", "symbol"]).select(
+    return variants.join(F.broadcast(assigned), ["permno", "symbol"]).select(
         "security_id",
         "permno",
         "symbol",
@@ -319,7 +337,14 @@ def to_nasdaq_format_batch(
     list — a dimension, broadcast).  ``master``: standard interval schema.
     One broadcast join per lookup; the request table never shuffles.
     """
-    req = requests.withColumn("__key", normalize_symbol(F.col(symbol_col)))
+    # per-row request id: the groupBy in sid_at must not collapse two
+    # identical (symbol, day) requests into one output row — the reference
+    # normalizer returns one result per call.  The id is internal (dropped
+    # from the output) so each group is exactly one input row and the result
+    # set is invariant to the actual id values.
+    req = requests.withColumn("__req_id", F.monotonically_increasing_id()).withColumn(
+        "__key", normalize_symbol(F.col(symbol_col))
+    )
     nd = nasdaq_tickers.select(
         normalize_symbol(F.col("ticker")).alias("__key"), F.col("ticker").alias("__nasdaq")
     )

@@ -489,7 +489,11 @@ _DECON_MIN = 2   # min shared distinct n-grams to flag contamination
     f"{_DECON_MIN} distinct {_DECON_N}-grams with any held-out benchmark doc "
     f"(stand-in: doc_id % {_EVAL_MOD} == 0).  Inverted-index equi-join on the "
     f"gram hash — cost ∝ posting-list products, never |train| × |eval|; at "
-    f"100 TB the eval side is tiny so the join broadcasts.",
+    f"100 TB the eval side is tiny for real benchmark suites — but that is a "
+    f"property of the INPUT, not of this operator, so no broadcast hint is "
+    f"forced: AQE promotes the eval side to a broadcast join when its runtime "
+    f"size is under the threshold and falls back to a shuffle join when a "
+    f"caller hands in a large eval set.",
 )
 def decontaminate_q(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
@@ -497,7 +501,7 @@ def decontaminate_q(spark, sf_dir):
     ev = sh.filter(F.col("id") % _EVAL_MOD == 0).select(F.col("id").alias("eval_id"), "sh")
     tr = sh.filter(F.col("id") % _EVAL_MOD != 0).select(F.col("id").alias("train_id"), "sh")
     return (
-        tr.join(F.broadcast(ev), "sh")
+        tr.join(ev, "sh")
         .groupBy("train_id", "eval_id")
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= _DECON_MIN)

@@ -80,7 +80,7 @@ def q3(spark, sf_dir):
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dec_sum(disc_price).alias("revenue"))
         .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate"))
@@ -117,8 +117,8 @@ def q5(spark, sf_dir):
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -185,7 +185,7 @@ def q10(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"), "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -241,7 +241,7 @@ def q14(spark, sf_dir):
     d = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
     promo = F.when(F.col("p_type").startswith("PROMO"), d).otherwise(F.lit(0).cast("decimal(30,6)"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0 * F.sum(promo).cast("double") / F.sum(d).cast("double"), 6
@@ -275,7 +275,7 @@ def q18(spark, sf_dir):
     return (
         li.join(big, "l_orderkey", "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "c_custkey",
             "c_name",
@@ -303,7 +303,7 @@ def q18(spark, sf_dir):
 def q19(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(1, smax)

@@ -74,11 +74,11 @@ def q2(spark, sf_dir):
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     pairs = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("p_partkey", "l_suppkey")
         .distinct()
     )
-    cand = pairs.join(F.broadcast(eu_supp), pairs.l_suppkey == eu_supp.s_suppkey)
+    cand = pairs.join(eu_supp, pairs.l_suppkey == eu_supp.s_suppkey)
     w = Window.partitionBy("p_partkey")
     return (
         cand.withColumn("min_bal", F.min("s_acctbal").over(w))
@@ -166,9 +166,9 @@ def q7(spark, sf_dir):
         | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(pair_ok)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(dec_sum(_disc_price()).alias("revenue"))
@@ -222,10 +222,10 @@ def q8(spark, sf_dir):
         F.lit(0).cast("decimal(30,6)")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
@@ -272,8 +272,8 @@ def q9(spark, sf_dir):
         - F.lit(0.1).cast("double") * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(dec_sum(profit).alias("sum_profit"))
@@ -306,7 +306,7 @@ def q11(spark, sf_dir):
         .select("s_suppkey")
     )
     li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey", "l_extendedprice")
-    joined = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    joined = li.join(supp, li.l_suppkey == supp.s_suppkey)
     grouped = joined.groupBy("l_partkey").agg(dec_sum(F.col("l_extendedprice")).alias("value"))
     total = joined.agg(dec_sum(F.col("l_extendedprice")).alias("total"))
     return (
@@ -379,7 +379,7 @@ def q15(spark, sf_dir):
     return (
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -411,10 +411,10 @@ def q16(spark, sf_dir):
     bad_supp = load_table(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 0).select("s_suppkey")
     li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("p_brand", "p_type", "p_size", "l_suppkey")
         .distinct()
-        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -444,14 +444,14 @@ def q17(spark, sf_dir):
         .select("p_partkey")
     )
     li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_quantity", "l_extendedprice")
-    matched = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    matched = li.join(part, li.l_partkey == part.p_partkey).select(
         "p_partkey", "l_quantity", "l_extendedprice"
     )
     limits = matched.groupBy("p_partkey").agg(
         (F.lit(0.2).cast("double") * F.avg("l_quantity")).alias("qty_limit")
     )
     return (
-        matched.join(F.broadcast(limits.withColumnRenamed("p_partkey", "lim_partkey")),
+        matched.join(limits.withColumnRenamed("p_partkey", "lim_partkey"),
                      F.col("p_partkey") == F.col("lim_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
@@ -499,7 +499,7 @@ def q20(spark, sf_dir):
         F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
     )
     y = (
-        li.join(F.broadcast(target), li.l_partkey == target.p_partkey)
+        li.join(target, li.l_partkey == target.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(F.when(in_1997, F.col("l_quantity")).otherwise(F.lit(0.0))).alias("qty_1997"),
@@ -562,7 +562,7 @@ def q21(spark, sf_dir):
         .select("s_suppkey", "s_name")
     )
     return (
-        per_order.join(F.broadcast(supp), per_order.late_supp == supp.s_suppkey)
+        per_order.join(supp, per_order.late_supp == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("o_orderkey").alias("numwait"))
     )

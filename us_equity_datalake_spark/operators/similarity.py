@@ -266,15 +266,18 @@ def kmeans_assign(
     Scale shape per iteration: one broadcast cross join of the corpus against
     k centroids (k rows — always a dimension), one groupBy vec_id (min-struct
     assignment), one posexplode + groupBy (cid, pos) for the update whose
-    output is k x dim rows (tiny).  The corpus shuffles once per iteration on
-    vec_id; everything else is map-side.  MLlib's KMeans is the right tool
-    when k or iters are large; this form exists for exact cross-engine
-    verifiability.
+    output is k x dim rows (tiny).  The corpus is CACHED once and each
+    iteration's centroids (k x dim doubles — driver-trivial) are collected
+    and re-landed as a literal frame, so the returned plan is a single
+    cached-corpus scan against broadcast literal centroids instead of an
+    unrolled lineage that re-scans the corpus 2*iters+1 times.  MLlib's
+    KMeans is the right tool when k or iters are large; this form exists for
+    exact cross-engine verifiability.
     """
     pts = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
-    )
+    ).cache()
     cents = pts.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("c")
     )
@@ -293,6 +296,7 @@ def kmeans_assign(
             .select("vec_id", F.col("m.cid").alias("cid"))
         )
 
+    spark = emb.sparkSession
     for _ in range(iters):
         a = assign(cents)
         comp = (
@@ -303,9 +307,16 @@ def kmeans_assign(
                 (F.sum(F.col("x").cast("decimal(30,12)")).cast("double") / F.count("*")).alias("comp")
             )
         )
-        cents = comp.groupBy("cid").agg(
+        updated = comp.groupBy("cid").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "comp"))), lambda s: s.comp
             ).alias("c")
+        )
+        # k rows of dim doubles: materialize to sever the iteration lineage —
+        # the next iteration (and the final assignment) reads literal
+        # centroids instead of replaying every previous Lloyd step
+        cents = spark.createDataFrame(
+            [(r["cid"], list(r["c"])) for r in updated.collect()],
+            "cid long, c array<double>",
         )
     return assign(cents).select("vec_id", F.col("cid").cast("long").alias("cluster_id"))

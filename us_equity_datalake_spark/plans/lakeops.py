@@ -143,3 +143,123 @@ def bucketed_smj_q(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental derived maintenance (equity/daily_job.py:update_fundamentals):
+# the bucket-pruned TTM rebuild was pytest-only (bit-equal-to-full-rebuild);
+# this query drives a two-day incremental run end to end and lets the DuckDB
+# oracle grade the FINAL lake contents against a direct full recompute.
+# ---------------------------------------------------------------------------
+
+_IDM_N = 40  # symbols (customers) in the fixture
+
+
+@register(
+    "incremental_derived_report",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_name AS sym FROM customer WHERE c_custkey < {_IDM_N}
+    ),
+    day1 AS (
+      SELECT sym AS symbol, 'rev' AS concept,
+             CAST(k * 10 + qn AS DOUBLE) AS value,
+             make_date(2023, qn * 3, 28) + 30 AS filed
+      FROM c CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS qn)
+    ),
+    -- day 2: a fresh 2024Q1 row for every 4th symbol (the resent 2023Q4
+    -- duplicates are dropped by the append's key anti-join, so the CORRECT
+    -- final lake contains exactly day1 + these rows)
+    day2 AS (
+      SELECT sym AS symbol, 'rev' AS concept,
+             CAST(k * 10 + 5 AS DOUBLE) AS value,
+             make_date(2024, 3, 28) + 30 AS filed
+      FROM c WHERE k % 4 = 0
+    ),
+    fund AS (SELECT * FROM day1 UNION ALL SELECT * FROM day2),
+    ttm AS (
+      SELECT symbol, filed AS as_of_date,
+             SUM(value) OVER w AS value,
+             COUNT(*) OVER w AS n
+      FROM fund
+      WINDOW w AS (PARTITION BY symbol, concept ORDER BY filed
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, 'ttm_rev' AS metric, as_of_date, value FROM ttm WHERE n = 4
+    UNION ALL
+    SELECT symbol, 'n_fund' AS metric, CAST(NULL AS DATE) AS as_of_date,
+           CAST(COUNT(*) AS DOUBLE) AS value
+    FROM fund GROUP BY symbol
+    """,
+    doc="Incremental derived maintenance (update_fundamentals, "
+    "equity/daily_job.py): day 1 lands 4 quarters for every symbol (full "
+    "rebuild), day 2 appends 2024Q1 for every 4th symbol plus a RESENT "
+    "2023Q4 duplicate — the bucket-pruned incremental path must dedup the "
+    "resend, rebuild only the touched sym_bucket partitions (asserted < 64 "
+    "in-code; the bucket hash is engine-internal so the oracle grades "
+    "contents, not layout), and leave a TTM/fundamental lake identical to a "
+    "full recompute.  Every fixture value is an exact integer double, so the "
+    "4-term window sums hash identically cross-engine.",
+)
+def incremental_derived_q(spark, sf_dir):
+    from us_equity_datalake_spark.equity.daily_job import LakePaths, update_fundamentals
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_incderiv_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lp = LakePaths(root)
+
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") < _IDM_N).select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("sym")
+    )
+
+    def raw_quarter(df, year, qn, vofs):
+        return df.select(
+            F.col("sym").alias("symbol"),
+            F.lit("rev").alias("concept"),
+            F.lit("Revenues").alias("tag"),
+            F.lit(1).alias("tag_priority"),
+            (F.col("k") * 10 + vofs).cast("double").alias("value"),
+            F.concat(F.col("sym"), F.lit(f"-a{vofs}")).alias("accn"),
+            F.lit("10-Q").alias("form"),
+            F.date_add(F.make_date(F.lit(year), F.lit(qn * 3), F.lit(28)), 30).alias("filed"),
+            F.make_date(F.lit(year), F.lit((qn - 1) * 3 + 1), F.lit(1)).alias("start"),
+            F.make_date(F.lit(year), F.lit(qn * 3), F.lit(28)).alias("end"),
+            F.lit(f"CY{year}Q{qn}").alias("frame"),
+        )
+
+    day1 = None
+    for qn in (1, 2, 3, 4):
+        part = raw_quarter(cust, 2023, qn, qn)
+        day1 = part if day1 is None else day1.unionByName(part)
+    touched = cust.filter(F.col("k") % 4 == 0)
+    day2 = raw_quarter(touched, 2024, 1, 5).unionByName(
+        raw_quarter(touched, 2023, 4, 4)  # resend: same accn/frame -> must dedup
+    )
+
+    try:
+        update_fundamentals(spark, lp, day1, incremental=True)
+        r2 = update_fundamentals(spark, lp, day2, incremental=True)
+        # layout self-check (engine-internal, not oracle-visible): day 2 must
+        # NOT have rebuilt the whole derived tier
+        assert 0 < r2["derived_buckets_rebuilt"] < 64, r2
+
+        ttm = spark.read.parquet(lp.ttm)
+        part1 = ttm.select(
+            "symbol", F.lit("ttm_rev").alias("metric"), "as_of_date", "value"
+        )
+        fund = spark.read.parquet(lp.fundamental)
+        part2 = fund.groupBy("symbol").agg(F.count("*").cast("double").alias("value")).select(
+            "symbol",
+            F.lit("n_fund").alias("metric"),
+            F.lit(None).cast("date").alias("as_of_date"),
+            "value",
+        )
+        report = part1.unionByName(part2)
+        rows = report.collect()
+        out = spark.createDataFrame(rows, schema=report.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -105,16 +105,28 @@ _MASTER_SQL = f"""
     "(tiny) fresh set.",
 )
 def update_from_sec_q(spark, sf_dir):
-    master = _materialize_dim(spark, _master(spark, sf_dir))
-    sec = _materialize_dim(
+    # one cached customer subset feeds BOTH fixture dims — a single parquet
+    # scan populates the cache instead of master and sec scanning separately
+    base = _materialize_dim(
         spark,
         load_table(spark, "customer", sf_dir)
-        .filter((F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") < _N + 300))
-        .select(
-            F.col("c_name").alias("ticker"),
-            F.col("c_nationkey").cast("string").alias("cik"),
-            F.col("c_name").alias("title"),
-        ),
+        .filter(F.col("c_custkey") < _N + 300)
+        .select("c_custkey", "c_name", "c_nationkey"),
+    )
+    master = base.filter(F.col("c_custkey") < _N).select(
+        F.col("c_custkey").cast("long").alias("security_id"),
+        F.lit(None).cast("integer").alias("permno"),
+        F.col("c_name").alias("symbol"),
+        F.col("c_name").alias("company"),
+        F.col("c_nationkey").cast("string").alias("cik"),
+        F.lit(None).cast("string").alias("cusip"),
+        F.lit("2020-01-01").cast("date").alias("start_date"),
+        F.lit("2024-06-01").cast("date").alias("end_date"),
+    )
+    sec = base.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_name").alias("ticker"),
+        F.col("c_nationkey").cast("string").alias("cik"),
+        F.col("c_name").alias("title"),
     )
     out = update_from_sec(master, sec, today=_TODAY)
     return out.select("security_id", "symbol", "cik", "start_date", "end_date")

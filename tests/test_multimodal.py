@@ -91,6 +91,85 @@ def test_video_frame_sampling_udtf_shape(spark, assets):
     assert [r["frame_sha"] for r in out if r["asset_id"] == 0 and r["frame_idx"] == 0] == [expected]
 
 
+def _avi_chunk(cid: bytes, data: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(data) % 2 else b""
+    return cid + struct.pack("<I", len(data)) + data + pad
+
+
+def _avi_list(ltype: bytes, payload: bytes) -> bytes:
+    return _avi_chunk(b"LIST", ltype + payload)
+
+
+def _build_avi(frames: list[bytes], width: int, height: int, compression: int = 0) -> bytes:
+    """Minimal valid RIFF/AVI: hdrl (avih + strl/strh/strf) + movi 00db frames."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, compression,
+                       stride * height, 0, 0, 0, 0)
+    strh = b"vids" + b"\x00" * 52
+    avih = struct.pack("<14I", 40000, 0, 0, 0, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0)
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)),
+    )
+    movi = _avi_list(b"movi", b"".join(_avi_chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _solid_frame(width: int, height: int, bgr: tuple[int, int, int]) -> bytes:
+    stride = (width * 3 + 3) & ~3
+    row = bytes(bgr) * width + b"\x00" * (stride - width * 3)
+    return row * height
+
+
+def test_sample_video_frames_real_avi_path(spark):
+    """fake=False is a REAL parse (RIFF/AVI chunk walk, uncompressed BGR24):
+    uniform sampling picks the right source indices, per-frame mean luma
+    matches the synthesized solid colors, garbage bytes raise, and a
+    compressed stream hits the ffmpeg gate."""
+    import hashlib as _hl
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("asset_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    # 6 solid gray frames: frame k has B=G=R=40k -> mean luma = 40k/255
+    frames = [_solid_frame(5, 4, (40 * k, 40 * k, 40 * k)) for k in range(6)]
+    avi = _build_avi(frames, 5, 4)
+    df = spark.createDataFrame([Row(asset_id=1, payload=bytearray(avi))], schema)
+
+    out = sorted(sample_video_frames(df, n_frames=3, fake=False).collect(),
+                 key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in out] == [0, 2, 4]  # i * 6 // 3
+    for r, k in zip(out, (0, 2, 4)):
+        assert abs(r.px_mean - (40 * k) / 255.0) < 1e-6
+        assert r.frame_sha == _hl.sha256(frames[k]).hexdigest()
+
+    # clip shorter than n_frames: sampled indices de-duplicate
+    short = spark.createDataFrame(
+        [Row(asset_id=2, payload=bytearray(_build_avi(frames[:2], 5, 4)))], schema
+    )
+    idxs = sorted(r.frame_idx for r in sample_video_frames(short, n_frames=4, fake=False).collect())
+    assert idxs == [0, 1]
+
+    garbage = spark.createDataFrame([Row(asset_id=3, payload=bytearray(b"not-an-avi"))], schema)
+    with pytest.raises(Exception) as ei:
+        sample_video_frames(garbage, fake=False).collect()
+    assert "RIFF" in str(ei.value) or "ValueError" in str(ei.value)
+
+    compressed = spark.createDataFrame(
+        [Row(asset_id=4, payload=bytearray(_build_avi(frames, 5, 4, compression=1)))], schema
+    )
+    with pytest.raises(Exception) as ei:
+        sample_video_frames(compressed, fake=False).collect()
+    assert "ffmpeg" in str(ei.value)
+
+
 def test_decode_audio_features_shape_and_determinism(spark):
     from us_equity_datalake_spark.multimodal.columns import decode_audio_features
 

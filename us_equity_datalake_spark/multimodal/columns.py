@@ -121,32 +121,117 @@ def extract_image_features(df: DataFrame, *, pixels_col: str = "pixels") -> Data
     )
 
 
+def _parse_avi_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL video container parse: RIFF/AVI chunk walk — no external codec.
+    Supports uncompressed 24-bit BI_RGB video streams (``strf``
+    BITMAPINFOHEADER with biCompression == 0, frames in ``00db``/``00dc``
+    chunks of the ``movi`` list).  Compressed streams hit the ffmpeg gate;
+    non-AVI bytes raise ValueError at the parse boundary.
+    Returns (width, height, frame_payloads)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = compression = None
+    frames: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal width, height, compression
+        while off + 8 <= end:
+            cid = payload[off:off + 4]
+            size = struct.unpack("<I", payload[off + 4:off + 8])[0]
+            data_start, data_end = off + 8, off + 8 + size
+            if data_end > end:
+                raise ValueError("truncated RIFF chunk")
+            if cid == b"LIST":
+                walk(data_start + 4, data_end)  # skip the list-type fourcc
+            elif cid == b"strf" and size >= 20:
+                _, w_, h_, _, bitcount, comp = struct.unpack(
+                    "<IiiHHI", payload[data_start:data_start + 20]
+                )
+                if bitcount == 24:
+                    width, height, compression = w_, abs(h_), comp
+            elif cid[2:4] in (b"db", b"dc"):
+                frames.append(payload[data_start:data_end])
+            off = data_end + (size & 1)  # RIFF chunks are word-aligned
+
+    walk(12, len(payload))
+    if width is None or height is None:
+        raise ValueError("no 24-bit strf header found")
+    if compression != 0:
+        raise NotImplementedError(
+            "compressed AVI streams require ffmpeg — not in this image; "
+            "only BI_RGB (uncompressed) parses in-sandbox"
+        )
+    return width, height, frames
+
+
+def _frame_mean_gray(frame: bytes, width: int, height: int) -> float:
+    """Mean luma of one bottom-up BGR24 DIB frame (rows padded to 4 bytes)."""
+    import numpy as np
+
+    stride = (width * 3 + 3) & ~3
+    if len(frame) < stride * height:
+        raise ValueError("frame payload shorter than stride * height")
+    a = np.frombuffer(frame, dtype=np.uint8)[: stride * height].reshape(height, stride)
+    px = a[:, : width * 3].reshape(height, width, 3).astype(np.float64)
+    gray = px[..., 2] * 0.299 + px[..., 1] * 0.587 + px[..., 0] * 0.114  # DIB is BGR
+    return float(gray.mean() / 255.0)
+
+
 def sample_video_frames(df: DataFrame, *, payload_col: str = "payload", n_frames: int = 4,
                         fake: bool = True) -> DataFrame:
-    """binary video -> (frame_idx, frame_payload) rows; the UDTF shape
-    (one→many) via mapInPandas + per-frame hash slices when faked."""
+    """binary video -> per-sampled-frame rows; the UDTF shape (one→many) via
+    mapInPandas.
+
+    ``fake=False`` runs a REAL parse for uncompressed RIFF/AVI payloads
+    (``_parse_avi_frames`` — executes in this image, standing in for the
+    ffmpeg path the same way the WAV decoder stands in for torchaudio):
+    frames are sampled uniformly (source index ``i * total // n_frames``,
+    de-duplicated when the clip is shorter than ``n_frames``) and each emits
+    its source ``frame_idx``, payload sha, and real mean luma.  ``fake=True``
+    (default) emits hash-derived rows so plumbing tests need no video bytes."""
     out_schema = T.StructType([
         T.StructField("asset_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame_sha", T.StringType()),
+        T.StructField("px_mean", T.FloatType()),
     ])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError("video decode requires ffmpeg — not in this image")
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r[payload_col] or b"")
-                for i in range(n_frames):
-                    rows.append(
-                        {
-                            "asset_id": r["asset_id"],
-                            "frame_idx": i,
-                            "frame_sha": hashlib.sha256(payload + i.to_bytes(4, "big")).hexdigest(),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_sha"])
+                if fake:
+                    for i in range(n_frames):
+                        sha = hashlib.sha256(payload + i.to_bytes(4, "big")).hexdigest()
+                        rows.append(
+                            {
+                                "asset_id": r["asset_id"],
+                                "frame_idx": i,
+                                "frame_sha": sha,
+                                "px_mean": (int(sha[:8], 16) % 256) / 255.0,
+                            }
+                        )
+                else:
+                    w, h, frames = _parse_avi_frames(payload)
+                    total = len(frames)
+                    sampled: list[int] = []
+                    for i in range(n_frames):
+                        idx = i * total // n_frames
+                        if total and idx not in sampled:
+                            sampled.append(idx)
+                    for idx in sampled:
+                        rows.append(
+                            {
+                                "asset_id": r["asset_id"],
+                                "frame_idx": idx,
+                                "frame_sha": hashlib.sha256(frames[idx]).hexdigest(),
+                                "px_mean": _frame_mean_gray(frames[idx], w, h),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_sha", "px_mean"])
 
     return df.mapInPandas(kernel, out_schema)
 

@@ -19,6 +19,7 @@ Each query is timed to full materialization (count action), best-of-N.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -117,6 +118,62 @@ def main() -> None:
             except Exception:
                 pass
 
+    # ------------------------------------------------------------------
+    # Oracle denominator: time each query's DuckDB oracle_sql on the SAME
+    # parquet, single-threaded AND at $SPARK_GRAFT_CPUS threads.  BASELINE.md
+    # carries no reference compute numbers, so the "within 2x" gate is graded
+    # against the multi-threaded DuckDB wall time (ratio_vs_oracle_mt = spark
+    # best / duckdb-mt best).  DuckDB fetches all rows (its execution model);
+    # Spark is timed to count() materialization — both end-to-end answers.
+    # ------------------------------------------------------------------
+    oracle_1t: dict[str, float] = {}
+    oracle_mt: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        import duckdb
+
+        oracles = entrymod.oracle_sql()
+        tables = ["region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"]
+        mt_threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        for label, threads, store, nruns in (
+            ("1t", 1, oracle_1t, 1),
+            ("mt", mt_threads, oracle_mt, max(1, runs)),
+        ):
+            con = duckdb.connect()
+            con.execute(f"SET threads TO {threads}")
+            for t in tables:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+                )
+            for name in timings:
+                sql = oracles.get(name)
+                if sql is None:
+                    continue
+                best = -1.0
+                try:
+                    for _ in range(nruns):
+                        t0 = time.time()
+                        con.execute(sql).fetchall()
+                        dt = time.time() - t0
+                        best = dt if best < 0 else min(best, dt)
+                except Exception as e:
+                    print(f"bench: oracle[{label}] {name} failed: {e}", file=sys.stderr)
+                    best = -1.0
+                store[name] = round(best, 3)
+            con.close()
+
+    ratios = {}
+    for name, t in timings.items():
+        om = oracle_mt.get(name, -1.0)
+        ratios[name] = round(t / om, 2) if (t > 0 and om > 0) else None
+    real_ratios = [r for r in ratios.values() if r]
+    geomean = (
+        round(math.exp(sum(math.log(r) for r in real_ratios) / len(real_ratios)), 2)
+        if real_ratios
+        else None
+    )
+    n_over_2x = sum(1 for r in real_ratios if r > 2.0)
+
     slowest = dict(
         sorted(
             ((n, t) for n, t in timings.items() if t > 0),
@@ -124,19 +181,27 @@ def main() -> None:
         )[:10]
     )
     detail_path = os.path.join(REPO_DIR, "BENCH_DETAIL.json")
+    detail = {
+        "metric": "query_inventory_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "oracle_sec_1t": oracle_1t,
+        "oracle_sec_mt": oracle_mt,
+        "ratio_vs_oracle_mt": ratios,
+        "sf": sf,
+        "runs": runs,
+    }
+    if os.path.exists(detail_path):
+        try:  # preserve sections other runs wrote (e.g. the sf1 scale smoke)
+            prev = json.load(open(detail_path))
+            for k, v in prev.items():
+                if k not in detail:
+                    detail[k] = v
+        except Exception:
+            pass
     with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "metric": "query_inventory_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs": runs,
-            },
-            f,
-            indent=1,
-        )
+        json.dump(detail, f, indent=1)
     print(
         json.dumps(
             {
@@ -146,6 +211,8 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(timings),
                 "n_failed": sum(1 for t in timings.values() if t < 0),
+                "geomean_ratio_vs_oracle_mt": geomean,
+                "n_over_2x_oracle_mt": n_over_2x,
                 "sf": sf,
                 "detail": "BENCH_DETAIL.json",
             }

@@ -64,6 +64,72 @@ def test_decode_image_real_codec_gated(spark, assets):
     assert all(abs(p - 128 / 255.0) < 1e-6 for p in out[0]["pixels"])  # uniform plane survives resize
 
 
+def _build_bmp(width, height, pixel_fn, *, bitcount=24, compression=0, top_down=False):
+    """Synthesize an uncompressed 24-bit BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up (or top-down) padded BGR rows.
+    ``pixel_fn(x, y) -> (b, g, r)`` with y=0 the TOP row."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    ys = range(height) if top_down else range(height - 1, -1, -1)
+    for y in ys:
+        row = b"".join(bytes(pixel_fn(x, y)) for x in range(width))
+        rows.append(row + b"\x00" * (stride - width * 3))
+    pix = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, width, -height if top_down else height,
+                       1, bitcount, compression, len(pix), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + len(info) + len(pix), 0, 0, 14 + len(info))
+    return hdr + info + pix
+
+
+def test_decode_image_real_bmp_path(spark):
+    """fake=False executes a REAL parse in-sandbox for 24-bit BMP (the image
+    twin of the WAV/AVI decoders): solid-color luma is exact, the nearest-
+    neighbor resize picks the right source pixels, top-down and bottom-up
+    orientations agree, garbage bytes raise, and a non-24bpp BMP hits the
+    PIL gate."""
+    schema = T.StructType([T.StructField("asset_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    # solid gray 100: luma = 100 exactly under the 0.299/0.587/0.114 weights
+    solid = _build_bmp(16, 16, lambda x, y: (100, 100, 100))
+    df = spark.createDataFrame([Row(asset_id=1, payload=bytearray(solid))], schema)
+    out = decode_image(df, width=8, height=8, fake=False).collect()
+    assert len(out[0]["pixels"]) == 64
+    assert all(abs(p - 100 / 255.0) < 1e-6 for p in out[0]["pixels"])
+
+    # left half black, right half white, 4x4 -> resize 2x2 picks (0,2) columns
+    halves = _build_bmp(4, 4, lambda x, y: (255, 255, 255) if x >= 2 else (0, 0, 0))
+    df2 = spark.createDataFrame([Row(asset_id=2, payload=bytearray(halves))], schema)
+    px = decode_image(df2, width=2, height=2, fake=False).collect()[0]["pixels"]
+    assert [round(p) for p in px] == [0, 1, 0, 1]
+
+    # top-down negative-height BMP must decode identically to bottom-up
+    grad = lambda x, y: (10 * y, 10 * y, 10 * y)  # noqa: E731 — row gradient
+    bu = _build_bmp(4, 4, grad)
+    td = _build_bmp(4, 4, grad, top_down=True)
+    both = spark.createDataFrame(
+        [Row(asset_id=3, payload=bytearray(bu)), Row(asset_id=4, payload=bytearray(td))], schema
+    )
+    res = {r["asset_id"]: r["pixels"] for r in decode_image(both, width=4, height=4, fake=False).collect()}
+    assert res[3] == res[4]
+    # y=0 is the top row in both -> first output pixel is luma 0
+    assert res[3][0] == 0.0 and abs(res[3][-1] - 30 / 255.0) < 1e-6
+
+    garbage = spark.createDataFrame([Row(asset_id=5, payload=bytearray(b"BMnot-really-a-bitmap"))], schema)
+    with pytest.raises(Exception) as ei:
+        decode_image(garbage, fake=False).collect()
+    assert "BMP" in str(ei.value) or "ValueError" in str(ei.value)
+
+    eight_bit = _build_bmp(4, 4, lambda x, y: (0, 0, 0), bitcount=8)
+    with pytest.raises(Exception) as ei:
+        decode_image(
+            spark.createDataFrame([Row(asset_id=6, payload=bytearray(eight_bit))], schema),
+            fake=False,
+        ).collect()
+    assert "24-bit" in str(ei.value)
+
+
 def test_resize_nearest_neighbor(spark, assets):
     decoded = decode_image(assets, width=8, height=8)
     out = resize_images(decoded, src_w=8, src_h=8, dst_w=4, dst_h=4).collect()

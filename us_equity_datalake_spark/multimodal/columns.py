@@ -2,12 +2,14 @@
 
 Images/audio/video are opaque ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched pandas
-functions over ``mapInPandas``.  The actual codecs (PIL/ffmpeg/torchaudio) are
-NOT in this image, so the decode kernels are stubbed: ``fake=True`` (default)
-produces deterministic shaped arrays derived from the payload hash so the
-Spark-side plumbing — schema, partitioning, UDF signatures, batch shapes — is
-real and tested; ``fake=False`` raises NotImplementedError at the decode
-boundary, exactly where a production codec would plug in.
+functions over ``mapInPandas``.  The production codecs (PIL/ffmpeg/torchaudio)
+are NOT in this image, so each modality carries a REAL in-sandbox decoder for
+one uncompressed container — 24-bit BMP (``_bmp_pixels``), PCM WAV
+(``_wav_band_energies``), BI_RGB AVI (``_parse_avi_frames``) — all pure
+stdlib-struct/numpy and golden-tested, while compressed formats hit a
+NotImplementedError gate exactly where the production codec would plug in.
+``fake=True`` (default) additionally produces deterministic hash-derived
+arrays so plumbing tests need no media bytes at all.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY; metadata columns
 (width/height/format/n_bytes/sha) are extracted once at ingest so downstream
@@ -51,17 +53,60 @@ def _fake_pixels(payload: bytes, w: int, h: int) -> list[float]:
     return [((seed + i * 2654435761) % 256) / 255.0 for i in range(w * h)]
 
 
-def _pil_pixels(payload: bytes, w: int, h: int) -> list[float]:
-    """Real decode: grayscale + resize via PIL, normalized [0, 1].  Import is
-    inside the kernel so the gate trips per-executor at decode time, exactly
-    like the FinBERT loader (equity/sentiment.py)."""
+def _bmp_pixels(payload: bytes, w: int, h: int) -> list[float]:
+    """REAL image decode for uncompressed 24-bit BMP — no external codec
+    (the image twin of the WAV/AVI parsers below).  Walks the BITMAPFILEHEADER
+    / BITMAPINFOHEADER, reads the bottom-up (or top-down, negative-height)
+    BGR24 DIB with 4-byte row padding, converts to luma, and nearest-neighbor
+    resizes to (w, h) — the same index math as :func:`resize_images`.
+    Non-BMP bytes raise ValueError; palettized/compressed BMPs hit the PIL
+    gate (NotImplementedError) because only BI_RGB 24bpp parses in-sandbox."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    _, bw, bh, _, bitcount, comp = struct.unpack("<IiiHHI", payload[14:34])
+    if bitcount != 24 or comp != 0:
+        raise NotImplementedError(
+            "only uncompressed 24-bit BMP decodes in-sandbox; other BMP "
+            "variants require PIL — not in this image"
+        )
+    top_down = bh < 0
+    bh_abs = abs(bh)
+    if bw <= 0 or bh_abs == 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (bw * 3 + 3) & ~3
+    if len(payload) < data_off + stride * bh_abs:
+        raise ValueError("truncated BMP pixel data")
+    a = np.frombuffer(payload, np.uint8, stride * bh_abs, data_off).reshape(bh_abs, stride)
+    px = a[:, : bw * 3].reshape(bh_abs, bw, 3).astype(np.float64)
+    if not top_down:
+        px = px[::-1]
+    gray = px[..., 2] * 0.299 + px[..., 1] * 0.587 + px[..., 0] * 0.114  # DIB is BGR
+    ys = (np.arange(h) * bh_abs) // h
+    xs = (np.arange(w) * bw) // w
+    out = gray[np.ix_(ys, xs)] / 255.0
+    return [float(v) for v in out.reshape(-1)]
+
+
+def _real_pixels(payload: bytes, w: int, h: int) -> list[float]:
+    """Real decode: BMP payloads parse in-sandbox via :func:`_bmp_pixels`;
+    everything else goes through PIL (grayscale + resize, normalized [0, 1]).
+    The PIL import is inside the kernel so the gate trips per-executor at
+    decode time, exactly like the FinBERT loader (equity/sentiment.py)."""
     import io
 
+    if payload[:2] == b"BM":
+        return _bmp_pixels(payload, w, h)
     try:
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "image decode requires PIL — not in this image; use fake=True for the plumbing tests"
+            "non-BMP image decode requires PIL — not in this image; "
+            "24-bit BMP decodes in-sandbox, or use fake=True for plumbing tests"
         ) from e
     with Image.open(io.BytesIO(payload)) as im:
         im = im.convert("L").resize((w, h))
@@ -72,17 +117,19 @@ def decode_image(df: DataFrame, *, payload_col: str = "payload", width: int = 8,
                  fake: bool = True) -> DataFrame:
     """binary -> fixed-shape float pixel array (w*h grayscale).
 
-    ``fake=False`` runs the real PIL decode (grayscale + resize) when PIL is
-    importable and raises ``NotImplementedError`` at the decode boundary when
-    it is not; ``fake=True`` (default in this image) substitutes the
-    deterministic hash-seeded plane so plumbing stays testable.
+    ``fake=False`` is the REAL decode path: uncompressed 24-bit BMP parses
+    in-sandbox (``_bmp_pixels`` — pure struct/numpy, executes in this image),
+    any other format goes through PIL and raises ``NotImplementedError`` at
+    the decode boundary when PIL is absent; ``fake=True`` (default in this
+    image) substitutes the deterministic hash-seeded plane so plumbing stays
+    testable without image bytes.
     """
     out_schema = T.StructType(list(df.schema.fields) + [
         T.StructField("pixels", T.ArrayType(T.FloatType())),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
     ])
-    decode = _fake_pixels if fake else _pil_pixels
+    decode = _fake_pixels if fake else _real_pixels
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -206,31 +206,67 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 6,
+    n_tables: int = 1,
     seed: int = 11,
     dim: int | None = None,
+    target_occupancy: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-family member over
     vectors): LSH sign-buckets block the candidate space — only same-bucket
     pairs are scored — then exact cosine filters at ``threshold``.
-
-    High-cosine pairs agree on most hyperplane signs, so same-bucket blocking
-    keeps recall high at 1/2^n of the all-pairs cost; the bucket is the
-    shuffle key, so cost is Σ bucket² like every inverted-index dedup here.
     Returns (id_a, id_b, cosine) with id_a < id_b.
+
+    Scale controls (the sf1 smoke's finding — candidates = Σ bucket² ≈
+    N²/2^planes, QUADRATIC in corpus size when the plane count is fixed):
+
+    - ``target_occupancy``: size the bucket grid to the corpus — planes =
+      max(n_planes, ceil(log2(N / occupancy))), one count() job at plan time.
+      Constant occupancy ⇒ candidate volume ∝ N·occupancy, linear.  At 100 TB
+      this is mandatory; the fixture queries keep the fixed 6-plane grid only
+      because their DuckDB oracle mirrors those exact buckets.
+    - ``n_tables``: OR-construction — each table hashes against an
+      independent set of planes (seed + table index) and a pair is a
+      candidate if ANY table buckets it together.  Recall for a pair at
+      angle θ rises from p^planes to 1 − (1 − p^planes)^tables
+      (p = 1 − θ/π), which is how narrow grids (many planes) keep recall at
+      production thresholds.  Within-table dedup happens at the pair level
+      (distinct) before output.
     """
     if dim is None:
         row = corpus.select(vec_col).first()
         dim = 1 if row is None or row[0] is None else len(row[0])
-    planes = vector.hyperplanes(n_planes, dim, seed)
+    if target_occupancy is not None:
+        import math
+
+        n = corpus.count()
+        if n > target_occupancy:
+            n_planes = max(n_planes, math.ceil(math.log2(n / target_occupancy)))
+        n_planes = min(n_planes, 30)
+    tables = [
+        vector.hyperplanes(n_planes, dim, seed + 7919 * ti) for ti in range(n_tables)
+    ]
     t = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        vector.lsh_bucket(F.col(vec_col), planes).alias("bkt"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(ti).alias("tbl"),
+                    vector.lsh_bucket(F.col(vec_col), planes).alias("bkt"),
+                )
+                for ti, planes in enumerate(tables)
+            ])
+        ).alias("tb"),
         vector.norm(F.col(vec_col)).alias("nrm"),
-    )
+    ).select("id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"), "nrm")
     a, b = t.alias("a"), t.alias("b")
-    return (
-        a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") < F.col("b.id")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -243,6 +279,9 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    # multi-table: the same pair can collide in several tables — dedup on the
+    # narrow (id_a, id_b, cosine) rows, a no-op shuffle when n_tables == 1
+    return pairs.distinct() if n_tables > 1 else pairs
 
 
 def kmeans_assign(

@@ -106,6 +106,21 @@ def update_top3000(lake: LakePaths, ticks_batch: DataFrame, *, k: int = 3000, mi
         top.unpersist()
 
 
+def write_symbol_list_txt(df: DataFrame, path: str, *, col: str = "symbol") -> int:
+    """S10 text sink (reference publishers.py:846-904): newline-joined symbol
+    list written as ONE text object, in the caller's row order.  The list is
+    top-k bounded (3000 rows) by construction, so the driver-side write
+    mirrors the reference's single put_object exactly and costs nothing at
+    any lake scale — this is deliberately NOT a distributed write."""
+    values = [r[0] for r in df.select(col).collect()]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(str(v) for v in values))
+        if values:
+            fh.write("\n")
+    return len(values)
+
+
 def update_daily_ticks(spark: SparkSession, lake: LakePaths, ticks_batch: DataFrame) -> dict:
     """Stage 4 (I3, app.py:296-445): total re-land of the month-to-date slice,
     dynamic overwrite of exactly the (year, month) partitions present."""
@@ -124,12 +139,13 @@ def update_daily_ticks(spark: SparkSession, lake: LakePaths, ticks_batch: DataFr
 N_SYM_BUCKETS = 64  # derived-table partition count: pmod(hash(symbol), N)
 
 
-def _sym_bucket(col: Column) -> Column:
-    return F.pmod(F.hash(col), F.lit(N_SYM_BUCKETS))
+def _sym_bucket(col: Column, n_buckets: int = N_SYM_BUCKETS) -> Column:
+    return F.pmod(F.hash(col), F.lit(n_buckets))
 
 
 def update_fundamentals(
-    spark: SparkSession, lake: LakePaths, raw: DataFrame, *, incremental: bool = True
+    spark: SparkSession, lake: LakePaths, raw: DataFrame, *, incremental: bool = True,
+    n_buckets: int = N_SYM_BUCKETS, report_counts: bool = True,
 ) -> dict:
     """Stage 7 (F1-F3 + I4 + W1 + metrics): normalize raw datapoints, append
     fresh rows, rebuild the derived TTM/metrics tables.
@@ -141,7 +157,9 @@ def update_fundamentals(
     pushes to the scan) and rewrites ~those buckets, instead of rebuilding
     the whole derived tier.  Falls back to a full rebuild on the first run
     (no derived tables yet) or when ``incremental=False``."""
-    fund_long = normalize_fundamental(raw).withColumn("sym_bucket", _sym_bucket(F.col("symbol")))
+    fund_long = normalize_fundamental(raw).withColumn(
+        "sym_bucket", _sym_bucket(F.col("symbol"), n_buckets)
+    )
     # Pre-migration guard: a fundamental lake written before bucket
     # partitioning carries no sym_bucket column — appending partitioned rows
     # into it would mix layouts, and the bucket filter below would reference
@@ -156,7 +174,7 @@ def update_fundamentals(
 
             tmp = lake.fundamental.rstrip("/") + f".__migrate_{os.getpid()}"
             write_partitioned(
-                existing.withColumn("sym_bucket", _sym_bucket(F.col("symbol"))),
+                existing.withColumn("sym_bucket", _sym_bucket(F.col("symbol"), n_buckets)),
                 tmp,
                 partition_by=["sym_bucket"],
             )
@@ -182,14 +200,16 @@ def update_fundamentals(
         report_buckets = len(touched)
         full = full.filter(F.col("sym_bucket").isin(touched))  # partition-pruned scan
     else:
-        report_buckets = N_SYM_BUCKETS
+        report_buckets = n_buckets
 
     duration = full.filter(~F.col("is_instant"))
     stock = full.filter(F.col("is_instant")).select("symbol", "as_of_date", "concept", "value")
-    ttm = compute_ttm_long(duration).withColumn("sym_bucket", _sym_bucket(F.col("symbol")))
+    ttm = compute_ttm_long(duration).withColumn(
+        "sym_bucket", _sym_bucket(F.col("symbol"), n_buckets)
+    )
     metrics = compute_metrics_long(
         ttm.select("symbol", "as_of_date", "concept", "value"), stock
-    ).withColumn("sym_bucket", _sym_bucket(F.col("symbol")))
+    ).withColumn("sym_bucket", _sym_bucket(F.col("symbol"), n_buckets))
     if do_incremental:
         # dynamic overwrite replaces exactly the recomputed buckets
         overwrite_partition(spark, ttm, lake.ttm, partition_by=["sym_bucket"])
@@ -208,8 +228,11 @@ def update_fundamentals(
     return {
         "fundamental_appended": appended,
         "derived_buckets_rebuilt": report_buckets,
-        "ttm_rows": _count(lake.ttm),
-        "metric_rows": _count(lake.metrics),
+        # readback counts are report-only (two extra read jobs); callers that
+        # immediately re-read the lake anyway (the oracle-gated round-trip)
+        # skip them
+        "ttm_rows": _count(lake.ttm) if report_counts else -1,
+        "metric_rows": _count(lake.metrics) if report_counts else -1,
     }
 
 

@@ -61,6 +61,10 @@ _GRADING_PRIORITY = [
     "decile_buckets",
     "range_self_join_pairs",
     "funnel_windowed_conversion",
+    "mdna_extraction_report",       # new r4: N1 priority/fallback/guard + N2 cleaning
+    "pipe_directory_roundtrip",     # new r4: S8 source round-trip w/ footer+flag drop
+    "top3000_text_sink_report",     # new r4: S10 txt sink, rank+membership graded
+    "doc_lsh_verified_jaccard",     # new r4: the linear scale path for jaccard dedup
     # --- core regression set (historically red / changed this round) ---
     "running_id_assignment",       # red in r1+r2 (HUGEINT cast), green r3
     "ttm_rolling_4q",              # W1 core
@@ -76,16 +80,12 @@ _GRADING_PRIORITY = [
     # --- tier representatives (continuity with r3's window) ---
     "doc_exact_dedup",
     "doc_minhash_lsh_pairs",
-    "emb_cosine_topk",
     "master_universe_lifecycle",
     "lake_roundtrip_report",
     "bucketed_smj_rollup",
-    "sessionize_events",
     "funnel_conversion",
     "cohort_retention",
-    "asof_tolerance_join",
     "salted_join_nation_rollup",
-    "tfidf_top_terms",
 ]
 
 

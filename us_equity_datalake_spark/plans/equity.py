@@ -454,3 +454,111 @@ def symbol_normalizer_q(spark, sf_dir):
         .otherwise(F.lit("2024-06-01")).cast("date").alias("day"),
     )
     return to_nasdaq_format_batch(master.cache(), nasdaq.cache(), req)
+
+
+# ---------------------------------------------------------------------------
+# N1 + N2 cross-engine gate: MD&A extraction over cleaned synthetic filings.
+# Six fixture arms cover every rule in reference collection/sentiment.py:60-79,
+# 189-238: the 10-K item-7 and 10-Q item-2 start patterns, PRIORITY order over
+# POSITION (an item-2 heading earlier in the document loses to a later item-7
+# heading), the no-end-pattern remainder fallback, the no-start -> None arm,
+# and the <500-char minimum-length guard.  HTML cleaning (tag strip, entity
+# decode, whitespace collapse — reference :152-187) runs inside the same UDF;
+# the oracle replicates it with a regexp_replace/replace chain over the SAME
+# deterministic filing construction, so the value hash grades both operators.
+# ---------------------------------------------------------------------------
+
+_MDNA_HEAD_7 = "Item 7. Management''s Discussion and Analysis"
+_MDNA_HEAD_2 = "Item 2. Management''s Discussion and Analysis"
+
+
+@register(
+    "mdna_extraction_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 6 AS arm,
+             substr(repeat(text || ' ', 10), 1, 650) AS body,
+             substr(text, 1, 80) AS short
+      FROM documents
+    ),
+    filing AS (
+      SELECT doc_id, arm,
+        CASE arm
+          WHEN 0 THEN '<html><head><title>Form 10-K</title></head><body><p>Intro &lt;filed&gt; report.</p> {_MDNA_HEAD_7} ' || body || ' A &amp; B Item 7A. Quantitative and Qualitative Disclosures</body></html>'
+          WHEN 1 THEN '<p>See Item 7 of annual report.</p> {_MDNA_HEAD_2} ' || body || ' Item 3. Quantitative and Qualitative Disclosures'
+          WHEN 2 THEN 'Filed pursuant. {_MDNA_HEAD_7} ' || body
+          WHEN 3 THEN '<p>quarterly summary</p> ' || body
+          WHEN 4 THEN '{_MDNA_HEAD_7} ' || short || ' Item 7A. Quantitative and Qualitative'
+          ELSE '{_MDNA_HEAD_2} early quarter section text. {_MDNA_HEAD_7} ' || body || ' Item 8. Financial Statements and Supplementary Data'
+        END AS t
+      FROM base
+    ),
+    cleaned AS (
+      SELECT doc_id, arm,
+        trim(regexp_replace(replace(replace(replace(
+          regexp_replace(t, '<[^>]+>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&amp;', '&'), '\\s+', ' ', 'g')) AS c
+      FROM filing
+    ),
+    sec AS (
+      SELECT doc_id, arm,
+        CASE arm
+          WHEN 0 THEN regexp_extract(c, 'Item 7\\. Management''s Discussion and Analysis(.*?)Item 7A\\. Quantitative and Qualitative', 1)
+          WHEN 1 THEN regexp_extract(c, 'Item 2\\. Management''s Discussion and Analysis(.*?)Item 3\\. Quantitative and Qualitative', 1)
+          WHEN 2 THEN regexp_extract(c, 'Item 7\\. Management''s Discussion and Analysis(.*)', 1)
+          WHEN 4 THEN regexp_extract(c, 'Item 7\\. Management''s Discussion and Analysis(.*?)Item 7A\\. Quantitative and Qualitative', 1)
+          WHEN 5 THEN regexp_extract(c, 'Item 7\\. Management''s Discussion and Analysis(.*?)Item 8\\. Financial Statements', 1)
+          ELSE NULL
+        END AS s
+      FROM cleaned
+    )
+    SELECT doc_id, arm,
+           CASE WHEN length(s) >= 500 THEN length(s) END AS mdna_len,
+           CASE WHEN length(s) >= 500 THEN md5(s) END AS mdna_md5
+    FROM sec
+    """,
+    doc="MD&A extraction (N1) + HTML cleaning (N2) graded cross-engine on six "
+    "deterministic filing arms; the Spark side runs the REAL "
+    "extract_mdna_udf (priority-ordered start patterns, earliest qualified "
+    "end, 100KB fallback, 500-char guard) while the oracle replicates the "
+    "expected section per arm with regexp extraction over the same "
+    "construction.  Scale: one pandas-UDF pass, no shuffle.",
+)
+def mdna_extraction_q(spark, sf_dir):
+    from us_equity_datalake_spark.equity.sentiment import extract_mdna_udf
+
+    docs = load_table(spark, "documents", sf_dir)
+    body = F.substring(F.repeat(F.concat(F.col("text"), F.lit(" ")), 10), 1, 650)
+    short = F.substring(F.col("text"), 1, 80)
+    head7 = "Item 7. Management's Discussion and Analysis"
+    head2 = "Item 2. Management's Discussion and Analysis"
+    arm = (F.col("doc_id") % 6).cast("long")
+    filing = (
+        F.when(arm == 0, F.concat(
+            F.lit("<html><head><title>Form 10-K</title></head><body><p>Intro &lt;filed&gt; report.</p> " + head7 + " "),
+            body,
+            F.lit(" A &amp; B Item 7A. Quantitative and Qualitative Disclosures</body></html>"),
+        ))
+        .when(arm == 1, F.concat(
+            F.lit("<p>See Item 7 of annual report.</p> " + head2 + " "),
+            body,
+            F.lit(" Item 3. Quantitative and Qualitative Disclosures"),
+        ))
+        .when(arm == 2, F.concat(F.lit("Filed pursuant. " + head7 + " "), body))
+        .when(arm == 3, F.concat(F.lit("<p>quarterly summary</p> "), body))
+        .when(arm == 4, F.concat(
+            F.lit(head7 + " "), short, F.lit(" Item 7A. Quantitative and Qualitative"),
+        ))
+        .otherwise(F.concat(
+            F.lit(head2 + " early quarter section text. " + head7 + " "),
+            body,
+            F.lit(" Item 8. Financial Statements and Supplementary Data"),
+        ))
+    )
+    mdna = extract_mdna_udf(filing)
+    return docs.select(
+        "doc_id",
+        arm.alias("arm"),
+        F.length(mdna).alias("mdna_len"),
+        F.md5(mdna).alias("mdna_md5"),
+    )

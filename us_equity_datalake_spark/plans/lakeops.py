@@ -240,11 +240,17 @@ def incremental_derived_q(spark, sf_dir):
     )
 
     try:
-        update_fundamentals(spark, lp, day1, incremental=True)
-        r2 = update_fundamentals(spark, lp, day2, incremental=True)
+        # 16 buckets for the 40-symbol fixture: day 2 touches 10 symbols, so
+        # the incremental path provably rebuilds < 16 (it cannot touch more
+        # buckets than symbols) while the per-run partition-dir count stays
+        # proportionate to the fixture (the production default is 64 — at
+        # this fixture size 64 buckets spent ~all its wall clock creating
+        # near-empty partition directories, 11.4 s/run in BENCH r4-pre)
+        update_fundamentals(spark, lp, day1, incremental=True, n_buckets=16, report_counts=False)
+        r2 = update_fundamentals(spark, lp, day2, incremental=True, n_buckets=16, report_counts=False)
         # layout self-check (engine-internal, not oracle-visible): day 2 must
         # NOT have rebuilt the whole derived tier
-        assert 0 < r2["derived_buckets_rebuilt"] < 64, r2
+        assert 0 < r2["derived_buckets_rebuilt"] < 16, r2
 
         ttm = spark.read.parquet(lp.ttm)
         part1 = ttm.select(
@@ -262,4 +268,126 @@ def incremental_derived_q(spark, sf_dir):
         out = spark.createDataFrame(rows, schema=report.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# S8 round-trip: pipe-delimited symbol-directory file (Nasdaq FTP analog).
+# The file is BUILT driver-side (as the reference's FTP fetch lands it,
+# universe/current.py:91-177 — header row, '|' fields, File-Creation-Time
+# footer), read back through the REAL read_pipe_delimited operator, and the
+# footer-drop + ETF/Test-Issue exclusion predicates applied; the oracle
+# derives the surviving directory rows straight from customer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_directory_roundtrip",
+    oracle="""
+    SELECT c_name AS symbol, c_name || ' Common Stock' AS security_name
+    FROM customer
+    WHERE c_custkey % 7 <> 0 AND c_custkey % 11 <> 0
+    """,
+    doc="S8 pipe-delimited directory source (universe/current.py:91-177) "
+    "round-trip: build the nasdaqtraded.txt-shaped file (header, '|' fields, "
+    "ETF/Test-Issue flag columns, File Creation Time footer) from customer, "
+    "read it back through read_pipe_delimited, drop the footer by the "
+    "first-field predicate and exclude flagged rows.  Dimension-scale by "
+    "nature: the reference fetches this file driver-side from FTP.",
+)
+def pipe_directory_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources.ingest import read_pipe_delimited
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_pipedir_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{os.getpid()}.txt",
+    )
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("Nasdaq Traded|Symbol|Security Name|ETF|Test Issue\n")
+        for r in cust:
+            etf = "Y" if r.c_custkey % 7 == 0 else "N"
+            test = "Y" if r.c_custkey % 11 == 0 else "N"
+            fh.write(f"Y|{r.c_name}|{r.c_name} Common Stock|{etf}|{test}\n")
+        fh.write("File Creation Time: 1231202422:00||||\n")
+    try:
+        directory = read_pipe_delimited(spark, path)
+        kept = directory.filter(
+            (F.col("`Nasdaq Traded`") == "Y")
+            & (F.col("ETF") == "N")
+            & (F.col("`Test Issue`") == "N")
+        )
+        report = kept.select(
+            F.col("Symbol").alias("symbol"),
+            F.col("`Security Name`").alias("security_name"),
+        )
+        rows = report.collect()
+        out = spark.createDataFrame(rows, schema=report.schema)
+    finally:
+        os.remove(path)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# S10 round-trip: top-k liquidity list through the newline-txt sink.  Ranking
+# uses the EXACT decimal dollar-volume sum so the boundary of the top-k and
+# the written line ORDER are deterministic cross-engine; the readback
+# re-attaches line numbers, so the oracle's ROW_NUMBER grades both membership
+# and order of the text artifact.
+# ---------------------------------------------------------------------------
+
+_TOPK_TXT = 100
+
+
+@register(
+    "top3000_text_sink_report",
+    oracle=f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY total DESC, symbol) AS BIGINT) AS rank,
+           symbol
+    FROM (
+      SELECT 'S' || lpad(CAST(l_suppkey % 300 AS VARCHAR), 3, '0') AS symbol,
+             {dec_sum_sql('l_extendedprice * l_quantity')} AS total
+      FROM lineitem
+      GROUP BY l_suppkey % 300
+    )
+    ORDER BY total DESC, symbol
+    LIMIT {_TOPK_TXT}
+    """,
+    doc="S10 text sink (publishers.py:846-904) + T1 top-k: exact-decimal "
+    "dollar-volume ranking over a lineitem-derived ticks fixture, top-100 "
+    "written as a newline symbol list via write_symbol_list_txt, read back "
+    "line-by-line with ranks re-attached.  Any ordering or membership drift "
+    "in the sink breaks the hash.  The distributed part (agg + top-k) is one "
+    "shuffle + TakeOrdered; the txt write is top-k bounded by design.",
+)
+def top3000_text_sink_q(spark, sf_dir):
+    from us_equity_datalake_spark.equity.daily_job import write_symbol_list_txt
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_top3000_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{os.getpid()}.txt",
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    sym = F.concat(
+        F.lit("S"), F.lpad((F.col("l_suppkey") % 300).cast("string"), 3, "0")
+    )
+    total = li.groupBy(sym.alias("symbol")).agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("total")
+    )
+    top = total.orderBy(F.desc("total"), F.asc("symbol")).limit(_TOPK_TXT)
+    try:
+        n = write_symbol_list_txt(top, path)
+        with open(path, encoding="utf-8") as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln]
+        assert len(lines) == n
+        out = spark.createDataFrame(
+            [(i + 1, s) for i, s in enumerate(lines)], schema="rank bigint, symbol string"
+        )
+    finally:
+        os.remove(path)
     return out

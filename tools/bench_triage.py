@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Regenerate BENCH_TRIAGE.md from BENCH_DETAIL.json: a written triage of
+every query whose warm Spark wall time exceeds 2x the 32-thread DuckDB oracle
+on the same sf0.1 parquet (VERDICT r3 next-round #1).
+
+Classes (assigned per query, hand-tuned notes for the heavy tier):
+
+- FLOOR    spark < 0.3 s: the per-query floor — JVM job scheduling, plan
+           analysis, parquet listing (~0.1-0.25 s regardless of data) vs an
+           in-process engine answering from page cache in 1-20 ms.  The ratio
+           measures the floor, not the operator; at 100 TB the floor is
+           amortized into scan time.
+- STAGES   0.3 s <= spark < 1 s: floor plus a few shuffle-stage round trips
+           (each ~0.1-0.2 s at local[32]); same amortization argument.
+- WRITE    the query performs real lake WRITES (parquet commits, dynamic
+           partition overwrites, bucketed table creation) that the read-only
+           oracle SQL does not perform at all — the denominators are not
+           comparable by construction; the oracle grades the ANSWER.
+- COMPUTE  spark >= 1 s and read-only: a genuine compute-path gap worth a
+           note (see table).
+- UDF      the sanctioned Python path (pandas-UDF chunker / model kernel):
+           Arrow round-trip + Python execution vs DuckDB native.
+
+Usage: python tools/bench_triage.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WRITE_PATH = {
+    "incremental_derived_report": "2x update_fundamentals: ~17 write/read jobs "
+    "(partitioned appends, bucket-pruned rebuild, dynamic overwrites); oracle does 0 writes",
+    "lake_roundtrip_report": "2x dynamic overwrite + anti-join append + compaction, real parquet commits",
+    "bucketed_smj_rollup": "creates two bucketed catalog tables on disk, then joins them",
+    "pipe_directory_roundtrip": "writes + re-reads the pipe-delimited directory file via spark.read.csv",
+    "top3000_text_sink_report": "writes + re-reads the newline txt sink",
+    "consolidate_year_report": "year consolidation job: partition-pruned rewrite",
+}
+
+UDF_PATH = {
+    "filing_sentiment_agg": "pandas-UDF chunker + model kernel (the sanctioned Arrow path)",
+    "doc_fixed_chunks": "pandas-UDF chunker",
+    "multimodal_binary_metadata": "mapInPandas decode plumbing",
+}
+
+COMPUTE_NOTES = {
+    "doc_lsh_verified_jaccard": "minhash sigs + band join + set verify: 3 shuffles vs "
+    "DuckDB's in-process hash joins; md5 per shingle on both sides — gap is shuffle I/O, linear at scale",
+    "doc_ngram_jaccard_pairs": "inverted-index self-join, Σ df² candidates; same asymptotics both engines "
+    "(duck-1t 1.2 s vs spark 2.4 s once threads matter less)",
+    "doc_minhash_lsh_pairs": "16 md5-based permutations via interpreted HOF folds; duck-1t 3.4 s is "
+    "SLOWER than spark — the mt ratio reflects DuckDB's better intra-query parallelism on tiny data",
+    "emb_kmeans_assign": "unrolled Lloyd iterations = several tiny barrier stages; cached corpus, "
+    "broadcast centroids — stage-count bound, not data bound",
+    "emb_lsh_topk": "64-dim cosine/bucket math runs in Spark's INTERPRETED higher-order lambdas "
+    "(aggregate/zip_with are not codegen'd) vs DuckDB's native vectorized list kernels; kept HOF for "
+    "bit-exact oracle parity — the 100 TB path swaps the scoring inner loop for an Arrow/numpy kernel",
+    "emb_near_dup_pairs": "same interpreted-HOF cosine kernel over bucket candidate pairs",
+    "emb_ivf_topk": "same kernel + centroid assignment stages",
+    "emb_int8_quantize_report": "same kernel family (per-component HOF quantize/reconstruct)",
+    "token_pack_report": "two-phase distributed prefix sum = 4 small stages + bucket boundary collect; "
+    "stage-count bound at fixture scale, one-pass at real scale",
+    "tpch_q21_waiting_supplier": "3 lineitem passes + 2 shuffle joins; DuckDB keeps the 74 MB table "
+    "in-process — spark pays shuffle serialization; plan is the intended shape (AQE broadcasts the dims)",
+    "near_dup_components": "iterative label propagation: per-iteration localCheckpoint materialization",
+    "doc_simhash_pairs": "32 bit-count aggregate columns + band self-join; 1.6 M output pairs",
+    "auto_resolve_nearest_interval": "agg -> join -> window = 3 AQE stages on dimension-scale data; "
+    "isolated best-of-3 0.76 s, pure stage-scheduling floor",
+    "pit_interval_lookup": "broadcast equi+range join over 600k facts: scan + broadcast + "
+    "one agg stage; duck answers from cached pages in-process",
+    "q4_operator_roundtrip": "drives the real derive_q4 (union + regroup + window chain) — "
+    "multi-stage operator round-trip at fixture scale",
+    "master_universe_lifecycle": "many rule-branch joins over cached dimension fixtures; "
+    "stage-count bound (all sides broadcast)",
+}
+
+
+def classify(name: str, sp: float, ratio: float | None) -> tuple[str, str]:
+    if name in WRITE_PATH:
+        return "WRITE", WRITE_PATH[name]
+    if name in UDF_PATH:
+        return "UDF", UDF_PATH[name]
+    if sp < 0.3:
+        return "FLOOR", ""
+    if sp < 1.0:
+        return "STAGES", COMPUTE_NOTES.get(name, "")
+    return "COMPUTE", COMPUTE_NOTES.get(name, "")
+
+
+def main() -> None:
+    d = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    t, om, o1 = d["queries"], d["oracle_sec_mt"], d["oracle_sec_1t"]
+    ratios = d["ratio_vs_oracle_mt"]
+    over = [(n, t[n], om.get(n, -1), o1.get(n, -1), ratios[n])
+            for n in t if ratios.get(n) and ratios[n] > 2.0]
+    over.sort(key=lambda r: -r[1])
+    counts: dict[str, int] = {}
+    rows = []
+    for n, sp, mt, s1, ratio in over:
+        cls, note = classify(n, sp, ratio)
+        counts[cls] = counts.get(cls, 0) + 1
+        rows.append((n, sp, mt, s1, ratio, cls, note))
+
+    total_sp = d["value"]
+    total_mt = round(sum(v for v in om.values() if v > 0), 2)
+    total_1t = round(sum(v for v in o1.values() if v > 0), 2)
+
+    out = []
+    out.append("# BENCH TRIAGE — every query > 2x the 32-thread DuckDB oracle\n")
+    out.append(f"Generated by tools/bench_triage.py from BENCH_DETAIL.json "
+               f"(sf {d['sf']}, best-of-{d['runs']} warm, suite order).\n")
+    import math
+    real = [r for r in ratios.values() if r]
+    geo = round(math.exp(sum(math.log(r) for r in real) / len(real)), 2)
+    out.append(f"Suite totals: Spark **{total_sp} s** vs DuckDB-mt **{total_mt} s** "
+               f"/ DuckDB-1t **{total_1t} s**; geomean ratio vs mt **{geo}** across "
+               f"{len(real)} comparable queries ({len(rows)} of them > 2x).\n")
+    out.append("""
+## Reading the ratios
+
+DuckDB here is an IN-PROCESS single-node engine answering millisecond queries
+from page cache with zero scheduling; Spark pays a fixed per-query floor
+(~0.1-0.25 s: plan analysis + job scheduling + parquet listing) plus
+~0.1-0.2 s per shuffle stage at local[32].  At sf0.1 most queries finish
+inside that floor, so the RATIO for sub-second queries measures engine
+overhead that amortizes away at the 100 TB design point — not operator cost.
+The honest comparisons are (a) the >= 1 s read-only queries (class COMPUTE,
+individually noted) and (b) suite totals, where Spark is within ~2.5x of the
+1-thread oracle while running every query through a distributed planner.
+
+Class counts: """ + ", ".join(f"**{k}** {v}" for k, v in sorted(counts.items())) + "\n")
+    out.append("| query | spark s | duck mt s | duck 1t s | ratio | class | note |")
+    out.append("|---|---|---|---|---|---|---|")
+    for n, sp, mt, s1, ratio, cls, note in rows:
+        out.append(f"| {n} | {sp:.3f} | {mt:.3f} | {s1:.3f} | {ratio} | {cls} | {note} |")
+    out.append("""
+## What would actually close the COMPUTE gaps
+
+- Vector math (emb_*): Spark's higher-order lambdas are interpreted per
+  element; swapping the scoring inner loop for an Arrow-batched numpy kernel
+  is a ~10-50x kernel win, at the cost of bit-exact fold-order parity with
+  the SQL oracle — deliberately not taken while the correctness gate is the
+  product.  At real scale the bucket/IVF pruning (already in place) dominates
+  the constant factor.
+- Shuffle-stage floors (kmeans, token_pack, auto_resolve): stage-count-bound
+  fixtures; the operators are one-or-two-shuffle shapes at real data sizes.
+- q21-style multi-pass joins: the remaining gap is shuffle serialization vs
+  in-process hash tables — the cluster answer is bucketing the fact table
+  (bucketed_smj_rollup demonstrates the exchange-free join).
+""")
+    with open(os.path.join(REPO, "BENCH_TRIAGE.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"BENCH_TRIAGE.md: {len(rows)} queries > 2x, classes {counts}")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,18 +58,28 @@ def read_check_append(
     partition_by: list[str] | None = None,
 ) -> int:
     """I4: append only rows whose key is absent (anti-join dedup upsert).
-    Returns the number of appended rows."""
+    Returns the number of appended rows.
+
+    The fresh rows are persisted across the count + write pair: without it
+    the upstream plan (often a full normalize pipeline at the ingest edge)
+    executes TWICE — once for the emptiness probe, once for the write —
+    doubling ingest compute at every scale (measured ~2x on the
+    incremental-maintenance fixture)."""
     if _exists(spark, path):
         existing_keys = spark.read.parquet(path).select(*keys).distinct()
         fresh = new_rows.join(existing_keys, on=keys, how="left_anti")
     else:
         fresh = new_rows
-    n = fresh.count()
-    if n:
-        w = fresh.write.mode("append")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
+    fresh = fresh.persist()
+    try:
+        n = fresh.count()
+        if n:
+            w = fresh.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+    finally:
+        fresh.unpersist()
     return n
 
 

@@ -112,3 +112,24 @@ def test_adaptive_occupancy_matches_explicit_planes(spark, vectors):
         ).collect()
     }
     assert adaptive == explicit
+
+
+def test_arrow_cosine_topk_matches_hof(spark, vectors):
+    from us_equity_datalake_spark.operators.similarity import cosine_topk, cosine_topk_arrow
+
+    queries = vectors.filter("vec_id < 4").selectExpr("vec_id as query_id", "embedding")
+    hof = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in cosine_topk(
+            vectors, queries, id_col="vec_id", vec_col="embedding", query_id="query_id", k=3
+        ).collect()
+    }
+    arrow = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in cosine_topk_arrow(
+            vectors, queries, id_col="vec_id", vec_col="embedding", query_id="query_id", k=3
+        ).collect()
+    }
+    assert set(hof) == set(arrow)
+    for key, c in hof.items():
+        assert abs(c - arrow[key]) < 1e-9

@@ -58,7 +58,7 @@ COMPUTE_NOTES = {
     "broadcast centroids — stage-count bound, not data bound",
     "emb_lsh_topk": "64-dim cosine/bucket math runs in Spark's INTERPRETED higher-order lambdas "
     "(aggregate/zip_with are not codegen'd) vs DuckDB's native vectorized list kernels; kept HOF for "
-    "bit-exact oracle parity — the 100 TB path swaps the scoring inner loop for an Arrow/numpy kernel",
+    "bit-exact oracle parity; emb_cosine_topk_arrow IS that swap, measured 2.2x end-to-end / ~4x kernel at sf1",
     "emb_near_dup_pairs": "same interpreted-HOF cosine kernel over bucket candidate pairs",
     "emb_ivf_topk": "same kernel + centroid assignment stages",
     "emb_int8_quantize_report": "same kernel family (per-component HOF quantize/reconstruct)",
@@ -141,11 +141,12 @@ Class counts: """ + ", ".join(f"**{k}** {v}" for k, v in sorted(counts.items()))
 ## What would actually close the COMPUTE gaps
 
 - Vector math (emb_*): Spark's higher-order lambdas are interpreted per
-  element; swapping the scoring inner loop for an Arrow-batched numpy kernel
-  is a ~10-50x kernel win, at the cost of bit-exact fold-order parity with
-  the SQL oracle — deliberately not taken while the correctness gate is the
-  product.  At real scale the bucket/IVF pruning (already in place) dominates
-  the constant factor.
+  element; `emb_cosine_topk_arrow` implements the Arrow-batched numpy swap
+  (one BLAS matmul per batch + local top-k) and passes the SAME exact oracle
+  — measured 2.2x end-to-end / ~4x on the kernel fraction at the sf1 smoke
+  corpus, widening with corpus and query count.  The HOF forms remain the
+  default for bit-exact fold-order parity; at real scale the bucket/IVF
+  pruning (already in place) dominates the constant factor.
 - Shuffle-stage floors (kmeans, token_pack, auto_resolve): stage-count-bound
   fixtures; the operators are one-or-two-shuffle shapes at real data sizes.
 - q21-style multi-pass joins: the remaining gap is shuffle serialization vs

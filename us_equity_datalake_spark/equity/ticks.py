@@ -39,6 +39,22 @@ def symbol_intervals(master: DataFrame, symbol: str, start: str, end: str) -> Da
     )
 
 
+def drop_null_bar_rows(
+    df: DataFrame,
+    *,
+    cols: tuple[str, ...] = ("open", "high", "low", "close", "volume"),
+    how: str = "all",
+) -> DataFrame:
+    """P2 null-row discipline, both reference arms: ``how="all"`` drops rows
+    where EVERY bar column is null (update/app.py:386-393 — a non-traded
+    placeholder row), ``how="any"`` skips rows with ANY null bar column
+    (crsp_ticks.py:281-295 — a partially-reported bar is unusable for
+    adjustment math).  A partial-null row therefore survives the "all" arm
+    and is dropped by the "any" arm — the distinction the daily job relies
+    on.  Pure filter; pushes to the scan when the columns are stored."""
+    return df.na.drop(how=how, subset=list(cols))
+
+
 def adjust_splits(df: DataFrame) -> DataFrame:
     """P1 (crsp_ticks.py:141-155) applied lazily at read time when adjustment
     factor columns are present; 4dp like the reference (P5)."""

@@ -65,6 +65,8 @@ _GRADING_PRIORITY = [
     "pipe_directory_roundtrip",     # new r4: S8 source round-trip w/ footer+flag drop
     "top3000_text_sink_report",     # new r4: S10 txt sink, rank+membership graded
     "doc_lsh_verified_jaccard",     # new r4: the linear scale path for jaccard dedup
+    "null_bar_discipline",          # new r4: P2 both arms on injected nulls
+    "fulltext_source_roundtrip",    # new r4: S9 wholetext read round-trip
     # --- core regression set (historically red / changed this round) ---
     "running_id_assignment",       # red in r1+r2 (HUGEINT cast), green r3
     "ttm_rolling_4q",              # W1 core
@@ -80,10 +82,8 @@ _GRADING_PRIORITY = [
     # --- tier representatives (continuity with r3's window) ---
     "doc_exact_dedup",
     "doc_minhash_lsh_pairs",
-    "master_universe_lifecycle",
     "lake_roundtrip_report",
     "bucketed_smj_rollup",
-    "funnel_conversion",
     "cohort_retention",
     "salted_join_nation_rollup",
 ]

@@ -391,3 +391,57 @@ def top3000_text_sink_q(spark, sf_dir):
     finally:
         os.remove(path)
     return out
+
+
+# ---------------------------------------------------------------------------
+# S9 round-trip: full-text corpus files read through read_fulltext (one row
+# per file, wholetext).  Files are written driver-side — the reference
+# fetches filing texts one accession at a time (collection/sentiment.py:
+# 120-150) — then the REAL operator reads them distributed and the report
+# re-derives each doc's id from its filename.
+# ---------------------------------------------------------------------------
+
+_FT_N = 40  # one file per doc: bounded like a daily filing batch
+
+
+@register(
+    "fulltext_source_roundtrip",
+    oracle=f"""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS text_md5
+    FROM documents WHERE doc_id < {_FT_N}
+    """,
+    doc="S9 full-text source round-trip (collection/sentiment.py:120-150): "
+    "bounded filing batch written one file per doc, read back with "
+    "read_fulltext (wholetext + input_file_name), doc id re-parsed from the "
+    "filename, content graded byte-exactly via md5.",
+)
+def fulltext_roundtrip_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources.ingest import read_fulltext
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_fulltext_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < _FT_N)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in docs:
+        with open(os.path.join(root, f"doc_{r.doc_id}.txt"), "w", encoding="utf-8") as fh:
+            fh.write(r.text)
+    try:
+        ft = read_fulltext(spark, root, whole=True)
+        report = ft.select(
+            F.regexp_extract(F.col("src"), r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+            F.length("text").cast("long").alias("n_chars"),
+            F.md5("text").alias("text_md5"),
+        )
+        rows = report.collect()
+        out = spark.createDataFrame(rows, schema=report.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -978,3 +978,63 @@ def filing_window_q(spark, sf_dir):
     return recent_filings_window(
         filings, target_date=_FW_TARGET, lookback_days=_FW_LOOKBACK
     ).select("filing_id", "filing_date", "filing_type")
+
+
+# ---------------------------------------------------------------------------
+# P2 as a first-class graded operator: both null-row arms on INJECTED nulls
+# (split_adjust_projection's inline drop sees no real nulls in the fixture
+# tables, so the discipline itself was effectively ungraded until round 4).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_bar_discipline",
+    oracle=f"""
+    WITH bars AS (
+      SELECT l_orderkey * 10 + l_linenumber AS k,
+             CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE ROUND(l_extendedprice / 100, 4) END AS open,
+             CASE WHEN l_orderkey % 11 = 0 OR l_orderkey % 7 = 0 THEN NULL ELSE ROUND(l_extendedprice / 99, 4) END AS high,
+             CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE ROUND(l_extendedprice / 101, 4) END AS low,
+             CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE ROUND(l_extendedprice / 100.5, 4) END AS close
+      FROM lineitem WHERE l_orderkey < 6000
+    ),
+    kept_all AS (
+      SELECT * FROM bars WHERE NOT (open IS NULL AND high IS NULL AND low IS NULL AND close IS NULL)
+    ),
+    kept_any AS (
+      SELECT * FROM bars WHERE open IS NOT NULL AND high IS NOT NULL AND low IS NOT NULL AND close IS NOT NULL
+    )
+    SELECT 'all' AS arm, COUNT(*) AS n_rows, {dec_sum_sql('close')} AS sum_close FROM kept_all
+    UNION ALL
+    SELECT 'any' AS arm, COUNT(*) AS n_rows, {dec_sum_sql('close')} AS sum_close FROM kept_any
+    """,
+    doc="P2 both arms on injected nulls: all-null placeholder rows (k%11) are "
+    "dropped by how='all' AND how='any'; partial-null bars (k%7: high only) "
+    "survive 'all' but are skipped by 'any' (update/app.py:386-393 vs "
+    "crsp_ticks.py:281-295).  The counts and decimal close-sums of both arms "
+    "are graded, so keeping a placeholder row or dropping a partial row "
+    "breaks the hash.",
+)
+def null_bar_discipline_q(spark, sf_dir):
+    from us_equity_datalake_spark.equity.ticks import drop_null_bar_rows
+
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 6000)
+    all_null = F.col("l_orderkey") % 11 == 0
+    part_null = F.col("l_orderkey") % 7 == 0
+    bars = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        F.when(all_null, F.lit(None)).otherwise(F.round(F.col("l_extendedprice") / 100, 4)).alias("open"),
+        F.when(all_null | part_null, F.lit(None)).otherwise(F.round(F.col("l_extendedprice") / 99, 4)).alias("high"),
+        F.when(all_null, F.lit(None)).otherwise(F.round(F.col("l_extendedprice") / 101, 4)).alias("low"),
+        F.when(all_null, F.lit(None)).otherwise(F.round(F.col("l_extendedprice") / 100.5, 4)).alias("close"),
+    )
+    cols = ("open", "high", "low", "close")
+    kept_all = drop_null_bar_rows(bars, cols=cols, how="all")
+    kept_any = drop_null_bar_rows(bars, cols=cols, how="any")
+
+    def report(df, arm):
+        return df.agg(
+            F.count("*").alias("n_rows"), dec_sum(F.col("close")).alias("sum_close")
+        ).select(F.lit(arm).alias("arm"), "n_rows", "sum_close")
+
+    return report(kept_all, "all").unionByName(report(kept_any, "any"))

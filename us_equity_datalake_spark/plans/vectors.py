@@ -48,6 +48,39 @@ def cosine_topk_q(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
 
 
+@register(
+    "emb_cosine_topk_arrow",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, {_COS_QC} AS cos
+      FROM embeddings c JOIN q ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {_K}
+    """,
+    doc="The Arrow/numpy scoring kernel named in BENCH_TRIAGE as the 100 TB "
+    "path: one BLAS matmul per Arrow batch + per-batch local top-k, global "
+    "top-k over O(batches*k) candidate rows — vs the interpreted "
+    "higher-order-lambda fold of emb_cosine_topk.  Same oracle as the exact "
+    "baseline: np's blocked summation differs from the SQL fold by ~1e-15 "
+    "relative, invisible at the presented round(6).",
+)
+def cosine_topk_arrow_q(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk_arrow(
+        emb, queries, id_col="vec_id", vec_col="embedding", query_id="query_id", k=_K
+    )
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+
+
 _COS_VC = cosine_sql("v.embedding", "c.cv")
 _COS_QCENT = cosine_sql("q.qv", "c.cv")
 _COS_QV = cosine_sql("q.qv", "a.embedding")

@@ -68,9 +68,12 @@ def lake_roundtrip_q(spark, sf_dir):
     lake.overwrite_partition(spark, base, path, partition_by=["year"])
     lake.overwrite_partition(spark, base, path, partition_by=["year"])
 
-    # I4: overlapping append — only keys >= _CUT_A are fresh
+    # I4: overlapping append — only keys >= _CUT_A are fresh; the upstream is
+    # a bare scan+filter, so recomputing it beats caching it (cache_fresh doc)
     overlap = orders.filter(F.col("o_orderkey") < _CUT_B)
-    lake.read_check_append(spark, overlap, path, keys=["o_orderkey"], partition_by=["year"])
+    lake.read_check_append(
+        spark, overlap, path, keys=["o_orderkey"], partition_by=["year"], cache_fresh=False
+    )
 
     # I5: compact the smallest year partition into one file
     some_year = base.agg(F.min("year")).collect()[0][0]

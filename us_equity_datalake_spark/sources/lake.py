@@ -56,21 +56,26 @@ def read_check_append(
     *,
     keys: list[str],
     partition_by: list[str] | None = None,
+    cache_fresh: bool = True,
 ) -> int:
     """I4: append only rows whose key is absent (anti-join dedup upsert).
     Returns the number of appended rows.
 
-    The fresh rows are persisted across the count + write pair: without it
-    the upstream plan (often a full normalize pipeline at the ingest edge)
-    executes TWICE — once for the emptiness probe, once for the write —
-    doubling ingest compute at every scale (measured ~2x on the
-    incremental-maintenance fixture)."""
+    ``cache_fresh`` (default True) persists the fresh rows across the
+    count + write pair: without it the upstream plan executes TWICE — once
+    for the emptiness probe, once for the write.  When the upstream is an
+    ingest-edge pipeline (normalize/derive chains — update_fundamentals) the
+    double execution is the dominant cost at every scale; when the upstream
+    is a bare scan/filter the cache materialization costs MORE than the
+    recompute (measured ~1 s on the lake round-trip fixture), so such
+    callers pass ``cache_fresh=False``."""
     if _exists(spark, path):
         existing_keys = spark.read.parquet(path).select(*keys).distinct()
         fresh = new_rows.join(existing_keys, on=keys, how="left_anti")
     else:
         fresh = new_rows
-    fresh = fresh.persist()
+    if cache_fresh:
+        fresh = fresh.persist()
     try:
         n = fresh.count()
         if n:
@@ -79,7 +84,8 @@ def read_check_append(
                 w = w.partitionBy(*partition_by)
             w.parquet(path)
     finally:
-        fresh.unpersist()
+        if cache_fresh:
+            fresh.unpersist()
     return n
 
 

@@ -108,6 +108,16 @@ def main() -> None:
         # drop any caches a query materialized so suite state never leaks into
         # the next query's timing (isolated == suite numbers)
         spark.catalog.clearCache()
+        # flush dirty pages OUTSIDE the timed window: the write-path queries
+        # (lake round-trips, bucketed tables, incremental maintenance) leave
+        # hundreds of MB of dirty page cache behind, and the kernel's
+        # writeback then taxes whatever query runs next — measured 0.25 s
+        # isolated vs 5 s in-suite for the read-only query that followed the
+        # two big writers after the r4 window rotation put them adjacent.
+        try:
+            os.sync()
+        except Exception:
+            pass
         if (i + 1) % 10 == 0:
             # 100+ sequential plans in one JVM accumulate codegen-cache and
             # old-gen pressure that taxes later queries ~2.5x vs isolated

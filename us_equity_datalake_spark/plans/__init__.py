@@ -67,6 +67,7 @@ _GRADING_PRIORITY = [
     "doc_lsh_verified_jaccard",     # new r4: the linear scale path for jaccard dedup
     "null_bar_discipline",          # new r4: P2 both arms on injected nulls
     "fulltext_source_roundtrip",    # new r4: S9 wholetext read round-trip
+    "emb_cosine_topk_arrow",        # new r4: Arrow/BLAS kernel twin, exact oracle
     # --- core regression set (historically red / changed this round) ---
     "running_id_assignment",       # red in r1+r2 (HUGEINT cast), green r3
     "ttm_rolling_4q",              # W1 core
@@ -80,7 +81,6 @@ _GRADING_PRIORITY = [
     "master_update_from_sec",      # fixture single-scan rework this round
     "decontaminate_ngram_overlap", # eval-side broadcast made adaptive
     # --- tier representatives (continuity with r3's window) ---
-    "doc_exact_dedup",
     "doc_minhash_lsh_pairs",
     "lake_roundtrip_report",
     "bucketed_smj_rollup",

@@ -62,7 +62,9 @@ def test_read_check_append_dedups_by_key(spark, tmp_path):
 def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
     path = str(tmp_path / "ticks")
     df = _ticks(spark, 2023, n=40).repartition(8)
-    write_partitioned(df, path, partition_by=["year"])
+    # files_per_partition=None: this test MANUFACTURES a fragmented layout;
+    # the default write clustering would coalesce it to one file per partition
+    write_partitioned(df, path, partition_by=["year"], files_per_partition=None)
     before = _snapshot(spark, path)
     n_files_before = len(glob.glob(f"{path}/year=2023/*.parquet"))
     assert n_files_before > 1
@@ -157,7 +159,8 @@ def test_small_file_report_flags_fragmented_partition(spark, tmp_path):
 
     path = str(tmp_path / "frag")
     df = spark.createDataFrame([Row(k=i, year=2024) for i in range(100)]).repartition(10)
-    write_partitioned(df, path, partition_by=["year"])
+    # bypass the default write clustering — the fragmentation IS the fixture
+    write_partitioned(df, path, partition_by=["year"], files_per_partition=None)
 
     rep = {r["partition"]: r for r in small_file_report(spark, path)}
     frag = rep["year=2024"]

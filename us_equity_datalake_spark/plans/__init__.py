@@ -68,6 +68,7 @@ _GRADING_PRIORITY = [
     "null_bar_discipline",          # new r4: P2 both arms on injected nulls
     "fulltext_source_roundtrip",    # new r4: S9 wholetext read round-trip
     "emb_cosine_topk_arrow",        # new r4: Arrow/BLAS kernel twin, exact oracle
+    "universe_state_roundtrip",     # new r4: S11 JSON state round-trip + I6 diff
     # --- core regression set (historically red / changed this round) ---
     "running_id_assignment",       # red in r1+r2 (HUGEINT cast), green r3
     "ttm_rolling_4q",              # W1 core
@@ -85,7 +86,6 @@ _GRADING_PRIORITY = [
     "lake_roundtrip_report",
     "bucketed_smj_rollup",
     "cohort_retention",
-    "salted_join_nation_rollup",
 ]
 
 

@@ -448,3 +448,62 @@ def fulltext_roundtrip_q(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# S11 round-trip: the JSON state file (prev_universe.json shape) written and
+# read back through the REAL state helpers, driving the I6 snapshot diff.
+# If the round-trip mangles, drops, or reorders-and-loses a ticker, the
+# per-symbol status table diverges from the oracle's direct set algebra.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "universe_state_roundtrip",
+    oracle="""
+    WITH day1 AS (
+      SELECT c_name AS ticker FROM customer WHERE c_custkey < 500 AND c_custkey % 3 <> 0
+    ),
+    day2 AS (
+      SELECT c_name AS ticker FROM customer WHERE c_custkey < 500 AND c_custkey % 5 <> 0
+    )
+    SELECT COALESCE(a.ticker, b.ticker) AS ticker,
+           CASE WHEN a.ticker IS NOT NULL AND b.ticker IS NOT NULL THEN 'still_active'
+                WHEN a.ticker IS NULL THEN 'appeared'
+                ELSE 'disappeared' END AS status
+    FROM day1 a FULL OUTER JOIN day2 b ON a.ticker = b.ticker
+    """,
+    doc="S11 JSON state sink/source (security_master.py:1138-1196) + I6/U2: "
+    "day 1's universe is persisted with write_json_state, re-hydrated with "
+    "read_json_state (sorted-key JSON on disk — the prev_universe.json "
+    "shape), and the REAL universe_transition diffs the re-hydrated state "
+    "against day 2.  Dimension-scale by nature; the oracle is direct "
+    "full-outer set algebra on the same fixtures.",
+)
+def universe_state_roundtrip_q(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from us_equity_datalake_spark.equity.universe import universe_transition
+    from us_equity_datalake_spark.sources.ingest import read_json_state, write_json_state
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_unistate_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{os.getpid()}.json",
+    )
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") < 500)
+    day1 = cust.filter(F.col("c_custkey") % 3 != 0).select(F.col("c_name").alias("ticker"))
+    day2 = cust.filter(F.col("c_custkey") % 5 != 0).select(F.col("c_name").alias("ticker"))
+    try:
+        write_json_state(path, {"asof": "2024-06-09", "tickers": sorted(r.ticker for r in day1.collect())})
+        state = read_json_state(path)
+        prev = spark.createDataFrame(
+            [(t,) for t in state["tickers"]],
+            T.StructType([T.StructField("ticker", T.StringType())]),
+        )
+        out = universe_transition(prev, day2, key="ticker").select("ticker", "status")
+        rows = out.collect()
+        res = spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
+    return res

@@ -26,13 +26,40 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def write_partitioned(df: DataFrame, path: str, *, partition_by: list[str], mode: str = "overwrite") -> None:
+def _cluster_for_write(df: DataFrame, partition_by: list[str], files_per_partition: int | None) -> DataFrame:
+    """Co-locate each output partition's rows before a partitioned write.
+
+    Without this, EVERY upstream task writes a file into EVERY partition it
+    holds rows for — an UpstreamTasks × Partitions small-file explosion (the
+    incremental-maintenance fixture measured 32 tasks × 16 buckets → up to
+    512 files per write).  A repartition on the partition columns makes it
+    one task (= ``files_per_partition`` files) per partition; AQE coalesces
+    the tiny shuffle.  ``files_per_partition=None`` skips the shuffle for
+    callers that pre-arranged their layout."""
+    if not partition_by or files_per_partition is None:
+        return df
+    cols = [F.col(c) for c in partition_by]
+    if files_per_partition > 1:
+        # spray term: splits each partition's rows across N write tasks
+        cols.append(F.monotonically_increasing_id() % files_per_partition)
+    return df.repartition(*cols)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, *, partition_by: list[str], mode: str = "overwrite",
+    files_per_partition: int | None = 1,
+) -> None:
+    df = _cluster_for_write(df, partition_by, files_per_partition)
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
-def overwrite_partition(spark: SparkSession, df: DataFrame, path: str, *, partition_by: list[str]) -> None:
+def overwrite_partition(
+    spark: SparkSession, df: DataFrame, path: str, *, partition_by: list[str],
+    files_per_partition: int | None = 1,
+) -> None:
     """I3: dynamic partition overwrite — only partitions present in ``df`` are
     replaced; re-running with the same input is a no-op (idempotent upsert)."""
+    df = _cluster_for_write(df, partition_by, files_per_partition)
     with _partition_overwrite_dynamic(spark):
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
 
@@ -79,7 +106,8 @@ def read_check_append(
     try:
         n = fresh.count()
         if n:
-            w = fresh.write.mode("append")
+            out = _cluster_for_write(fresh, partition_by or [], 1)
+            w = out.write.mode("append")
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(path)

@@ -54,8 +54,10 @@ COMPUTE_NOTES = {
     "(duck-1t 1.2 s vs spark 2.4 s once threads matter less)",
     "doc_minhash_lsh_pairs": "16 md5-based permutations via interpreted HOF folds; duck-1t 3.4 s is "
     "SLOWER than spark — the mt ratio reflects DuckDB's better intra-query parallelism on tiny data",
-    "emb_kmeans_assign": "unrolled Lloyd iterations = several tiny barrier stages; cached corpus, "
-    "broadcast centroids — stage-count bound, not data bound",
+    "emb_kmeans_assign": "r4's cached-corpus Lloyd rework (VERDICT r3 #6) trades fixture-scale wall "
+    "for the right plan: 1 corpus scan + broadcast literal centroids vs r3's 6 lazy re-scans "
+    "(1.1 s -> 2.3 s here, because per-iteration centroid collects cost more than re-scanning 2 MB; "
+    "the cache wins as soon as one corpus scan exceeds k x dim driver I/O — i.e. everywhere real)",
     "emb_lsh_topk": "64-dim cosine/bucket math runs in Spark's INTERPRETED higher-order lambdas "
     "(aggregate/zip_with are not codegen'd) vs DuckDB's native vectorized list kernels; kept HOF for "
     "bit-exact oracle parity; emb_cosine_topk_arrow IS that swap, measured 2.2x end-to-end / ~4x kernel at sf1",
@@ -138,6 +140,18 @@ Class counts: """ + ", ".join(f"**{k}** {v}" for k, v in sorted(counts.items()))
     for n, sp, mt, s1, ratio, cls, note in rows:
         out.append(f"| {n} | {sp:.3f} | {mt:.3f} | {s1:.3f} | {ratio} | {cls} | {note} |")
     out.append("""
+## Round-over-round (r3 -> r4)
+
+Suite total 59.8 s (121 queries) -> ~85 s (130): ~12 s is the nine NEW
+queries (dominated by the write-path incremental_derived_report, ~10 s), and
+the remainder is a uniform ~1.2-1.3x drift across sub-second rows (host
+noise — isolated best-of-3 matches the in-suite numbers, so not plan
+regressions).  Individually verified deltas: tpch_q5 +0.2 s is the PRICE of
+removing the forced broadcast hints on SF-proportional tables (AQE now
+converts at runtime — the 100 TB-safe choice, plan-asserted); emb_kmeans's
++1.2 s is the cached-Lloyd rework (note in table).  No unexplained
+regression.
+
 ## What would actually close the COMPUTE gaps
 
 - Vector math (emb_*): Spark's higher-order lambdas are interpreted per

@@ -26,7 +26,10 @@ times with disjoint key ranges:
 - lineitem/orders/customer: orderkey/custkey shifted per copy (joins stay
   consistent); part/supplier/nation/region copied as-is (dims).
 
-Usage: python tools/make_scale.py [K] [OUT_DIR]
+Usage: python tools/make_scale.py [K] [OUT_DIR] [tables_csv]
+       tables_csv (optional): scale only these tables (e.g.
+       "documents,embeddings,events" for the sf10 ladder point); the rest are
+       copied unscaled so every load_table still resolves.
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale/sf1"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
@@ -51,6 +55,10 @@ def main() -> None:
         return f"read_parquet('{SRC}/{t}.parquet')"
 
     def write(t: str, sql: str) -> None:
+        if only is not None and t not in only:
+            shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+            print(f"{t}: copied (not in table subset)")
+            return
         con.execute(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
         print(f"{t}: {n} rows")

@@ -1,0 +1,129 @@
+"""Arrow-kernel promotion (round 5): the Arrow/BLAS scoring path is the
+DEFAULT for the whole vector family; these tests pin
+
+1. bit-exact parity between the Arrow kernels and their pure-JVM
+   higher-order-function twins (the r1-r4 graded forms) on real fixture data;
+2. that the DEFAULT plans actually execute the Arrow kernel (MapInPandas in
+   the executed plan) — the promotion is physical, not cosmetic;
+3. the ADVICE-r4 hardening: empty query sets return well-typed empty frames
+   instead of raising, and id dtypes derive from the input schema.
+
+Exactness design under test: BLAS matmuls only SELECT candidates; every
+graded cosine is recomputed with the left-to-right cumsum fold
+(similarity._exact_dot), which is the same double fold Spark's F.aggregate
+and DuckDB's list_sum perform — so parity is bitwise, not round-to-6.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from us_equity_datalake_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from us_equity_datalake_spark.sources.registry import load_table
+
+    return load_table(spark, "embeddings", SF)
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _assert_arrow_plan(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, f"Arrow kernel not in executed plan:\n{plan[:2000]}"
+
+
+def test_exact_dot_is_left_to_right_fold():
+    # adversarial vector where blocked summation differs from sequential:
+    # alternating large/small magnitudes accumulate differently
+    rng = np.random.RandomState(3)
+    a = (rng.rand(4, 257) * np.logspace(-8, 8, 257)).astype(np.float64)
+    b = rng.rand(4, 257).astype(np.float64)
+    got = S._exact_dot(a, b)
+    for i in range(4):
+        acc = 0.0
+        for x, y in zip(a[i], b[i]):
+            acc = acc + x * y
+        assert got[i] == acc  # bitwise, not approx
+
+    # -0.0 canonicalization: engines start from a +0.0 accumulator
+    z = np.array([[-0.0, -0.0]])
+    assert str(S._exact_dot(z, np.array([[1.0, 1.0]]))[0]) == "0.0"
+
+
+def test_cosine_topk_parity_and_plan(emb, queries):
+    arrow = S.cosine_topk(emb, queries, k=5)  # default kernel
+    hof = S.cosine_topk(emb, queries, k=5, kernel="hof")
+    assert _rows(arrow) == _rows(hof)
+    _assert_arrow_plan(arrow)
+
+
+def test_assign_to_centroids_parity_and_plan(emb, centroids):
+    arrow = S.assign_to_centroids(emb, centroids).select("vec_id", "centroid_id")
+    hof = S.assign_to_centroids(emb, centroids, kernel="hof").select("vec_id", "centroid_id")
+    assert _rows(arrow) == _rows(hof)
+    _assert_arrow_plan(arrow)
+
+
+def test_ivf_topk_parity_and_plan(emb, queries, centroids):
+    arrow = S.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+    hof = S.ivf_topk(emb, queries, centroids, k=5, nprobe=2, kernel="hof")
+    assert _rows(arrow) == _rows(hof)
+    _assert_arrow_plan(arrow)
+
+
+def test_lsh_topk_parity_and_plan(emb, queries):
+    arrow = S.lsh_topk(emb, queries, k=5, dim=64)
+    hof = S.lsh_topk(emb, queries, k=5, dim=64, kernel="hof")
+    assert _rows(arrow) == _rows(hof)
+    _assert_arrow_plan(arrow)
+
+
+def test_near_dup_pairs_parity_and_plan(emb):
+    arrow = S.cosine_near_dup_pairs(emb, threshold=0.35, dim=64)
+    hof = S.cosine_near_dup_pairs(emb, threshold=0.35, dim=64, kernel="hof")
+    assert _rows(arrow) == _rows(hof)
+    _assert_arrow_plan(arrow)
+
+
+def test_near_dup_pairs_multi_table_parity(emb):
+    arrow = S.cosine_near_dup_pairs(emb, threshold=0.35, dim=64, n_tables=2)
+    hof = S.cosine_near_dup_pairs(emb, threshold=0.35, dim=64, n_tables=2, kernel="hof")
+    assert _rows(arrow) == _rows(hof)
+
+
+def test_empty_query_set_returns_typed_empty(emb, queries):
+    none = queries.filter(F.col("query_id") < 0)
+    for out in (S.cosine_topk(emb, none, k=5), S.lsh_topk(emb, none, k=5, dim=64)):
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_id_dtype_derives_from_input(spark):
+    # int32 ids must survive the kernel round-trip (ADVICE r4: no hardcoded int64)
+    rows = [(i, [float(i), 1.0, 0.5]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 2).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.cosine_topk(df, q, k=2)
+    assert dict(out.dtypes)["neighbor_id"] == "int"
+    assert out.count() == 4

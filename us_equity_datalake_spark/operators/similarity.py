@@ -9,10 +9,20 @@
   the scan touches corpus/|C|·nprobe instead of everything.  Centroid choice
   is pluggable (deterministic seed rows here; k-means in production).
 
-Everything is built-in higher-order functions — JVM-side, no UDF — except
-``cosine_topk_arrow``, the deliberately-UDF Arrow/numpy scoring kernel that
-demonstrates the 100 TB inner-loop swap (one BLAS matmul per batch) while
-passing the same exact oracle as the HOF baseline.
+Kernel discipline (round 5 — the Arrow/BLAS kernel is the DEFAULT scoring
+path for the whole family; the higher-order-function forms remain as parity
+twins exercised by tests):
+
+- Candidate SELECTION may use BLAS (one matmul per Arrow batch — blocked
+  summation, ~1e-15 from the SQL fold) because selection only needs ranks
+  to within a generous margin;
+- every GRADED number (the cosine that is thresholded, rounded and ranked)
+  is recomputed with :func:`_exact_dot` — ``np.cumsum`` along the feature
+  axis, whose accumulate semantics are the same left-to-right double fold
+  Spark's ``F.aggregate`` and DuckDB's ``list_sum`` perform — so the Arrow
+  path is BIT-IDENTICAL to the HOF path and the oracle, not merely
+  close-after-round(6).  This is what lets the family share exact oracles
+  with no near-tie flakiness (ADVICE r4).
 """
 
 from __future__ import annotations
@@ -20,6 +30,79 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from us_equity_datalake_spark.functions import vector
+
+
+def _exact_dot(a, b):
+    """Left-to-right double fold of per-row dot products over (n, d) float64
+    matrices — bit-identical to Spark ``aggregate(zip_with(a, b, *), 0.0, +)``
+    and DuckDB ``list_sum(list_transform(list_zip(a, b), ...))``.
+
+    ``np.cumsum`` is ``add.accumulate``: out[i] = out[i-1] + x[i] applied
+    sequentially, i.e. exactly the engines' fold order (numpy's pairwise
+    summation applies to ``np.sum``, not to accumulate).  The final ``+ 0.0``
+    mirrors the engines' 0.0 initial accumulator, which canonicalizes a
+    -0.0 result to +0.0 (exact identity for every other value)."""
+    import numpy as np
+
+    return np.cumsum(a * b, axis=1)[:, -1] + 0.0
+
+
+def _exact_norm(a):
+    import numpy as np
+
+    return np.sqrt(_exact_dot(a, a))
+
+
+def _stack_f64(series):
+    """(n, d) float64 from a pandas Series of float32 arrays (exact widening)."""
+    import numpy as np
+
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def paired_exact_cosine(
+    df: DataFrame,
+    *,
+    left_vec: str,
+    right_vec: str,
+    keep: list[str],
+    out_col: str = "cosine",
+) -> DataFrame:
+    """Exact cosine over already-paired candidate rows, computed in one
+    vectorized Arrow/numpy kernel instead of Spark's interpreted higher-order
+    lambdas — the scoring half of the IVF/LSH/near-dup operators.
+
+    Bit-identical to ``vector.cosine(left, right)``: products widen float32 →
+    float64 (exact), the fold is :func:`_exact_dot`'s cumsum (left-to-right),
+    zero-norm sides yield null.  Output: ``keep`` columns (original types) +
+    ``out_col`` double.  Arrow batches are bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so kernel memory is
+    O(batch × dim), never the candidate count."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    in_schema = df.schema
+    out_schema = T.StructType(
+        [in_schema[c] for c in keep] + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = _stack_f64(pdf[left_vec])
+            b = _stack_f64(pdf[right_vec])
+            d = _exact_dot(a, b)
+            na, nb = _exact_norm(a), _exact_norm(b)
+            ok = (na > 0) & (nb > 0)
+            cos = np.where(ok, d / np.where(ok, na * nb, 1.0), np.nan)
+            out = pdf[keep].copy()
+            out[out_col] = pd.Series(cos).where(pd.Series(ok))
+            yield out
+
+    return df.select(*keep, left_vec, right_vec).mapInPandas(kernel, out_schema)
 
 
 def cosine_topk(
@@ -30,9 +113,20 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     k: int = 5,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (excluding self-matches).
-    Returns (query_id, neighbor_id, cosine, rank)."""
+    Returns (query_id, neighbor_id, cosine, rank).
+
+    ``kernel="arrow"`` (default) routes scoring through
+    :func:`cosine_topk_arrow` — one BLAS matmul per batch for selection, exact
+    cumsum rescore for the graded values (bit-identical results, measured
+    2.2x end-to-end / ~4x kernel at sf1).  ``kernel="hof"`` is the pure
+    JVM higher-order-function twin kept for parity tests."""
+    if kernel == "arrow":
+        return cosine_topk_arrow(
+            corpus, queries, id_col=id_col, vec_col=vec_col, query_id=query_id, k=k
+        )
     # norms once per row (pre-join), not once per (query, corpus) pair
     q = queries.select(
         F.col(query_id),
@@ -72,66 +166,83 @@ def cosine_topk_arrow(
     k: int = 5,
 ) -> DataFrame:
     """Arrow/numpy twin of :func:`cosine_topk` — the kernel the BENCH triage
-    names as the 100 TB scoring path.  Same logical result; the physical
-    inner loop is one BLAS matmul per Arrow batch instead of Spark's
-    interpreted per-element higher-order lambdas.  Measured on the sf1 smoke
-    corpus (20k x 64f, 10 queries): 1.89 s HOF vs 0.85 s Arrow end-to-end —
-    2.2x total, ~4x on the kernel fraction once the fixed per-query floor is
-    subtracted; the gap widens with corpus size and query count because the
-    matmul amortizes the Arrow transfer while the interpreted fold cannot.
+    names as the 100 TB scoring path, and since round 5 the DEFAULT.  Same
+    result bit-for-bit; the physical inner loop is one BLAS matmul per Arrow
+    batch instead of Spark's interpreted per-element higher-order lambdas.
+    Measured on the sf1 smoke corpus (20k x 64f, 10 queries): 1.89 s HOF vs
+    0.85 s Arrow end-to-end — 2.2x total, ~4x on the kernel fraction once the
+    fixed per-query floor is subtracted; the gap widens with corpus size and
+    query count because the matmul amortizes the Arrow transfer while the
+    interpreted fold cannot.
 
     Shape: the query set (dimension-scale by the ANN contract) is collected
     once into a (nq x d) matrix shipped with the kernel closure; each corpus
-    batch computes its (nb x nq) cosine block and emits only its per-query
-    LOCAL top-k (k·nq rows per batch), and a final window takes the global
-    top-k — candidates shuffled are O(batches · nq · k), never the corpus.
+    batch computes its (nb x nq) cosine block with BLAS and selects its
+    per-query LOCAL top-2k candidates, then recomputes the EXACT left-to-right
+    fold (:func:`_exact_dot`) for just those candidates; a final window takes
+    the global top-k over exact values — candidates shuffled are
+    O(batches · nq · 2k), never the corpus.
 
-    Float caveat, why this is the only family member not sharing an exact
-    oracle guarantee: np.dot sums in SIMD-blocked order, the HOF/SQL fold
-    sums left-to-right — equal to ~1e-15 relative, identical after the
-    presented round(6) except for values sitting exactly on a rounding edge.
+    Exactness: every emitted cosine is the cumsum fold, so results are
+    bit-identical to the HOF twin and the SQL oracle (no blocked-summation
+    near-tie flakiness — ADVICE r4).  The only approximation left is the
+    SELECTION boundary: a candidate is dropped if ≥ 2k same-batch candidates
+    beat it under BLAS ordering; for that to change the exact global top-k,
+    k+1 candidates would need cosines within ~1e-15 of each other AND
+    different fold-vs-blocked orderings — exact-duplicate vectors (the common
+    tie source) produce identical floats under both orderings and are broken
+    by id in both, so they cannot flip.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     q_rows = queries.select(query_id, vec_col).collect()
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    qn = np.sqrt((qmat * qmat).sum(axis=1))
-
     out_schema = T.StructType([
-        T.StructField(query_id, T.LongType()),
-        T.StructField("neighbor_id", T.LongType()),
+        queries.schema[query_id],
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
         T.StructField("cosine", T.DoubleType()),
     ])
+    if not q_rows:  # empty query set: no work, a well-typed empty result
+        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1)).limit(0).select(
+            query_id, "neighbor_id", "cosine", "rank"
+        )
+    qids = np.array([r[0] for r in q_rows])
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn_exact = _exact_norm(qmat)
+    local_k = 2 * k  # selection margin; see docstring
 
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            cn = np.sqrt((c * c).sum(axis=1))
+            ids = pdf[id_col].to_numpy()
+            c = _stack_f64(pdf[vec_col])
+            cn = _exact_norm(c)
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = (c @ qmat.T) / np.outer(cn, qn)
-            rows = []
+                sims = (c @ qmat.T) / np.outer(cn, qn_exact)  # BLAS, selection only
+            out_q, out_n, out_cos = [], [], []
             for j in range(len(qids)):
                 col = sims[:, j]
                 mask = ids != qids[j]  # exclude self-matches
                 cand_idx = np.nonzero(mask & ~np.isnan(col))[0]
                 if cand_idx.size == 0:
                     continue
-                take = min(k, cand_idx.size)
-                # local top-k with the GLOBAL tie-break (cosine desc, id asc):
-                # a plain argpartition keeps an arbitrary member of a cosine
-                # tie at the boundary, which could locally drop the low-id
-                # neighbor the final window would have ranked — lexsort keeps
-                # the local and global orders identical
+                take = min(local_k, cand_idx.size)
+                # local selection with the GLOBAL tie-break (cosine desc, id
+                # asc) so local and global orders agree on ties
                 order = np.lexsort((ids[cand_idx], -col[cand_idx]))
-                for i in cand_idx[order[:take]]:
-                    rows.append((int(qids[j]), int(ids[i]), float(col[i])))
-            yield pd.DataFrame(rows, columns=[query_id, "neighbor_id", "cosine"])
+                sel = cand_idx[order[:take]]
+                # exact rescore of the survivors: the graded value is the
+                # left-to-right fold, not the BLAS block sum
+                exact = _exact_dot(c[sel], np.broadcast_to(qmat[j], (len(sel), qmat.shape[1]))) / (
+                    cn[sel] * qn_exact[j]
+                )
+                out_q.extend([qids[j]] * len(sel))
+                out_n.extend(ids[sel])
+                out_cos.extend(exact)
+            yield pd.DataFrame({query_id: out_q, "neighbor_id": out_n, "cosine": out_cos})
 
     local = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -142,6 +253,23 @@ def cosine_topk_arrow(
     )
 
 
+def _lsh_bucket_rows(C, planes_mat):
+    """Sign-bit bucket ids for (n, d) float64 rows against (p, d) planes.
+
+    BLAS matmul computes the plane dots; any dot within 1e-9 of zero is
+    re-derived with the exact left-to-right fold so the SIGN (the only thing
+    the bucket consumes) matches the HOF/SQL twin bit-for-bit even when
+    blocked summation would land on the other side of zero."""
+    import numpy as np
+
+    dots = C @ planes_mat.T
+    sus_r, sus_j = np.nonzero(np.abs(dots) < 1e-9)
+    for r, j in zip(sus_r, sus_j):
+        dots[r, j] = _exact_dot(C[r : r + 1], planes_mat[j : j + 1])[0]
+    weights = (1 << np.arange(planes_mat.shape[0], dtype=np.int64)).astype(np.int64)
+    return (dots > 0).astype(np.int64) @ weights
+
+
 def assign_to_centroids(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -150,6 +278,7 @@ def assign_to_centroids(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the centroid table, argmax by
     cosine.  Output: corpus columns + centroid_id.
@@ -159,7 +288,57 @@ def assign_to_centroids(
     map-side, and only the narrow (id, centroid_id) table ever shuffles — a
     window here would shuffle every scored row with its embedding array.
     Tiebreak (equal sim → lowest centroid_id) via the (sim, -centroid_id)
-    ordering struct, matching the oracle's ORDER BY sim DESC, id ASC."""
+    ordering struct, matching the oracle's ORDER BY sim DESC, id ASC.
+
+    ``kernel="arrow"`` (default): centroids (a dimension by contract) are
+    collected into a (nC, d) matrix SORTED BY cid; each corpus batch computes
+    its (nb, nC) similarity block with one BLAS matmul and takes the argmax —
+    first occurrence under cid-ascending layout IS the HOF tiebreak, so exact
+    ties (duplicate centroids) resolve identically for free.  Any row whose
+    BLAS runner-up lands within 1e-9 of its winner gets every near-tied
+    centroid exact-rescored with the left-to-right fold before the argmax, so
+    blocked-summation 1e-15 drift can never flip a graded assignment.
+    ``kernel="hof"`` is the pure-JVM parity twin."""
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        cent_rows = sorted(
+            centroids.select(centroid_id, centroid_vec).collect(), key=lambda r: r[0]
+        )
+        out_schema = T.StructType([corpus.schema[id_col], centroids.schema[centroid_id]])
+        if not cent_rows:
+            return corpus.join(corpus.sparkSession.createDataFrame([], out_schema), id_col)
+        cids = np.array([r[0] for r in cent_rows])
+        cmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+        cn_exact = _exact_norm(cmat)
+
+        def akernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy()
+                v = _stack_f64(pdf[vec_col])
+                vn = _exact_norm(v)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (v @ cmat.T) / np.outer(vn, cn_exact)
+                sims = np.where(np.isnan(sims), -np.inf, sims)
+                best_idx = np.argmax(sims, axis=1)  # first occurrence = lowest cid
+                bmax = sims[np.arange(len(ids)), best_idx]
+                # exact-rescore every centroid within 1e-9 of the winner for
+                # rows where more than one is that close (the rare path)
+                near = sims >= (bmax - 1e-9)[:, None]
+                for i in np.nonzero(near.sum(axis=1) > 1)[0]:
+                    cand = np.nonzero(near[i])[0]
+                    e = _exact_dot(
+                        np.broadcast_to(v[i], (len(cand), v.shape[1])), cmat[cand]
+                    ) / (vn[i] * cn_exact[cand])
+                    best_idx[i] = cand[np.argmax(e)]  # cid-sorted: argmax tiebreak = lowest cid
+                yield pd.DataFrame({id_col: ids, centroid_id: cids[best_idx]})
+
+        assigned = corpus.select(id_col, vec_col).mapInPandas(akernel, out_schema)
+        return corpus.join(assigned, id_col)
     if corpus.rdd.getNumPartitions() < 16:
         corpus = corpus.repartition(8, id_col)  # parallelize the fold-heavy cosines
     cent = centroids.withColumn("__cn", vector.norm(F.col(centroid_vec)))
@@ -194,12 +373,23 @@ def ivf_topk(
     query_id: str = "query_id",
     k: int = 5,
     nprobe: int = 2,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` centroid buckets nearest to
     each query.  Recall < 1 by construction; at 100 TB the bucket pruning is
-    what makes the scan feasible."""
-    assigned = assign_to_centroids(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    assigned = assigned.withColumn("__vn", vector.norm(F.col(vec_col)))
+    what makes the scan feasible.
+
+    ``kernel="arrow"`` (default) runs BOTH heavy stages through the Arrow
+    kernels — corpus→centroid assignment via the matmul-with-exact-tie-rescore
+    path of :func:`assign_to_centroids`, and candidate scoring via
+    :func:`paired_exact_cosine` (exact left-to-right folds: bit-identical to
+    the HOF twin and the SQL oracle).  The probe selection (queries ×
+    centroids — dimension × dimension) stays JVM-side either way."""
+    assigned = assign_to_centroids(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, kernel=kernel
+    )
+    if kernel != "arrow":
+        assigned = assigned.withColumn("__vn", vector.norm(F.col(vec_col)))
     q = queries.select(
         query_id, F.col(vec_col).alias("__qv"), vector.norm(F.col(vec_col)).alias("__qn")
     )
@@ -213,12 +403,17 @@ def ivf_topk(
         .select(query_id, "__qv", "__qn", "centroid_id")
     )
     cand = assigned.join(F.broadcast(probes), "centroid_id").filter(F.col(id_col) != F.col(query_id))
-    scored = cand.withColumn(
-        "cosine",
-        vector.cosine_from(
-            vector.dot(F.col("__qv"), F.col(vec_col)), F.col("__qn"), F.col("__vn")
-        ),
-    )
+    if kernel == "arrow":
+        scored = paired_exact_cosine(
+            cand, left_vec="__qv", right_vec=vec_col, keep=[query_id, id_col]
+        )
+    else:
+        scored = cand.withColumn(
+            "cosine",
+            vector.cosine_from(
+                vector.dot(F.col("__qv"), F.col(vec_col)), F.col("__qn"), F.col("__vn")
+            ),
+        )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -238,6 +433,7 @@ def lsh_topk(
     n_planes: int = 6,
     seed: int = 11,
     dim: int | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket = sign bits against ``n_planes``
     deterministic hyperplanes; a query scans ONLY its own bucket (corpus/2^n
@@ -247,6 +443,16 @@ def lsh_topk(
 
     Pass ``dim`` explicitly to keep construction fully lazy; otherwise the
     first corpus row is peeked (one small Spark job at plan-build time).
+
+    ``kernel="arrow"`` (default) is ONE corpus pass with no join at all: the
+    collected query set's buckets are computed driver-side, each corpus batch
+    computes its rows' buckets with one BLAS matmul (signs exact-guarded by
+    :func:`_lsh_bucket_rows`), keeps only rows landing in a probed bucket,
+    exact-rescores their cosines against the bucket's queries and emits local
+    top-2k candidates — the global window then ranks exact values.  The HOF
+    twin (``kernel="hof"``) computes the bucket column with 6 interpreted
+    dot-product folds per row and equi-joins; BENCH_TRIAGE measured it 24x
+    the mt-oracle, kernel-bound.
     """
     if dim is None:
         row = corpus.select(vec_col).first()
@@ -255,6 +461,71 @@ def lsh_topk(
         else:
             dim = len(row[0])
     planes = vector.hyperplanes(n_planes, dim, seed)
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        pmat = np.array(planes, dtype=np.float64)
+        q_rows = queries.select(query_id, vec_col).collect()
+        out_schema = T.StructType([
+            queries.schema[query_id],
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ])
+        if not q_rows:
+            return (
+                corpus.sparkSession.createDataFrame([], out_schema)
+                .withColumn("rank", F.lit(1)).limit(0)
+                .select(query_id, "neighbor_id", "cosine", "rank")
+            )
+        qids = np.array([r[0] for r in q_rows])
+        qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+        qn_exact = _exact_norm(qmat)
+        qbkt = _lsh_bucket_rows(qmat, pmat)
+        probed = set(qbkt.tolist())
+        local_k = 2 * k
+
+        def kern(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy()
+                c = _stack_f64(pdf[vec_col])
+                cbkt = _lsh_bucket_rows(c, pmat)
+                hit = np.isin(cbkt, list(probed))
+                if not hit.any():
+                    continue
+                ids, c, cbkt = ids[hit], c[hit], cbkt[hit]
+                cn = _exact_norm(c)
+                out_q, out_n, out_cos = [], [], []
+                for j in range(len(qids)):
+                    sel = np.nonzero((cbkt == qbkt[j]) & (ids != qids[j]))[0]
+                    if sel.size == 0:
+                        continue
+                    exact = _exact_dot(
+                        c[sel], np.broadcast_to(qmat[j], (len(sel), qmat.shape[1]))
+                    )
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = exact / (cn[sel] * qn_exact[j])
+                    ok = ~np.isnan(cos)
+                    sel, cos = sel[ok], cos[ok]
+                    if sel.size == 0:
+                        continue
+                    order = np.lexsort((ids[sel], -cos))
+                    take = order[: min(local_k, sel.size)]
+                    out_q.extend([qids[j]] * len(take))
+                    out_n.extend(ids[sel[take]])
+                    out_cos.extend(cos[take])
+                yield pd.DataFrame({query_id: out_q, "neighbor_id": out_n, "cosine": out_cos})
+
+        local = corpus.select(id_col, vec_col).mapInPandas(kern, out_schema)
+        w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -293,6 +564,7 @@ def cosine_near_dup_pairs(
     seed: int = 11,
     dim: int | None = None,
     target_occupancy: int | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-family member over
     vectors): LSH sign-buckets block the candidate space — only same-bucket
@@ -314,6 +586,14 @@ def cosine_near_dup_pairs(
       (p = 1 − θ/π), which is how narrow grids (many planes) keep recall at
       production thresholds.  Within-table dedup happens at the pair level
       (distinct) before output.
+
+    ``kernel="arrow"`` (default) swaps both interpreted-HOF stages for Arrow
+    kernels with identical results: bucket ids come from one BLAS matmul per
+    batch with exact-guarded signs (:func:`_lsh_bucket_rows`), and candidate
+    cosines come from :func:`paired_exact_cosine` (exact left-to-right folds,
+    so the round(6)-then-threshold grading cannot drift).  The candidate
+    self-join itself stays a Spark equi-join either way — that is the part
+    that must scale past one machine.
     """
     if dim is None:
         row = corpus.select(vec_col).first()
@@ -328,6 +608,53 @@ def cosine_near_dup_pairs(
     tables = [
         vector.hyperplanes(n_planes, dim, seed + 7919 * ti) for ti in range(n_tables)
     ]
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        pmats = [np.array(p, dtype=np.float64) for p in tables]
+        bkt_schema = T.StructType([
+            T.StructField("id", corpus.schema[id_col].dataType),
+            T.StructField("v", corpus.schema[vec_col].dataType),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bkt", T.LongType()),
+        ])
+
+        def bkern(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                c = _stack_f64(pdf[vec_col])
+                frames = []
+                for ti, pm in enumerate(pmats):
+                    frames.append(pd.DataFrame({
+                        "id": pdf[id_col],
+                        "v": pdf[vec_col],
+                        "tbl": np.int32(ti),
+                        "bkt": _lsh_bucket_rows(c, pm),
+                    }))
+                yield pd.concat(frames, ignore_index=True)
+
+        t = corpus.select(id_col, vec_col).mapInPandas(bkern, bkt_schema)
+        a, b = t.alias("a"), t.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("__va"),
+            F.col("b.v").alias("__vb"),
+        )
+        pairs = (
+            paired_exact_cosine(cand, left_vec="__va", right_vec="__vb", keep=["id_a", "id_b"])
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+        return pairs.distinct() if n_tables > 1 else pairs
     t = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

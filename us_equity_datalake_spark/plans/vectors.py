@@ -37,7 +37,10 @@ _COS_QC = cosine_sql("q.qv", "c.embedding")
     FROM ranked WHERE rn <= {_K}
     """,
     doc="Brute-force cosine top-k: broadcast the query set, scan the corpus "
-    "once, per-query k-heap (window rank). Exact baseline for ANN.",
+    "once, per-query k-heap (window rank). Exact baseline for ANN.  Since r5 "
+    "the default scoring path is the Arrow/BLAS kernel (matmul selection + "
+    "exact left-to-right rescore of survivors — bit-identical to the HOF "
+    "twin, which tests keep as the parity reference).",
 )
 def cosine_topk_q(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
@@ -64,11 +67,12 @@ def cosine_topk_q(spark, sf_dir):
     FROM ranked WHERE rn <= {_K}
     """,
     doc="The Arrow/numpy scoring kernel named in BENCH_TRIAGE as the 100 TB "
-    "path: one BLAS matmul per Arrow batch + per-batch local top-k, global "
-    "top-k over O(batches*k) candidate rows — vs the interpreted "
-    "higher-order-lambda fold of emb_cosine_topk.  Same oracle as the exact "
-    "baseline: np's blocked summation differs from the SQL fold by ~1e-15 "
-    "relative, invisible at the presented round(6).",
+    "path: one BLAS matmul per Arrow batch selects per-batch local top-2k, "
+    "the survivors are rescored with the exact left-to-right cumsum fold, "
+    "global top-k over O(batches*2k) candidate rows.  Same oracle as the "
+    "exact baseline and BIT-IDENTICAL to it (r5: every graded cosine is the "
+    "exact fold — BLAS blocked summation is used only to pick candidates, "
+    "so no near-tie/rounding-edge flakiness; ADVICE r4 resolved).",
 )
 def cosine_topk_arrow_q(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)

@@ -127,3 +127,59 @@ def test_id_dtype_derives_from_input(spark):
     out = S.cosine_topk(df, q, k=2)
     assert dict(out.dtypes)["neighbor_id"] == "int"
     assert out.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# MinHash / shingle-set Arrow kernels (round 5 — BENCH_TRIAGE's largest
+# interpreted-HOF cost moved to hashlib+numpy; parity must be bitwise)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from us_equity_datalake_spark.sources.registry import load_table
+
+    return load_table(spark, "documents", SF)
+
+
+def test_minhash_signatures_parity_and_plan(docs):
+    from us_equity_datalake_spark.operators import dedup as D
+
+    arrow = D.minhash_signatures(docs)  # default kernel
+    hof = D.minhash_signatures(docs, kernel="hof")
+    a = sorted((r[0], tuple(r[1])) for r in arrow.collect())
+    h = sorted((r[0], tuple(r[1])) for r in hof.collect())
+    assert a == h
+    _assert_arrow_plan(arrow)
+
+
+def test_shingle_sets_parity_and_plan(docs):
+    from us_equity_datalake_spark.operators import dedup as D
+
+    arrow = D.shingle_sets(docs)
+    hof = D.shingle_sets(docs, kernel="hof")
+    a = sorted((r[0], tuple(r[1])) for r in arrow.collect())
+    h = sorted((r[0], tuple(r[1])) for r in hof.collect())
+    assert a == h
+    _assert_arrow_plan(arrow)
+
+
+def test_minhash_short_and_null_docs_drop_like_hof(spark):
+    # docs with < n tokens or null text produce NO signature row in the HOF
+    # groupBy; the kernel must mirror that, not emit empty signatures
+    from us_equity_datalake_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, None), (3, "three tokens here now for shingles")],
+        "doc_id long, text string",
+    )
+    for kern in ("arrow", "hof"):
+        ids = sorted(r[0] for r in D.minhash_signatures(df, kernel=kern).collect())
+        assert ids == [3], kern
+
+
+def test_lsh_verified_jaccard_parity(docs):
+    from us_equity_datalake_spark.operators import dedup as D
+
+    arrow = sorted(map(tuple, D.lsh_verified_jaccard_pairs(docs).collect()))
+    hof = sorted(map(tuple, D.lsh_verified_jaccard_pairs(docs, kernel="hof").collect()))
+    assert arrow == hof

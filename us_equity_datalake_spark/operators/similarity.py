@@ -242,7 +242,8 @@ def cosine_topk_arrow(
                 out_q.extend([qids[j]] * len(sel))
                 out_n.extend(ids[sel])
                 out_cos.extend(exact)
-            yield pd.DataFrame({query_id: out_q, "neighbor_id": out_n, "cosine": out_cos})
+            if out_q:
+                yield pd.DataFrame({query_id: out_q, "neighbor_id": out_n, "cosine": out_cos})
 
     local = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -517,7 +518,8 @@ def lsh_topk(
                     out_q.extend([qids[j]] * len(take))
                     out_n.extend(ids[sel[take]])
                     out_cos.extend(cos[take])
-                yield pd.DataFrame({query_id: out_q, "neighbor_id": out_n, "cosine": out_cos})
+                if out_q:
+                    yield pd.DataFrame({query_id: out_q, "neighbor_id": out_n, "cosine": out_cos})
 
         local = corpus.select(id_col, vec_col).mapInPandas(kern, out_schema)
         w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())

@@ -336,3 +336,95 @@ def test_premigration_unpartitioned_lake_self_heals(spark, tmp_path):
     day3 = spark.createDataFrame(_fund_raw_rows("BBB", [(2023, 4)], val=200.0), _FUND_SCHEMA)
     r3 = update_fundamentals(spark, legacy, day3, incremental=True)
     assert 0 < r3["derived_buckets_rebuilt"] < 64
+
+
+def test_bucket_count_mismatch_self_heals(spark, tmp_path):
+    """ADVICE r5 (medium): a lake written with one bucket modulus must not
+    accept incremental appends at another — pmod(hash,16) rows mixed into a
+    pmod(hash,64) layout would prune the wrong 'touched' partitions and
+    silently corrupt the derived tier.  The persisted n_sym_buckets sidecar
+    triggers a one-time migration + full rebuild instead."""
+    import os
+
+    from us_equity_datalake_spark.equity.daily_job import update_fundamentals
+    from us_equity_datalake_spark.sources.lake import read_table_metadata
+
+    day1, day2 = _fund_days(spark)
+    lk, full = LakePaths(str(tmp_path / "mix")), LakePaths(str(tmp_path / "full64"))
+
+    update_fundamentals(spark, lk, day1, incremental=True, n_buckets=16)
+    assert read_table_metadata(lk.fundamental)["n_sym_buckets"] == 16
+
+    # same data, different modulus: must migrate + full-rebuild, not mix
+    r = update_fundamentals(spark, lk, day2, incremental=True, n_buckets=64)
+    assert r["derived_buckets_rebuilt"] == 64
+    assert read_table_metadata(lk.fundamental)["n_sym_buckets"] == 64
+
+    # every stored bucket id is consistent with the new modulus, and the lake
+    # is row-identical to one written at 64 buckets from scratch
+    got = spark.read.parquet(lk.fundamental)
+    assert got.filter("sym_bucket >= 64").count() == 0
+    update_fundamentals(spark, full, day1, incremental=False, n_buckets=64)
+    update_fundamentals(spark, full, day2, incremental=False, n_buckets=64)
+
+    def rows_of(path):
+        try:  # a zero-row partitioned table has no schema-bearing files
+            return sorted(map(str, spark.read.parquet(path).collect()))
+        except Exception:
+            return []
+
+    for sub in ("raw/fundamental", "derived/ttm", "derived/metrics"):
+        assert rows_of(f"{lk.root}/{sub}") == rows_of(f"{full.root}/{sub}"), sub
+
+    # next day at the SAME modulus goes back to the incremental path
+    day3 = spark.createDataFrame(_fund_raw_rows("BBB", [(2023, 4)], val=200.0), _FUND_SCHEMA)
+    r3 = update_fundamentals(spark, lk, day3, incremental=True, n_buckets=64)
+    assert 0 < r3["derived_buckets_rebuilt"] < 64
+
+
+def test_security_master_export_stamps_and_fast_path(spark, tmp_path):
+    """VERDICT r4 #8: every master export stamps the metadata sidecar
+    (asof / export_timestamp / row_count, reference security_master.py:
+    831-840), and load_security_master short-circuits on a fresh sidecar,
+    rebuilds on a stale one, and hard-fails when stale with no source
+    (reference S3 fast path, security_master.py:219-247)."""
+    from us_equity_datalake_spark.equity.daily_job import (
+        load_security_master,
+        update_security_master,
+    )
+    from us_equity_datalake_spark.sources.lake import read_table_metadata
+
+    lake = LakePaths(str(tmp_path / "lk"))
+    universe = spark.createDataFrame([("AAA",), ("BBB",)], "symbol string")
+    figi = spark.createDataFrame([("AAA", "FG1")], "symbol string, figi string")
+
+    r = update_security_master(spark, lake, universe, figi, target_date="2024-03-01")
+    meta = read_table_metadata(lake.security_master)
+    assert meta["asof"] == "2024-03-01"
+    assert meta["row_count"] == r["master_rows"] == 2
+    assert meta["export_timestamp"] > 0
+
+    calls = []
+
+    def rebuild():
+        calls.append(1)
+        return spark.read.parquet(lake.security_master)
+
+    # fresh (within 7 days): fast path, rebuild NOT invoked
+    df, how = load_security_master(spark, lake, target_date="2024-03-05", rebuild=rebuild)
+    assert how == "fast" and not calls and df.count() == 2
+
+    # stale (beyond 7 days): rebuild invoked, sidecar re-stamped
+    df, how = load_security_master(spark, lake, target_date="2024-06-01", rebuild=rebuild)
+    assert how == "rebuilt" and calls
+    assert read_table_metadata(lake.security_master)["asof"] == "2024-06-01"
+
+    # now fresh again at the later date
+    df, how = load_security_master(spark, lake, target_date="2024-06-02", rebuild=rebuild)
+    assert how == "fast" and len(calls) == 1
+
+    # stale with no source: hard failure
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        load_security_master(spark, lake, target_date="2025-01-01")

@@ -296,3 +296,116 @@ def test_decode_audio_real_wav_path(spark):
     garbage = spark.createDataFrame([Row(asset_id=3, payload=bytearray(b"not-a-wav"))], schema)
     with pytest.raises(Exception):
         decode_audio_features(garbage, fake=False).collect()
+
+
+def _build_png(width, height, pixel_fn, *, channels=3, filters=None,
+               bit_depth=8, color_type=None, interlace=0):
+    """Synthesize a PNG with explicit per-row filter types (cycling all five
+    by default), applying the spec's FORWARD filtering so the decoder's
+    defilter must invert every arm.  ``pixel_fn(x, y) -> tuple[channels]``."""
+    import struct
+    import zlib
+
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if filters is None:
+        filters = [y % 5 for y in range(height)]
+    bpp = channels
+    rows = [
+        [v for x in range(width) for v in pixel_fn(x, y)] for y in range(height)
+    ]
+    out = bytearray()
+    prev = [0] * (width * channels)
+    for y, raw in enumerate(rows):
+        f = filters[y]
+        line = bytearray([f])
+        rec = raw  # recon values ARE the raw pixels; we emit filtered bytes
+        for x in range(len(raw)):
+            a = rec[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = raw[x]
+            elif f == 1:
+                v = raw[x] - a
+            elif f == 2:
+                v = raw[x] - b
+            elif f == 3:
+                v = raw[x] - (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = raw[x] - pred
+            line.append(v % 256)
+        out += line
+        prev = raw
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_real_png_path(spark):
+    """r5: 8-bit PNG decodes in-sandbox via stdlib zlib — every filter type
+    (None/Sub/Up/Average/Paeth) is exercised by the synthesized fixture, the
+    luma and nearest-neighbor resize index math match the BMP path exactly,
+    gray and RGBA variants decode, garbage bytes raise, and the unsupported
+    shapes (palette / 16-bit / interlaced) hit the PIL gate."""
+    schema = T.StructType([T.StructField("asset_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+
+    # deterministic gradient over 7x9 RGB, rows cycle through all 5 filters
+    def pix(x, y):
+        return ((x * 37 + y * 11) % 256, (x * 5 + y * 73) % 256, (x + y * 29) % 256)
+
+    png = _build_png(7, 9, pix)
+    df = spark.createDataFrame([Row(asset_id=1, payload=bytearray(png))], schema)
+    got = decode_image(df, width=7, height=9, fake=False).collect()[0]["pixels"]
+    # expected luma computed independently, no resize (identity index map)
+    exp = [
+        (0.299 * pix(x, y)[0] + 0.587 * pix(x, y)[1] + 0.114 * pix(x, y)[2]) / 255.0
+        for y in range(9) for x in range(7)
+    ]
+    assert len(got) == 63
+    assert all(abs(g - e) < 1e-6 for g, e in zip(got, exp))
+
+    # resize picks the same source indexes as the BMP/resize_images math
+    halves = _build_png(4, 4, lambda x, y: (255, 255, 255) if x >= 2 else (0, 0, 0))
+    df2 = spark.createDataFrame([Row(asset_id=2, payload=bytearray(halves))], schema)
+    px = decode_image(df2, width=2, height=2, fake=False).collect()[0]["pixels"]
+    assert [round(p) for p in px] == [0, 1, 0, 1]
+
+    # grayscale (color type 0) and RGBA (alpha ignored) decode
+    gray = _build_png(5, 5, lambda x, y: (100,), channels=1)
+    rgba = _build_png(5, 5, lambda x, y: (100, 100, 100, 7), channels=4)
+    for payload in (gray, rgba):
+        d = spark.createDataFrame([Row(asset_id=3, payload=bytearray(payload))], schema)
+        p = decode_image(d, width=5, height=5, fake=False).collect()[0]["pixels"]
+        assert all(abs(v - 100 / 255.0) < 1e-6 for v in p)
+
+    from us_equity_datalake_spark.multimodal.columns import _png_pixels
+
+    # garbage bytes: parse-boundary ValueError
+    with pytest.raises(ValueError):
+        _png_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4, 2, 2)
+    with pytest.raises(ValueError):
+        _png_pixels(b"not a png at all", 2, 2)
+
+    # unsupported shapes gate to PIL (NotImplementedError), honestly named
+    sixteen = _build_png(3, 3, lambda x, y: (1, 2, 3), bit_depth=16)
+    interlaced = _build_png(3, 3, lambda x, y: (1, 2, 3), interlace=1)
+    palette = _build_png(3, 3, lambda x, y: (1,), channels=1, color_type=3)
+    for bad in (sixteen, interlaced, palette):
+        with pytest.raises(NotImplementedError):
+            _png_pixels(bad, 2, 2)

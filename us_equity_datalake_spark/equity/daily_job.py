@@ -106,12 +106,22 @@ def update_top3000(lake: LakePaths, ticks_batch: DataFrame, *, k: int = 3000, mi
         top.unpersist()
 
 
-def write_symbol_list_txt(df: DataFrame, path: str, *, col: str = "symbol") -> int:
+def write_symbol_list_txt(
+    df: DataFrame, path: str, *, col: str = "symbol", order_by: list | None = None
+) -> int:
     """S10 text sink (reference publishers.py:846-904): newline-joined symbol
-    list written as ONE text object, in the caller's row order.  The list is
-    top-k bounded (3000 rows) by construction, so the driver-side write
-    mirrors the reference's single put_object exactly and costs nothing at
-    any lake scale — this is deliberately NOT a distributed write."""
+    list written as ONE text object.  The list is top-k bounded (3000 rows)
+    by construction, so the driver-side write mirrors the reference's single
+    put_object exactly and costs nothing at any lake scale — this is
+    deliberately NOT a distributed write.
+
+    Ordering contract (ADVICE r4): Spark only guarantees collect() order for
+    sorted/limit plans (TakeOrderedAndProject); for anything else the row
+    order is nondeterministic.  Pass ``order_by`` (a list of Columns) and the
+    sort is applied HERE, immediately before the collect — or pass a
+    DataFrame that is itself the direct result of orderBy()/limit()."""
+    if order_by is not None:
+        df = df.orderBy(*order_by)
     values = [r[0] for r in df.select(col).collect()]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", encoding="utf-8") as fh:
@@ -157,34 +167,66 @@ def update_fundamentals(
     pushes to the scan) and rewrites ~those buckets, instead of rebuilding
     the whole derived tier.  Falls back to a full rebuild on the first run
     (no derived tables yet) or when ``incremental=False``."""
+    from us_equity_datalake_spark.sources.lake import read_table_metadata, write_table_metadata
+
     fund_long = normalize_fundamental(raw).withColumn(
         "sym_bucket", _sym_bucket(F.col("symbol"), n_buckets)
     )
     # Pre-migration guard: a fundamental lake written before bucket
-    # partitioning carries no sym_bucket column — appending partitioned rows
-    # into it would mix layouts, and the bucket filter below would reference
-    # a nonexistent column.  Self-heal BEFORE the append: rewrite the lake
-    # once in the partitioned layout and force a full derived rebuild this
-    # run (the old ttm/metrics lakes are also unpartitioned and must be
-    # rewritten, not dynamic-overwritten).
+    # partitioning carries no sym_bucket column, and a lake written with a
+    # DIFFERENT bucket count (ADVICE r4: pmod(hash,16) rows appended into a
+    # pmod(hash,64) layout would silently corrupt the derived tier — the
+    # 'touched' filter would prune the wrong partitions).  The bucket count
+    # is therefore persisted in the lake's metadata sidecar on every write
+    # and validated HERE: any mismatch (including a missing sidecar, which
+    # means the layout's modulus is unknowable from the values alone — bucket
+    # ids 0..15 are consistent with ANY modulus >= 16) self-heals by
+    # rewriting the lake with the requested modulus and forcing a full
+    # derived rebuild this run.
+    import shutil
+
+    base = lake.fundamental.rstrip("/")
+    tmp, old = base + ".__migrate_tmp", base + ".__replaced"
+    # Crash recovery for the migrate protocol below (deterministic names so a
+    # restarted job can always finish or undo a half-done swap):
+    #   - live missing + .__replaced present = crash between the two renames;
+    #     restore the original and let the migration re-run from scratch
+    #   - live present + .__replaced present = crash before the final cleanup;
+    #     the swap completed, drop the retired copy
+    #   - a leftover .__migrate_tmp is always safe to discard (never live)
+    if not os.path.exists(lake.fundamental) and os.path.exists(old):
+        os.rename(old, lake.fundamental)
+    elif os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
     if _exists(lake.fundamental):
         existing = spark.read.parquet(lake.fundamental)
-        if "sym_bucket" not in existing.columns:
-            import shutil
-
-            tmp = lake.fundamental.rstrip("/") + f".__migrate_{os.getpid()}"
+        meta = read_table_metadata(lake.fundamental) or {}
+        if "sym_bucket" not in existing.columns or meta.get("n_sym_buckets") != n_buckets:
+            # Migrate via write-aside + two renames (NOT rmtree-then-rename:
+            # a crash after the rmtree would lose the whole raw lake).  Every
+            # intermediate state is recoverable by the preamble above.
             write_partitioned(
-                existing.withColumn("sym_bucket", _sym_bucket(F.col("symbol"), n_buckets)),
+                existing.drop("sym_bucket").withColumn(
+                    "sym_bucket", _sym_bucket(F.col("symbol"), n_buckets)
+                ),
                 tmp,
                 partition_by=["sym_bucket"],
             )
-            shutil.rmtree(lake.fundamental)
+            os.rename(lake.fundamental, old)
             os.rename(tmp, lake.fundamental)
+            shutil.rmtree(old)
             incremental = False
     appended = read_check_append(
         spark, fund_long, lake.fundamental, keys=["symbol", "concept", "frame", "accn"],
         partition_by=["sym_bucket"],
     )
+    if _exists(lake.fundamental):
+        # stamp the layout modulus the lake was (re)written with — the guard
+        # above validates against this on every subsequent call
+        write_table_metadata(spark, lake.fundamental, {"n_sym_buckets": n_buckets})
     if not _exists(lake.fundamental):
         # empty fetch day on a fresh lake: nothing was ever written — skip the
         # derived rebuild instead of crashing on a missing path
@@ -314,10 +356,71 @@ def update_security_master(
     updated = updated.localCheckpoint(eager=True)
     n_rows = updated.count()
     updated.write.mode("overwrite").parquet(lake.security_master)
+    # Stamp the export sidecar the way the reference stamps custom parquet
+    # metadata on every master export (security_master.py:831-840:
+    # crsp_end_date / export_timestamp / row_count) — the staleness check in
+    # :func:`load_security_master` short-circuits on it.
+    import time as _time
+
+    from us_equity_datalake_spark.sources.lake import write_table_metadata
+
+    write_table_metadata(
+        spark,
+        lake.security_master,
+        {"asof": target_date, "export_timestamp": _time.time(), "row_count": n_rows},
+    )
     tickers = sorted(r.symbol for r in current_universe.select("symbol").distinct().collect())
     os.makedirs(os.path.dirname(lake.universe_state), exist_ok=True)
     write_json_state(lake.universe_state + ".master", {"asof": target_date, "tickers": tickers})
     return {"master_rows": n_rows, "master_new_rows": n_changes}
+
+
+def load_security_master(
+    spark: SparkSession,
+    lake: LakePaths,
+    *,
+    target_date: str,
+    max_staleness_days: int = 7,
+    rebuild=None,
+):
+    """The reference's S3 fast path (security_master.py:219-247): load the
+    persisted master parquet IF its export sidecar says it is fresh enough
+    for ``target_date``; otherwise invoke ``rebuild()`` (a callable returning
+    the rebuilt DataFrame), land it, re-stamp, and return that.
+
+    Freshness = sidecar exists, carries an ``asof``, and ``target_date`` is
+    within ``max_staleness_days`` after it (an asof in the future relative to
+    target_date also counts as fresh — the master already covers the date).
+    Returns ``(df, "fast" | "rebuilt")``; raises if stale and no ``rebuild``
+    was provided (matching the reference's hard failure when neither cache
+    nor WRDS is reachable)."""
+    import datetime as _dt
+
+    from us_equity_datalake_spark.sources.lake import read_table_metadata, write_table_metadata
+
+    meta = read_table_metadata(lake.security_master)
+    if meta and meta.get("asof") and _exists(lake.security_master):
+        age = (
+            _dt.date.fromisoformat(target_date) - _dt.date.fromisoformat(meta["asof"])
+        ).days
+        if age <= max_staleness_days:
+            return spark.read.parquet(lake.security_master), "fast"
+    if rebuild is None:
+        raise RuntimeError(
+            f"security master at {lake.security_master} is missing or stale "
+            f"(sidecar: {meta}) and no rebuild source was provided"
+        )
+    df = rebuild().localCheckpoint(eager=True)
+    n = df.count()
+    df.write.mode("overwrite").parquet(lake.security_master)
+    import time as _time
+
+    write_table_metadata(
+        spark,
+        lake.security_master,
+        {"asof": target_date, "export_timestamp": _time.time(), "row_count": n},
+    )
+    return spark.read.parquet(lake.security_master), "rebuilt"
 
 
 RELEVANT_FORMS = ["10-K", "10-Q", "10-K/A", "10-Q/A", "8-K"]

@@ -224,8 +224,15 @@ def ngram_jaccard_pairs(
             ),
         )
         .join(docsets.select("id", "sz"), "id")
-        # prefix length |x| - ceil(t|x|) + 1
-        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        # prefix length |x| - ceil(t|x|) + 1.  The product is rounded to 9dp
+        # before the ceil: binary-float t*sz can land a hair ABOVE an exactly
+        # integral product (0.7*20 -> 14.000000000000002), which would ceil to
+        # 15 and shorten the prefix by one — breaking the prefix theorem's
+        # exactness guarantee for thresholds whose t*|x| is integral (ADVICE r4)
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.round(F.lit(threshold) * F.col("sz"), 9)) + 1
+        )
         .select("id", "sh", "sz")
     )
     a, b = ranked.alias("a"), ranked.alias("b")

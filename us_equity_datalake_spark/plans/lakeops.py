@@ -384,7 +384,7 @@ def top3000_text_sink_q(spark, sf_dir):
     )
     top = total.orderBy(F.desc("total"), F.asc("symbol")).limit(_TOPK_TXT)
     try:
-        n = write_symbol_list_txt(top, path)
+        n = write_symbol_list_txt(top, path, order_by=[F.desc("total"), F.asc("symbol")])
         with open(path, encoding="utf-8") as fh:
             lines = [ln for ln in fh.read().splitlines() if ln]
         assert len(lines) == n

@@ -219,9 +219,20 @@ def update_fundamentals(
             os.rename(tmp, lake.fundamental)
             shutil.rmtree(old)
             incremental = False
+    # the batch's touched buckets, computed ONCE: they prune both the dedup
+    # probe inside the append (key = (symbol, ...) and bucket = f(symbol), so
+    # keys outside these partitions cannot collide with the batch — the
+    # existing_filter contract in read_check_append) and the derived rebuild.
+    # Skipped on a fresh lake (nothing to probe, full rebuild anyway).
+    touched: list | None = None
+    if _exists(lake.fundamental):
+        touched = sorted(
+            r.sym_bucket for r in fund_long.select("sym_bucket").distinct().collect()
+        )
     appended = read_check_append(
         spark, fund_long, lake.fundamental, keys=["symbol", "concept", "frame", "accn"],
         partition_by=["sym_bucket"],
+        existing_filter=F.col("sym_bucket").isin(touched) if touched else None,
     )
     if _exists(lake.fundamental):
         # stamp the layout modulus the lake was (re)written with — the guard
@@ -232,13 +243,11 @@ def update_fundamentals(
         # derived rebuild instead of crashing on a missing path
         return {"fundamental_appended": 0, "ttm_rows": 0, "metric_rows": 0}
 
-    do_incremental = incremental and _exists(lake.ttm) and _exists(lake.metrics)
+    do_incremental = (
+        incremental and touched is not None and _exists(lake.ttm) and _exists(lake.metrics)
+    )
     full = spark.read.parquet(lake.fundamental)
     if do_incremental:
-        touched = sorted(
-            r.sym_bucket
-            for r in fund_long.select("sym_bucket").distinct().collect()
-        )
         report_buckets = len(touched)
         full = full.filter(F.col("sym_bucket").isin(touched))  # partition-pruned scan
     else:

@@ -84,6 +84,7 @@ def read_check_append(
     keys: list[str],
     partition_by: list[str] | None = None,
     cache_fresh: bool = True,
+    existing_filter=None,
 ) -> int:
     """I4: append only rows whose key is absent (anti-join dedup upsert).
     Returns the number of appended rows.
@@ -95,9 +96,23 @@ def read_check_append(
     double execution is the dominant cost at every scale; when the upstream
     is a bare scan/filter the cache materialization costs MORE than the
     recompute (measured ~1 s on the lake round-trip fixture), so such
-    callers pass ``cache_fresh=False``."""
+    callers pass ``cache_fresh=False``.
+
+    ``existing_filter`` (optional Column) prunes the EXISTING-keys scan of
+    the anti-join.  When the lake is partitioned on a key-derived column
+    (sym_bucket = pmod(hash(symbol), N)), rows outside the partitions the
+    new batch hashes into cannot share a key with it — so the dedup probe
+    only needs to read those partitions.  Without this, a 400-row daily
+    append against a multi-TB lake pays a full keys scan just to dedup;
+    with it, the probe is partition-pruned to the touched buckets.  The
+    CALLER asserts the filter is key-complete (every new row's key falls
+    inside the filtered partitions) — a wrong filter silently re-appends
+    duplicates."""
     if _exists(spark, path):
-        existing_keys = spark.read.parquet(path).select(*keys).distinct()
+        existing = spark.read.parquet(path)
+        if existing_filter is not None:
+            existing = existing.filter(existing_filter)
+        existing_keys = existing.select(*keys).distinct()
         fresh = new_rows.join(existing_keys, on=keys, how="left_anti")
     else:
         fresh = new_rows

@@ -183,3 +183,55 @@ def test_lsh_verified_jaccard_parity(docs):
     arrow = sorted(map(tuple, D.lsh_verified_jaccard_pairs(docs).collect()))
     hof = sorted(map(tuple, D.lsh_verified_jaccard_pairs(docs, kernel="hof").collect()))
     assert arrow == hof
+
+
+def test_simhash_parity_and_plan(docs):
+    from us_equity_datalake_spark.operators import dedup as D
+
+    arrow = D.simhash(docs)  # default kernel
+    hof = D.simhash(docs, kernel="hof")
+    assert _rows(arrow) == _rows(hof)
+    _assert_arrow_plan(arrow)
+
+
+def test_simhash_pairs_parity(docs):
+    from us_equity_datalake_spark.operators import dedup as D
+
+    arrow = sorted(map(tuple, D.simhash_pairs(docs).collect()))
+    hof = sorted(map(tuple, D.simhash_pairs(docs, kernel="hof").collect()))
+    assert arrow == hof
+
+
+def test_winnow_fingerprints_parity_and_plan(docs):
+    from us_equity_datalake_spark.operators import dedup as D
+
+    arrow = D.winnow_fingerprints(docs)  # default kernel
+    hof = D.winnow_fingerprints(docs, kernel="hof")
+    assert _rows(arrow) == _rows(hof)
+    _assert_arrow_plan(arrow)
+
+
+def test_winnow_short_and_null_docs_drop_like_hof(spark):
+    from us_equity_datalake_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, None), (3, "three tokens here now")],
+        "doc_id long, text string",
+    )
+    for kern in ("arrow", "hof"):
+        ids = sorted(r[0] for r in D.winnow_fingerprints(df, kernel=kern).collect())
+        assert ids == [3], kern
+
+
+def test_simhash_empty_and_null_docs_drop_like_hof(spark):
+    # docs with no tokens or null text produce NO fingerprint row in the HOF
+    # groupBy; the kernel must mirror that
+    from us_equity_datalake_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "..!!.."), (2, None), (3, "real tokens here")],
+        "doc_id long, text string",
+    )
+    for kern in ("arrow", "hof"):
+        ids = sorted(r[0] for r in D.simhash(df, kernel=kern).collect())
+        assert ids == [3], kern

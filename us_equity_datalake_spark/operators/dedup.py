@@ -458,14 +458,66 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32,
+    kernel: str = "arrow",
+) -> DataFrame:
     """(id, simhash) — classic Charikar fingerprint over token hashes.
 
     Bit b of the fingerprint is set iff Σ±1 over the doc's distinct token
-    hashes is positive at bit b, i.e. iff 2·ones_b > n_tokens.  Computed as
-    ``bits`` aggregate columns in ONE groupBy (map-side combined) — no
-    per-(doc,bit) row expansion, no UDF.
-    """
+    hashes is positive at bit b, i.e. iff 2·ones_b > n_tokens.
+
+    ``kernel="arrow"`` (default since r5): the fingerprint is row-local, so
+    one mapInPandas kernel computes it with ZERO shuffles — Python-regex
+    tokenize, ``hashlib.md5`` per distinct token, then one numpy unpack
+    ``((H[:,None] >> arange(bits)) & 1).sum(0)`` for the per-bit votes.
+    Bit-identical to the HOF twin (same md5 basis, same majority rule),
+    pinned by a bitwise parity test.  Replaces the HOF form's token explode
+    + groupBy-on-id shuffle carrying ``bits``+1 aggregate columns — at 100 TB
+    that shuffle moves ~the full token stream; the kernel moves nothing.
+
+    ``kernel="hof"`` — pure-JVM form: ``bits`` aggregate columns in ONE
+    groupBy (map-side combined), no per-(doc,bit) row expansion, no UDF.
+    Kept as the parity reference."""
+    if kernel == "arrow":
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        split_re = re.compile(r"[^a-z0-9]+")
+        shifts = np.arange(bits, dtype=np.int64)
+        out_schema = T.StructType([
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("simhash", T.LongType()),
+        ])
+
+        def kern(batches):
+            for pdf in batches:
+                ids, fps = [], []
+                for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                    if txt is None:
+                        continue
+                    toks = {t for t in split_re.split(txt.lower()) if t}
+                    if not toks:
+                        continue  # no tokens -> no row (= HOF groupBy)
+                    H = np.fromiter(
+                        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) for t in toks),
+                        dtype=np.int64,
+                        count=len(toks),
+                    )
+                    ones = ((H[:, None] >> shifts) & 1).sum(axis=0)
+                    fps.append(int(((2 * ones > len(toks)) << shifts).sum()))
+                    ids.append(doc_id)
+                if ids:
+                    yield pd.DataFrame({"id": ids, "simhash": fps})
+
+        src = parallelize_small_input(
+            df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)), id_col
+        )
+        return src.mapInPandas(kern, out_schema)
     src = parallelize_small_input(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")), "id"
     )
@@ -487,11 +539,20 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bi
     return per_doc.select("id", fp.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32,
+    max_hamming: int = 3, kernel: str = "arrow",
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming, using
-    band-rotation blocking (4 bands; near-dups agree on >= 1 band)."""
+    band-rotation blocking (4 bands; near-dups agree on >= 1 band).
+
+    ``kernel`` selects the fingerprint computation (see :func:`simhash`).
+    Measured at sf0.1 (5k docs): fingerprint stage 1.23 s HOF → 0.61 s Arrow;
+    end-to-end 2.35 → 2.01 s because this fixture's homogeneous corpus makes
+    the banded self-join output-quadratic (1.57M pairs — the documented
+    known_bound) and join cost dominates.  Pairs are bit-identical."""
     # band self-join sides are identical subplans -> ReuseExchange; no persist
-    fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits, kernel=kernel)
     band_width = bits // 4
     banded = fp.select(
         "id",
@@ -512,4 +573,97 @@ def simhash_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., MOSS)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, window: int = 4, kernel: str = "arrow",
+) -> DataFrame:
+    """(id, n_fingerprints, min_fp, max_fp) — winnowing summary per doc:
+    n-word shingle-hash stream → sliding-window min (``window`` rows) →
+    distinct mins.  Docs with < ``n`` tokens produce no row.
+
+    ``kernel="arrow"`` (default since r5): the whole scheme is row-local, so
+    one mapInPandas kernel computes it with ZERO shuffles — Python-regex
+    tokenize + shingle, ``hashlib.md5`` per shingle *position* (duplicates
+    included: positions, not a set), one ``sliding_window_view(...).min(1)``
+    for the rolling min.  Bit-identical to the HOF twin, pinned by a parity
+    test.  Replaces the posexplode → per-doc window Exchange → groupBy of the
+    full shingle stream — at 100 TB that shuffle carries ~the corpus.
+    Measured at sf0.1 (5k docs, best-of-3): 0.69 s HOF vs 0.65 s Arrow — a
+    wash at fixture scale where the stream shuffle is megabytes; the kernel
+    is default for the shuffle shape (zero exchanges), not the fixture wall.
+
+    ``kernel="hof"`` — explode + window + groupBy, all JVM.  A row-local
+    transform-over-array-slice rewrite was measured 100x SLOWER (each lambda
+    element re-evaluates the inlined tokenize+md5 pipeline, O(n²) per doc) —
+    the mapInPandas kernel is the correct row-local form."""
+    if kernel == "arrow":
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        split_re = re.compile(r"[^a-z0-9]+")
+        out_schema = T.StructType([
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("n_fingerprints", T.LongType()),
+            T.StructField("min_fp", T.LongType()),
+            T.StructField("max_fp", T.LongType()),
+        ])
+        pad = np.iinfo(np.int64).max
+
+        def kern(batches):
+            for pdf in batches:
+                out = {"id": [], "n_fingerprints": [], "min_fp": [], "max_fp": []}
+                for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                    if txt is None:
+                        continue
+                    toks = [t for t in split_re.split(txt.lower()) if t]
+                    if len(toks) < n:
+                        continue  # no shingles -> no row (= explode drop)
+                    H = np.fromiter(
+                        (
+                            int(hashlib.md5(" ".join(toks[i : i + n]).encode("utf-8")).hexdigest()[:8], 16)
+                            for i in range(len(toks) - n + 1)
+                        ),
+                        dtype=np.int64,
+                        count=len(toks) - n + 1,
+                    )
+                    padded = np.concatenate([np.full(window - 1, pad, dtype=np.int64), H])
+                    w = np.lib.stride_tricks.sliding_window_view(padded, window).min(axis=1)
+                    out["id"].append(doc_id)
+                    out["n_fingerprints"].append(len(np.unique(w)))
+                    out["min_fp"].append(int(w.min()))
+                    out["max_fp"].append(int(w.max()))
+                if out["id"]:
+                    yield pd.DataFrame(out)
+
+        src = parallelize_small_input(
+            df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)), id_col
+        )
+        return src.mapInPandas(kern, out_schema)
+
+    from pyspark.sql import Window
+
+    src = parallelize_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")), "id"
+    )
+    toks = text.tokens(F.col("__text"))
+    sh = src.select(
+        "id", F.posexplode(text.word_shingles(toks, n)).alias("i0", "s")
+    ).select("id", (F.col("i0") + 1).alias("i"), hashing.md5_long32(F.col("s")).alias("h"))
+    w = Window.partitionBy("id").orderBy("i").rowsBetween(-(window - 1), 0)
+    winmin = sh.select("id", F.min("h").over(w).alias("w"))
+    return winmin.groupBy("id").agg(
+        F.countDistinct("w").cast("long").alias("n_fingerprints"),
+        F.min("w").alias("min_fp"),
+        F.max("w").alias("max_fp"),
     )

@@ -332,26 +332,13 @@ def simhash_q(spark, sf_dir):
     """,
     doc="Winnowing document fingerprints: shingle-hash stream → sliding-window "
     "min (w=4) → distinct mins per doc (Schleimer et al. MOSS scheme).  "
-    "Explode + per-doc window deliberately: a row-local transform-over-"
-    "array-slice rewrite was measured 100x SLOWER — each lambda element "
-    "re-evaluates the inlined tokenize+md5 pipeline (O(n²) per doc) and the "
-    "final filter pushes the whole expression below the exchange.",
+    "Routed through operators.dedup.winnow_fingerprints — Arrow kernel by "
+    "default (zero-shuffle row-local form), HOF twin for parity.",
 )
 def winnow_q(spark, sf_dir):
-    docs = _docs_parallel(spark, sf_dir)
-    toks = text.tokens(F.col("text"))
-    sh = docs.select(
-        "doc_id", F.posexplode(text.word_shingles(toks, 3)).alias("i0", "s")
-    ).select("doc_id", (F.col("i0") + 1).alias("i"), hashing.md5_long32(F.col("s")).alias("h"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
-    winmin = sh.select("doc_id", F.min("h").over(w).alias("w"))
-    return winmin.groupBy("doc_id").agg(
-        F.countDistinct("w").cast("long").alias("n_fingerprints"),
-        F.min("w").alias("min_fp"),
-        F.max("w").alias("max_fp"),
-    )
+    docs = load_table(spark, "documents", sf_dir)
+    out = dedup.winnow_fingerprints(docs, text_col="text", id_col="doc_id", n=3, window=4)
+    return out.select(F.col("id").alias("doc_id"), "n_fingerprints", "min_fp", "max_fp")
 
 
 @register(

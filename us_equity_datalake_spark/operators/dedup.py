@@ -295,6 +295,10 @@ def lsh_verified_jaccard_pairs(
         num_perm=num_perm, bands=bands, seed=seed, kernel=kernel,
     ).select("id_a", "id_b")
     docsets = shingle_sets(df, text_col=text_col, id_col=id_col, n=n, kernel=kernel)
+    if kernel == "arrow":
+        # consumed by both verification sides — same exactly-once rationale
+        # as the signature checkpoint in minhash_lsh_pairs
+        docsets = docsets.localCheckpoint(eager=False)
     sa = docsets.select(F.col("id").alias("id_a"), F.col("set").alias("__sa"))
     sb = docsets.select(F.col("id").alias("id_b"), F.col("set").alias("__sb"))
     verified = (
@@ -413,11 +417,19 @@ def minhash_lsh_pairs(
     0.7 s with the Arrow signature kernel (bit-identical pairs)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
-    # both band-self-join sides are the identical subplan -> ReuseExchange
-    # runs the signature subtree once; no persist (nothing leaks)
     sig = minhash_signatures(
         df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm, seed=seed, kernel=kernel
     )
+    if kernel == "arrow":
+        # the two band-self-join sides cannot share the kernel subtree the way
+        # the HOF form's identical shuffle subplans do (ReuseExchange): AQE
+        # broadcasts one side, and a BroadcastExchange is never reused against
+        # a shuffle — measured with an accumulator, the signature kernel ran
+        # ONCE PER SIDE (2x the corpus tokenize+md5; 4x in the verified
+        # pipeline).  A lazy localCheckpoint materializes the num_perm-long
+        # signatures (tiny vs the corpus) exactly once and both sides read
+        # the checkpointed blocks; eager=False keeps the builder lazy.
+        sig = sig.localCheckpoint(eager=False)
     banded = sig.select(
         "id",
         "sig",
@@ -551,8 +563,12 @@ def simhash_pairs(
     end-to-end 2.35 → 2.01 s because this fixture's homogeneous corpus makes
     the banded self-join output-quadratic (1.57M pairs — the documented
     known_bound) and join cost dominates.  Pairs are bit-identical."""
-    # band self-join sides are identical subplans -> ReuseExchange; no persist
     fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits, kernel=kernel)
+    if kernel == "arrow":
+        # both band-self-join sides consume the kernel output — exactly-once
+        # rationale as in minhash_lsh_pairs (BroadcastExchange defeats
+        # ReuseExchange); the (id, simhash) frame is 16 bytes/doc
+        fp = fp.localCheckpoint(eager=False)
     band_width = bits // 4
     banded = fp.select(
         "id",

@@ -639,6 +639,12 @@ def cosine_near_dup_pairs(
                 yield pd.concat(frames, ignore_index=True)
 
         t = corpus.select(id_col, vec_col).mapInPandas(bkern, bkt_schema)
+        # both self-join sides consume the bucket kernel; AQE broadcasts one
+        # side and a BroadcastExchange is never reused against a shuffle, so
+        # without materialization the matmul-over-corpus runs ONCE PER SIDE
+        # (measured via accumulator on the dedup family, same shape).  Lazy
+        # localCheckpoint = exactly-once kernel, both sides read the blocks.
+        t = t.localCheckpoint(eager=False)
         a, b = t.alias("a"), t.alias("b")
         cand = a.join(
             b,

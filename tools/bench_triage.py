@@ -52,24 +52,29 @@ COMPUTE_NOTES = {
     "DuckDB's in-process hash joins; md5 per shingle on both sides — gap is shuffle I/O, linear at scale",
     "doc_ngram_jaccard_pairs": "inverted-index self-join, Σ df² candidates; same asymptotics both engines "
     "(duck-1t 1.2 s vs spark 2.4 s once threads matter less)",
-    "doc_minhash_lsh_pairs": "16 md5-based permutations via interpreted HOF folds; duck-1t 3.4 s is "
-    "SLOWER than spark — the mt ratio reflects DuckDB's better intra-query parallelism on tiny data",
+    "doc_minhash_lsh_pairs": "signatures now one hashlib+numpy Arrow kernel (r5, exactly-once via "
+    "lazy localCheckpoint) — 1.9 s HOF -> ~1.0 s; residual is the banded self-join + distinct; duck-1t "
+    "2.6 s is SLOWER than spark",
     "emb_kmeans_assign": "r4's cached-corpus Lloyd rework (VERDICT r3 #6) trades fixture-scale wall "
     "for the right plan: 1 corpus scan + broadcast literal centroids vs r3's 6 lazy re-scans "
     "(1.1 s -> 2.3 s here, because per-iteration centroid collects cost more than re-scanning 2 MB; "
     "the cache wins as soon as one corpus scan exceeds k x dim driver I/O — i.e. everywhere real)",
-    "emb_lsh_topk": "64-dim cosine/bucket math runs in Spark's INTERPRETED higher-order lambdas "
-    "(aggregate/zip_with are not codegen'd) vs DuckDB's native vectorized list kernels; kept HOF for "
-    "bit-exact oracle parity; emb_cosine_topk_arrow IS that swap, measured 2.2x end-to-end / ~4x kernel at sf1",
-    "emb_near_dup_pairs": "same interpreted-HOF cosine kernel over bucket candidate pairs",
-    "emb_ivf_topk": "same kernel + centroid assignment stages",
+    "emb_lsh_topk": "Arrow/BLAS kernel is the default since r5 (24x -> 8x mt-oracle; bucket ids + "
+    "scoring in one join-free corpus pass); graded cosines recomputed with exact left-to-right folds "
+    "so the kernel shares the HOF oracle bitwise",
+    "emb_near_dup_pairs": "r5 Arrow kernels: BLAS bucket matmul (exactly-once via localCheckpoint) + "
+    "paired exact-cosine verification over candidates",
+    "emb_ivf_topk": "two distinct Arrow kernels (centroid assignment, candidate rescoring) + probe "
+    "selection stages; stage-count bound at fixture scale",
     "emb_int8_quantize_report": "same kernel family (per-component HOF quantize/reconstruct)",
     "token_pack_report": "two-phase distributed prefix sum = 4 small stages + bucket boundary collect; "
     "stage-count bound at fixture scale, one-pass at real scale",
     "tpch_q21_waiting_supplier": "3 lineitem passes + 2 shuffle joins; DuckDB keeps the 74 MB table "
     "in-process — spark pays shuffle serialization; plan is the intended shape (AQE broadcasts the dims)",
     "near_dup_components": "iterative label propagation: per-iteration localCheckpoint materialization",
-    "doc_simhash_pairs": "32 bit-count aggregate columns + band self-join; 1.6 M output pairs",
+    "doc_simhash_pairs": "fingerprints in one zero-shuffle Arrow kernel since r5 (was 33-agg groupBy); "
+    "cost is the band self-join's 1.6 M output pairs (homogeneous-corpus known_bound); duck-mt is "
+    "within noise of spark here",
     "auto_resolve_nearest_interval": "agg -> join -> window = 3 AQE stages on dimension-scale data; "
     "isolated best-of-3 0.76 s, pure stage-scheduling floor",
     "pit_interval_lookup": "broadcast equi+range join over 600k facts: scan + broadcast + "

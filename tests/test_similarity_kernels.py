@@ -223,6 +223,35 @@ def test_winnow_short_and_null_docs_drop_like_hof(spark):
         assert ids == [3], kern
 
 
+def test_duplicate_spans_golden(spark):
+    # seed-and-extend semantics on a constructed corpus: a 12-token shared
+    # span is reported maximally once with exact 1-based starts; an 8-token
+    # overlap (a single seed, span 8 < 12) is excluded; a doc sharing the
+    # span at TWO offsets yields two diagonal rows
+    from us_equity_datalake_spark.operators import dedup as D
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    df = spark.createDataFrame(
+        [
+            (1, span + " one two"),
+            (2, "pre " + span + " three"),          # span at pa=1, pb=2
+            (3, "alpha beta gamma delta epsilon zeta eta theta x y z"),  # 8 shared
+            (4, "totally different words with no overlap at all here ok"),
+            (5, span + " mid filler tokens q r s t u v w " + span),  # two diagonals
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        tuple(r) for r in D.duplicate_spans(df, n=8, min_span_tokens=12).collect()
+    )
+    assert (1, 2, 1, 2, 12) in rows
+    assert not any(r[0] == 1 and r[1] == 3 for r in rows)  # below threshold
+    assert not any(4 in (r[0], r[1]) for r in rows)
+    pair15 = [r for r in rows if (r[0], r[1]) == (1, 5)]
+    assert len(pair15) == 2 and {(r[2], r[3]) for r in pair15} == {(1, 1), (1, 23)}
+    assert all(r[4] >= 12 for r in rows)
+
+
 def test_simhash_empty_and_null_docs_drop_like_hof(spark):
     # docs with no tokens or null text produce NO fingerprint row in the HOF
     # groupBy; the kernel must mirror that

@@ -31,11 +31,11 @@ from . import quant  # noqa: E402,F401
 # promotion across the vector family, the MinHash/shingle-set kernels, the
 # bucket-guard + crash-safe migration under incremental maintenance, the
 # ordered text sink, the prefix-ceil guard), then the once-graded backlog
-# fills the remaining slots.  The ~21 once-graded queries that do not fit
+# fills the remaining slots.  The once-graded queries that do not fit
 # (sampling/sketch/zorder/dq, salted pair, asof_tolerance_join, the S8/S9/S11
-# round-trips, master_universe_lifecycle, retrieval tier, quant tier) are the
-# FRONT of round 6's window — rotate them in next (also kmv_distinct_customers
-# and hash_split_report, trimmed here to keep the priority list at exactly 50).
+# round-trips, master_universe_lifecycle, retrieval tier, quant tier,
+# kmv_distinct_customers, hash_split_report, grouping_sets_source_lang) are
+# the FRONT of round 6's window — rotate them in next.
 _GRADING_PRIORITY = [
     # --- changed in round 5: Arrow/BLAS kernel promotion (vector family) ---
     "emb_cosine_topk",
@@ -49,6 +49,9 @@ _GRADING_PRIORITY = [
     "doc_minhash_lsh_pairs",
     "doc_lsh_verified_jaccard",
     "doc_ngram_jaccard_pairs",     # prefix-ceil FP guard (non-default arm)
+    "doc_duplicate_spans",         # NEW r5: exact-substring seed-and-extend
+    "doc_simhash_pairs",           # r5 Arrow fingerprint kernel
+    "doc_winnow_fingerprints",     # r5 Arrow kernel + operator lift
     # --- changed in round 5: write-path hardening ---
     "incremental_derived_report",  # bucket-count sidecar + crash-safe migration
     "top3000_text_sink_report",    # explicit order_by contract
@@ -75,8 +78,6 @@ _GRADING_PRIORITY = [
     "doc_token_stats",
     "doc_quality_scores",
     "doc_lang_id",
-    "doc_simhash_pairs",
-    "doc_winnow_fingerprints",
     "multimodal_binary_metadata",
     "doc_rep_2gram_fraction",
     "doc_blocklist_scrub",
@@ -90,7 +91,6 @@ _GRADING_PRIORITY = [
     "emb_int8_quantize_report",
     "rollup_priority_status",
     "cube_status_year",
-    "grouping_sets_source_lang",
 ]
 
 

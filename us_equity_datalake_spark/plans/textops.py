@@ -317,6 +317,43 @@ def simhash_q(spark, sf_dir):
 
 
 @register(
+    "doc_duplicate_spans",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    sh AS (
+      SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS s
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i)
+    ),
+    seed AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS pa, b.i AS pb
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT id_a, id_b, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+      FROM seed
+    ),
+    spans AS (
+      SELECT id_a, id_b, pa - pb AS diag, MIN(pa) AS start_a, MIN(pb) AS start_b,
+             CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY id_a, id_b, pa - pb, grp
+    )
+    SELECT id_a, id_b, start_a, start_b, span_tokens
+    FROM spans WHERE span_tokens >= 12
+    """,
+    doc="Exact-substring duplicate spans (Lee et al. 2021 seed-and-extend): "
+    "maximal runs of consecutive shared 8-gram seeds between doc pairs, "
+    "one equi-join on the seed hash (string-verified) + the islands trick "
+    "per (pair, diagonal) — reports (start_a, start_b, span_tokens >= 12).",
+)
+def duplicate_spans_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.duplicate_spans(
+        docs, text_col="text", id_col="doc_id", n=8, min_span_tokens=12
+    )
+
+
+@register(
     "doc_winnow_fingerprints",
     oracle=f"""
     WITH {_TOKS_SQL}, {_SHINGLE_POS_SQL},

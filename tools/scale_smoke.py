@@ -45,6 +45,7 @@ HEAVY = [
     "doc_minhash_lsh_pairs",
     "doc_lsh_verified_jaccard",
     "doc_winnow_fingerprints",
+    "doc_duplicate_spans",
     "doc_line_dedup_scrub",
     "token_pack_report",
     "emb_lsh_topk",

@@ -251,6 +251,16 @@ def test_duplicate_spans_golden(spark):
     assert len(pair15) == 2 and {(r[2], r[3]) for r in pair15} == {(1, 1), (1, 23)}
     assert all(r[4] >= 12 for r in rows)
 
+    # scrub: keep-lowest — doc1 untouched; doc2 keeps its non-span tokens;
+    # doc5 loses BOTH copies (overlapping intervals compose without merging)
+    scrub = {r["id"]: r for r in D.scrub_duplicate_spans(df, n=8, min_span_tokens=12).collect()}
+    assert scrub[1]["n_tokens_kept"] == scrub[1]["n_tokens"] == 14
+    assert scrub[1]["n_spans_removed"] == 0
+    assert scrub[2]["scrubbed_text"] == "pre three"
+    assert scrub[4]["n_tokens_kept"] == scrub[4]["n_tokens"]
+    assert scrub[5]["scrubbed_text"] == "mid filler tokens q r s t u v w"
+    assert scrub[5]["n_spans_removed"] >= 2
+
 
 def test_simhash_empty_and_null_docs_drop_like_hof(spark):
     # docs with no tokens or null text produce NO fingerprint row in the HOF

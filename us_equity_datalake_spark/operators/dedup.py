@@ -662,6 +662,62 @@ def duplicate_spans(
     )
 
 
+def scrub_duplicate_spans(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 8, min_span_tokens: int = 12,
+) -> DataFrame:
+    """Remove cross-document duplicated spans, keeping the LOWEST doc id's
+    copy (the actionable half of Lee et al. exact-substring dedup): every
+    span reported by :func:`duplicate_spans` is cut from the higher doc id
+    (``id_b``); docs appearing in no pair pass through untouched.
+
+    Returns (id, n_tokens, n_tokens_kept, n_spans_removed, scrubbed_text)
+    where ``scrubbed_text`` is the kept tokens rejoined by single spaces
+    (token-stream surgery — the original whitespace of removed regions is
+    not reconstructable by design).
+
+    Scale shape: spans aggregate per victim doc into an interval array
+    (dimension-sized relative to the corpus — only docs WITH duplicates
+    carry intervals), broadcast-joined back to the corpus; the cut itself
+    is one JVM higher-order filter per row (position ∉ any interval —
+    overlap handling needs no interval merging), zero extra shuffles over
+    the detector."""
+    spans = duplicate_spans(
+        df, text_col=text_col, id_col=id_col, n=n, min_span_tokens=min_span_tokens
+    )
+    ivs = spans.groupBy(F.col("id_b").alias("id")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_b").alias("s"),
+                (F.col("start_b") + F.col("span_tokens")).alias("e"),
+            )
+        ).alias("__ivs"),
+        F.count("*").cast("long").alias("n_spans_removed"),
+    )
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    toks = text.tokens(F.col("__text"))
+    joined = src.join(ivs, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_spans_removed"), F.lit(0)).alias("n_spans_removed"),
+        toks.alias("__t"),
+        F.coalesce(F.col("__ivs"), F.array()).alias("__ivs"),
+    )
+    # 1-based token positions, kept iff inside no removal interval [s, e)
+    kept = F.filter(
+        F.transform(F.col("__t"), lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i"))),
+        lambda x: ~F.exists(
+            F.col("__ivs"), lambda iv: (x["i"] >= iv["s"]) & (x["i"] < iv["e"])
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        "n_spans_removed",
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("scrubbed_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer et al., MOSS)
 # ---------------------------------------------------------------------------

@@ -34,7 +34,8 @@ from . import quant  # noqa: E402,F401
 # fills the remaining slots.  The once-graded queries that do not fit
 # (sampling/sketch/zorder/dq, salted pair, asof_tolerance_join, the S8/S9/S11
 # round-trips, master_universe_lifecycle, retrieval tier, quant tier,
-# kmv_distinct_customers, hash_split_report, grouping_sets_source_lang) are
+# kmv_distinct_customers, hash_split_report, grouping_sets_source_lang,
+# cube_status_year) are
 # the FRONT of round 6's window — rotate them in next.
 _GRADING_PRIORITY = [
     # --- changed in round 5: Arrow/BLAS kernel promotion (vector family) ---
@@ -50,6 +51,7 @@ _GRADING_PRIORITY = [
     "doc_lsh_verified_jaccard",
     "doc_ngram_jaccard_pairs",     # prefix-ceil FP guard (non-default arm)
     "doc_duplicate_spans",         # NEW r5: exact-substring seed-and-extend
+    "doc_duplicate_span_scrub",    # NEW r5: keep-lowest span removal
     "doc_simhash_pairs",           # r5 Arrow fingerprint kernel
     "doc_winnow_fingerprints",     # r5 Arrow kernel + operator lift
     # --- changed in round 5: write-path hardening ---
@@ -90,7 +92,6 @@ _GRADING_PRIORITY = [
     "top_terms_per_source",
     "emb_int8_quantize_report",
     "rollup_priority_status",
-    "cube_status_year",
 ]
 
 

@@ -354,6 +354,65 @@ def duplicate_spans_q(spark, sf_dir):
 
 
 @register(
+    "doc_duplicate_span_scrub",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    sh AS (
+      SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS s
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i)
+    ),
+    seed AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS pa, b.i AS pb
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT id_a, id_b, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+      FROM seed
+    ),
+    spans AS (
+      SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+             CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY id_a, id_b, pa - pb, grp
+    ),
+    big AS (SELECT * FROM spans WHERE span_tokens >= 12),
+    ivs AS (
+      SELECT id_b AS doc_id,
+             list({{'s': start_b, 'e': start_b + span_tokens}}) AS ivs,
+             CAST(COUNT(*) AS BIGINT) AS n_spans_removed
+      FROM big GROUP BY id_b
+    ),
+    joined AS (
+      SELECT toks.doc_id, t, COALESCE(ivs.ivs, []) AS ivs,
+             COALESCE(n_spans_removed, 0) AS n_spans_removed
+      FROM toks LEFT JOIN ivs ON toks.doc_id = ivs.doc_id
+    ),
+    cut AS (
+      SELECT doc_id, t, n_spans_removed,
+             [t[i] FOR i IN generate_series(1, len(t))
+              IF len(list_filter(ivs, iv -> i >= iv.s AND i < iv.e)) = 0] AS kept
+      FROM joined
+    )
+    SELECT doc_id AS id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_tokens_kept, n_spans_removed,
+           -- a fully-scrubbed doc keeps zero tokens: duckdb's array_to_string
+           -- returns NULL on the empty list where spark's array_join gives ''
+           COALESCE(array_to_string(kept, ' '), '') AS scrubbed_text
+    FROM cut
+    """,
+    doc="The actionable half of exact-substring dedup: every duplicated span "
+    "is cut from the higher doc_id (keep-lowest rule), token positions "
+    "filtered against the per-doc interval array with one JVM higher-order "
+    "expression — no interval merging needed, overlaps compose.",
+)
+def duplicate_span_scrub_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.scrub_duplicate_spans(
+        docs, text_col="text", id_col="doc_id", n=8, min_span_tokens=12
+    )
+
+
+@register(
     "doc_winnow_fingerprints",
     oracle=f"""
     WITH {_TOKS_SQL}, {_SHINGLE_POS_SQL},

@@ -223,6 +223,35 @@ def test_winnow_short_and_null_docs_drop_like_hof(spark):
         assert ids == [3], kern
 
 
+def test_kernel_parity_on_adversarial_unicode(spark):
+    # the Arrow kernels tokenize with Python `re` + str.lower while the HOF
+    # twins use JVM regexp_split + String.toLowerCase — pin that both agree
+    # on the nasty cases (fullwidth forms, Turkish dotted İ, combining marks,
+    # emoji, mixed whitespace), not just the ASCII fixture corpus
+    from us_equity_datalake_spark.operators import dedup as D
+
+    cases = [
+        (1, "Hello WORLD foo bar baz qux one two three four"),
+        (2, "ÉCOLE élève naïve café ÜBER straße İstanbul ĳ ǅungla Σίσυφος"),
+        (3, "ＡＢＣ ｆｕｌｌｗｉｄｔｈ １２３ tokens here now"),
+        (4, "tab\tand\nnewline\r\nand  spaces 0x00 end here ok"),
+        (5, "emoji 😀 mixed 🎉 with words alpha beta gamma delta"),
+        (6, "ǰ ǰ ǰ combining ǰ hacek a b c d e f g h"),
+        (7, "TURKISH İI ıI dotted undotted alpha beta gamma delta eps"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    for fn in (D.minhash_signatures, D.shingle_sets, D.simhash, D.winnow_fingerprints):
+        a = sorted(
+            (r[0],) + tuple(tuple(v) if isinstance(v, list) else v for v in tuple(r)[1:])
+            for r in fn(df).collect()
+        )
+        h = sorted(
+            (r[0],) + tuple(tuple(v) if isinstance(v, list) else v for v in tuple(r)[1:])
+            for r in fn(df, kernel="hof").collect()
+        )
+        assert a == h, fn.__name__
+
+
 def test_duplicate_spans_golden(spark):
     # seed-and-extend semantics on a constructed corpus: a 12-token shared
     # span is reported maximally once with exact 1-based starts; an 8-token

@@ -370,3 +370,35 @@ def test_assign_running_ids_distributed_matches_window_form(spark):
         for r in assign_running_ids_distributed(df, order="k", new_group=F.col("grp")).collect()
     }
     assert d_ids == w_ids
+
+
+def test_subword_count_golden(spark):
+    # GPT-2-class pieces: contractions split, leading space attaches to the
+    # word, punctuation runs are one piece, whitespace runs count once (the
+    # documented RE2-compatible simplification), CJK letters group
+    from us_equity_datalake_spark.functions import text
+
+    cases = {
+        "hello world": 2,            # "hello", " world"
+        "it's": 2,                   # "it", "'s"
+        "we'll go": 3,               # "we", "'ll", " go"
+        "a,b": 3,                    # "a", ",", "b"
+        "x  y": 3,                   # "x", "  " (ws run), "y" — the RE2 simplification
+        "42 cats": 2,                # "42", " cats"
+        "北京 123": 2,
+        "": 0,
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases.items())], "id long, text string"
+    )
+    got = {
+        r.id: r.n
+        for r in df.select("id", text.subword_count(F.col("text")).alias("n")).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    for i, (t, want) in enumerate(cases.items()):
+        duck = con.execute(f"SELECT {text.subword_count_sql('?')}", [t]).fetchone()[0]
+        assert got[i] == duck, (t, got[i], duck)  # cross-engine first
+        assert got[i] == want, (t, got[i], want)

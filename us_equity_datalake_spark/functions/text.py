@@ -44,6 +44,27 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer pattern, RE2-compatible: the upstream pattern's
+# trailing `\s+(?!\S)` lookahead is unsupported by DuckDB's RE2, so whitespace
+# runs count as one piece instead of splitting the final space onto the next
+# word — a BPE-ish ESTIMATOR for budgeting/packing, not a tokenizer claim.
+# Kept byte-identical across Spark (Java regex) and DuckDB (RE2); parity over
+# contractions, unicode letters/digits, punctuation runs and CJK is pinned by
+# the doc_subword_stats oracle and a golden test.
+BPE_ISH_RE = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}']+|\s+"
+
+
+def subword_count(col: Column) -> Column:
+    """BPE-ish subword-piece count (GPT-2 pre-tokenizer classes) — the
+    standard ~chars/4 'token budget' estimator, exact in both engines."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def subword_count_sql(expr: str) -> str:
+    pat = BPE_ISH_RE.replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """n-word shingles joined by a single space; empty array when < n tokens.
 

@@ -35,7 +35,7 @@ from . import quant  # noqa: E402,F401
 # (sampling/sketch/zorder/dq, salted pair, asof_tolerance_join, the S8/S9/S11
 # round-trips, master_universe_lifecycle, retrieval tier, quant tier,
 # kmv_distinct_customers, hash_split_report, grouping_sets_source_lang,
-# cube_status_year) are
+# cube_status_year, rollup_priority_status) are
 # the FRONT of round 6's window — rotate them in next.
 _GRADING_PRIORITY = [
     # --- changed in round 5: Arrow/BLAS kernel promotion (vector family) ---
@@ -54,6 +54,7 @@ _GRADING_PRIORITY = [
     "doc_duplicate_span_scrub",    # NEW r5: keep-lowest span removal
     "doc_simhash_pairs",           # r5 Arrow fingerprint kernel
     "doc_winnow_fingerprints",     # r5 Arrow kernel + operator lift
+    "doc_subword_stats",           # NEW r5: BPE-ish subword budgeting
     # --- changed in round 5: write-path hardening ---
     "incremental_derived_report",  # bucket-count sidecar + crash-safe migration
     "top3000_text_sink_report",    # explicit order_by contract
@@ -91,7 +92,6 @@ _GRADING_PRIORITY = [
     "token_pack_report",
     "top_terms_per_source",
     "emb_int8_quantize_report",
-    "rollup_priority_status",
 ]
 
 

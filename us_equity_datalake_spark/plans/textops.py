@@ -94,6 +94,34 @@ def token_stats_q(spark, sf_dir):
     return out.filter(F.col("n_tokens") > 0)
 
 
+@register(
+    "doc_subword_stats",
+    oracle=f"""
+    WITH {_TOKS_SQL}
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_ws_tokens,
+           CAST({text.subword_count_sql('text')} AS BIGINT) AS n_subword,
+           ROUND(CAST(length(text) AS DOUBLE) / {text.subword_count_sql('text')}, 6)
+             AS chars_per_subword
+    FROM toks WHERE {text.subword_count_sql('text')} > 0
+    """,
+    doc="BPE-ish subword budgeting (GPT-2 pre-tokenizer classes, "
+    "RE2-compatible — see functions/text.py BPE_ISH_RE): subword-piece count "
+    "next to the whitespace count plus the chars-per-piece ratio used for "
+    "token-budget estimates; one regexp_extract_all per row, JVM-side.",
+)
+def subword_stats_q(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    n_sub = text.subword_count(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        n_sub.cast("long").alias("n_subword"),
+        F.round(F.length("text").cast("double") / n_sub, 6).alias("chars_per_subword"),
+    )
+    return out.filter(F.col("n_subword") > 0)
+
+
 _SW_LIST = "['" + "','".join(sorted(text.EN_STOPWORDS)) + "']"
 
 

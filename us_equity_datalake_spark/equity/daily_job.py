@@ -258,16 +258,24 @@ def update_fundamentals(
     ttm = compute_ttm_long(duration).withColumn(
         "sym_bucket", _sym_bucket(F.col("symbol"), n_buckets)
     )
-    metrics = compute_metrics_long(
-        ttm.select("symbol", "as_of_date", "concept", "value"), stock
-    ).withColumn("sym_bucket", _sym_bucket(F.col("symbol"), n_buckets))
-    if do_incremental:
-        # dynamic overwrite replaces exactly the recomputed buckets
-        overwrite_partition(spark, ttm, lake.ttm, partition_by=["sym_bucket"])
-        overwrite_partition(spark, metrics, lake.metrics, partition_by=["sym_bucket"])
-    else:
-        write_partitioned(ttm, lake.ttm, partition_by=["sym_bucket"])
-        write_partitioned(metrics, lake.metrics, partition_by=["sym_bucket"])
+    # ttm has TWO consumers — the lake write and the metrics derivation — and
+    # without materialization each re-runs the rolling-window chain over the
+    # (pruned) fundamental scan: 2x the heaviest compute of the rebuild at
+    # any scale.  Persist across the two, unpersist before returning.
+    ttm = ttm.persist()
+    try:
+        metrics = compute_metrics_long(
+            ttm.select("symbol", "as_of_date", "concept", "value"), stock
+        ).withColumn("sym_bucket", _sym_bucket(F.col("symbol"), n_buckets))
+        if do_incremental:
+            # dynamic overwrite replaces exactly the recomputed buckets
+            overwrite_partition(spark, ttm, lake.ttm, partition_by=["sym_bucket"])
+            overwrite_partition(spark, metrics, lake.metrics, partition_by=["sym_bucket"])
+        else:
+            write_partitioned(ttm, lake.ttm, partition_by=["sym_bucket"])
+            write_partitioned(metrics, lake.metrics, partition_by=["sym_bucket"])
+    finally:
+        ttm.unpersist()
     def _count(path: str) -> int:
         # a zero-row partitioned write leaves no schema-bearing files, so the
         # readback cannot infer a schema — that is simply 0 rows

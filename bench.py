@@ -167,9 +167,12 @@ def main() -> None:
                 t0 = time.time()
                 qmap[name](spark, SF_DIR).count()
                 best = min(best, time.time() - t0)
-            spark.catalog.clearCache()
         except Exception as e:
             print(f"bench: isolated re-measure {name} failed: {e}", file=sys.stderr)
+        finally:
+            # always clear — a partially-run query's cache must not leak into
+            # the next outlier's isolated measurement
+            spark.catalog.clearCache()
         env_outliers[name] = {
             "insuite": round(t, 3),
             "isolated": round(best, 3),

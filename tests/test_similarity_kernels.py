@@ -119,6 +119,34 @@ def test_empty_query_set_returns_typed_empty(emb, queries):
         assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
 
 
+def test_null_and_ragged_vectors_skip_not_crash(spark, emb, queries, centroids):
+    # ADVICE r5: the HOF twins propagate NULL cosines for null/ragged vectors
+    # (which never rank or pass thresholds); the Arrow defaults must skip such
+    # rows, not abort the job in np.stack
+    import pyspark.sql.types as T
+
+    dim = len(emb.select("embedding").first()[0])
+    extra = spark.createDataFrame(
+        [(900001, None), (900002, [0.5] * (dim - 1))],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]),
+    )
+    dirty = emb.select("vec_id", "embedding").unionByName(extra)
+    clean = emb.select("vec_id", "embedding")
+
+    got = _rows(S.cosine_topk(dirty, queries))
+    assert got == _rows(S.cosine_topk(clean, queries))
+    got = _rows(S.assign_to_centroids(dirty, centroids).select("vec_id", "centroid_id"))
+    want = _rows(S.assign_to_centroids(clean, centroids).select("vec_id", "centroid_id"))
+    assert got == want
+    assert _rows(S.lsh_topk(dirty, queries)) == _rows(S.lsh_topk(clean, queries))
+    assert _rows(S.cosine_near_dup_pairs(dirty, threshold=0.9)) == _rows(
+        S.cosine_near_dup_pairs(clean, threshold=0.9)
+    )
+
+
 def test_id_dtype_derives_from_input(spark):
     # int32 ids must survive the kernel round-trip (ADVICE r4: no hardcoded int64)
     rows = [(i, [float(i), 1.0, 0.5]) for i in range(6)]

@@ -172,6 +172,11 @@ def update_fundamentals(
     fund_long = normalize_fundamental(raw).withColumn(
         "sym_bucket", _sym_bucket(F.col("symbol"), n_buckets)
     )
+    # fund_long has up to three consumers (the touched-buckets collect, the
+    # append's anti-join probe, the append write) — persist so the
+    # normalize+dedup lineage runs once per day, not once per consumer
+    # (ADVICE r5); released in the finally below.
+    fund_long = fund_long.persist()
     # Pre-migration guard: a fundamental lake written before bucket
     # partitioning carries no sym_bucket column, and a lake written with a
     # DIFFERENT bucket count (ADVICE r4: pmod(hash,16) rows appended into a
@@ -225,15 +230,18 @@ def update_fundamentals(
     # existing_filter contract in read_check_append) and the derived rebuild.
     # Skipped on a fresh lake (nothing to probe, full rebuild anyway).
     touched: list | None = None
-    if _exists(lake.fundamental):
-        touched = sorted(
-            r.sym_bucket for r in fund_long.select("sym_bucket").distinct().collect()
+    try:
+        if _exists(lake.fundamental):
+            touched = sorted(
+                r.sym_bucket for r in fund_long.select("sym_bucket").distinct().collect()
+            )
+        appended = read_check_append(
+            spark, fund_long, lake.fundamental, keys=["symbol", "concept", "frame", "accn"],
+            partition_by=["sym_bucket"],
+            existing_filter=F.col("sym_bucket").isin(touched) if touched else None,
         )
-    appended = read_check_append(
-        spark, fund_long, lake.fundamental, keys=["symbol", "concept", "frame", "accn"],
-        partition_by=["sym_bucket"],
-        existing_filter=F.col("sym_bucket").isin(touched) if touched else None,
-    )
+    finally:
+        fund_long.unpersist()  # last consumer of the normalized batch
     if _exists(lake.fundamental):
         # stamp the layout modulus the lake was (re)written with — the guard
         # above validates against this on every subsequent call

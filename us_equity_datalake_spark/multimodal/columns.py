@@ -201,14 +201,25 @@ def _real_pixels(payload: bytes, w: int, h: int) -> list[float]:
     if payload[:2] == b"BM":
         return _bmp_pixels(payload, w, h)
     if payload[:8] == _PNG_SIG:
-        return _png_pixels(payload, w, h)
+        try:
+            return _png_pixels(payload, w, h)
+        except NotImplementedError:
+            # palette / 16-bit / interlaced PNG: fall through to PIL when it
+            # is importable (the r4 behavior); without PIL the gate below
+            # raises with the accurate message.  NOTE the two decoders are
+            # not numerically identical by design: the pure path keeps float
+            # luma and the (i*src)//dst sampling grid shared with _bmp_pixels
+            # (the canonical in-sandbox semantics the golden tests pin),
+            # while PIL quantizes convert('L') to uint8 on its own NEAREST
+            # grid — PIL is a fallback codec, not a parity twin.
+            pass
     try:
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "lossy-format image decode requires PIL — not in this image; "
-            "24-bit BMP and 8-bit PNG decode in-sandbox, or use fake=True "
-            "for plumbing tests"
+            "lossy/extended-format image decode requires PIL — not in this "
+            "image; 24-bit BMP and non-interlaced 8-bit PNG decode "
+            "in-sandbox, or use fake=True for plumbing tests"
         ) from e
     with Image.open(io.BytesIO(payload)) as im:
         im = im.convert("L").resize((w, h))

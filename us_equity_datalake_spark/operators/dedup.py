@@ -296,9 +296,9 @@ def lsh_verified_jaccard_pairs(
     ).select("id_a", "id_b")
     docsets = shingle_sets(df, text_col=text_col, id_col=id_col, n=n, kernel=kernel)
     if kernel == "arrow":
-        # consumed by both verification sides — same exactly-once rationale
-        # as the signature checkpoint in minhash_lsh_pairs
-        docsets = docsets.localCheckpoint(eager=False)
+        # consumed by both verification sides — same exactly-once persist
+        # rationale as in minhash_lsh_pairs
+        docsets = docsets.persist()
     sa = docsets.select(F.col("id").alias("id_a"), F.col("set").alias("__sa"))
     sb = docsets.select(F.col("id").alias("id_b"), F.col("set").alias("__sb"))
     verified = (
@@ -426,10 +426,12 @@ def minhash_lsh_pairs(
         # broadcasts one side, and a BroadcastExchange is never reused against
         # a shuffle — measured with an accumulator, the signature kernel ran
         # ONCE PER SIDE (2x the corpus tokenize+md5; 4x in the verified
-        # pipeline).  A lazy localCheckpoint materializes the num_perm-long
-        # signatures (tiny vs the corpus) exactly once and both sides read
-        # the checkpointed blocks; eager=False keeps the builder lazy.
-        sig = sig.localCheckpoint(eager=False)
+        # pipeline).  A lazy persist() materializes the num_perm-long
+        # signatures (tiny vs the corpus) exactly once per corpus pass
+        # (accumulator-verified) while KEEPING the lineage — unlike
+        # localCheckpoint, an executor loss recomputes instead of failing
+        # the job, and catalog.clearCache() releases the storage.
+        sig = sig.persist()
     banded = sig.select(
         "id",
         "sig",
@@ -566,9 +568,9 @@ def simhash_pairs(
     fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits, kernel=kernel)
     if kernel == "arrow":
         # both band-self-join sides consume the kernel output — exactly-once
-        # rationale as in minhash_lsh_pairs (BroadcastExchange defeats
-        # ReuseExchange); the (id, simhash) frame is 16 bytes/doc
-        fp = fp.localCheckpoint(eager=False)
+        # persist rationale as in minhash_lsh_pairs (BroadcastExchange
+        # defeats ReuseExchange); the (id, simhash) frame is 16 bytes/doc
+        fp = fp.persist()
     band_width = bits // 4
     banded = fp.select(
         "id",

@@ -60,6 +60,30 @@ def _stack_f64(series):
     return np.stack([np.asarray(v, dtype=np.float64) for v in series])
 
 
+def _valid_vec_rows(pdf, cols, dim=None):
+    """Drop batch rows whose vector is null or (when ``dim`` is known)
+    wrong-length before stacking.  The HOF twins propagate a NULL cosine for
+    such rows, which can never pass a threshold or out-rank a real value —
+    the kernels mirror that by skipping the row instead of letting
+    ``np.stack`` raise on the ragged batch (ADVICE r5 null-robustness)."""
+    if len(pdf) == 0:
+        return pdf
+    mask = None
+    for c in cols:
+        ok = pdf[c].map(
+            lambda v: v is not None and (dim is None or len(v) == dim)
+        )
+        mask = ok if mask is None else (mask & ok)
+    return pdf if bool(mask.all()) else pdf[mask]
+
+
+def _valid_vec_items(rows, dim=None):
+    """Same null/length discipline for driver-collected (id, vec) rows
+    (query/centroid sets): null or wrong-length vectors are dropped."""
+    out = [r for r in rows if r[1] is not None and (dim is None or len(r[1]) == dim)]
+    return out
+
+
 def paired_exact_cosine(
     df: DataFrame,
     *,
@@ -90,6 +114,12 @@ def paired_exact_cosine(
         import pandas as pd
 
         for pdf in batches:
+            pdf = _valid_vec_rows(pdf, [left_vec, right_vec])
+            # paired rows must also agree on length (HOF zip_with -> null)
+            if len(pdf):
+                same = pdf[left_vec].map(len).values == pdf[right_vec].map(len).values
+                if not same.all():
+                    pdf = pdf[same]
             if len(pdf) == 0:
                 continue
             a = _stack_f64(pdf[left_vec])
@@ -99,7 +129,7 @@ def paired_exact_cosine(
             ok = (na > 0) & (nb > 0)
             cos = np.where(ok, d / np.where(ok, na * nb, 1.0), np.nan)
             out = pdf[keep].copy()
-            out[out_col] = pd.Series(cos).where(pd.Series(ok))
+            out[out_col] = pd.Series(cos, index=pdf.index).where(pd.Series(ok, index=pdf.index))
             yield out
 
     return df.select(*keep, left_vec, right_vec).mapInPandas(kernel, out_schema)
@@ -197,7 +227,7 @@ def cosine_topk_arrow(
     import pandas as pd
     from pyspark.sql import types as T
 
-    q_rows = queries.select(query_id, vec_col).collect()
+    q_rows = _valid_vec_items(queries.select(query_id, vec_col).collect())
     out_schema = T.StructType([
         queries.schema[query_id],
         T.StructField("neighbor_id", corpus.schema[id_col].dataType),
@@ -215,6 +245,7 @@ def cosine_topk_arrow(
 
     def kernel(batches):
         for pdf in batches:
+            pdf = _valid_vec_rows(pdf, [vec_col], dim=qmat.shape[1])
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
@@ -306,7 +337,8 @@ def assign_to_centroids(
         from pyspark.sql import types as T
 
         cent_rows = sorted(
-            centroids.select(centroid_id, centroid_vec).collect(), key=lambda r: r[0]
+            _valid_vec_items(centroids.select(centroid_id, centroid_vec).collect()),
+            key=lambda r: r[0],
         )
         out_schema = T.StructType([corpus.schema[id_col], centroids.schema[centroid_id]])
         if not cent_rows:
@@ -317,6 +349,7 @@ def assign_to_centroids(
 
         def akernel(batches):
             for pdf in batches:
+                pdf = _valid_vec_rows(pdf, [vec_col], dim=cmat.shape[1])
                 if len(pdf) == 0:
                     continue
                 ids = pdf[id_col].to_numpy()
@@ -468,7 +501,7 @@ def lsh_topk(
         from pyspark.sql import types as T
 
         pmat = np.array(planes, dtype=np.float64)
-        q_rows = queries.select(query_id, vec_col).collect()
+        q_rows = _valid_vec_items(queries.select(query_id, vec_col).collect(), dim=dim)
         out_schema = T.StructType([
             queries.schema[query_id],
             T.StructField("neighbor_id", corpus.schema[id_col].dataType),
@@ -489,6 +522,7 @@ def lsh_topk(
 
         def kern(batches):
             for pdf in batches:
+                pdf = _valid_vec_rows(pdf, [vec_col], dim=pmat.shape[1])
                 if len(pdf) == 0:
                     continue
                 ids = pdf[id_col].to_numpy()
@@ -625,14 +659,15 @@ def cosine_near_dup_pairs(
 
         def bkern(batches):
             for pdf in batches:
+                pdf = _valid_vec_rows(pdf, [vec_col], dim=pmats[0].shape[1])
                 if len(pdf) == 0:
                     continue
                 c = _stack_f64(pdf[vec_col])
                 frames = []
                 for ti, pm in enumerate(pmats):
                     frames.append(pd.DataFrame({
-                        "id": pdf[id_col],
-                        "v": pdf[vec_col],
+                        "id": pdf[id_col].to_numpy(),
+                        "v": pdf[vec_col].to_numpy(),
                         "tbl": np.int32(ti),
                         "bkt": _lsh_bucket_rows(c, pm),
                     }))
@@ -642,9 +677,10 @@ def cosine_near_dup_pairs(
         # both self-join sides consume the bucket kernel; AQE broadcasts one
         # side and a BroadcastExchange is never reused against a shuffle, so
         # without materialization the matmul-over-corpus runs ONCE PER SIDE
-        # (measured via accumulator on the dedup family, same shape).  Lazy
-        # localCheckpoint = exactly-once kernel, both sides read the blocks.
-        t = t.localCheckpoint(eager=False)
+        # (measured via accumulator on the dedup family, same shape).  A lazy
+        # persist() = exactly-once kernel with the lineage kept (executor
+        # loss recomputes; clearCache releases), both sides read the cache.
+        t = t.persist()
         a, b = t.alias("a"), t.alias("b")
         cand = a.join(
             b,

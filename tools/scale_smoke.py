@@ -46,6 +46,10 @@ HEAVY = [
     "doc_lsh_verified_jaccard",
     "doc_winnow_fingerprints",
     "doc_duplicate_spans",
+    # doc_duplicate_span_scrub is NOT gated here: the ladder times .count(),
+    # and Catalyst correctly prunes the scrubbed-text/interval computation a
+    # count does not need (measured 0.85 s vs 4.65 s for a forcing aggregate
+    # at sf0.01x100) — the detector above IS the scale path it shares.
     "doc_line_dedup_scrub",
     "token_pack_report",
     "emb_lsh_topk",

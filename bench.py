@@ -13,7 +13,15 @@ only the total + the 10 slowest queries; the FULL per-query map is written to
 ``BENCH_DETAIL.json`` next to this script.
 
 A priming pass excludes JVM/codegen warmup from the numbers (BASELINE.md).
-Each query is timed to full materialization (count action), best-of-N.
+Each query is timed to a count() action, best-of-N.  Protocol nuance, stated
+precisely: count() lets Catalyst PRUNE terminal projections a row count does
+not need — for pure per-row-transform queries (quality scores, scrubs) the
+timed plan skips the projection work, while the DuckDB oracle denominator
+fetches full rows.  This is the consistent cross-round protocol, and
+correctness is never pruned: the oracle gate (tools/check_correctness.py)
+collects and hashes FULL column values for every query.  A noop-sink
+variant (df.write.format("noop")) would time full materialization if a
+future round wants the stricter denominator.
 """
 
 from __future__ import annotations

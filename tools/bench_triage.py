@@ -129,6 +129,13 @@ def main() -> None:
     out.append("""
 ## Reading the ratios
 
+Protocol note (measured, r5): the Spark side times a count() action, and
+Catalyst prunes output expressions a row count does not need — BENCH_DETAIL's
+``noop_sink`` section times the same queries to a noop-sink write (full
+materialization): suite 102.3 s vs 70.0 s count(), 36 queries >= 1.5x.  The
+ratios below therefore FLATTER Spark on pure-projection/aggregate-output
+queries; the oracle correctness gate always collects and hashes full values.
+
 DuckDB here is an IN-PROCESS single-node engine answering millisecond queries
 from page cache with zero scheduling; Spark pays a fixed per-query floor
 (~0.1-0.25 s: plan analysis + job scheduling + parquet listing) plus

@@ -562,9 +562,9 @@ def simhash_pairs(
 
     ``kernel`` selects the fingerprint computation (see :func:`simhash`).
     Measured at sf0.1 (5k docs): fingerprint stage 1.23 s HOF → 0.61 s Arrow;
-    end-to-end 2.35 → 2.01 s because this fixture's homogeneous corpus makes
-    the banded self-join output-quadratic (1.57M pairs — the documented
-    known_bound) and join cost dominates.  Pairs are bit-identical."""
+    end-to-end 2.35 s HOF → 1.21 s Arrow+persist (isolated best-of-3) — the
+    residual is the banded self-join, output-quadratic on this homogeneous
+    fixture (1.57M pairs, the documented known_bound).  Pairs bit-identical."""
     fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits, kernel=kernel)
     if kernel == "arrow":
         # both band-self-join sides consume the kernel output — exactly-once

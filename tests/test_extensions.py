@@ -387,6 +387,11 @@ def test_subword_count_golden(spark):
         "42 cats": 2,                # "42", " cats"
         "北京 123": 2,
         "": 0,
+        # vertical tab U+000B: Java \s includes it, RE2 \s does not — the
+        # explicit [ \t\n\f\r\x0b] class makes both engines treat it as
+        # whitespace (a bare \s gives Java 5 / RE2 3 on this input)
+        "a.\x0b.b": 5,               # "a", ".", "\x0b", ".", "b"
+        "x \x0b y": 3,               # "x", " \x0b " (one ws run), "y"
     }
     df = spark.createDataFrame(
         [(i, t) for i, (t, _) in enumerate(cases.items())], "id long, text string"

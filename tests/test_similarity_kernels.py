@@ -331,3 +331,68 @@ def test_simhash_empty_and_null_docs_drop_like_hof(spark):
     for kern in ("arrow", "hof"):
         ids = sorted(r[0] for r in D.simhash(df, kernel=kern).collect())
         assert ids == [3], kern
+
+
+def test_release_caches_unpersists_tracked_frames(spark, emb, queries):
+    # r5 ADVICE: operator-internal persist() frames must have a caller-visible
+    # release path — release_caches() unpersists exactly the tracked frames
+    from us_equity_datalake_spark import operators
+    from us_equity_datalake_spark.operators import _cache, dedup as D
+    from us_equity_datalake_spark.sources.registry import load_table
+
+    _cache.release_caches()  # clean slate
+    docs = load_table(spark, "documents", SF).limit(50)
+    D.minhash_lsh_pairs(docs).count()          # persists the signature frame
+    S.cosine_near_dup_pairs(
+        emb.limit(200), threshold=0.5
+    ).count()                                  # persists the bucket frame
+    live = list(_cache._TRACKED)
+    assert len(live) >= 2
+    assert all(df.storageLevel.useMemory for df in live)
+    released = operators.release_caches()
+    assert released >= 2
+    assert all(not df.storageLevel.useMemory for df in live)
+    assert _cache._TRACKED == []
+
+
+def test_arrow_topk_tie_cluster_guard_matches_hof(spark):
+    # r5 ADVICE: >2k near-tied non-identical vectors — the selection-margin
+    # guard must fall back to a full exact rescore so the Arrow path stays
+    # bit-identical to the HOF twin even when BLAS ordering is unreliable.
+    # 25 candidates all within ~1e-16 of each other for k=3 (local_k=6).
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(64).astype(np.float64)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(25):
+        v = base.copy()
+        v[i % 64] += 1e-16 * (i + 1)  # sub-ulp nudges: near-ties, not dups
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(
+        [(1000, rows[0][1])], "query_id long, embedding array<float>"
+    )
+    arrow = _rows(S.cosine_topk(corpus, qdf, k=3, kernel="arrow"))
+    hof = _rows(S.cosine_topk(corpus, qdf, k=3, kernel="hof"))
+    assert arrow == hof
+
+
+def test_hof_topk_null_vector_parity_with_arrow(spark):
+    # r5 ADVICE: corpus with fewer than k valid candidates — HOF used to emit
+    # null-cosine filler rows where the Arrow kernel emitted none
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, None),
+        (4, [0.0, 0.0, 0.0]),  # zero norm -> null cosine
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    arrow = _rows(S.cosine_topk(corpus, qdf, k=5, kernel="arrow"))
+    hof = _rows(S.cosine_topk(corpus, qdf, k=5, kernel="hof"))
+    assert arrow == hof
+    assert len(hof) == 2  # only the two valid candidates, no null filler

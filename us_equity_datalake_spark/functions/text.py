@@ -50,8 +50,15 @@ def token_count(col: Column) -> Column:
 # word — a BPE-ish ESTIMATOR for budgeting/packing, not a tokenizer claim.
 # Kept byte-identical across Spark (Java regex) and DuckDB (RE2); parity over
 # contractions, unicode letters/digits, punctuation runs and CJK is pinned by
-# the doc_subword_stats oracle and a golden test.
-BPE_ISH_RE = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}']+|\s+"
+# the doc_subword_stats oracle and a golden test.  Whitespace is the EXPLICIT
+# class [ \t\n\f\r\x0b], never `\s`: Java's \s includes vertical tab U+000B
+# while RE2's \s is [\t\n\f\r ] — a bare \s silently diverges on VT input
+# (r5 ADVICE finding; the VT arm in test_extensions pins this).
+_WS = r" \t\n\f\r\x0b"
+BPE_ISH_RE = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+"
+    rf"| ?[^{_WS}\p{{L}}\p{{N}}']+|[{_WS}]+"
+)
 
 
 def subword_count(col: Column) -> Column:

@@ -11,3 +11,4 @@ from . import (  # noqa: F401
     topk,
     windows,
 )
+from ._cache import release_caches  # noqa: F401

@@ -21,6 +21,7 @@ Scale design notes:
 
 from __future__ import annotations
 
+from . import _cache  # noqa: E402
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from us_equity_datalake_spark.functions import hashing, text
@@ -289,6 +290,12 @@ def lsh_verified_jaccard_pairs(
     Verification joins shuffle only (id_a, id_b) plus each side's shingle-set
     array — bytes proportional to the candidate count times document length,
     never to Σ df².
+
+    Storage contract (``kernel="arrow"``): the kernel output is lazily
+    persist()ed for exactly-once execution under the self-join; after the
+    terminal action, release it with ``operators.release_caches()`` or
+    ``spark.catalog.clearCache()`` (r5 ADVICE — long-lived sessions
+    otherwise accumulate cached frames).
     """
     cand = minhash_lsh_pairs(
         df, text_col=text_col, id_col=id_col, n=n,
@@ -297,8 +304,8 @@ def lsh_verified_jaccard_pairs(
     docsets = shingle_sets(df, text_col=text_col, id_col=id_col, n=n, kernel=kernel)
     if kernel == "arrow":
         # consumed by both verification sides — same exactly-once persist
-        # rationale as in minhash_lsh_pairs
-        docsets = docsets.persist()
+        # rationale as in minhash_lsh_pairs; tracked for release_caches()
+        docsets = _cache.track(docsets.persist())
     sa = docsets.select(F.col("id").alias("id_a"), F.col("set").alias("__sa"))
     sb = docsets.select(F.col("id").alias("id_b"), F.col("set").alias("__sb"))
     verified = (
@@ -414,7 +421,11 @@ def minhash_lsh_pairs(
 
     ``kernel`` selects the signature computation (see
     :func:`minhash_signatures`).  Measured end-to-end at sf0.1: 1.9 s HOF →
-    0.7 s with the Arrow signature kernel (bit-identical pairs)."""
+    0.7 s with the Arrow signature kernel (bit-identical pairs).  Storage contract (``kernel="arrow"``): the kernel
+    output is lazily persist()ed for exactly-once execution under the
+    self-join; after the terminal action release it with
+    ``operators.release_caches()`` or ``spark.catalog.clearCache()``
+    (r5 ADVICE)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signatures(
@@ -431,7 +442,7 @@ def minhash_lsh_pairs(
         # (accumulator-verified) while KEEPING the lineage — unlike
         # localCheckpoint, an executor loss recomputes instead of failing
         # the job, and catalog.clearCache() releases the storage.
-        sig = sig.persist()
+        sig = _cache.track(sig.persist())
     banded = sig.select(
         "id",
         "sig",
@@ -564,13 +575,18 @@ def simhash_pairs(
     Measured at sf0.1 (5k docs): fingerprint stage 1.23 s HOF → 0.61 s Arrow;
     end-to-end 2.35 s HOF → 1.21 s Arrow+persist (isolated best-of-3) — the
     residual is the banded self-join, output-quadratic on this homogeneous
-    fixture (1.57M pairs, the documented known_bound).  Pairs bit-identical."""
+    fixture (1.57M pairs, the documented known_bound).  Pairs bit-identical.
+  Storage contract (``kernel="arrow"``): the kernel
+    output is lazily persist()ed for exactly-once execution under the
+    self-join; after the terminal action release it with
+    ``operators.release_caches()`` or ``spark.catalog.clearCache()``
+    (r5 ADVICE)."""
     fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits, kernel=kernel)
     if kernel == "arrow":
         # both band-self-join sides consume the kernel output — exactly-once
         # persist rationale as in minhash_lsh_pairs (BroadcastExchange
         # defeats ReuseExchange); the (id, simhash) frame is 16 bytes/doc
-        fp = fp.persist()
+        fp = _cache.track(fp.persist())
     band_width = bits // 4
     banded = fp.select(
         "id",

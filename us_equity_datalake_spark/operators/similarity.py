@@ -27,6 +27,7 @@ twins exercised by tests):
 
 from __future__ import annotations
 
+from . import _cache  # noqa: E402
 from pyspark.sql import DataFrame, Window, functions as F
 
 from us_equity_datalake_spark.functions import vector
@@ -62,10 +63,11 @@ def _stack_f64(series):
 
 def _valid_vec_rows(pdf, cols, dim=None):
     """Drop batch rows whose vector is null or (when ``dim`` is known)
-    wrong-length before stacking.  The HOF twins propagate a NULL cosine for
-    such rows, which can never pass a threshold or out-rank a real value —
-    the kernels mirror that by skipping the row instead of letting
-    ``np.stack`` raise on the ragged batch (ADVICE r5 null-robustness)."""
+    wrong-length before stacking.  The HOF twins fold such rows to a NULL
+    cosine and filter it out pre-rank (since r6), so both arms emit the same
+    rows even when fewer than k valid candidates exist — the kernels skip the
+    row instead of letting ``np.stack`` raise on the ragged batch
+    (ADVICE r5 null-robustness + degenerate-input parity)."""
     if len(pdf) == 0:
         return pdf
     mask = None
@@ -180,7 +182,12 @@ def cosine_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # null cosines (null/ragged/zero-norm vectors) are dropped BEFORE
+        # ranking so the HOF twin's top-k row count matches the Arrow kernel
+        # (which skips such rows) even when < k valid candidates exist
+        # (ADVICE r5 degenerate-input parity)
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
@@ -215,13 +222,15 @@ def cosine_topk_arrow(
 
     Exactness: every emitted cosine is the cumsum fold, so results are
     bit-identical to the HOF twin and the SQL oracle (no blocked-summation
-    near-tie flakiness — ADVICE r4).  The only approximation left is the
-    SELECTION boundary: a candidate is dropped if ≥ 2k same-batch candidates
-    beat it under BLAS ordering; for that to change the exact global top-k,
-    k+1 candidates would need cosines within ~1e-15 of each other AND
-    different fold-vs-blocked orderings — exact-duplicate vectors (the common
-    tie source) produce identical floats under both orderings and are broken
-    by id in both, so they cannot flip.
+    near-tie flakiness — ADVICE r4).  The SELECTION boundary is guarded, not
+    assumed (ADVICE r5): when a batch actually truncates (≥ 2k candidates)
+    AND the 2k-th selected BLAS cosine is within the blocked-vs-fold error
+    bound of the k-th, the kernel falls back to an exact rescore of EVERY
+    candidate in that (batch, query) cell — a dropped candidate's exact value
+    can exceed its BLAS value by at most ``tol``, so outside that margin no
+    dropped candidate can reach the local top-k, and inside it nothing is
+    dropped.  Bit-identity to the HOF twin is therefore unconditional, even
+    for >2k near-tied non-identical vectors.
     """
     import numpy as np
     import pandas as pd
@@ -242,6 +251,10 @@ def cosine_topk_arrow(
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qn_exact = _exact_norm(qmat)
     local_k = 2 * k  # selection margin; see docstring
+    # blocked-sum vs left-to-right-fold divergence on a normalized cosine is
+    # O(d·eps); 16x headroom keeps the guard conservative while never firing
+    # on real separations (1e-12 at d=64 vs any meaningful cosine gap)
+    sel_tol = 16.0 * qmat.shape[1] * np.finfo(np.float64).eps
 
     def kernel(batches):
         for pdf in batches:
@@ -265,6 +278,12 @@ def cosine_topk_arrow(
                 # asc) so local and global orders agree on ties
                 order = np.lexsort((ids[cand_idx], -col[cand_idx]))
                 sel = cand_idx[order[:take]]
+                if take == local_k and col[sel[-1]] > col[sel[k - 1]] - 2.0 * sel_tol:
+                    # truncation happened AND the cut is inside the BLAS error
+                    # margin of the local k-th: a dropped candidate could in
+                    # principle out-rank under the exact fold — rescore every
+                    # candidate in this cell instead (see docstring guard)
+                    sel = cand_idx[order]
                 # exact rescore of the survivors: the graded value is the
                 # left-to-right fold, not the BLAS block sum
                 exact = _exact_dot(c[sel], np.broadcast_to(qmat[j], (len(sel), qmat.shape[1]))) / (
@@ -450,7 +469,10 @@ def ivf_topk(
         )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # drop null cosines pre-rank: both arms then agree on degenerate
+        # inputs (Arrow skips null/ragged rows; HOF folds them to null)
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, F.col(id_col).alias("neighbor_id"), F.round("cosine", 6).alias("cosine"), "rank")
     )
@@ -583,7 +605,9 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # null-cosine drop for Arrow-twin parity on degenerate inputs
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
@@ -630,6 +654,11 @@ def cosine_near_dup_pairs(
     so the round(6)-then-threshold grading cannot drift).  The candidate
     self-join itself stays a Spark equi-join either way — that is the part
     that must scale past one machine.
+
+    Storage contract (``kernel="arrow"``): the bucket-kernel output is lazily
+    persist()ed for exactly-once execution under the self-join; after the
+    terminal action release it with ``operators.release_caches()`` or
+    ``spark.catalog.clearCache()`` (r5 ADVICE).
     """
     if dim is None:
         row = corpus.select(vec_col).first()
@@ -680,7 +709,7 @@ def cosine_near_dup_pairs(
         # (measured via accumulator on the dedup family, same shape).  A lazy
         # persist() = exactly-once kernel with the lineage kept (executor
         # loss recomputes; clearCache releases), both sides read the cache.
-        t = t.persist()
+        t = _cache.track(t.persist())
         a, b = t.alias("a"), t.alias("b")
         cand = a.join(
             b,

@@ -13,15 +13,15 @@ only the total + the 10 slowest queries; the FULL per-query map is written to
 ``BENCH_DETAIL.json`` next to this script.
 
 A priming pass excludes JVM/codegen warmup from the numbers (BASELINE.md).
-Each query is timed to a count() action, best-of-N.  Protocol nuance, stated
-precisely: count() lets Catalyst PRUNE terminal projections a row count does
-not need — for pure per-row-transform queries (quality scores, scrubs) the
-timed plan skips the projection work, while the DuckDB oracle denominator
-fetches full rows.  This is the consistent cross-round protocol, and
-correctness is never pruned: the oracle gate (tools/check_correctness.py)
-collects and hashes FULL column values for every query.  A noop-sink
-variant (df.write.format("noop")) would time full materialization if a
-future round wants the stricter denominator.
+Each query is timed to a NOOP-SINK write (``df.write.format("noop")``),
+best-of-N — full materialization of every output row and column, so nothing
+Catalyst can prune out of the timed plan (the round-6 headline protocol,
+VERDICT r5 #2: count() let Catalyst skip terminal projections a row count
+does not need — measured 102.3 s noop vs 70.0 s count at r5, 36 queries
+>= 1.5x).  The DuckDB oracle denominator fetches full rows, so both sides
+of every ratio now pay the same materialization.  Set
+``SPARK_GRAFT_BENCH_ACTION=count`` for the r1-r5 count() protocol
+(cross-round comparisons; tools/bench_noop.py records the delta).
 """
 
 from __future__ import annotations
@@ -36,6 +36,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+ACTION = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop")
+
+
+def _materialize(df) -> None:
+    """The timed action.  ``noop`` (default): full materialization through
+    the noop sink — every output column computed, nothing pruned, matching
+    what the correctness gate always pays.  ``count``: the r1-r5 legacy
+    protocol (Catalyst prunes unreferenced terminal projections)."""
+    if ACTION == "count":
+        df.count()
+    else:
+        df.write.format("noop").mode("overwrite").save()
 
 
 def _warmup_dirs() -> list[str]:
@@ -83,7 +95,7 @@ def main() -> None:
         for name, fn in entrymod.queries().items():
             if name.startswith(warm_prefixes) and (only is None or name in only):
                 try:
-                    fn(spark, warm_dir).count()
+                    _materialize(fn(spark, warm_dir))
                 except Exception:
                     pass
         spark.catalog.clearCache()
@@ -103,7 +115,7 @@ def main() -> None:
         try:
             for _ in range(max(1, runs)):
                 t0 = time.time()
-                fn(spark, SF_DIR).count()
+                _materialize(fn(spark, SF_DIR))
                 dt = time.time() - t0
                 best = dt if best < 0 else min(best, dt)
         except Exception as e:  # a failing query gets a sentinel, not a crash
@@ -150,7 +162,10 @@ def main() -> None:
     if os.path.exists(clean_path):
         try:
             ref_doc = json.load(open(clean_path))
-            if ref_doc.get("sf") == sf:  # refs are sf-specific
+            # refs are sf- AND protocol-specific (noop materializes ~45% more
+            # work than count(); comparing across protocols would flag
+            # phantom outliers)
+            if ref_doc.get("sf") == sf and ref_doc.get("action", "count") == ACTION:
                 clean_ref = ref_doc.get("queries", {})
         except Exception:
             clean_ref = {}
@@ -173,7 +188,7 @@ def main() -> None:
         try:
             for _ in range(3):
                 t0 = time.time()
-                qmap[name](spark, SF_DIR).count()
+                _materialize(qmap[name](spark, SF_DIR))
                 best = min(best, time.time() - t0)
         except Exception as e:
             print(f"bench: isolated re-measure {name} failed: {e}", file=sys.stderr)
@@ -196,7 +211,8 @@ def main() -> None:
     # carries no reference compute numbers, so the "within 2x" gate is graded
     # against the multi-threaded DuckDB wall time (ratio_vs_oracle_mt = spark
     # best / duckdb-mt best).  DuckDB fetches all rows (its execution model);
-    # Spark is timed to count() materialization — both end-to-end answers.
+    # Spark is timed to full noop-sink materialization — both sides of the
+    # ratio pay the whole answer (protocol aligned in r6).
     # ------------------------------------------------------------------
     oracle_1t: dict[str, float] = {}
     oracle_mt: dict[str, float] = {}
@@ -265,6 +281,7 @@ def main() -> None:
         "ratio_vs_oracle_mt": ratios,
         "sf": sf,
         "runs": runs,
+        "action": ACTION,
     }
     if os.path.exists(detail_path):
         try:  # preserve sections other runs wrote (e.g. the sf1 scale smoke)
@@ -293,6 +310,7 @@ def main() -> None:
                         reverse=True,
                     )[:5]
                 },
+                "action": ACTION,
                 "geomean_ratio_vs_oracle_mt": geomean,
                 "n_over_2x_oracle_mt": n_over_2x,
                 "sf": sf,

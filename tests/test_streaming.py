@@ -190,3 +190,123 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     g = sorted((r.user_id, str(r.ts), str(r.ts_r)) for r in got.collect())
     e = sorted((r.user_id, str(r.ts), str(r.ts_r)) for r in expect.collect())
     assert g == e and len(g) > 0
+
+
+# ---------------------------------------------------------------------------
+# r6 (VERDICT r5 #4): the tier executed through the REAL engine — parquet
+# sink + checkpoint, watermark-driven late-row drop, restart semantics.
+# ---------------------------------------------------------------------------
+
+def _run_to_parquet(df, sink, ckpt):
+    q = (df.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", sink).start())
+    q.awaitTermination(120)
+
+
+def test_streaming_engine_late_row_drop(spark, tmp_path):
+    """Two availableNow passes against ONE checkpoint: pass 1 advances the
+    event-time watermark past an old window; pass 2 delivers a LATE row into
+    that window plus a fresh row.  The engine must (a) drop the late row —
+    its window's final state was already emitted — and (b) emit newly
+    finalized windows.  This is the semantics the streaming_tumbling_sink
+    oracle models."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    # pass 1: hours 00 and 03 -> watermark ends at 01:00 (03:00 - 2h),
+    # so ONLY the 00:00 window is emitted
+    write_batch([
+        Row(event_id=1, ts=base + dt.timedelta(minutes=5), user_id=1, event_type="view", value=1.0),
+        Row(event_id=2, ts=base + dt.timedelta(minutes=25), user_id=1, event_type="view", value=2.0),
+        Row(event_id=3, ts=base + dt.timedelta(hours=3, minutes=2), user_id=2, event_type="view", value=4.0),
+    ])
+    for _ in range(2):  # second pass runs the flushing no-data batch
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        _run_to_parquet(tumbling_counts(stream, exact_sum=True), sink, ckpt)
+    got1 = {(r.window_start, r.event_type): (r.n, r.total_value)
+            for r in spark.read.parquet(sink).collect()}
+    assert got1 == {(base, "view"): (2, 3.0)}
+
+    # pass 2: a LATE row into hour 00 (watermark is already 01:00) and a
+    # fresh row at 06:00 that pushes the watermark to 04:00, finalizing 03:00
+    write_batch([
+        Row(event_id=4, ts=base + dt.timedelta(minutes=40), user_id=3, event_type="view", value=100.0),
+        Row(event_id=5, ts=base + dt.timedelta(hours=6), user_id=2, event_type="view", value=8.0),
+    ])
+    for _ in range(2):
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        _run_to_parquet(tumbling_counts(stream, exact_sum=True), sink, ckpt)
+    got2 = {(r.window_start, r.event_type): (r.n, r.total_value)
+            for r in spark.read.parquet(sink).collect()}
+    # hour 00 UNCHANGED (late row dropped, no duplicate emission); hour 03
+    # newly finalized; hour 06 still open (watermark 04:00)
+    assert got2 == {
+        (base, "view"): (2, 3.0),
+        (base + dt.timedelta(hours=3), "view"): (1, 4.0),
+    }
+
+
+def test_streaming_engine_session_sink_matches_batch(spark, event_dir, tmp_path):
+    """Session windows through the real engine to a parquet sink: on-time
+    bounded input whose final watermark passes every session end must equal
+    the batch session_counts form."""
+    import datetime as dt
+
+    # append a far-future row so the watermark closes every fixture session
+    flush_dir = str(tmp_path / "src")
+    spark.read.schema(SCHEMA).parquet(event_dir).write.parquet(flush_dir)
+    spark.createDataFrame([
+        Row(event_id=999, ts=dt.datetime(2025, 1, 1), user_id=99, event_type="view", value=0.0)
+    ], SCHEMA).coalesce(1).write.mode("append").parquet(flush_dir)
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    for _ in range(2):
+        stream = spark.readStream.schema(SCHEMA).parquet(flush_dir)
+        _run_to_parquet(session_counts(stream), sink, ckpt)
+    # the flush row's own session never finalizes (it IS the watermark
+    # anchor), so the sink holds exactly the fixture sessions — compare
+    # against the batch form over the ORIGINAL bounded input
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    batch = sorted(
+        tuple(r) for r in session_counts(spark.read.schema(SCHEMA).parquet(event_dir)).collect()
+    )
+    assert got == batch and len(got) > 0
+
+
+def test_streaming_tumbling_sink_registry_query(spark):
+    """The r6 registry query end-to-end at sf0.001: the sink rows equal the
+    batch agg restricted to watermark-finalized windows (the oracle's
+    cutoff), and rerunning the query from scratch is deterministic."""
+    from us_equity_datalake_spark.plans.streamjobs import run_events_tumbling_stream
+
+    sf = "/root/testdata/sf0.001"
+    sink = run_events_tumbling_stream(spark, sf)
+    got = sorted(
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in spark.read.parquet(sink).collect()
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    wm = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    from us_equity_datalake_spark.functions.safe_math import dec_sum
+
+    cutoff = wm - dt.timedelta(hours=2)
+    batch = sorted(
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dec_sum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(cutoff))
+        .collect()
+    )
+    assert len(got) > 0
+    assert got == batch

@@ -39,6 +39,8 @@ WRITE_PATH = {
     "pipe_directory_roundtrip": "writes + re-reads the pipe-delimited directory file via spark.read.csv",
     "top3000_text_sink_report": "writes + re-reads the newline txt sink",
     "consolidate_year_report": "year consolidation job: partition-pruned rewrite",
+    "streaming_tumbling_sink": "REAL streaming engine end-to-end: two availableNow queries "
+    "(checkpoint + no-data flush batch) committing a parquet sink the oracle never writes",
 }
 
 UDF_PATH = {
@@ -53,7 +55,7 @@ COMPUTE_NOTES = {
     "doc_ngram_jaccard_pairs": "inverted-index self-join, Σ df² candidates; same asymptotics both engines "
     "(duck-1t 1.2 s vs spark 2.4 s once threads matter less)",
     "doc_minhash_lsh_pairs": "signatures now one hashlib+numpy Arrow kernel (r5, exactly-once via "
-    "lazy localCheckpoint) — 1.9 s HOF -> ~1.0 s; residual is the banded self-join + distinct; duck-1t "
+    "lazy persist(), lineage kept — 829fe39) — 1.9 s HOF -> ~1.0 s; residual is the banded self-join + distinct; duck-1t "
     "2.6 s is SLOWER than spark",
     "emb_kmeans_assign": "r4's cached-corpus Lloyd rework (VERDICT r3 #6) trades fixture-scale wall "
     "for the right plan: 1 corpus scan + broadcast literal centroids vs r3's 6 lazy re-scans "
@@ -62,7 +64,7 @@ COMPUTE_NOTES = {
     "emb_lsh_topk": "Arrow/BLAS kernel is the default since r5 (24x -> 8x mt-oracle; bucket ids + "
     "scoring in one join-free corpus pass); graded cosines recomputed with exact left-to-right folds "
     "so the kernel shares the HOF oracle bitwise",
-    "emb_near_dup_pairs": "r5 Arrow kernels: BLAS bucket matmul (exactly-once via localCheckpoint) + "
+    "emb_near_dup_pairs": "r5 Arrow kernels: BLAS bucket matmul (exactly-once via lazy persist(), 829fe39) + "
     "paired exact-cosine verification over candidates",
     "emb_ivf_topk": "two distinct Arrow kernels (centroid assignment, candidate rescoring) + probe "
     "selection stages; stage-count bound at fixture scale",
@@ -83,6 +85,20 @@ COMPUTE_NOTES = {
     "multi-stage operator round-trip at fixture scale",
     "master_universe_lifecycle": "many rule-branch joins over cached dimension fixtures; "
     "stage-count bound (all sides broadcast)",
+    # r6: rows that crossed 1 s once the noop protocol stopped count()-pruning
+    # their terminal projections — the added cost IS the output materialization
+    "doc_winnow_fingerprints": "row-local Arrow kernel; noop now materializes the per-doc "
+    "fingerprint ARRAYS the count() protocol pruned (r5 measured this query 4x count-vs-noop)",
+    "doc_duplicate_spans": "seed-and-extend positional join; output pairs + span columns now "
+    "fully materialized; duck is within 2.2x — same asymptotics",
+    "doc_duplicate_span_scrub": "victim-interval broadcast + JVM higher-order token cut; noop "
+    "pays the scrubbed_text string construction for all 5k docs (the graded value)",
+    "tfidf_top_terms": "inverted index + per-term window top-k: 3 shuffle stages plus the "
+    "exploded term table materialized at the sink",
+    "tpch_q1_pricing_summary": "the classic 8-agg scan; noop materializes all 8 decimal "
+    "aggregates (count() pruned 6 of them — r5 measured 4.2x count-vs-noop on this query)",
+    "kmv_distinct_customers": "md5-ranked KMV sketch: global top-k shuffle; sub-second isolated, "
+    "stage-count bound",
 }
 
 
@@ -129,12 +145,14 @@ def main() -> None:
     out.append("""
 ## Reading the ratios
 
-Protocol note (measured, r5): the Spark side times a count() action, and
-Catalyst prunes output expressions a row count does not need — BENCH_DETAIL's
-``noop_sink`` section times the same queries to a noop-sink write (full
-materialization): suite 102.3 s vs 70.0 s count(), 36 queries >= 1.5x.  The
-ratios below therefore FLATTER Spark on pure-projection/aggregate-output
-queries; the oracle correctness gate always collects and hashes full values.
+Protocol note: since r6 the Spark side times a NOOP-SINK write (full
+materialization of every output row and column — VERDICT r5 #2), so nothing
+Catalyst can prune out of the timed plan and both sides of every ratio pay
+the whole answer (the DuckDB denominator always fetched full rows; the
+correctness gate always hashed them).  The r1-r5 count() numbers remain
+reproducible via SPARK_GRAFT_BENCH_ACTION=count, recorded under
+BENCH_DETAIL's ``count_action`` section (r5 measured the pruning delta at
+102.3 s noop vs 70.0 s count, 36 queries >= 1.5x).
 
 DuckDB here is an IN-PROCESS single-node engine answering millisecond queries
 from page cache with zero scheduling; Spark pays a fixed per-query floor
@@ -143,7 +161,7 @@ from page cache with zero scheduling; Spark pays a fixed per-query floor
 inside that floor, so the RATIO for sub-second queries measures engine
 overhead that amortizes away at the 100 TB design point — not operator cost.
 The honest comparisons are (a) the >= 1 s read-only queries (class COMPUTE,
-individually noted) and (b) suite totals, where Spark is within ~2.5x of the
+individually noted) and (b) suite totals, where Spark is within ~2.9x of the
 1-thread oracle while running every query through a distributed planner.
 
 Class counts: """ + ", ".join(f"**{k}** {v}" for k, v in sorted(counts.items())) + "\n")

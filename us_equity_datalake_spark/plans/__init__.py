@@ -20,6 +20,7 @@ from . import extensions  # noqa: E402,F401
 from . import lakeops  # noqa: E402,F401
 from . import lifecycle  # noqa: E402,F401
 from . import search  # noqa: E402,F401
+from . import streamjobs  # noqa: E402,F401
 from . import quant  # noqa: E402,F401
 
 
@@ -62,6 +63,7 @@ _GRADING_PRIORITY = [
     "doc_duplicate_span_scrub",
     "doc_subword_stats",      # r6: BPE regex \s -> explicit class (VT parity)
     # --- new in round 6 (zero gradings; inserted as built) ---
+    "streaming_tumbling_sink",   # real engine: availableNow -> parquet sink
     # --- core regression tail (code paths touched or load-bearing) ---
     "filing_sentiment_agg",   # r6: numpy transformer encoder behind N4
     "tumbling_hourly_agg",    # r6: real Structured Streaming twin added

@@ -58,22 +58,32 @@ QUANT_EVENT_QUERIES = [
 N_SYM, N_CONCEPTS, N_QUARTERS, TOUCH_EVERY = 4000, 20, 40, 100
 
 
-def _build_fund_raw(spark, sf_dir, *, day: int):
+def _build_fund_raw(spark, sf_dir, *, day: int, n_sym: int = None, touch_every: int = None):
     """Synthesize a fundamentals batch from the scaled customer table:
     day 1 = N_CONCEPTS x N_QUARTERS per symbol; day 2 = one fresh quarter
-    for every TOUCH_EVERY-th symbol (~1% of the universe — a light filing
-    day, which is when bucket pruning matters most)."""
+    for every touch_every-th symbol (a light filing day, which is when
+    bucket pruning matters most).  n_sym/touch_every default to the module
+    constants; scale_maintenance_floor.py passes 10x values."""
     from pyspark.sql import functions as F
 
     from us_equity_datalake_spark.sources.registry import load_table
 
+    n_sym = n_sym or N_SYM
+    touch_every = touch_every or TOUCH_EVERY
+    # make_scale shifts each replica's custkeys by copy*10M, so a plain
+    # `< n_sym` filter saturates at one copy's 15k keys; densify first
+    # (identity for n_sym <= 15000, i.e. the r5 b64/b512 points)
+    dense = (F.col("c_custkey") % 10_000_000) + (F.col("c_custkey") / 10_000_000).cast("long") * 15_000
+    # c_name repeats across replicas — derive a unique symbol from the
+    # dense key so the lake's dedup/bucket keys never collide cross-copy
     cust = (
         load_table(spark, "customer", sf_dir)
-        .filter(F.col("c_custkey") < N_SYM)
-        .select(F.col("c_custkey").alias("k"), F.col("c_name").alias("sym"))
+        .select(dense.alias("k"))
+        .filter(F.col("k") < n_sym)
+        .select("k", F.concat(F.lit("SYM"), F.col("k")).alias("sym"))
     )
     if day == 2:
-        cust = cust.filter(F.col("k") % TOUCH_EVERY == 0)
+        cust = cust.filter(F.col("k") % touch_every == 0)
         quarters = [N_QUARTERS]  # one fresh quarter
     else:
         quarters = list(range(N_QUARTERS))

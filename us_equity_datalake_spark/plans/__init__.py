@@ -64,6 +64,10 @@ _GRADING_PRIORITY = [
     "doc_subword_stats",      # r6: BPE regex \s -> explicit class (VT parity)
     # --- new in round 6 (zero gradings; inserted as built) ---
     "streaming_tumbling_sink",   # real engine: availableNow -> parquet sink
+    "streaming_session_sink",    # real engine: session windows -> sink
+    "streaming_interval_join_sink",  # real engine: stream-stream join -> sink
+    "streaming_lifecycle_sink",  # real engine: applyInPandasWithState,
+                                 # cross-run checkpoint state restore
     # --- core regression tail (code paths touched or load-bearing) ---
     "filing_sentiment_agg",   # r6: numpy transformer encoder behind N4
     "tumbling_hourly_agg",    # r6: real Structured Streaming twin added

@@ -31,12 +31,19 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from us_equity_datalake_spark.functions.hashing import md5_long32, md5_long32_sql
 from us_equity_datalake_spark.functions.safe_math import dec_sum_sql
 from us_equity_datalake_spark.sources.registry import load_table
-from us_equity_datalake_spark.streaming.windows import tumbling_counts
+from us_equity_datalake_spark.streaming.stateful import universe_lifecycle
+from us_equity_datalake_spark.streaming.windows import (
+    session_counts,
+    stream_stream_interval_join,
+    tumbling_counts,
+)
 from .base import register
 
 _WATERMARK_S = 7200  # 2 hours, mirrored in the oracle cutoff
+_SESSION_WATERMARK_S = 14400  # 4 hours — the session sink's cutoff
 
 
 def _scratch(sf_dir: str, tag: str) -> str:
@@ -109,3 +116,253 @@ def streaming_tumbling_sink_q(spark, sf_dir):
         F.unix_timestamp("window_start").alias("hour_ts"),
         "event_type", "n", "total_value",
     )
+
+
+@register(
+    "streaming_session_sink",
+    oracle=f"""
+    WITH mx AS (SELECT epoch_ms(max(ts)) AS wm_ms FROM events),
+    o AS (SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts >= lag(ts) OVER w + INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+    g AS (SELECT user_id, MIN(ts) AS session_start,
+                 MAX(ts) + INTERVAL 2 HOUR AS session_end,
+                 COUNT(*) AS n_events
+          FROM s GROUP BY user_id, sid)
+    SELECT epoch_us(session_start) AS start_us, epoch_us(session_end) AS end_us,
+           user_id, n_events
+    FROM g, mx
+    WHERE epoch_us(session_end) <= wm_ms * 1000 - {_SESSION_WATERMARK_S * 1_000_000}
+    """,
+    doc="I8 session windows through the REAL streaming engine: file source "
+    "-> availableNow -> watermarked session_window agg -> parquet sink; the "
+    "graded rows are the sink's contents.  The oracle rebuilds Spark's "
+    "session merge rule (a new event extends a session iff it starts before "
+    "last_event + gap; session end = last event + gap) with a lag/cumsum "
+    "window, then applies append-mode emission: only sessions whose end the "
+    "final watermark (ms-truncated max event time minus 4 h) has passed are "
+    "in the sink — trailing sessions stay in state.  Timestamps are compared "
+    "at full microsecond precision (unix_micros vs epoch_us).",
+)
+def streaming_session_sink_q(spark, sf_dir):
+    """Session windows (gap 2 h) over the events stream via the real engine.
+
+    Reference parity: sessionization is the streaming form of the batch
+    lag+cumsum sessionize (plans/events.py); the reference's daily job has no
+    streaming engine, so this is the capability-extension arm of I8 run the
+    way a production stream would run it — sink + checkpoint + watermark.
+    Two availableNow passes against one checkpoint: pass 2's no-data batch
+    flushes every session the final watermark closed (same protocol as
+    ``run_events_tumbling_stream``).
+    """
+    root = _scratch(sf_dir, "session")
+    sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
+    schema = load_table(spark, "events", sf_dir).schema
+    for _ in range(2):
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = (
+            session_counts(src, gap="2 hours", watermark=f"{_SESSION_WATERMARK_S} seconds")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(sink)
+    return out.select(
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "user_id", "n_events",
+    )
+
+
+@register(
+    "streaming_interval_join_sink",
+    oracle="""
+    SELECT v.user_id AS user_id, epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+    """,
+    doc="Stream-stream interval join through the REAL engine (view->click "
+    "attribution within 24 h): two watermarked file-source streams over the "
+    "same events table, inner-joined on user_id with an event-time range "
+    "condition, availableNow -> parquet sink.  Inner joins emit matches in "
+    "the micro-batch that pairs them, so on bounded input the sink equals "
+    "the batch inequality join — which is exactly the oracle; the 48 h "
+    "watermarks are what BOUND the join state at 100 TB (left rows are "
+    "dropped once the right watermark passes ts + 24 h), the semantics the "
+    "batch form never has to prove.",
+)
+def streaming_interval_join_sink_q(spark, sf_dir):
+    root = _scratch(sf_dir, "ssjoin")
+    sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
+    schema = load_table(spark, "events", sf_dir).schema
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    views = src().filter(F.col("event_type") == "view").select("user_id", "ts")
+    clicks = src().filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts_r")
+    )
+    joined = stream_stream_interval_join(
+        views, clicks, within="24 hours", watermark="48 hours"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink)
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("view_us"),
+        F.unix_micros("ts_r").alias("click_us"),
+    )
+
+
+def _lifecycle_snapshots(spark, sf_dir, *, n_sym: int = 40, n_days: int = 30):
+    """Deterministic universe snapshots derived from the customer table: one
+    (symbol, snap_date, present) row per symbol per day, with four presence
+    regimes chosen by ``c_custkey % 4`` so every lifecycle transition occurs:
+
+      m=0  listed days 0-7, absent forever      -> absent@8,  delisted@22
+      m=1  absent only days 10-12               -> absent@10, relisted@13
+      m=2  md5-noise presence (~70%)            -> listed/absent/relisted churn
+      m=3  listed 0-4, absent 5-24, back at 25  -> delisted@19, re-LISTED@25
+                                                   (symbol reuse after delist)
+
+    The md5 arm keeps the churn engine-portable (functions.hashing)."""
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_custkey") < n_sym)
+        .select("c_custkey")
+    )
+    days = spark.range(n_days).select(F.col("id").alias("day_idx"))
+    sym = F.concat(F.lit("SYM"), F.col("c_custkey"))
+    m = F.col("c_custkey") % 4
+    noisy = md5_long32(F.concat(sym, F.lit("|"), F.col("day_idx").cast("string"))) % 10 < 7
+    present = (
+        F.when(m == 0, F.col("day_idx") < 8)
+        .when(m == 1, ~F.col("day_idx").between(10, 12))
+        .when(m == 2, noisy)
+        .otherwise((F.col("day_idx") < 5) | (F.col("day_idx") >= 25))
+    )
+    return cust.crossJoin(days).select(
+        sym.alias("symbol"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("day_idx").cast("int")).alias("snap_date"),
+        present.alias("present"),
+        F.col("day_idx"),
+    )
+
+
+_LIFECYCLE_SNAPSHOT_SQL = f"""
+    SELECT 'SYM' || c_custkey AS symbol,
+           DATE '2024-01-01' + CAST(day_idx AS INT) AS snap_date,
+           CASE
+             WHEN c_custkey % 4 = 0 THEN day_idx < 8
+             WHEN c_custkey % 4 = 1 THEN day_idx NOT BETWEEN 10 AND 12
+             WHEN c_custkey % 4 = 2 THEN
+               {md5_long32_sql("'SYM' || c_custkey || '|' || day_idx")} % 10 < 7
+             ELSE day_idx < 5 OR day_idx >= 25
+           END AS present
+    FROM customer CROSS JOIN (SELECT range AS day_idx FROM range(30))
+    WHERE c_custkey < 40
+"""
+
+
+@register(
+    "streaming_lifecycle_sink",
+    oracle=f"""
+    WITH snaps AS ({_LIFECYCLE_SNAPSHOT_SQL}),
+    seq AS (
+      SELECT symbol, snap_date, present,
+             MAX(CASE WHEN present THEN snap_date END) OVER
+               (PARTITION BY symbol ORDER BY snap_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_present,
+             LAG(present) OVER (PARTITION BY symbol ORDER BY snap_date) AS lag_present,
+             LAG(snap_date) OVER (PARTITION BY symbol ORDER BY snap_date) AS lag_date
+      FROM snaps
+    )
+    SELECT symbol, snap_date, 'listed' AS event FROM seq
+    WHERE present AND (prev_present IS NULL
+                       OR (lag_present = false
+                           AND lag_date > prev_present + INTERVAL 14 DAY))
+    UNION ALL
+    SELECT symbol, snap_date, 'relisted' AS event FROM seq
+    WHERE present AND prev_present IS NOT NULL AND lag_present = false
+      AND lag_date <= prev_present + INTERVAL 14 DAY
+    UNION ALL
+    SELECT symbol, snap_date, 'absent' AS event FROM seq
+    WHERE NOT present AND prev_present IS NOT NULL AND lag_present = true
+    UNION ALL
+    SELECT symbol, snap_date, 'delisted' AS event FROM seq
+    WHERE NOT present AND prev_present IS NOT NULL
+      AND snap_date > prev_present + INTERVAL 14 DAY
+      AND (lag_present = true OR lag_date <= prev_present + INTERVAL 14 DAY)
+    """,
+    doc="I6's universe state machine as a CUSTOM STATEFUL STREAMING operator "
+    "through the real engine (applyInPandasWithState, reference "
+    "security_master.py:1198-1410): daily snapshot stream -> per-symbol "
+    "state store (last_present, status) -> listed/absent/relisted/delisted "
+    "transition events -> parquet sink.  TWO availableNow runs against one "
+    "checkpoint with the second half of the history landed between them, so "
+    "the graded events around the batch boundary (the m=0 delist at day 22, "
+    "the m=3 delist at 19 and symbol-reuse listing at 25) are only correct "
+    "if the state store genuinely persisted and restored across runs.  The "
+    "oracle replays the state machine in SQL: prev_present is a running MAX "
+    "window over present dates; because consecutive snapshots between "
+    "prev_present and the current row are all absent, 'an absence happened' "
+    "is lag(present)=false and 'the grace deadline passed inside the gap' "
+    "is lag_date > prev_present + 14 days — each transition class is one "
+    "window-predicate arm of a UNION ALL.",
+)
+def streaming_lifecycle_sink_q(spark, sf_dir):
+    root = _scratch(sf_dir, "lifecycle")
+    src = os.path.join(root, "src")
+    sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
+    snaps = _lifecycle_snapshots(spark, sf_dir)
+    schema = snaps.drop("day_idx").schema
+    # two halves landed between two availableNow runs: run 2 processes ONLY
+    # the late files, with per-symbol state restored from run 1's checkpoint
+    for lo, hi in ((0, 15), (15, 30)):
+        (
+            snaps.filter(F.col("day_idx").between(lo, hi - 1))
+            .drop("day_idx")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            universe_lifecycle(stream, grace_days=14)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink).select("symbol", "snap_date", "event")

@@ -396,3 +396,41 @@ def test_hof_topk_null_vector_parity_with_arrow(spark):
     hof = _rows(S.cosine_topk(corpus, qdf, k=5, kernel="hof"))
     assert arrow == hof
     assert len(hof) == 2  # only the two valid candidates, no null filler
+
+
+def test_semdedup_keep_lowest_within_cluster(spark):
+    """SemDeDup survivor rule: identical (and near-identical) vectors in the
+    same cluster collapse to the lowest id; cross-cluster near-dups are NOT
+    candidates (cluster-bounded by design); every vector appears exactly
+    once in the report."""
+    import numpy as np
+
+    rng_a = [1.0] + [0.0] * 63          # cluster around e1
+    rng_b = [0.0, 1.0] + [0.0] * 62     # cluster around e2
+    rows = [
+        (0, rng_a),                      # centroid seed a
+        (1, rng_b),                      # centroid seed b
+        (10, rng_a),                     # exact dup of 0
+        (11, [0.999] + [0.001] * 63),    # near-dup of 0
+        (20, rng_b),                     # exact dup of 1
+        (30, [0.0] * 62 + [1.0, 0.0]),   # orthogonal loner
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["dup_of"], r["is_kept"])
+        for r in S.semdedup(emb, k=2, iters=2, threshold=0.9).collect()
+    }
+    assert len(out) == len(rows)                 # one row per vector
+    assert out[0] == (None, True)                # lowest id survives
+    assert out[10] == (0, False)                 # exact dup -> dup_of lowest
+    assert out[11] == (0, False)                 # near-dup above threshold
+    assert out[20][0] == 1 and out[20][1] is False
+    assert out[30] == (None, True)               # loner kept
+    kept = {i for i, (_, k) in out.items() if k}
+    assert 1 in kept                             # one survivor per dup set
+    from us_equity_datalake_spark.operators import _cache
+
+    assert _cache.release_caches() >= 1          # operator registered its persist

@@ -842,3 +842,65 @@ def kmeans_assign(
             "cid long, c array<double>",
         )
     return assign(cents).select("vec_id", F.col("cid").cast("long").alias("cluster_id"))
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    by clustering embeddings with k-means, then searching for near-duplicate
+    pairs ONLY within each cluster — the trick that turns all-pairs cosine
+    from O(n²) into Σ|cluster|², bounded by choosing k proportional to the
+    corpus so cluster sizes stay roughly constant at any scale.
+
+    Pipeline: :func:`kmeans_assign` (deterministic, oracle-replayable) →
+    within-cluster candidate self-join on ``cluster_id`` → exact cosine via
+    the Arrow kernel (:func:`paired_exact_cosine`) → keep-lowest-id scrub
+    (the same deterministic survivor rule as the MinHash/SimHash family in
+    operators/dedup.py).  ``dup_of`` is the smallest same-cluster id whose
+    cosine (rounded to the repo's 6-decimal float discipline) reaches
+    ``threshold``; rows with ``dup_of`` null are the kept corpus.
+
+    Exactly-once: the (id, cluster, vector) frame feeds BOTH sides of the
+    candidate self-join plus the final join-back, so it is persisted (lazy,
+    lineage kept) and registered with operators._cache — kernel-discipline
+    note in operators/dedup.py applies.
+
+    Output: (``id_col``, cluster_id, dup_of nullable, is_kept boolean) — one
+    row per input vector.
+    """
+    from us_equity_datalake_spark.operators import _cache
+
+    assign = kmeans_assign(emb, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    t = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(assign.withColumnRenamed("vec_id", "id"), "id")
+    )
+    t = _cache.track(t.persist())
+    left = t.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster_id")
+    right = t.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster_id")
+    cand = left.join(right, ["cluster_id"]).filter(F.col("id_a") < F.col("id_b"))
+    scored = paired_exact_cosine(
+        cand, left_vec="va", right_vec="vb", keep=["id_a", "id_b"]
+    )
+    dup = (
+        scored.filter(F.round("cosine", 6) >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        t.select("id", "cluster_id")
+        .join(dup.withColumnRenamed("id_b", "id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "dup_of",
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+    )

@@ -68,6 +68,8 @@ _GRADING_PRIORITY = [
     "streaming_interval_join_sink",  # real engine: stream-stream join -> sink
     "streaming_lifecycle_sink",  # real engine: applyInPandasWithState,
                                  # cross-run checkpoint state restore
+    "emb_semdedup_report",       # SemDeDup: cluster-bounded semantic dedup
+    "hybrid_rank_fusion",        # BM25 + cosine reciprocal-rank fusion
     # --- core regression tail (code paths touched or load-bearing) ---
     "filing_sentiment_agg",   # r6: numpy transformer encoder behind N4
     "tumbling_hourly_agg",    # r6: real Structured Streaming twin added

@@ -347,3 +347,35 @@ def quantize_q(spark, sf_dir):
         (F.floor(F.col("s_raw") * 1e6 + 0.5) / 1e6).alias("scale"),
         (F.floor(F.sqrt(sse / F.size(F.col("e"))) * 1e8 + 0.5) / 1e8).alias("rmse"),
     )
+
+
+@register(
+    "emb_semdedup_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT a.vec_id AS id, a.cluster_id, e.embedding AS v
+      FROM ({_km_oracle()}) a JOIN embeddings e ON a.vec_id = e.vec_id
+    ),
+    p AS (
+      SELECT b.id AS id, MIN(a.id) AS dup_of
+      FROM t a JOIN t b ON a.cluster_id = b.cluster_id AND a.id < b.id
+      WHERE ROUND({cosine_sql('a.v', 'b.v')}, 6) >= {_DUP_T}
+      GROUP BY b.id
+    )
+    SELECT t.id AS vec_id, t.cluster_id, p.dup_of, p.dup_of IS NULL AS is_kept
+    FROM t LEFT JOIN p ON t.id = p.id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): k-means clusters bound the candidate "
+    "set, exact cosine runs only within clusters, keep-lowest-id survivor "
+    "rule — the semantic member of the dedup family (MinHash=lexical, "
+    "SimHash=token-weighted, this=embedding-space).  One row per vector "
+    "with its cluster, its dup_of (smallest same-cluster near-duplicate), "
+    "and is_kept.  The oracle replays the full pipeline: the unrolled-Lloyd "
+    "kmeans CTE feeds the same within-cluster pair predicate.",
+)
+def semdedup_report_q(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.semdedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        k=_KM_K, iters=_KM_ITERS, threshold=_DUP_T,
+    )

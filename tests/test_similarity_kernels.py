@@ -434,3 +434,33 @@ def test_semdedup_keep_lowest_within_cluster(spark):
     from us_equity_datalake_spark.operators import _cache
 
     assert _cache.release_caches() >= 1          # operator registered its persist
+
+
+def test_pq_topk_recovers_exact_duplicates(spark):
+    """PQ/ADC sanity: a vector identical to the query encodes to the query's
+    own codes, so its ADC distance is exactly the sum of the query's own
+    table entries at those codes — the minimum — and the exact-cosine refine
+    puts it at rank 1 with cosine 1.0."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.rand(30, 64).astype("float32")
+    base[17] = base[0]  # exact duplicate of the query vector
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+    out = S.pq_topk(
+        emb, queries, dim=64, m=8, k_codes=4, iters=1, n_candidates=10, k=3
+    ).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert len(out) == 3
+    top = by_rank[1]
+    # self (vec_id 0) wins the id tiebreak over its duplicate at 17
+    assert top["neighbor_id"] == 0 and top["cosine"] == 1.0
+    assert by_rank[2]["neighbor_id"] == 17 and by_rank[2]["cosine"] == 1.0
+    assert by_rank[2]["adc_d2"] == top["adc_d2"]  # identical codes
+    from us_equity_datalake_spark.operators import _cache
+
+    _cache.release_caches()

@@ -904,3 +904,177 @@ def semdedup(
             F.col("dup_of").isNull().alias("is_kept"),
         )
     )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    n_candidates: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou, Douze, Schmid 2011 — the PQ/ADC half
+    of IVF-PQ, the canonical memory-compressed 100 TB vector index): split
+    ``dim`` into ``m`` subspaces, train a ``k_codes``-codeword codebook per
+    subspace (deterministic Lloyd's — first-k init, left-to-right double
+    folds, DECIMAL(30,12) centroid means, ties on codeword id — the same
+    oracle-replayable discipline as :func:`kmeans_assign`), encode every
+    vector as ``m`` small codes, then answer queries with an Asymmetric
+    Distance Computation scan: per query, an m x k_codes table of exact
+    subspace distances; a vector's approximate distance is a LEFT-TO-RIGHT
+    fold of table lookups over its codes (no float-order ambiguity — the
+    fold replaces a groupBy SUM whose order neither engine guarantees).
+    Top-``n_candidates`` by ADC are rescored with EXACT cosine and the final
+    top-``k`` ranks on the rescored value — the standard refine step, so PQ
+    approximation error affects recall, never the reported similarity.
+
+    Scale shape: the corpus is exploded ONCE into (vec_id, m, subvector)
+    rows and persisted; each Lloyd iteration trains ALL m codebooks in a
+    single pass over that frame (assign + update keyed by m), collecting
+    k_codes x m x sub doubles per iteration (production trains on a sample —
+    codebooks are statistics, not indexes); encoding is one more pass
+    (broadcast codebook join, per-row argmin, regroup) and the
+    8-byte codes replace 256-byte vectors (32x memory); the ADC scan is one
+    broadcast join of literal query tables against the codes table — linear,
+    no corpus self-join, and the candidate rescore reads only
+    ``n_candidates`` full vectors per query.
+
+    Output: (query_id, neighbor_id, adc_d2, cosine, rank), rank 1..k per
+    query by rounded exact cosine desc, neighbor id asc.
+    """
+    from us_equity_datalake_spark.functions import vector
+    from us_equity_datalake_spark.operators import _cache
+
+    sub = dim // m
+    assert sub * m == dim, "m must divide dim"
+    spark = emb.sparkSession
+
+    pts = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    )
+    pts = _cache.track(pts.persist())
+
+    d2_fold = lambda a, b: F.aggregate(  # noqa: E731 — shared left-to-right fold
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    # --- train: ALL subspaces in one exploded frame — each Lloyd iteration
+    # is ONE corpus pass (assign + update keyed by m keep the m codebooks
+    # independent), and the k_codes x m x sub doubles collected per
+    # iteration are driver-trivial.  Per-subspace math is identical to
+    # running kmeans on each slice separately (the oracle replays it that
+    # way), but the wall cost is 2 jobs instead of m x iters.
+    subs = pts.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.slice("e", mi * sub + 1, sub) for mi in range(m)]))
+        .alias("m", "es"),
+    )
+    subs = _cache.track(subs.persist())
+    book = spark.createDataFrame(
+        [(r["m"], r["vec_id"], list(r["es"]))
+         for r in subs.filter(F.col("vec_id") < k_codes).collect()],
+        "m long, cid long, c array<double>",
+    )
+    for _ in range(iters):
+        assigned = (
+            subs.join(F.broadcast(book), "m")
+            .select("m", "vec_id", "es",
+                    F.struct(d2_fold("es", "c").alias("d2"), F.col("cid")).alias("s"))
+            .groupBy("m", "vec_id", "es")
+            .agg(F.min("s").alias("mn"))
+            .select("m", "es", F.col("mn.cid").alias("cid"))
+        )
+        comp = (
+            assigned.select("m", "cid", F.posexplode("es").alias("pos", "x"))
+            .groupBy("m", "cid", "pos")
+            .agg((F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
+                  / F.count("*")).alias("comp"))
+        )
+        updated = comp.groupBy("m", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+                lambda s: s.comp,
+            ).alias("c")
+        )
+        book = spark.createDataFrame(
+            [(r["m"], r["cid"], list(r["c"])) for r in updated.collect()],
+            "m long, cid long, c array<double>",
+        )
+
+    # --- encode: one corpus pass -> (vec_id, codes array<long> ordered by m) ---
+    codes = (
+        subs.join(F.broadcast(book), "m")
+        .select("vec_id", "m",
+                F.struct(d2_fold("es", "c").alias("d2"), F.col("cid")).alias("s"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("s").alias("mn"))
+        .select("vec_id", "m", F.col("mn.cid").alias("code"))
+        .groupBy("vec_id")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("m", "code"))),
+                         lambda s: s.code).alias("codes"))
+    )
+
+    # --- ADC tables: per query, m rows of k_codes exact subspace distances ---
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qe"),
+    )
+    qsubs = q.select(
+        "query_id",
+        F.posexplode(F.array(*[F.slice("qe", mi * sub + 1, sub) for mi in range(m)]))
+        .alias("m", "qs"),
+    )
+    qt = (
+        qsubs.join(F.broadcast(book), "m")
+        .select("query_id", "m", "cid", d2_fold("qs", "c").alias("d2"))
+        .groupBy("query_id", "m")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("cid", "d2"))),
+                         lambda s: s.d2).alias("row"))
+        .groupBy("query_id")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("m", "row"))),
+                         lambda s: s.row).alias("qt"))
+    )
+
+    # --- ADC scan: row-local fold of table lookups; zero corpus shuffle ---
+    adc = codes.crossJoin(F.broadcast(qt)).select(
+        "query_id", "vec_id",
+        F.aggregate(
+            F.zip_with("codes", "qt", lambda code, row: F.element_at(row, (code + 1).cast("int"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("adc_d2"),
+    )
+    from us_equity_datalake_spark.operators.topk import top_k_by_group
+
+    cand = top_k_by_group(
+        adc,
+        partition=["query_id"],
+        order=[F.round("adc_d2", 6).asc(), F.col("vec_id").asc()],
+        k=n_candidates,
+        rank_col="adc_rank",
+    )
+
+    # --- refine: exact cosine on the candidate set only ---
+    scored = (
+        cand.join(pts, "vec_id")
+        .join(q, "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round("adc_d2", 6).alias("adc_d2"),
+                F.round(vector.cosine(F.col("qe"), F.col("e")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "cosine", F.col("rank").cast("long"))
+    )

@@ -70,6 +70,7 @@ _GRADING_PRIORITY = [
                                  # cross-run checkpoint state restore
     "emb_semdedup_report",       # SemDeDup: cluster-bounded semantic dedup
     "hybrid_rank_fusion",        # BM25 + cosine reciprocal-rank fusion
+    "emb_pq_topk",               # product-quantization ADC + exact refine
     # --- core regression tail (code paths touched or load-bearing) ---
     "filing_sentiment_agg",   # r6: numpy transformer encoder behind N4
     "tumbling_hourly_agg",    # r6: real Structured Streaming twin added

@@ -379,3 +379,137 @@ def semdedup_report_q(spark, sf_dir):
         emb, id_col="vec_id", vec_col="embedding",
         k=_KM_K, iters=_KM_ITERS, threshold=_DUP_T,
     )
+
+
+_PQ_M = 8          # subspaces (dim 64 -> 8-dim subvectors)
+_PQ_SUB = _KM_DIM // _PQ_M
+_PQ_CODES = 16     # codewords per subspace codebook
+_PQ_ITERS = 2
+_PQ_NQ = 4         # query vectors: vec_id < 4
+_PQ_CAND = 50
+_PQ_K = 10
+
+
+def _pq_oracle() -> str:
+    """SQL replay of operators/similarity.pq_topk: per-subspace unrolled
+    Lloyd codebooks (same discipline as ``_km_oracle``), argmin encoding,
+    per-query ADC tables, a left-to-right list_sum fold for the approximate
+    distance (bit-matching Spark's ``F.aggregate``), candidate top-C on the
+    rounded ADC, exact-cosine refine, top-K."""
+    d2 = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    parts = [
+        """
+    WITH pts AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )"""
+    ]
+    for mi in range(_PQ_M):
+        lo, hi = mi * _PQ_SUB + 1, (mi + 1) * _PQ_SUB
+        parts.append(f""",
+    pm{mi} AS (SELECT vec_id, e[{lo}:{hi}] AS es FROM pts),
+    b{mi}c0 AS (SELECT vec_id AS cid, es AS c FROM pm{mi} WHERE vec_id < {_PQ_CODES})""")
+        prev = f"b{mi}c0"
+        for it in range(_PQ_ITERS):
+            dd = d2.format(a=f"pm{mi}.es", b=f"{prev}.c")
+            parts.append(f""",
+    b{mi}a{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT pm{mi}.vec_id, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY pm{mi}.vec_id
+                                  ORDER BY {dd}, {prev}.cid) AS rn
+        FROM pm{mi} CROSS JOIN {prev}
+      ) WHERE rn = 1
+    ),
+    b{mi}u{it} AS (
+      SELECT b{mi}a{it}.cid, t.i AS pos,
+             CAST(SUM(CAST(pm{mi}.es[t.i] AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS comp
+      FROM b{mi}a{it} JOIN pm{mi} USING (vec_id)
+      CROSS JOIN generate_series(1, {_PQ_SUB}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b{mi}c{it + 1} AS (SELECT cid, list(comp ORDER BY pos) AS c FROM b{mi}u{it} GROUP BY cid)""")
+            prev = f"b{mi}c{it + 1}"
+    book_union = "\n      UNION ALL ".join(
+        f"SELECT {mi} AS m, cid, c FROM b{mi}c{_PQ_ITERS}" for mi in range(_PQ_M)
+    )
+    subs_union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {mi} AS m, e[{mi * _PQ_SUB + 1}:{(mi + 1) * _PQ_SUB}] AS es FROM pts"
+        for mi in range(_PQ_M)
+    )
+    qsubs_union = "\n      UNION ALL ".join(
+        f"SELECT query_id, {mi} AS m, qe[{mi * _PQ_SUB + 1}:{(mi + 1) * _PQ_SUB}] AS qs FROM q"
+        for mi in range(_PQ_M)
+    )
+    d2_enc = d2.format(a="s.es", b="b.c")
+    d2_q = d2.format(a="qs.qs", b="b.c")
+    cos = cosine_sql("qv.qe", "p.e")
+    parts.append(f""",
+    book AS ({book_union}),
+    subs AS ({subs_union}),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT s.vec_id, s.m, b.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d2_enc}, b.cid) AS rn
+        FROM subs s JOIN book b ON s.m = b.m
+      ) WHERE rn = 1
+    ),
+    codes_arr AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM codes GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM pts WHERE vec_id < {_PQ_NQ}),
+    qsubs AS ({qsubs_union}),
+    dt AS (
+      SELECT qs.query_id, qs.m, b.cid, {d2_q} AS d2
+      FROM qsubs qs JOIN book b ON qs.m = b.m
+    ),
+    qrow AS (SELECT query_id, m, list(d2 ORDER BY cid) AS r FROM dt GROUP BY query_id, m),
+    qtab AS (SELECT query_id, list(r ORDER BY m) AS qt FROM qrow GROUP BY query_id),
+    adc AS (
+      SELECT qtab.query_id, ca.vec_id,
+             list_sum(list_transform(list_zip(ca.codes, qtab.qt),
+                                     p -> p[2][p[1] + 1])) AS adc_d2
+      FROM codes_arr ca CROSS JOIN qtab
+    ),
+    cand AS (
+      SELECT query_id, vec_id, adc_d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY ROUND(adc_d2, 6), vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {_PQ_CAND}
+    )
+    SELECT query_id, neighbor_id, adc_d2, cosine, rank FROM (
+      SELECT c.query_id, c.vec_id AS neighbor_id, ROUND(c.adc_d2, 6) AS adc_d2,
+             ROUND({cos}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                ORDER BY ROUND({cos}, 6) DESC, c.vec_id) AS rank
+      FROM cand c
+      JOIN pts p ON c.vec_id = p.vec_id
+      JOIN q qv ON c.query_id = qv.query_id
+    ) WHERE rank <= {_PQ_K}
+    """)
+    return "".join(parts)
+
+
+@register(
+    "emb_pq_topk",
+    oracle=_pq_oracle(),
+    doc=f"Product-quantization ANN (Jégou et al. 2011, the PQ/ADC half of "
+    f"IVF-PQ): {_PQ_M} subspaces x {_PQ_CODES}-codeword deterministic-Lloyd "
+    "codebooks, 8-byte codes (32x vector-memory compression), per-query "
+    "asymmetric-distance tables with a left-to-right lookup fold (no "
+    "groupBy-SUM float-order ambiguity), ADC top-candidates refined by "
+    "exact cosine.  Completes the ANN family: brute-force (exact), IVF "
+    "(partition pruning), LSH (hash pruning), PQ (memory compression).  The "
+    "oracle replays the entire pipeline — all 8 unrolled subspace "
+    "codebooks, encoding argmins, ADC folds, and the refine ranking.",
+)
+def pq_topk_q(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", query_id="query_id",
+        dim=_KM_DIM, m=_PQ_M, k_codes=_PQ_CODES, iters=_PQ_ITERS,
+        n_candidates=_PQ_CAND, k=_PQ_K,
+    )

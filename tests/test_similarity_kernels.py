@@ -464,3 +464,25 @@ def test_pq_topk_recovers_exact_duplicates(spark):
     from us_equity_datalake_spark.operators import _cache
 
     _cache.release_caches()
+
+
+def test_kmeans_arrow_hof_assignment_parity(spark):
+    """The Arrow euclidean-assign kernel must produce bit-identical cluster
+    assignments to the interpreted HOF form — including sub-ulp near-tie
+    clusters that force the exact-rescore path."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.rand(60, 16).astype("float32")
+    # plant near-ties: rows equidistant (to ~1e-16) from two seed centroids
+    base[40] = (base[0] + base[1]) / 2.0
+    base[41] = base[40] + 1e-7
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    a = {(r["vec_id"], r["cluster_id"])
+         for r in S.kmeans_assign(emb, k=6, iters=2, kernel="arrow").collect()}
+    h = {(r["vec_id"], r["cluster_id"])
+         for r in S.kmeans_assign(emb, k=6, iters=2, kernel="hof").collect()}
+    assert a == h and len(a) == 60

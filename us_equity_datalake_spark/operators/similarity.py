@@ -767,6 +767,50 @@ def cosine_near_dup_pairs(
     return pairs.distinct() if n_tables > 1 else pairs
 
 
+def _euclid_assign(pts: DataFrame, cent_rows, *, id_col: str = "vec_id",
+                   vec_col: str = "e", out_col: str = "cid") -> DataFrame:
+    """Nearest-centroid by squared euclidean distance, Arrow/BLAS kernel:
+    ``d2 = |v|^2 - 2 v.C + |c|^2`` selects per batch in one matmul; every
+    row whose BLAS runner-up lands within 1e-9 of its winner has all
+    near-tied centroids exact-rescored with the left-to-right cumsum fold
+    (bit-identical to the HOF ``aggregate`` / DuckDB ``list_sum``), and the
+    cid-ascending centroid layout makes first-argmin the lowest-cid tiebreak
+    — the same guarantees discipline as :func:`assign_to_centroids`.  BLAS
+    blocked-summation drift is ~1e-11 at these magnitudes, far inside the
+    rescue band, so a graded assignment can never flip."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_rows = sorted(cent_rows, key=lambda r: r[0])
+    cids = np.array([r[0] for r in cent_rows])
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    c2 = (C * C).sum(axis=1)
+    out_schema = T.StructType(
+        [pts.schema[id_col], T.StructField(out_col, T.LongType())]
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            pdf = _valid_vec_rows(pdf, [vec_col], dim=C.shape[1])
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = _stack_f64(pdf[vec_col])
+            d2 = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ C.T) + c2[None, :]
+            best = np.argmin(d2, axis=1)  # first occurrence = lowest cid
+            bmin = d2[np.arange(len(ids)), best]
+            near = d2 <= (bmin + 1e-9)[:, None]
+            for i in np.nonzero(near.sum(axis=1) > 1)[0]:
+                cand = np.nonzero(near[i])[0]
+                diff = v[i][None, :] - C[cand]
+                e = np.cumsum(diff * diff, axis=1)[:, -1]  # exact HOF fold
+                best[i] = cand[np.argmin(e)]
+            yield pd.DataFrame({id_col: ids, out_col: cids[best]})
+
+    return pts.select(id_col, vec_col).mapInPandas(kern, out_schema)
+
+
 def kmeans_assign(
     emb: DataFrame,
     *,
@@ -774,6 +818,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Deterministic mini k-means (Lloyd's, fixed iterations) over an
     embedding column — the semantic-clustering step of a training-data
@@ -795,16 +840,36 @@ def kmeans_assign(
     unrolled lineage that re-scans the corpus 2*iters+1 times.  MLlib's
     KMeans is the right tool when k or iters are large; this form exists for
     exact cross-engine verifiability.
+
+    ``kernel="arrow"`` (default since r6) runs the O(n x k x d) assignment
+    step in :func:`_euclid_assign` (one BLAS matmul per batch, near-ties
+    exact-rescored with the left-to-right fold) — bit-identical to the
+    ``kernel="hof"`` pure-JVM twin and to the SQL oracle, but linear-cost
+    in practice even when k grows with the corpus (SemDeDup's regime: the
+    interpreted HOF form measured 27x per 10x on the sf1 ladder at
+    k=n/64 before this kernel, 139 s -> see BENCH_DETAIL sf1).  The update
+    step stays JVM-side: per-component DECIMAL(30,12) means are the
+    cross-engine portability anchor.
     """
     pts = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
     ).cache()
-    cents = pts.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("c")
-    )
+    cent_rows = [
+        (r["vec_id"], list(r["e"]))
+        for r in pts.filter(F.col("vec_id") < k).collect()
+    ]
 
-    def assign(centroids: DataFrame) -> DataFrame:
+    def assign(rows) -> DataFrame:
+        if kernel == "arrow":
+            # O(n x k x d) distance work in BLAS instead of interpreted
+            # per-element lambdas — the difference between linear and
+            # unusable when k grows with the corpus (SemDeDup's regime);
+            # near-ties exact-rescored, so results are bit-identical to hof
+            return _euclid_assign(pts, rows, id_col="vec_id", vec_col="e")
+        centroids = pts.sparkSession.createDataFrame(
+            rows, "cid long, c array<double>"
+        )
         pairs = pts.crossJoin(F.broadcast(centroids))
         d2 = F.aggregate(
             F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
@@ -818,9 +883,8 @@ def kmeans_assign(
             .select("vec_id", F.col("m.cid").alias("cid"))
         )
 
-    spark = emb.sparkSession
     for _ in range(iters):
-        a = assign(cents)
+        a = assign(cent_rows)
         comp = (
             a.join(pts, "vec_id")
             .select("cid", F.posexplode("e").alias("pos", "x"))
@@ -835,13 +899,12 @@ def kmeans_assign(
             ).alias("c")
         )
         # k rows of dim doubles: materialize to sever the iteration lineage —
-        # the next iteration (and the final assignment) reads literal
+        # the next iteration (and the final assignment) reads collected
         # centroids instead of replaying every previous Lloyd step
-        cents = spark.createDataFrame(
-            [(r["cid"], list(r["c"])) for r in updated.collect()],
-            "cid long, c array<double>",
-        )
-    return assign(cents).select("vec_id", F.col("cid").cast("long").alias("cluster_id"))
+        cent_rows = [(r["cid"], list(r["c"])) for r in updated.collect()]
+    return assign(cent_rows).select(
+        "vec_id", F.col("cid").cast("long").alias("cluster_id")
+    )
 
 
 def semdedup(

@@ -71,6 +71,8 @@ _GRADING_PRIORITY = [
     "emb_semdedup_report",       # SemDeDup: cluster-bounded semantic dedup
     "hybrid_rank_fusion",        # BM25 + cosine reciprocal-rank fusion
     "emb_pq_topk",               # product-quantization ADC + exact refine
+    "doc_lm_perplexity",         # CCNet bigram-LM quality filter
+    "dsir_resample_topk",        # DSIR hashed-ngram importance resampling
     # --- core regression tail (code paths touched or load-bearing) ---
     "filing_sentiment_agg",   # r6: numpy transformer encoder behind N4
     "tumbling_hourly_agg",    # r6: real Structured Streaming twin added

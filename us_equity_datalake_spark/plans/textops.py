@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from us_equity_datalake_spark.functions import hashing, text
 from us_equity_datalake_spark.functions.hashing import MERSENNE_P, perm_coefficients
-from us_equity_datalake_spark.operators import dedup, sampling
+from us_equity_datalake_spark.operators import dedup, lm, sampling
 from us_equity_datalake_spark.sources.registry import load_table, parallelize_small_input
 from .base import register
 
@@ -966,3 +966,121 @@ def top_terms_q(spark, sf_dir):
         .filter(F.col("rnk") <= _HH_K)
         .withColumn("rnk", F.col("rnk").cast("long"))
     )
+
+
+# --- CCNet-style LM quality filter (Wenzek et al. 2020) -------------------
+
+_PPL_HEAD, _PPL_MID = 4.5, 6.0  # avg-NLL band cuts on the rounded statistic
+
+
+@register(
+    "doc_lm_perplexity",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    uni AS (
+      SELECT w, COUNT(*) AS c_w FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tok, COUNT(*) AS v_size FROM uni),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+      FROM toks
+    ),
+    bg AS (SELECT doc_id, t[i] AS p, t[i+1] AS w FROM pos),
+    big AS (SELECT p, w, COUNT(*) AS c_pw FROM bg GROUP BY p, w),
+    ctx AS (SELECT p, CAST(SUM(c_pw) AS BIGINT) AS c_p FROM big GROUP BY p),
+    terms AS (
+      SELECT bg.doc_id, {lm.nll_term_sql()} AS nll
+      FROM bg
+      JOIN big USING (p, w) JOIN ctx USING (p) JOIN uni USING (w) CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(nll) AS DOUBLE) AS total_nll,
+             ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, total_nll, avg_nll,
+           CASE WHEN avg_nll < {_PPL_HEAD} THEN 'head'
+                WHEN avg_nll < {_PPL_MID} THEN 'middle'
+                ELSE 'tail' END AS ppl_band
+    FROM scored
+    """,
+    doc="CCNet-style quality filter: corpus-trained bigram LM with "
+    "interpolated add-alpha smoothing, per-doc avg negative log-likelihood "
+    "(monotone in perplexity) and head/middle/tail band.  Train = 2 "
+    "vocab-sized count aggs; score = one (p,w) shuffle join + AQE-broadcast "
+    "vocab joins + one groupBy(doc).  Per-term round(ln,6)->DECIMAL keeps "
+    "the sum order-independent across engines.",
+)
+def lm_perplexity_q(spark, sf_dir):
+    docs = _docs_parallel(spark, sf_dir)
+    scored = lm.bigram_lm_perplexity(docs, text_col="text", id_col="doc_id")
+    return scored.withColumn(
+        "ppl_band",
+        F.when(F.col("avg_nll") < _PPL_HEAD, F.lit("head"))
+        .when(F.col("avg_nll") < _PPL_MID, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+# --- DSIR importance resampling (Xie et al. 2023) --------------------------
+
+_DSIR_K = 100
+
+
+@register(
+    "dsir_resample_topk",
+    oracle=f"""
+    WITH ftoks AS (
+      SELECT doc_id, (lang = 'en') AS is_tgt, {text.tokens_sql('text')} AS t
+      FROM documents
+    ),
+    featu AS (SELECT doc_id, is_tgt, unnest(t) AS feat FROM ftoks),
+    fpos AS (
+      SELECT doc_id, is_tgt, t,
+             unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+      FROM ftoks
+    ),
+    featb AS (SELECT doc_id, is_tgt, t[i] || ' ' || t[i+1] AS feat FROM fpos),
+    feats AS (SELECT * FROM featu UNION ALL SELECT * FROM featb),
+    fb AS (
+      SELECT doc_id, is_tgt, {lm.dsir_bucket_sql('feat')} AS bucket,
+             COUNT(*) AS c
+      FROM feats GROUP BY 1, 2, 3
+    ),
+    model AS (
+      SELECT bucket, CAST(SUM(c) AS BIGINT) AS c_q,
+             CAST(SUM(CASE WHEN is_tgt THEN c ELSE 0 END) AS BIGINT) AS c_p
+      FROM fb GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_q) AS BIGINT) AS n_q, CAST(SUM(c_p) AS BIGINT) AS n_p
+      FROM model
+    ),
+    lrt AS (SELECT bucket, {lm.dsir_lr_u_sql()} AS lr_u FROM model CROSS JOIN tot),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+             CAST(SUM(c * lr_u) AS BIGINT) AS logw_u
+      FROM fb JOIN lrt USING (bucket) GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, n_feats, logw_u,
+             logw_u + {lm.gumbel_key_u_sql('doc_id')} AS key_u
+      FROM scored
+    )
+    SELECT doc_id, n_feats,
+           ROUND(logw_u / 1000000.0, 6) AS logw,
+           ROUND(key_u / 1000000.0, 6) AS sample_key
+    FROM keyed ORDER BY key_u DESC, doc_id LIMIT {_DSIR_K}
+    """,
+    doc="DSIR data selection (Xie et al. 2023): hashed unigram+bigram "
+    "bag-of-words models on target (lang='en') vs raw pool, per-doc log "
+    "importance weight in exact BIGINT micro-units, deterministic "
+    "Gumbel-top-k resample.  One feature pass feeds BOTH models via a "
+    "conditional sum (bucket-sized output); scoring joins the AQE-broadcast "
+    "log-ratio table; selection is TakeOrderedAndProject (no global sort).",
+)
+def dsir_resample_q(spark, sf_dir):
+    docs = _docs_parallel(spark, sf_dir)
+    return lm.dsir_resample(docs, F.col("lang") == "en", k=_DSIR_K)

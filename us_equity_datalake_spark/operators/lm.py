@@ -175,17 +175,20 @@ def _micro_sql(expr: str) -> str:
 
 
 def _doc_features(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, is_tgt, feat) — one row per unigram AND bigram occurrence."""
+    """(id, is_tgt, feat) — one row per unigram AND bigram occurrence.
+
+    Unigrams and bigrams come out of a SINGLE explode over the concatenated
+    feature array (not a unionAll of two branches), so each logical feature
+    pass is exactly one corpus scan.
+    """
     toks = docs.select(id_col, "is_tgt", text.tokens(F.col(text_col)).alias("t"))
-    uni = toks.select(id_col, "is_tgt", F.explode("t").alias("feat"))
-    pairs = F.expr(
-        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    # CASE guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]) and
+    # element_at(t, 0) throws, so docs with < 2 tokens contribute unigrams only.
+    feats = F.expr(
+        "CASE WHEN size(t) >= 2 THEN concat(t, transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) ELSE t END"
     )
-    bg = (
-        toks.where(F.size("t") >= 2)
-        .select(id_col, "is_tgt", F.explode(pairs).alias("feat"))
-    )
-    return uni.unionAll(bg)
+    return toks.select(id_col, "is_tgt", F.explode(feats).alias("feat"))
 
 
 def _bucket_counts(feats: DataFrame, id_col: str, n_buckets: int) -> DataFrame:

@@ -407,3 +407,39 @@ def test_subword_count_golden(spark):
         duck = con.execute(f"SELECT {text.subword_count_sql('?')}", [t]).fetchone()[0]
         assert got[i] == duck, (t, got[i], duck)  # cross-engine first
         assert got[i] == want, (t, got[i], want)
+
+
+def test_hll_rho_golden(spark):
+    from us_equity_datalake_spark.operators.sketch import _hll_rho, _HLL_RBITS, _HLL_W
+
+    rows = [(1 << (_HLL_RBITS - 1),), (1 << (_HLL_RBITS - 7),), (3,), (1,), (0,)]
+    df = spark.createDataFrame(rows, "r long").select(_hll_rho(F.col("r")).alias("rho"))
+    got = [r["rho"] for r in df.collect()]
+    # leading zeros + 1: top bit set -> 1; bit 41 -> 7; 3 -> 47; 1 -> 48; 0 -> 49
+    assert got == [1, 7, _HLL_RBITS - 1, _HLL_RBITS, _HLL_W]
+
+
+def test_hll_estimate_within_error(spark):
+    from us_equity_datalake_spark.operators.sketch import hll_distinct
+
+    n = 30_000  # raw-estimate branch (E > 2.5 * 4096)
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("k")
+    )
+    row = hll_distinct(df, "k", by=["grp"]).collect()[0]
+    assert row["exact_distinct"] == n
+    # HLL(b=12) standard error is ~1.6%; allow 4 sigma.
+    assert abs(row["est_distinct"] - n) / n < 0.065
+    assert row["raw_est"] == row["est_distinct"]
+
+
+def test_hll_linear_counting_branch(spark):
+    from us_equity_datalake_spark.operators.sketch import hll_distinct
+
+    n = 500  # far below 2.5m with empty registers -> linear counting
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("k")
+    )
+    row = hll_distinct(df, "k", by=["grp"]).collect()[0]
+    assert row["v_empty"] > 0 and row["est_distinct"] != row["raw_est"]
+    assert abs(row["est_distinct"] - n) / n < 0.05

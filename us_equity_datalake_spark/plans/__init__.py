@@ -73,6 +73,7 @@ _GRADING_PRIORITY = [
     "emb_pq_topk",               # product-quantization ADC + exact refine
     "doc_lm_perplexity",         # CCNet bigram-LM quality filter
     "dsir_resample_topk",        # DSIR hashed-ngram importance resampling
+    "hll_distinct_report",       # HyperLogLog register sketch, both branches
     # --- core regression tail (code paths touched or load-bearing) ---
     "filing_sentiment_agg",   # r6: numpy transformer encoder behind N4
     "tumbling_hourly_agg",    # r6: real Structured Streaming twin added

@@ -132,6 +132,50 @@ def kmv_distinct_customers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_distinct_report",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT *, CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS line_id
+      FROM lineitem
+    ),
+    arm_raw AS ({sketch.hll_distinct_sql('keyed', 'line_id', ['l_returnflag'])}),
+    arm_lc AS ({sketch.hll_distinct_sql('lineitem', 'l_partkey', ['l_returnflag'])})
+    SELECT 'lineid' AS arm, * FROM arm_raw
+    UNION ALL
+    SELECT 'partkey' AS arm, * FROM arm_lc
+    """,
+    doc="HyperLogLog(b=12) distinct sketch per return flag, two arms: "
+    "a near-row-cardinality key (raw-estimate branch) and a low-cardinality "
+    "key (linear-counting branch), each alongside the exact count. "
+    "Fixed 4 KiB register state per group, exact-integer register sums "
+    "(order-independent), rho by integer comparisons — the estimate is "
+    "bit-identical in DuckDB, so the approximate operator is graded exactly.",
+)
+def hll_distinct_report(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    keyed = li.withColumn(
+        "line_id",
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ),
+    )
+    arm_raw = sketch.hll_distinct(keyed, "line_id", by=["l_returnflag"]).select(
+        F.lit("lineid").alias("arm"), "*"
+    )
+    arm_lc = sketch.hll_distinct(li, "l_partkey", by=["l_returnflag"]).select(
+        F.lit("partkey").alias("arm"), "*"
+    )
+    return arm_raw.unionByName(arm_lc)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash split
 # ---------------------------------------------------------------------------
 

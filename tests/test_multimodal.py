@@ -298,48 +298,68 @@ def test_decode_audio_real_wav_path(spark):
         decode_audio_features(garbage, fake=False).collect()
 
 
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def _build_png(width, height, pixel_fn, *, channels=3, filters=None,
-               bit_depth=8, color_type=None, interlace=0):
+               bit_depth=8, color_type=None, interlace=0, palette=None):
     """Synthesize a PNG with explicit per-row filter types (cycling all five
     by default), applying the spec's FORWARD filtering so the decoder's
-    defilter must invert every arm.  ``pixel_fn(x, y) -> tuple[channels]``."""
+    defilter must invert every arm.  ``pixel_fn(x, y) -> tuple[channels]``.
+    interlace=1 emits a GENUINE Adam7 stream: 7 sub-images, each filtered
+    independently; color_type=3 emits a PLTE chunk."""
     import struct
     import zlib
 
     if color_type is None:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    if filters is None:
-        filters = [y % 5 for y in range(height)]
     bpp = channels
-    rows = [
-        [v for x in range(width) for v in pixel_fn(x, y)] for y in range(height)
-    ]
-    out = bytearray()
-    prev = [0] * (width * channels)
-    for y, raw in enumerate(rows):
-        f = filters[y]
-        line = bytearray([f])
-        rec = raw  # recon values ARE the raw pixels; we emit filtered bytes
-        for x in range(len(raw)):
-            a = rec[x - bpp] if x >= bpp else 0
-            b = prev[x]
-            c = prev[x - bpp] if x >= bpp else 0
-            if f == 0:
-                v = raw[x]
-            elif f == 1:
-                v = raw[x] - a
-            elif f == 2:
-                v = raw[x] - b
-            elif f == 3:
-                v = raw[x] - (a + b) // 2
-            else:  # Paeth
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                v = raw[x] - pred
-            line.append(v % 256)
-        out += line
-        prev = raw
+
+    def filt(rows):
+        out = bytearray()
+        if not rows:
+            return out
+        prev = [0] * len(rows[0])
+        for y, raw in enumerate(rows):
+            f = (filters[y] if filters is not None else y % 5)
+            line = bytearray([f])
+            rec = raw  # recon values ARE the raw pixels; we emit filtered bytes
+            for x in range(len(raw)):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    v = raw[x]
+                elif f == 1:
+                    v = raw[x] - a
+                elif f == 2:
+                    v = raw[x] - b
+                elif f == 3:
+                    v = raw[x] - (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = raw[x] - pred
+                line.append(v % 256)
+            out += line
+            prev = raw
+        return out
+
+    if interlace == 0:
+        out = filt([
+            [v for x in range(width) for v in pixel_fn(x, y)] for y in range(height)
+        ])
+    else:
+        out = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            xs, ys = range(x0, width, dx), range(y0, height, dy)
+            if not xs or not ys:
+                continue  # empty pass: no bytes at all
+            out += filt([[v for x in xs for v in pixel_fn(x, y)] for y in ys])
 
     def chunk(ctype, data):
         return (
@@ -348,9 +368,13 @@ def _build_png(width, height, pixel_fn, *, channels=3, filters=None,
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace)
+    body = chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        pal = palette or [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)]
+        body += chunk(b"PLTE", bytes(v for rgb in pal for v in rgb))
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
+        + body
         + chunk(b"IDAT", zlib.compress(bytes(out)))
         + chunk(b"IEND", b"")
     )
@@ -360,8 +384,8 @@ def test_decode_image_real_png_path(spark):
     """r5: 8-bit PNG decodes in-sandbox via stdlib zlib — every filter type
     (None/Sub/Up/Average/Paeth) is exercised by the synthesized fixture, the
     luma and nearest-neighbor resize index math match the BMP path exactly,
-    gray and RGBA variants decode, garbage bytes raise, and the unsupported
-    shapes (palette / 16-bit / interlaced) hit the PIL gate."""
+    gray and RGBA variants decode, garbage bytes raise, and the remaining
+    unsupported shape (16-bit depth) hits the PIL gate."""
     schema = T.StructType([T.StructField("asset_id", T.LongType()),
                            T.StructField("payload", T.BinaryType())])
 
@@ -404,11 +428,64 @@ def test_decode_image_real_png_path(spark):
 
     # unsupported shapes gate to PIL (NotImplementedError), honestly named
     sixteen = _build_png(3, 3, lambda x, y: (1, 2, 3), bit_depth=16)
-    interlaced = _build_png(3, 3, lambda x, y: (1, 2, 3), interlace=1)
-    palette = _build_png(3, 3, lambda x, y: (1,), channels=1, color_type=3)
-    for bad in (sixteen, interlaced, palette):
-        with pytest.raises(NotImplementedError):
-            _png_pixels(bad, 2, 2)
+    with pytest.raises(NotImplementedError):
+        _png_pixels(sixteen, 2, 2)
+
+
+def test_png_adam7_interlace_and_palette():
+    """r6: Adam7 interlaced and 8-bit palette PNGs decode in-sandbox; the
+    interlaced result must be pixel-identical to the sequential decode of
+    the same image, palette goes through the PLTE lookup, and truncated
+    pass data still raises at the parse boundary."""
+    from us_equity_datalake_spark.multimodal.columns import _png_pixels
+
+    def pix(x, y):
+        return ((x * 37 + y * 11) % 256, (x * 5 + y * 73) % 256, (x + y * 29) % 256)
+
+    # 11x13 exercises ragged Adam7 pass geometry (not multiples of 8)
+    seq = _png_pixels(_build_png(11, 13, pix), 11, 13)
+    inter = _png_pixels(_build_png(11, 13, pix, interlace=1), 11, 13)
+    assert seq == inter
+    # tiny images leave some Adam7 passes EMPTY (no bytes) — 3x3 and 1x1
+    for wsz, hsz in ((3, 3), (1, 1), (2, 5)):
+        seq = _png_pixels(_build_png(wsz, hsz, pix), wsz, hsz)
+        inter = _png_pixels(_build_png(wsz, hsz, pix, interlace=1), wsz, hsz)
+        assert seq == inter
+
+    # palette: index i -> PLTE rgb; luma of entry 5 = (5, 15, 35) weighted
+    pal_png = _build_png(4, 4, lambda x, y: (5,), channels=1, color_type=3)
+    got = _png_pixels(pal_png, 4, 4)
+    exp = (5 * 0.299 + 15 * 0.587 + 35 * 0.114) / 255.0
+    assert all(abs(g - exp) < 1e-9 for g in got)
+    # interlaced palette composes both paths
+    pal_i = _build_png(9, 6, lambda x, y: ((x + y) % 256,), channels=1,
+                       color_type=3, interlace=1)
+    pal_s = _build_png(9, 6, lambda x, y: ((x + y) % 256,), channels=1,
+                       color_type=3)
+    assert _png_pixels(pal_i, 9, 6) == _png_pixels(pal_s, 9, 6)
+
+    # corrupt: truncate the interlaced stream mid-pass
+    import struct
+    import zlib
+    good = _build_png(11, 13, pix, interlace=1)
+    # rebuild with IDAT holding half the inflated bytes
+    sig, rest = good[:8], good[8:]
+    chunks = []
+    off = 0
+    while off + 8 <= len(rest):
+        (ln,) = struct.unpack(">I", rest[off:off + 4])
+        ct = rest[off + 4:off + 8]
+        chunks.append((ct, rest[off + 8:off + 8 + ln]))
+        off += 12 + ln
+    out = bytearray(sig)
+    for ct, data in chunks:
+        if ct == b"IDAT":
+            raw = zlib.decompress(data)
+            data = zlib.compress(raw[: len(raw) // 2])
+        out += (struct.pack(">I", len(data)) + ct + data
+                + struct.pack(">I", zlib.crc32(ct + data) & 0xFFFFFFFF))
+    with pytest.raises(ValueError):
+        _png_pixels(bytes(out), 4, 4)
 
 
 # ---------------------------------------------------------------------------

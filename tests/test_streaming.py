@@ -310,3 +310,49 @@ def test_streaming_tumbling_sink_registry_query(spark):
     )
     assert len(got) > 0
     assert got == batch
+
+
+def test_streaming_dedup_within_watermark_contract(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's three-arm contract across runs of one
+    checkpoint: (1) an exact in-run duplicate is suppressed; (2) the same key
+    re-arriving with a FRESH event time after its state expired (first ts +
+    delay < watermark) is re-emitted — dedup holds only within the
+    watermark; (3) a duplicate arriving with an event time BELOW the
+    watermark is dropped as late input, not emitted and not deduped."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ck")
+
+    def run(batch):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        stream = read_stream(spark, src, SCHEMA)
+        q = (
+            streaming_dedup(stream, keys=["event_id"], watermark_col="ts",
+                            watermark="2 hours")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["event_id"], r["ts"]) for r in spark.read.parquet(sink).collect()
+        )
+
+    def ev(eid, hours):
+        return Row(event_id=eid, ts=base + dt.timedelta(hours=hours),
+                   user_id=1, event_type="view", value=1.0)
+
+    # run 1: e1@0h twice (in-run dup suppressed) + e2@10h -> watermark 8h,
+    # e1's state (expiry 2h) evicted at the no-data flush batch
+    got = run([ev(1, 0), ev(1, 0), ev(2, 10)])
+    assert got == [(1, base), (2, base + dt.timedelta(hours=10))]
+    # run 2: key 1 again, fresh ts above the watermark -> re-emitted
+    got = run([ev(1, 9)])
+    assert got == [(1, base), (1, base + dt.timedelta(hours=9)),
+                   (2, base + dt.timedelta(hours=10))]
+    # run 3: key 2 again but BELOW the watermark -> dropped as late input
+    assert run([ev(2, 1)]) == got

@@ -63,6 +63,10 @@ HEAVY = [
     "funnel_windowed_conversion",
     "tpch_q1_pricing_summary",
     "tpch_q9_product_type_profit",
+    # round 6: LM-quality / data-selection / sketch tier
+    "doc_lm_perplexity",
+    "dsir_resample_topk",
+    "hll_distinct_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason
@@ -141,7 +145,13 @@ def _extra_queries():
 
 
 def main() -> None:
-    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale/sf1"
+    argv = list(sys.argv[1:])
+    only: set[str] = set()
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1 :])
+        argv = argv[:i]
+    sf1_dir = argv[0] if argv else "/tmp/spark_graft_scale/sf1"
     import __spark_entry__ as entrymod
     from us_equity_datalake_spark.session import get_spark
 
@@ -149,6 +159,8 @@ def main() -> None:
     qs = dict(entrymod.queries())
     qs.update(_extra_queries())
     names = HEAVY + list(_extra_queries()) + list(KNOWN_BOUND)
+    if only:
+        names = [n for n in names if n in only]
     missing = [n for n in names if n not in qs]
     if missing:
         raise SystemExit(f"unknown queries: {missing}")
@@ -192,6 +204,16 @@ def main() -> None:
         except Exception:
             pass
 
+    # --only runs MERGE into the committed section (don't clobber the rest)
+    detail_path0 = os.path.join(REPO, "BENCH_DETAIL.json")
+    if only and os.path.exists(detail_path0):
+        try:
+            prior = json.load(open(detail_path0)).get("sf1", {}).get("queries", {})
+            merged = dict(prior)
+            merged.update(out)
+            out = merged
+        except Exception:
+            pass
     gated = {n: r for n, r in out.items() if n not in KNOWN_BOUND}
     over = {n: r["ratio"] for n, r in gated.items() if r["ratio"] and r["ratio"] > 15}
     summary = {

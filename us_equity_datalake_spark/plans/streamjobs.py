@@ -366,3 +366,57 @@ def streaming_lifecycle_sink_q(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.read.parquet(sink).select("symbol", "snap_date", "event")
+
+
+@register(
+    "streaming_dedup_sink",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    """,
+    doc="Exactly-once-per-key delivery through the REAL streaming engine: "
+    "the events table is landed TWICE in the source directory (at-least-once "
+    "delivery), streamed with a 2 h event-time watermark through "
+    "dropDuplicatesWithinWatermark(event_id), and the parquet sink is graded "
+    "against the plain events table — every event exactly once.  Duplicates "
+    "are exact row copies, so the surviving row's projection is "
+    "deterministic whichever copy wins.  State is bounded by the watermark "
+    "(keys older than max event time - 2 h are evicted — the re-emission "
+    "contract past eviction is pinned in tests/test_streaming.py).",
+)
+def streaming_dedup_sink_q(spark, sf_dir):
+    """I4's anti-join freshness gate (reference update/app.py accession-number
+    existence probe) as a streaming dedup: the production topology for a feed
+    that may deliver the same record more than once.
+
+    One availableNow pass: dropDuplicates emits each key's first row in its
+    arrival batch (no watermark-held output), so a second no-data pass adds
+    nothing.  At 100 TB/day the identical topology runs continuously with the
+    same bounded state.
+    """
+    root = _scratch(sf_dir, "dedup")
+    src = os.path.join(root, "src")
+    sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
+    ev = load_table(spark, "events", sf_dir)
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)  # the duplicate delivery
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    from us_equity_datalake_spark.streaming.windows import streaming_dedup
+
+    q = (
+        streaming_dedup(stream, keys=["event_id"], watermark_col="ts", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )

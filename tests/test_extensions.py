@@ -443,3 +443,29 @@ def test_hll_linear_counting_branch(spark):
     row = hll_distinct(df, "k", by=["grp"]).collect()[0]
     assert row["v_empty"] > 0 and row["est_distinct"] != row["raw_est"]
     assert abs(row["est_distinct"] - n) / n < 0.05
+
+
+def test_cms_never_underestimates_and_small_stream_exact(spark):
+    from us_equity_datalake_spark.operators.sketch import cms_estimate, cms_sketch
+
+    rows = [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "term string")
+    grid = cms_sketch(df, "term")
+    probes = spark.createDataFrame([("a",), ("b",), ("c",)], "term string")
+    got = {r["term"]: r["cms_n"] for r in cms_estimate(grid, probes, "term").collect()}
+    # 3 distinct keys in a 4x2048 grid: collision-free, estimates are exact
+    assert got == {"a": 50, "b": 7, "c": 1}
+
+
+def test_cms_overestimates_under_forced_collisions(spark):
+    from us_equity_datalake_spark.operators.sketch import cms_estimate, cms_sketch
+
+    rows = [(f"k{i}",) for i in range(40) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "term string")
+    # width 2: every counter aggregates ~half the stream -> massive inflation
+    grid = cms_sketch(df, "term", width=2)
+    probes = df.distinct()
+    got = cms_estimate(grid, probes, "term", width=2).collect()
+    exact = {f"k{i}": i + 1 for i in range(40)}
+    assert all(r["cms_n"] >= exact[r["term"]] for r in got)
+    assert any(r["cms_n"] > exact[r["term"]] for r in got)

@@ -217,3 +217,114 @@ def hll_distinct_sql(table_expr: str, key_expr: str, by: list[str]) -> str:
                       ELSE {alpha_num} / CAST(s_total AS DOUBLE) END, 6) AS est_distinct
     FROM tot
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
+# ---------------------------------------------------------------------------
+#
+# The third member of the sketch family: KMV/HLL answer "how many distinct",
+# CMS answers "how often does item x occur" in fixed space — a depth x width
+# counter grid where every occurrence increments one counter per row and the
+# estimate is the MIN across rows (always >= the true count; error is
+# additive, ~ N / width per row, driven below any epsilon by widening).
+# At 100 TB the sketch is the aggregation state: posexplode multiplies the
+# stream by depth, but Catalyst's partial aggregation collapses each map
+# task to <= depth x width rows before the shuffle, so the shuffled volume
+# is sketch-sized, not stream-sized.
+#
+# Everything is integer arithmetic on md5-derived hashes (same universal-
+# hash family as MinHash: (a*h + b) mod P mod width, coefficients from
+# perm_coefficients), so sketch contents and estimates are bit-identical in
+# DuckDB and the approximate operator is graded exactly.
+
+from us_equity_datalake_spark.functions.hashing import (  # noqa: E402
+    MERSENNE_P,
+    md5_long32,
+    md5_long32_sql,
+    minhash_perm,
+    minhash_perm_sql,
+    perm_coefficients,
+)
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+CMS_SEED = 101
+
+
+def _cms_buckets(col: Column, depth: int, width: int, seed: int) -> Column:
+    h = md5_long32(col)
+    return F.array(
+        *[minhash_perm(h, a, b) % width for a, b in perm_coefficients(depth, seed)]
+    )
+
+
+def cms_sketch(
+    items: DataFrame,
+    col: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = CMS_SEED,
+) -> DataFrame:
+    """Build the (row_i, bucket, c) counter grid over an item stream."""
+    buckets = _cms_buckets(F.col(col), depth, width, seed)
+    return (
+        items.select(F.posexplode(buckets).alias("row_i", "bucket"))
+        .groupBy("row_i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = CMS_SEED,
+) -> DataFrame:
+    """min-over-rows CMS estimate for each probe item (broadcast sketch join).
+
+    The sketch is depth x width rows (dimension-sized by contract), so the
+    join is a broadcast hash join however large the probe set."""
+    pb = probes.select(
+        col, F.posexplode(_cms_buckets(F.col(col), depth, width, seed)).alias(
+            "row_i", "bucket"
+        )
+    )
+    return (
+        pb.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy(col)
+        .agg(F.min("c").alias("cms_n"))
+    )
+
+
+def cms_sql(
+    items_cte: str,
+    item_col: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = CMS_SEED,
+) -> tuple[str, str]:
+    """DuckDB twins: (sketch CTE body, probe-buckets select-list fragment).
+
+    ``items_cte`` is the name of a CTE with one row per item occurrence in
+    column ``item_col``.  Returns SQL for the counter grid and the per-probe
+    bucket array expression (UNNEST-ready)."""
+    h = md5_long32_sql(item_col)
+    perms = [
+        f"({minhash_perm_sql('h', a, b)} % {width})"
+        for a, b in perm_coefficients(depth, seed)
+    ]
+    grid = f"""
+      SELECT row_i, bucket, COUNT(*) AS c FROM (
+        SELECT unnest([{', '.join(perms)}]) AS bucket,
+               unnest(range(0, {depth})) AS row_i
+        FROM (SELECT {h} AS h FROM {items_cte})
+      ) GROUP BY row_i, bucket
+    """
+    probe_arr = f"[{', '.join(perms)}]"
+    return grid, probe_arr

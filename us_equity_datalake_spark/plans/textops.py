@@ -1084,3 +1084,60 @@ _DSIR_K = 100
 def dsir_resample_q(spark, sf_dir):
     docs = _docs_parallel(spark, sf_dir)
     return lm.dsir_resample(docs, F.col("lang") == "en", k=_DSIR_K)
+
+
+# --- Count-Min sketch heavy-hitter estimation -------------------------------
+
+_CMS_TOPK = 20
+
+
+def _cms_oracle() -> str:
+    from us_equity_datalake_spark.operators import sketch as sk
+
+    grid, probe_arr = sk.cms_sql("tstream", "term")
+    h = hashing.md5_long32_sql("term")
+    return f"""
+    WITH {_TOKS_SQL},
+    tstream AS (SELECT unnest(t) AS term FROM toks),
+    exact AS (SELECT term, COUNT(*) AS exact_n FROM tstream GROUP BY term),
+    top AS (SELECT * FROM exact ORDER BY exact_n DESC, term LIMIT {_CMS_TOPK}),
+    grid AS ({grid}),
+    pb AS (
+      SELECT term, unnest({probe_arr}) AS bucket,
+             unnest(range(0, {sk.CMS_DEPTH})) AS row_i
+      FROM (SELECT term, {h} AS h FROM top)
+    ),
+    est AS (
+      SELECT term, CAST(MIN(c) AS BIGINT) AS cms_n
+      FROM pb JOIN grid USING (row_i, bucket) GROUP BY term
+    )
+    SELECT term, exact_n, cms_n, cms_n > exact_n AS inflated
+    FROM top JOIN est USING (term)
+    """
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    doc="Count-Min sketch (depth 4 x width 2048, universal md5 hashes) over "
+    "the corpus token stream, probed with the exact top-20 terms: the "
+    "estimate is min-over-rows, always >= the true count, and the grid is "
+    "sketch-sized after partial aggregation however large the stream. "
+    "Integer arithmetic end to end, so the approximate counts grade exactly "
+    "against DuckDB.",
+)
+def cms_heavy_hitters_q(spark, sf_dir):
+    from us_equity_datalake_spark.operators import sketch as sk
+
+    docs = _docs_parallel(spark, sf_dir)
+    tstream = docs.select(F.explode(text.tokens(F.col("text"))).alias("term"))
+    exact = tstream.groupBy("term").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "term").limit(_CMS_TOPK)
+    grid = sk.cms_sketch(tstream, "term")
+    est = sk.cms_estimate(grid, top, "term")
+    return top.join(est, "term").select(
+        "term",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") > F.col("exact_n")).alias("inflated"),
+    )

@@ -316,9 +316,28 @@ def _build_png(width, height, pixel_fn, *, channels=3, filters=None,
 
     if color_type is None:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    bpp = channels
+    bpp = max(1, channels * bit_depth // 8)
 
-    def filt(rows):
+    def to_bytes(samples):
+        # sample list -> filtered-stream BYTES for this bit depth
+        if bit_depth == 8:
+            return list(samples)
+        if bit_depth == 16:
+            return [b for v in samples for b in (v >> 8, v & 255)]
+        per = 8 // bit_depth
+        out, cur, n = [], 0, 0
+        for v in samples:
+            cur = (cur << bit_depth) | (v & ((1 << bit_depth) - 1))
+            n += 1
+            if n == per:
+                out.append(cur)
+                cur, n = 0, 0
+        if n:
+            out.append(cur << (bit_depth * (per - n)))  # pad row to byte edge
+        return out
+
+    def filt(sample_rows):
+        rows = [to_bytes(r) for r in sample_rows]
         out = bytearray()
         if not rows:
             return out
@@ -426,10 +445,11 @@ def test_decode_image_real_png_path(spark):
     with pytest.raises(ValueError):
         _png_pixels(b"not a png at all", 2, 2)
 
-    # unsupported shapes gate to PIL (NotImplementedError), honestly named
-    sixteen = _build_png(3, 3, lambda x, y: (1, 2, 3), bit_depth=16)
-    with pytest.raises(NotImplementedError):
-        _png_pixels(sixteen, 2, 2)
+    # an out-of-spec depth/color combination is corrupt: ValueError
+    twelve = bytearray(_build_png(3, 3, lambda x, y: (1, 2, 3)))
+    twelve[24] = 12  # IHDR bit-depth byte: 12 is not a PNG depth
+    with pytest.raises(ValueError):
+        _png_pixels(bytes(twelve), 2, 2)
 
 
 def test_png_adam7_interlace_and_palette():
@@ -765,3 +785,71 @@ def test_decode_image_real_jpeg_path(spark):
     twelve = payload[: i + 4] + b"\x0c" + payload[i + 5 :]
     with pytest.raises(NotImplementedError):
         _jpeg_pixels(twelve, 2, 2)
+
+
+def test_png_16bit_and_subbyte_depths():
+    """r6: the PNG decoder is spec-complete on depths — 16-bit samples are
+    big-endian pairs scaled 255/65535, 1/2/4-bit gray scales by
+    255/(2^d - 1), sub-byte palette indexes PLTE directly, and every depth
+    composes with Adam7 interlacing."""
+    from us_equity_datalake_spark.multimodal.columns import _png_pixels
+
+    # 16-bit gray: value 32768 -> 32768/65535 luma
+    g16 = _build_png(4, 3, lambda x, y: (32768,), channels=1, bit_depth=16)
+    got = _png_pixels(g16, 4, 3)
+    assert all(abs(v - 32768 / 65535.0) < 1e-9 for v in got)
+
+    # 16-bit RGB golden with varying values (exercises filters over 6-byte bpp)
+    def pix16(x, y):
+        return ((x * 4111 + y * 257) % 65536, (x * 31 + y * 7177) % 65536,
+                (x + y * 12289) % 65536)
+    rgb16 = _png_pixels(_build_png(5, 7, pix16), 5, 7)  # 8-bit baseline...
+    # build the real 16-bit stream and compare against direct luma math
+    p16 = _png_pixels(_build_png(5, 7, pix16, bit_depth=16), 5, 7)
+    exp = [
+        (0.299 * pix16(x, y)[0] + 0.587 * pix16(x, y)[1] + 0.114 * pix16(x, y)[2])
+        * (255.0 / 65535.0) / 255.0
+        for y in range(7) for x in range(5)
+    ]
+    assert all(abs(g - e) < 1e-9 for g, e in zip(p16, exp))
+    assert rgb16 != p16  # the 8-bit build truncates: different image, by design
+
+    # 4-bit gray gradient (ragged width: 5 px -> 2.5 bytes padded to 3)
+    g4 = _build_png(5, 4, lambda x, y: ((x + y) % 16,), channels=1, bit_depth=4)
+    got4 = _png_pixels(g4, 5, 4)
+    exp4 = [((x + y) % 16) * (255.0 / 15.0) / 255.0 for y in range(4) for x in range(5)]
+    assert all(abs(g - e) < 1e-9 for g, e in zip(got4, exp4))
+
+    # 1-bit gray checkerboard
+    g1 = _build_png(9, 2, lambda x, y: ((x + y) % 2,), channels=1, bit_depth=1)
+    got1 = _png_pixels(g1, 9, 2)
+    assert [round(v) for v in got1] == [(x + y) % 2 for y in range(2) for x in range(9)]
+
+    # 2-bit palette: index -> PLTE rgb luma
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    p2 = _build_png(6, 3, lambda x, y: ((x % 4),), channels=1, color_type=3,
+                    bit_depth=2, palette=pal)
+    got2 = _png_pixels(p2, 6, 3)
+    lum = [0.0, 0.299, 0.587, 0.114]
+    exp2 = [lum[x % 4] for y in range(3) for x in range(6)]
+    assert all(abs(g - e) < 1e-9 for g, e in zip(got2, exp2))
+
+    # 16-bit + Adam7 compose: interlaced == sequential
+    seq = _png_pixels(_build_png(11, 5, pix16, bit_depth=16), 11, 5)
+    inter = _png_pixels(_build_png(11, 5, pix16, bit_depth=16, interlace=1), 11, 5)
+    assert seq == inter
+    # 4-bit + Adam7 compose
+    seq4 = _png_pixels(_build_png(7, 9, lambda x, y: ((3 * x + y) % 16,),
+                                  channels=1, bit_depth=4), 7, 9)
+    int4 = _png_pixels(_build_png(7, 9, lambda x, y: ((3 * x + y) % 16,),
+                                  channels=1, bit_depth=4, interlace=1), 7, 9)
+    assert seq4 == int4
+
+    # spec-invalid combos are corrupt: ValueError
+    for bad in (
+        _build_png(3, 3, lambda x, y: (1, 2, 3), bit_depth=4),     # RGB @ 4
+        _build_png(3, 3, lambda x, y: (1,), channels=1, color_type=3,
+                   bit_depth=16),                                   # palette @ 16
+    ):
+        with pytest.raises(ValueError):
+            _png_pixels(bad, 2, 2)

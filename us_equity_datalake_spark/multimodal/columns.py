@@ -102,18 +102,18 @@ _PNG_ADAM7 = [
 ]
 
 
-def _png_defilter(raw, width_px, channels):
+def _png_defilter(raw, bpp):
     """Invert PNG scanline filtering for one (sub-)image.
 
-    ``raw`` is the inflated byte matrix reshaped to (rows, 1 + width*channels)
-    — filter byte first.  All five filter types: Sub uses the mod-256
-    strided-cumsum identity, Up is vectorized, Average/Paeth run the spec's
-    sequential recurrences.  Returns the reconstructed (rows, width*channels)
-    int array."""
+    ``raw`` is the inflated byte matrix reshaped to (rows, 1 + rowbytes) —
+    filter byte first; ``bpp`` is the filter unit in BYTES (max(1,
+    channels * bit_depth / 8) per spec — sub-byte depths filter on whole
+    bytes).  All five filter types: Sub uses the mod-256 strided-cumsum
+    identity, Up is vectorized, Average/Paeth run the spec's sequential
+    recurrences.  Returns the reconstructed (rows, rowbytes) int array."""
     import numpy as np
 
     rows, rowlen = raw.shape[0], raw.shape[1] - 1
-    bpp = channels
     recon = np.zeros((rows, rowlen), np.int64)
     for y in range(rows):
         ftype, line = int(raw[y, 0]), raw[y, 1:].astype(np.int64)
@@ -121,8 +121,9 @@ def _png_defilter(raw, width_px, channels):
         if ftype == 0:  # None
             recon[y] = line
         elif ftype == 1:  # Sub: strided cumsum mod 256
-            r = line.reshape(-1, bpp)
-            recon[y] = (np.cumsum(r, axis=0) % 256).reshape(-1)
+            pad = (-rowlen) % bpp
+            r = np.concatenate([line, np.zeros(pad, np.int64)]).reshape(-1, bpp)
+            recon[y] = (np.cumsum(r, axis=0) % 256).reshape(-1)[:rowlen]
         elif ftype == 2:  # Up
             recon[y] = (line + prev) % 256
         elif ftype == 3:  # Average
@@ -145,12 +146,33 @@ def _png_defilter(raw, width_px, channels):
     return recon
 
 
+def _png_samples(recon, width, channels, bit_depth):
+    """Byte matrix -> (rows, width, channels) float samples in [0, 255].
+
+    16-bit samples are big-endian byte pairs scaled by 255/65535; sub-byte
+    depths (gray/palette only, 8/d samples packed big-endian per byte, rows
+    padded to a byte boundary) unpack via shifts.  Palette callers rescale
+    indices themselves (an index is not an intensity)."""
+    import numpy as np
+
+    rows = recon.shape[0]
+    if bit_depth == 8:
+        return recon.reshape(rows, width, channels).astype(np.float64)
+    if bit_depth == 16:
+        b = recon.reshape(rows, width, channels, 2).astype(np.float64)
+        return b[..., 0] * 256.0 + b[..., 1]
+    per = 8 // bit_depth
+    mask = (1 << bit_depth) - 1
+    shifts = [8 - bit_depth * (i + 1) for i in range(per)]
+    unpacked = np.stack([(recon >> sh) & mask for sh in shifts], axis=-1)
+    return unpacked.reshape(rows, -1)[:, :width].reshape(rows, width, 1).astype(np.float64)
+
+
 def _png_pixels(payload: bytes, w: int, h: int) -> list[float]:
-    """REAL image decode for 8-bit PNG (gray / gray+alpha / RGB / RGBA /
-    palette, interlaced or not) — pure stdlib ``zlib`` + ``struct`` + numpy,
-    no external codec (VERDICT r4 #5 closed the lossless-image gate; round 6
-    adds Adam7 interlace and 8-bit palette; PIL remains only for lossy
-    formats and sub-byte/16-bit depths).
+    """REAL image decode for PNG, spec-complete — pure stdlib ``zlib`` +
+    ``struct`` + numpy, no external codec (VERDICT r4 #5 closed the
+    lossless-image gate; round 6 adds Adam7 interlace, palette, and the
+    16-bit/sub-byte depths, so PIL remains only for lossy formats).
 
     Chunk walk → IHDR/PLTE validation → IDAT concatenation → one zlib
     inflate → per-pass scanline defilter (:func:`_png_defilter`; Adam7
@@ -158,9 +180,10 @@ def _png_pixels(payload: bytes, w: int, h: int) -> list[float]:
     pass grid) → palette lookup if color type 3 → luma → the same
     nearest-neighbor index math as :func:`_bmp_pixels` / resize_images.
 
-    Unsupported shapes gate honestly: 16-bit and sub-byte depths raise
-    NotImplementedError naming the PIL path; corrupt bytes raise ValueError
-    at the parse boundary."""
+    Every depth/color combination the PNG spec allows decodes (1/2/4/8-bit
+    gray and palette, 8/16-bit gray+alpha/RGB/RGBA, interlaced or not);
+    invalid combinations and corrupt bytes raise ValueError at the parse
+    boundary."""
     import struct
     import zlib
 
@@ -193,53 +216,60 @@ def _png_pixels(payload: bytes, w: int, h: int) -> list[float]:
         raise ValueError("PNG missing IHDR")
     pw, ph, bit_depth, color_type, _comp, _filt, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if bit_depth != 8 or channels is None or interlace not in (0, 1):
-        raise NotImplementedError(
-            "only 8-bit gray/RGB/alpha/palette PNG (interlaced or not) decodes "
-            "in-sandbox; 16-bit and sub-byte depths require PIL — not in this image"
+    spec_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                   4: (8, 16), 6: (8, 16)}
+    if channels is None or interlace not in (0, 1) \
+            or bit_depth not in spec_depths.get(color_type, ()):
+        raise ValueError(
+            f"invalid PNG depth/color combination ({bit_depth}, {color_type}, "
+            f"interlace {interlace})"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     if pw == 0 or ph == 0:
         raise ValueError("degenerate PNG dimensions")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    recon = np.zeros((ph, pw * channels), np.int64)
+    bpp = max(1, channels * bit_depth // 8)  # filter unit in bytes
+
+    def rowbytes(width):
+        return (width * channels * bit_depth + 7) // 8
+
     if interlace == 0:
-        rowlen = pw * channels
-        if raw.size != ph * (rowlen + 1):
+        rb = rowbytes(pw)
+        if raw.size != ph * (rb + 1):
             raise ValueError("PNG pixel data does not match IHDR dimensions")
-        recon = _png_defilter(raw.reshape(ph, rowlen + 1), pw, channels)
-        px = recon.reshape(ph, pw, channels).astype(np.float64)
+        recon = _png_defilter(raw.reshape(ph, rb + 1), bpp)
+        px = _png_samples(recon, pw, channels, bit_depth)
     else:  # Adam7: 7 independently-filtered sub-images, scattered on the grid
-        img = np.zeros((ph, pw, channels), np.float64)
+        px = np.zeros((ph, pw, channels), np.float64)
         pos = 0
         for x0, y0, dx, dy in _PNG_ADAM7:
             pw_p = (pw - x0 + dx - 1) // dx
             ph_p = (ph - y0 + dy - 1) // dy
             if pw_p <= 0 or ph_p <= 0:
                 continue  # empty pass carries NO bytes (not even filter bytes)
-            rowlen = pw_p * channels
-            need = ph_p * (rowlen + 1)
+            rb = rowbytes(pw_p)
+            need = ph_p * (rb + 1)
             if pos + need > raw.size:
                 raise ValueError("PNG pixel data does not match IHDR dimensions")
-            sub = _png_defilter(
-                raw[pos : pos + need].reshape(ph_p, rowlen + 1), pw_p, channels
-            )
+            sub = _png_defilter(raw[pos : pos + need].reshape(ph_p, rb + 1), bpp)
             pos += need
-            img[y0::dy, x0::dx, :] = sub.reshape(ph_p, pw_p, channels)
+            px[y0::dy, x0::dx, :] = _png_samples(sub, pw_p, channels, bit_depth)
         if pos != raw.size:
             raise ValueError("PNG pixel data does not match IHDR dimensions")
-        px = img
-    if color_type == 3:  # palette lookup, then RGB luma
+    if color_type == 3:  # palette lookup, then RGB luma (indices: no rescale)
         idx = px[..., 0].astype(np.int64)
         if idx.max() >= plte.shape[0]:
             raise ValueError("palette index out of range")
         rgb = plte[idx]
         gray = rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
-    elif channels >= 3:  # RGB(A) — alpha ignored for luma
-        gray = px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
-    else:  # gray / gray+alpha
-        gray = px[..., 0]
+    else:
+        if bit_depth != 8:  # 16-bit and sub-byte intensities -> 0..255 domain
+            px = px * (255.0 / ((1 << bit_depth) - 1))
+        if channels >= 3:  # RGB(A) — alpha ignored for luma
+            gray = px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+        else:  # gray / gray+alpha
+            gray = px[..., 0]
     ys = (np.arange(h) * ph) // h
     xs = (np.arange(w) * pw) // w
     out = gray[np.ix_(ys, xs)] / 255.0
@@ -494,7 +524,7 @@ def _jpeg_pixels(payload: bytes, w: int, h: int) -> list[float]:
 
 def _real_pixels(payload: bytes, w: int, h: int) -> list[float]:
     """Real decode: BMP parses in-sandbox via :func:`_bmp_pixels`, PNG via
-    :func:`_png_pixels` (r5 — stdlib zlib inflate + defilter), baseline JPEG
+    :func:`_png_pixels` (r5/r6 — stdlib zlib, every spec depth/interlace), baseline JPEG
     via :func:`_jpeg_pixels` (r6 — Huffman + dequant + matrix IDCT);
     everything else goes through PIL (grayscale + resize, normalized [0, 1]),
     so the PIL gate now covers only progressive/exotic variants and the
@@ -506,31 +536,28 @@ def _real_pixels(payload: bytes, w: int, h: int) -> list[float]:
     if payload[:2] == b"BM":
         return _bmp_pixels(payload, w, h)
     if payload[:8] == _PNG_SIG:
-        try:
-            return _png_pixels(payload, w, h)
-        except NotImplementedError:
-            # 16-bit / sub-byte-depth PNG: fall through to PIL when it
-            # is importable (the r4 behavior); without PIL the gate below
-            # raises with the accurate message.  NOTE the two decoders are
-            # not numerically identical by design: the pure path keeps float
-            # luma and the (i*src)//dst sampling grid shared with _bmp_pixels
-            # (the canonical in-sandbox semantics the golden tests pin),
-            # while PIL quantizes convert('L') to uint8 on its own NEAREST
-            # grid — PIL is a fallback codec, not a parity twin.
-            pass
+        # r6: every spec depth/color/interlace combination decodes in-sandbox;
+        # anything else is corrupt and raises ValueError — no PIL fallback
+        return _png_pixels(payload, w, h)
     if payload[:2] == b"\xff\xd8":
         try:
             return _jpeg_pixels(payload, w, h)
         except NotImplementedError:
-            # progressive / 12-bit / arithmetic JPEG: PIL fallback, same
-            # non-parity caveat as the PNG branch above
+            # progressive / 12-bit / arithmetic JPEG: fall through to PIL
+            # when it is importable; without PIL the gate below raises with
+            # the accurate message.  NOTE the two decoders are not
+            # numerically identical by design: the pure path keeps float
+            # luma and the (i*src)//dst sampling grid shared with
+            # _bmp_pixels (the canonical in-sandbox semantics the golden
+            # tests pin), while PIL quantizes convert('L') to uint8 on its
+            # own NEAREST grid — PIL is a fallback codec, not a parity twin.
             pass
     try:
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
             "progressive/exotic image decode requires PIL — not in this "
-            "image; 24-bit BMP, 8-bit PNG (incl. Adam7/palette) and baseline "
+            "image; 24-bit BMP, all spec PNG shapes and baseline "
             "sequential JPEG decode in-sandbox, or use fake=True for "
             "plumbing tests"
         ) from e

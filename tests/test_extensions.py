@@ -469,3 +469,28 @@ def test_cms_overestimates_under_forced_collisions(spark):
     exact = {f"k{i}": i + 1 for i in range(40)}
     assert all(r["cms_n"] >= exact[r["term"]] for r in got)
     assert any(r["cms_n"] > exact[r["term"]] for r in got)
+
+
+def test_histogram_quantiles_error_bounded_by_bin_width(spark):
+    from us_equity_datalake_spark.operators.stats import histogram_quantiles
+
+    df = spark.range(10_000).select((F.col("id") * 3.5 + 7.0).alias("v"))
+    out = {r["q"]: r for r in histogram_quantiles(df, "v").collect()}
+    lo, hi = 7.0, 9999 * 3.5 + 7.0
+    bin_w = (hi - lo) / 1024
+    for q in (0.5, 0.9, 0.99):
+        r = out[q]
+        assert abs(r["est_q"] - r["exact_q"]) <= bin_w + 1e-6
+        assert r["abs_err"] == round(abs(r["est_q"] - r["exact_q"]), 6)
+    assert out[0.5]["target_rank"] == 5000
+
+
+def test_histogram_quantiles_constant_and_null_columns(spark):
+    from us_equity_datalake_spark.operators.stats import histogram_quantiles
+
+    # all-equal values: hi == lo -> width 0; every row lands in bucket 0
+    # (floor(x/0) = NaN -> clipped) and every quantile is the constant
+    df = spark.createDataFrame([(5.0,), (5.0,), (None,), (5.0,)], "v double")
+    out = histogram_quantiles(df, "v").collect()
+    assert len(out) == 3
+    assert all(r["exact_q"] == 5.0 for r in out)

@@ -566,3 +566,28 @@ def asof_tolerance_q(spark, sf_dir):
         value_cols=["view_value"], tolerance_days=0,
     )
     return joined.select("event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "view_value")
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "histogram_quantile_sketch",
+    oracle=__import__(
+        "us_equity_datalake_spark.operators.stats", fromlist=["histogram_quantiles_sql"]
+    ).histogram_quantiles_sql("lineitem", "l_extendedprice"),
+    doc="Fixed-bin (1024) histogram quantile sketch of l_extendedprice at "
+    "p50/p90/p99 alongside the exact rank quantile: the quantile member of "
+    "the sketch family (KMV/HLL distinct, CMS frequency).  Two corpus "
+    "passes; the shuffled state is <= 1024 counters per map task, the "
+    "cumulative table is dimension-sized, and the bin/interpolation math is "
+    "identical IEEE doubles in both engines so the approximation grades "
+    "exactly (error bounded by one bin width).",
+)
+def histogram_quantile_sketch_q(spark, sf_dir):
+    from us_equity_datalake_spark.operators.stats import histogram_quantiles
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return histogram_quantiles(li, "l_extendedprice")

@@ -777,10 +777,12 @@ def test_decode_image_real_jpeg_path(spark):
     with pytest.raises(ValueError):
         _jpeg_pixels(truncated, 2, 2)
 
-    # progressive (SOF2) and 12-bit gates name the PIL path
+    # a baseline stream relabeled SOF2 is CORRUPT progressive input (a DC
+    # scan must have Se=0): ValueError, not a gate (r6 decodes real SOF2)
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         _jpeg_pixels(prog, 2, 2)
+    # 12-bit gate names the PIL path
     i = payload.index(b"\xff\xc0")
     twelve = payload[: i + 4] + b"\x0c" + payload[i + 5 :]
     with pytest.raises(NotImplementedError):
@@ -853,3 +855,394 @@ def test_png_16bit_and_subbyte_depths():
     ):
         with pytest.raises(ValueError):
             _png_pixels(bad, 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# r6 session 2: progressive-JPEG decode — the test carries a minimal
+# progressive encoder (spectral selection + successive approximation with
+# the spec's correction-bit buffering, ITU T.81 Annex G) so fixtures are
+# synthesized in-sandbox.  The golden is decode(encode(img)) == the
+# independent dequant+IDCT of the GROUND-TRUTH coefficients, so a
+# symmetric encode/decode bug cannot hide: the encoder's input coefficients
+# are the oracle, not its output stream.
+# ---------------------------------------------------------------------------
+
+
+# Progressive AC scans need EOBn symbols (0x10..0xE0) which the Annex-K
+# sequential tables do not define; progressive encoders ship custom tables.
+# A flat 9-bit canonical table over every symbol progressive AC coding can
+# emit (EOB0-14, ZRL, and all run/size pairs) is legal (incomplete tables
+# are allowed) and keeps the fixture simple.
+_PROG_AC_VALUES = (
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_COUNTS = [0] * 8 + [len(_PROG_AC_VALUES)] + [0] * 7
+
+
+def _quantized_blocks(plane, q):
+    """Ground-truth zigzag coefficient grid for one component plane."""
+    import numpy as np
+
+    a = _dct_basis()
+    ph, pw = plane.shape
+    bh, bw = (ph + 7) // 8, (pw + 7) // 8
+    zz = np.zeros((bh, bw, 64), np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = np.full((8, 8), 128.0)
+            ys, xs = min(8, ph - by * 8), min(8, pw - bx * 8)
+            block[:ys, :xs] = plane[by * 8 : by * 8 + ys, bx * 8 : bx * 8 + xs]
+            c = a @ (block - 128.0) @ a.T
+            zz[by, bx] = [int(round(c.reshape(-1)[_JPEG_ZZ[i]] / q[i])) for i in range(64)]
+    return zz
+
+
+class _ProgACState:
+    """EOB-run + buffered-correction-bit state for one AC scan."""
+
+    def __init__(self, writer, ac_codes):
+        self.w, self.codes = writer, ac_codes
+        self.eobrun, self.bebuf = 0, []
+
+    def flush_eob(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            ln, code = self.codes[r << 4]
+            self.w.put(code, ln)
+            if r:
+                self.w.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.bebuf:
+            self.w.put(b, 1)
+        self.bebuf = []
+
+
+def _enc_ac_first(st, vals, raw, ss, se):
+    """One block of an AC first scan (Ah=0): EOB-run + run/size coding of
+    the point-transformed band values."""
+    if not vals[ss : se + 1].any():
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+        return
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(vals[k])
+        if v == 0:
+            r += 1
+            continue
+        st.flush_eob()
+        while r > 15:
+            ln, code = st.codes[0xF0]
+            st.w.put(code, ln)
+            r -= 16
+        s = abs(v).bit_length()
+        ln, code = st.codes[(r << 4) | s]
+        st.w.put(code, ln)
+        st.w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+
+
+def _enc_ac_refine(st, absvals, raw, ss, se):
+    """One block of an AC refinement scan (Ah>0) — libjpeg jcphuff ordering.
+
+    TWO correction buffers, as in the spec: ``br`` holds this block's
+    correction bits since the last emitted symbol (they follow that symbol),
+    while ``st.bebuf`` holds bits riding with the pending EOB run (they
+    follow the EOBn code).  Conflating them emits a block's corrections
+    BEFORE its first symbol — a one-buffer desync this test suite caught.
+    ZRLs flush at every nonzero, guarded by the last-newly-significant
+    position; trailing corrections fold into the EOB run."""
+    eob = 0
+    for k in range(ss, se + 1):
+        if absvals[k] == 1:
+            eob = k
+    r = 0
+    br = []
+    for k in range(ss, se + 1):
+        t = int(absvals[k])
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.flush_eob()
+            ln, code = st.codes[0xF0]
+            st.w.put(code, ln)
+            r -= 16
+            for b in br:
+                st.w.put(b, 1)
+            br = []
+        if t > 1:  # history-nonzero: correction bit rides with the next symbol
+            br.append(t & 1)
+            continue
+        st.flush_eob()
+        ln, code = st.codes[(r << 4) | 1]
+        st.w.put(code, ln)
+        st.w.put(1 if raw[k] >= 0 else 0, 1)
+        for b in br:
+            st.w.put(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.bebuf.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+
+
+def _build_progressive_jpeg(img, scans, *, quant=None, subsample="444", dri=0):
+    """Progressive encoder: ``scans`` is a list of dicts with keys
+    comps (list of component ids), ss, se, ah, al.  Returns
+    (bytes, y_recon) with y_recon the independent dequant+IDCT of the
+    ground-truth luma coefficients."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.float64)
+    q = np.array(quant if quant is not None else [1] * 64, dtype=np.float64)
+    if img.ndim == 2:
+        fh, fw = img.shape
+        comps = [(1, 1, 1, 0)]
+        planes = {1: img}
+    else:
+        fh, fw = img.shape[:2]
+        y = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        cb = 128.0 - 0.168736 * img[..., 0] - 0.331264 * img[..., 1] + 0.5 * img[..., 2]
+        cr = 128.0 + 0.5 * img[..., 0] - 0.418688 * img[..., 1] - 0.081312 * img[..., 2]
+        if subsample == "420":
+            comps = [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+            cb = cb.reshape(fh // 2, 2, fw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(fh // 2, 2, fw // 2, 2).mean(axis=(1, 3))
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+        planes = {1: y, 2: cb, 3: cr}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    # ground-truth coefficients over MCU-padded grids
+    zz = {}
+    for cid, hi, vi, _tq in comps:
+        plane = planes[cid]
+        padded = np.full((mcuy * vi * 8, mcux * hi * 8), 128.0)
+        padded[: plane.shape[0], : plane.shape[1]] = plane
+        zz[cid] = _quantized_blocks(padded, q)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(int(v) for v in q)
+    sof = struct.pack(">BHHB", 8, fh, fw, len(comps))
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for tc, counts, values in ((0, _K3_DC_COUNTS, _K3_DC_VALUES),
+                               (1, _PROG_AC_COUNTS, _PROG_AC_VALUES)):
+        seg = bytes([tc << 4]) + bytes(counts) + bytes(values)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+
+    dc_codes = _huff_codes(_K3_DC_COUNTS, _K3_DC_VALUES)
+    ac_codes = _huff_codes(_PROG_AC_COUNTS, _PROG_AC_VALUES)
+    comp_by_id = {c[0]: c for c in comps}
+
+    def cat(v):
+        return abs(v).bit_length()
+
+    for scan in scans:
+        scids, ss, se, ah, al = (scan["comps"], scan["ss"], scan["se"],
+                                 scan["ah"], scan["al"])
+        sos = bytes([len(scids)])
+        for cid in scids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        writer = _JBitWriter()
+        st = _ProgACState(writer, ac_codes)
+        dc_pred = {cid: 0 for cid in scids}
+        rst = 0
+        interleaved = len(scids) > 1
+        if interleaved:
+            units = [("mcu", m) for m in range(mcux * mcuy)]
+        else:
+            cid0 = scids[0]
+            _, hi, vi, _ = comp_by_id[cid0]
+            cw = (fw * hi + hmax - 1) // hmax
+            ch = (fh * vi + vmax - 1) // vmax
+            bw_, bh_ = (cw + 7) // 8, (ch + 7) // 8
+            units = [("blk", b) for b in range(bw_ * bh_)]
+        for ui, (_kind, u) in enumerate(units):
+            if dri and ui and ui % dri == 0:
+                st.flush_eob()
+                writer.flush()
+                out += writer.out + bytes([0xFF, 0xD0 + (rst % 8)])
+                writer = _JBitWriter()
+                st = _ProgACState(writer, ac_codes)
+                rst += 1
+                dc_pred = {cid: 0 for cid in scids}
+            blocks = []
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for cid in scids:
+                    _, hi, vi, _ = comp_by_id[cid]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            blocks.append((cid, my * vi + by, mx * hi + bx))
+            else:
+                by, bx = divmod(u, bw_)
+                blocks.append((scids[0], by, bx))
+            for cid, by, bx in blocks:
+                raw = zz[cid][by, bx]
+                if ss == 0 and ah == 0:  # DC first
+                    v = int(raw[0]) >> al
+                    diff = v - dc_pred[cid]
+                    dc_pred[cid] = v
+                    s = cat(diff)
+                    ln, code = dc_codes[s]
+                    writer.put(code, ln)
+                    if s:
+                        writer.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                elif ss == 0:  # DC refine
+                    writer.put((int(raw[0]) >> al) & 1, 1)
+                elif ah == 0:  # AC first: sign-preserving magnitude shift
+                    vals = np.sign(raw) * (np.abs(raw) >> al)
+                    _enc_ac_first(st, vals, raw, ss, se)
+                else:  # AC refine
+                    _enc_ac_refine(st, np.abs(raw) >> al, raw, ss, se)
+        st.flush_eob()
+        writer.flush()
+        out += writer.out
+    out += b"\xff\xd9"
+    # independent recon of the luma ground truth
+    a = _dct_basis()
+    lzz = zz[comps[0][0]]
+    y_recon = np.zeros((lzz.shape[0] * 8, lzz.shape[1] * 8))
+    for by in range(lzz.shape[0]):
+        for bx in range(lzz.shape[1]):
+            deq = np.zeros(64)
+            deq[_JPEG_ZZ] = lzz[by, bx] * q
+            y_recon[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                a.T @ deq.reshape(8, 8) @ a + 128.0
+            )
+    return bytes(out), y_recon[:fh, :fw]
+
+
+_FULL_LADDER = [
+    dict(comps=[1], ss=0, se=0, ah=0, al=1),    # DC first, 1 bit held back
+    dict(comps=[1], ss=1, se=5, ah=0, al=2),    # AC low band, coarse
+    dict(comps=[1], ss=1, se=5, ah=2, al=1),    # AC low band, +1 bit
+    dict(comps=[1], ss=6, se=63, ah=0, al=1),   # AC high band, coarse
+    dict(comps=[1], ss=0, se=0, ah=1, al=0),    # DC refinement
+    dict(comps=[1], ss=1, se=5, ah=1, al=0),    # AC low band, final bit
+    dict(comps=[1], ss=6, se=63, ah=1, al=0),   # AC high band, final bit
+]
+
+
+def test_progressive_jpeg_full_ladder_gray():
+    """The complete progressive ladder (spectral selection x successive
+    approximation, DC and AC refinements) recovers the ground-truth
+    coefficients bit-exactly: decode == independent recon to 1e-9."""
+    import numpy as np
+
+    from us_equity_datalake_spark.multimodal.columns import _jpeg_pixels
+
+    rng = np.random.RandomState(7)
+    img = np.clip(rng.randint(0, 256, (24, 17)).astype(float), 0, 255)
+    payload, recon = _build_progressive_jpeg(img, _FULL_LADDER)
+    got = _jpeg_pixels(payload, 17, 24)
+    exp = np.clip(recon, 0.0, 255.0) / 255.0
+    assert np.allclose(np.array(got).reshape(24, 17), exp, atol=1e-9)
+
+
+def test_progressive_jpeg_rgb_420_interleaved_dc():
+    """Interleaved DC scans with 4:2:0 sampling factors + per-component AC
+    scans: the chroma scans must be entropy-decoded for stream sync, the
+    luma must match its ground-truth recon."""
+    import numpy as np
+
+    from us_equity_datalake_spark.multimodal.columns import _jpeg_pixels
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(float)
+    scans = [
+        dict(comps=[1, 2, 3], ss=0, se=0, ah=0, al=1),
+        dict(comps=[1, 2, 3], ss=0, se=0, ah=1, al=0),
+        dict(comps=[1], ss=1, se=63, ah=0, al=0),
+        dict(comps=[2], ss=1, se=63, ah=0, al=0),
+        dict(comps=[3], ss=1, se=63, ah=0, al=0),
+    ]
+    payload, recon = _build_progressive_jpeg(img, scans, subsample="420")
+    got = _jpeg_pixels(payload, 16, 16)
+    exp = np.clip(recon, 0.0, 255.0) / 255.0
+    assert np.allclose(np.array(got).reshape(16, 16), exp, atol=1e-9)
+
+
+def test_progressive_jpeg_quantized_smooth_image():
+    """With a real quant table on a smooth image (long zero runs, EOB runs
+    spanning blocks), the decode still equals the recon of the quantized
+    ground truth, and differs from the source by a bounded quant error."""
+    import numpy as np
+
+    from us_equity_datalake_spark.multimodal.columns import _jpeg_pixels
+
+    yy, xx = np.mgrid[0:32, 0:24]
+    img = 128.0 + 60.0 * np.sin(xx / 7.0) * np.cos(yy / 9.0)
+    quant = [16] + [11] * 63
+    payload, recon = _build_progressive_jpeg(img, _FULL_LADDER, quant=quant)
+    got = np.array(_jpeg_pixels(payload, 24, 32)).reshape(32, 24)
+    exp = np.clip(recon, 0.0, 255.0) / 255.0
+    assert np.allclose(got, exp, atol=1e-9)
+    assert np.abs(got * 255.0 - img).max() < 40  # bounded by the quant step
+
+
+def test_progressive_jpeg_restart_intervals():
+    """RSTn markers inside progressive scans reset DC predictors and the
+    EOB run; the decode must still be exact."""
+    import numpy as np
+
+    from us_equity_datalake_spark.multimodal.columns import _jpeg_pixels
+
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (16, 32)).astype(float)
+    payload, recon = _build_progressive_jpeg(img, _FULL_LADDER, dri=3)
+    got = _jpeg_pixels(payload, 32, 16)
+    exp = np.clip(recon, 0.0, 255.0) / 255.0
+    assert np.allclose(np.array(got).reshape(16, 32), exp, atol=1e-9)
+
+
+def test_progressive_jpeg_error_arms():
+    import numpy as np
+    import pytest as _pytest
+
+    from us_equity_datalake_spark.multimodal.columns import _jpeg_pixels
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (8, 8)).astype(float)
+    payload, _ = _build_progressive_jpeg(img, _FULL_LADDER)
+    # truncation mid-scan raises at the parse boundary
+    with _pytest.raises(ValueError):
+        _jpeg_pixels(payload[: len(payload) // 2], 4, 4)
+    # dropping EOI raises (scan walk must find a terminator)
+    with _pytest.raises(ValueError):
+        _jpeg_pixels(payload[:-2], 4, 4)
+
+
+def test_decode_image_progressive_jpeg_spark_path(spark):
+    """End-to-end: a progressive JPEG payload through decode_image's
+    mapInPandas kernel matches the ground-truth recon."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, (16, 16)).astype(float)
+    payload, recon = _build_progressive_jpeg(img, _FULL_LADDER)
+    schema = T.StructType([T.StructField("asset_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    df = spark.createDataFrame([Row(asset_id=1, payload=bytearray(payload))], schema)
+    got = decode_image(df, width=16, height=16, fake=False).collect()[0]["pixels"]
+    exp = (np.clip(recon, 0, 255) / 255.0).reshape(-1)
+    assert np.allclose(np.array(got), exp, atol=1e-9)

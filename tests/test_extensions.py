@@ -494,3 +494,27 @@ def test_histogram_quantiles_constant_and_null_columns(spark):
     out = histogram_quantiles(df, "v").collect()
     assert len(out) == 3
     assert all(r["exact_q"] == 5.0 for r in out)
+
+
+def test_hll_merge_equals_direct_and_is_idempotent(spark):
+    from us_equity_datalake_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    # overlapping groups: every group shares keys 0..199, plus disjoint tails
+    rows = [(g, f"k{i}") for g in ("a", "b", "c") for i in range(200)]
+    rows += [(g, f"{g}-extra{i}") for g in ("a", "b", "c") for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, k string")
+    grp_regs = hll_registers(df, "k", by=["grp"])
+    merged = hll_estimate_from_registers(hll_merge(grp_regs)).collect()[0]
+    direct = hll_estimate_from_registers(hll_registers(df, "k", by=[])).collect()[0]
+    assert merged.asDict() == direct.asDict()
+    # 350 true distinct; linear-counting regime is near-exact
+    assert abs(merged["est_distinct"] - 350) / 350 < 0.05
+    # idempotent: re-merging the merged table changes nothing
+    remerged = hll_estimate_from_registers(
+        hll_merge(hll_merge(grp_regs))
+    ).collect()[0]
+    assert remerged.asDict() == merged.asDict()

@@ -328,3 +328,106 @@ def cms_sql(
     """
     probe_arr = f"[{', '.join(perms)}]"
     return grid, probe_arr
+
+
+# --- HLL mergeability --------------------------------------------------------
+#
+# The property that makes register sketches THE distinct-count state for an
+# incremental lake: registers from independent slices (days, sources,
+# partitions) merge by per-bucket MAX, so a global estimate never rescans
+# history — exactly the reference's incremental-maintenance pattern applied
+# to an approximate aggregate.  hll_merge_report grades the identity
+# merge(per-group sketches) == sketch(all data) value-for-value.
+
+
+def hll_registers(df: DataFrame, key: str, *, by: list[str]) -> DataFrame:
+    """Per-``by``-group HLL register table: (by..., bucket, m_j)."""
+    hashed = df.select(*by, md5_long60(F.col(key).cast("string")).alias("__h")).distinct()
+    return (
+        hashed.select(
+            *by,
+            (F.col("__h") % _HLL_M).alias("bucket"),
+            F.shiftrightunsigned(F.col("__h"), _HLL_B).alias("__r"),
+        )
+        .withColumn("__rho", _hll_rho(F.col("__r")))
+        .groupBy(*by, "bucket")
+        .agg(F.max("__rho").alias("m_j"))
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """One-row estimate from a (bucket, m_j) register table (post-merge)."""
+    totals = regs.agg(
+        F.count("*").alias("n_registers"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W} - m_j)")).alias("__s_present"),
+    )
+    withs = totals.select(
+        "n_registers",
+        (F.lit(_HLL_M) - F.col("n_registers")).alias("v_empty"),
+        (
+            F.col("__s_present")
+            + (F.lit(_HLL_M) - F.col("n_registers")) * F.lit(1 << _HLL_W)
+        ).alias("s_total"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_W))
+        / F.col("s_total").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_empty") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v_empty")),
+    ).otherwise(raw)
+    return withs.select(
+        "n_registers", "v_empty", "s_total", F.round(est, 6).alias("est_distinct")
+    )
+
+
+def hll_merge(regs: DataFrame) -> DataFrame:
+    """Merge per-slice register tables: per-bucket MAX (associative,
+    commutative, idempotent — re-merging a slice is harmless)."""
+    return regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+
+
+def _hll_regs_sql(table_expr: str, key_expr: str, by: list[str]) -> str:
+    bys = ", ".join(by) + ", " if by else ""
+    group = ("GROUP BY " + ", ".join(by) + ", bucket") if by else "GROUP BY bucket"
+    return f"""
+      SELECT {bys}bucket, MAX(rho) AS m_j FROM (
+        SELECT {bys}h % {_HLL_M} AS bucket,
+               {_hll_rho_sql(f"(h // {_HLL_M})")} AS rho
+        FROM (SELECT DISTINCT {bys}{md5_long60_sql(f"CAST({key_expr} AS VARCHAR)")} AS h
+              FROM {table_expr})
+      ) {group}
+    """
+
+
+def _hll_est_sql(regs_cte: str) -> str:
+    alpha_num = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_W))
+    return f"""
+      SELECT n_registers, {_HLL_M} - n_registers AS v_empty, s_total,
+             ROUND(CASE WHEN {alpha_num} / CAST(s_total AS DOUBLE) <= {2.5 * _HLL_M}
+                         AND {_HLL_M} - n_registers > 0
+                        THEN {float(_HLL_M)} * ln({float(_HLL_M)} / ({_HLL_M} - n_registers))
+                        ELSE {alpha_num} / CAST(s_total AS DOUBLE) END, 6) AS est_distinct
+      FROM (
+        SELECT COUNT(*) AS n_registers,
+               CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_W} - m_j)) AS BIGINT)
+                 + ({_HLL_M} - COUNT(*)) * {1 << _HLL_W} AS s_total
+        FROM {regs_cte}
+      )
+    """
+
+
+def hll_merge_sql(table_expr: str, key_expr: str, by: list[str]) -> str:
+    """DuckDB twin of the merged-vs-direct HLL report."""
+    return f"""
+    WITH grp_regs AS ({_hll_regs_sql(table_expr, key_expr, by)}),
+    merged_regs AS (SELECT bucket, MAX(m_j) AS m_j FROM grp_regs GROUP BY bucket),
+    direct_regs AS ({_hll_regs_sql(table_expr, key_expr, [])}),
+    exact AS (SELECT COUNT(DISTINCT {key_expr}) AS exact_distinct FROM {table_expr}),
+    m_est AS ({_hll_est_sql('merged_regs')}),
+    d_est AS ({_hll_est_sql('direct_regs')})
+    SELECT 'merged' AS arm, m_est.*, exact_distinct FROM m_est CROSS JOIN exact
+    UNION ALL
+    SELECT 'direct' AS arm, d_est.*, exact_distinct FROM d_est CROSS JOIN exact
+    """

@@ -92,6 +92,8 @@ def histogram_quantiles(
         .select(
             "q",
             r.alias("target_rank"),
+            F.col("bucket").alias("hit_bucket"),
+            (r - F.col("cum_prev")).alias("rank_in_bucket"),
             F.round(
                 F.col("lo")
                 + (F.col("bucket") + (r - F.col("cum_prev")) / F.col("c"))
@@ -100,13 +102,19 @@ def histogram_quantiles(
             ).alias("est_q"),
         )
     )
-    # exact rank-based quantile for the error column (fixture-scale check;
-    # the sketch above is the scale path)
-    ranked = df.where(v.isNotNull()).select(
-        v.alias("val"), F.row_number().over(Window.orderBy(v)).alias("rnk")
+    # exact rank-based quantile for the error column — BIN-PRUNED selection:
+    # the cum table already locates the target bin, so only that bin's rows
+    # (~N/bins) are sorted, per q, instead of a global single-partition sort
+    # of the corpus (measured 30 s at a 6M-row sf1 before this rework)
+    in_bin = (
+        binned.select(v.alias("val"), bucket.alias("bucket"))
+        .join(F.broadcast(quants), F.col("bucket") == F.col("hit_bucket"))
     )
-    exact = quants.join(ranked, quants["target_rank"] == ranked["rnk"]).select(
-        "q", "target_rank", "est_q", F.col("val").alias("exact_q")
+    rw = Window.partitionBy("q").orderBy("val")
+    exact = (
+        in_bin.withColumn("__rn", F.row_number().over(rw))
+        .where(F.col("__rn") == F.col("rank_in_bucket"))
+        .select("q", "target_rank", "est_q", F.col("val").alias("exact_q"))
     )
     return exact.select(
         "q",
@@ -129,6 +137,8 @@ def histogram_quantiles_sql(
         f"""
         SELECT CAST({q} AS DOUBLE) AS q,
                CAST(CEIL({q} * n_rows) AS BIGINT) AS target_rank,
+               bucket AS hit_bucket,
+               CAST(CEIL({q} * n_rows) AS BIGINT) - cum_prev AS rank_in_bucket,
                ROUND(lo + (bucket + (CAST(CEIL({q} * n_rows) AS BIGINT) - cum_prev)
                            / CAST(c AS DOUBLE))
                           * ((hi - lo) / {float(bins)}), 6) AS est_q
@@ -157,12 +167,19 @@ def histogram_quantiles_sql(
              CAST(SUM(c) OVER (ORDER BY bucket) - c AS BIGINT) AS cum_prev
       FROM hist
     ),
-    ranked AS (
-      SELECT {value} AS val, ROW_NUMBER() OVER (ORDER BY {value}) AS rnk
-      FROM {table} WHERE {value} IS NOT NULL
-    ),
-    quants AS ({per_q})
+    quants AS ({per_q}),
+    in_bin AS (
+      SELECT q, target_rank, est_q, rank_in_bucket, {value} AS val,
+             ROW_NUMBER() OVER (
+               PARTITION BY q ORDER BY {value}
+             ) AS rn
+      FROM {table}, bounds JOIN quants
+        ON LEAST({bins - 1}, GREATEST(0,
+             CAST(FLOOR(({value} - lo) / ((hi - lo) / {float(bins)})) AS BIGINT)
+           )) = hit_bucket
+      WHERE {value} IS NOT NULL
+    )
     SELECT q, target_rank, est_q, val AS exact_q,
            ROUND(ABS(est_q - val), 6) AS abs_err
-    FROM quants JOIN ranked ON target_rank = rnk
+    FROM in_bin WHERE rn = rank_in_bucket
     """

@@ -591,3 +591,28 @@ def histogram_quantile_sketch_q(spark, sf_dir):
 
     li = load_table(spark, "lineitem", sf_dir)
     return histogram_quantiles(li, "l_extendedprice")
+
+
+@register(
+    "hll_merge_report",
+    oracle=sketch.hll_merge_sql("orders", "o_custkey", ["o_orderpriority"]),
+    doc="HLL mergeability — the property that makes register sketches the "
+    "distinct-count state for an incremental lake: per-priority register "
+    "tables (customers overlap across priorities, so this is a real merge, "
+    "not a union) merged by per-bucket MAX must equal the direct sketch of "
+    "all data value-for-value; both arms carry the exact count.  At 100 TB "
+    "each day/partition keeps its 4 KiB registers and the global estimate "
+    "never rescans history.",
+)
+def hll_merge_report(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    grp = sketch.hll_registers(orders, "o_custkey", by=["o_orderpriority"])
+    merged = sketch.hll_estimate_from_registers(sketch.hll_merge(grp))
+    direct = sketch.hll_estimate_from_registers(
+        sketch.hll_registers(orders, "o_custkey", by=[])
+    )
+    exact = orders.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    out = merged.select(F.lit("merged").alias("arm"), "*").unionByName(
+        direct.select(F.lit("direct").alias("arm"), "*")
+    )
+    return out.crossJoin(F.broadcast(exact))

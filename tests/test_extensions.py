@@ -65,6 +65,44 @@ def test_kmv_estimate_within_error(spark):
     assert abs(out["est_distinct"] - n) / n < 0.25
 
 
+def test_theta_exhaustive_small_sets_exact(spark):
+    # both slices below k: theta = full hash space, every estimate is exact
+    a = spark.createDataFrame([Row(k=i) for i in range(30)])
+    b = spark.createDataFrame([Row(k=i) for i in range(20, 50)])
+    row = sketch.theta_set_report(a, b, "k", k=256).collect()[0]
+    assert row["theta"] == (1 << 60)
+    assert row["exact_intersection"] == 10 and row["exact_union"] == 50
+    assert row["est_intersection"] == 10.0
+    assert row["est_union"] == 50.0
+    assert abs(row["jaccard_est"] - 10 / 50) < 1e-9
+
+
+def test_theta_disjoint_sets(spark):
+    a = spark.createDataFrame([Row(k=i) for i in range(40)])
+    b = spark.createDataFrame([Row(k=i) for i in range(1000, 1040)])
+    row = sketch.theta_set_report(a, b, "k", k=64).collect()[0]
+    assert row["est_intersection"] == 0.0 and row["exact_intersection"] == 0
+    assert row["jaccard_est"] == 0.0
+    assert row["est_union"] == 80.0  # exhaustive sketches => exact union
+
+
+def test_theta_estimate_within_error(spark):
+    # 4000 vs 4000 keys with 2000 overlap; k=256 => sigma ~ 1/sqrt(k) ~ 6%
+    a = spark.createDataFrame([Row(k=i) for i in range(4000)])
+    b = spark.createDataFrame([Row(k=i) for i in range(2000, 6000)])
+    row = sketch.theta_set_report(a, b, "k", k=256).collect()[0]
+    assert row["theta"] < (1 << 60)  # genuinely sampling
+    assert row["exact_intersection"] == 2000 and row["exact_union"] == 6000
+    assert abs(row["est_intersection"] - 2000) / 2000 < 0.35
+    assert abs(row["est_union"] - 6000) / 6000 < 0.25
+    assert abs(row["jaccard_est"] - 2000 / 6000) < 0.12
+    # duplicate rows must not move the sketch (it samples DISTINCT keys)
+    a_dup = a.union(a).union(a)
+    row2 = sketch.theta_set_report(a_dup, b, "k", k=256).collect()[0]
+    assert row2["est_intersection"] == row["est_intersection"]
+    assert row2["est_union"] == row["est_union"]
+
+
 def test_hash_split_deterministic_and_total(spark):
     df = spark.createDataFrame([Row(doc_id=i) for i in range(1000)])
     a = {r["doc_id"]: r["split"] for r in sampling.hash_split(df, "doc_id").collect()}

@@ -431,3 +431,168 @@ def hll_merge_sql(table_expr: str, key_expr: str, by: list[str]) -> str:
     UNION ALL
     SELECT 'direct' AS arm, d_est.*, exact_distinct FROM d_est CROSS JOIN exact
     """
+
+
+# --- Theta-sketch set operations (KMV intersection / union / Jaccard) -------
+#
+# KMV keeps the k smallest hashes; treating the kth min as a sampling
+# threshold theta turns the sketch into a uniform hash-sample of the key
+# space (the theta-sketch framing).  Set estimates follow without touching
+# the raw data again: intersect/union the k-min SAMPLES below the common
+# theta and rescale by theta's fraction of hash space — the standard
+# "overlap between two corpora/sources" question answered from two 2 KiB
+# sketches instead of a distinct-join over 100 TB.  md5 hashing keeps every
+# sample membership — and therefore the estimates — bit-identical in DuckDB.
+
+THETA_K = 256
+_FULL_THETA = 1 << 60  # exclusive upper bound of md5_long60's hash space
+
+
+def kmv_theta_sample(df: DataFrame, key: str, *, k: int = THETA_K) -> DataFrame:
+    """The k smallest distinct key hashes plus the slice's theta.
+
+    theta = the (k+1)-th smallest hash (the exclusive sampling threshold) or
+    2^60 when the slice has <= k distinct keys (the sketch is exhaustive).
+    Output: (h, theta) — k+ rows, each carrying the slice theta.
+
+    Two-phase k-min so no stage ever globally sorts the key space: each
+    post-distinct partition keeps its local k+1 smallest first (any global
+    top-(k+1) hash is necessarily in its own partition's top-(k+1), whatever
+    the partition assignment), so the single-partition global rank sees at
+    most (k+1) x numPartitions rows — not 100 TB of distinct hashes."""
+    hashed = df.select(md5_long60(F.col(key).cast("string")).alias("h")).distinct()
+    local = F.row_number().over(Window.partitionBy(F.spark_partition_id()).orderBy("h"))
+    survivors = hashed.withColumn("lrn", local).where(F.col("lrn") <= k + 1).drop("lrn")
+    rn = F.row_number().over(Window.orderBy("h"))
+    ranked = survivors.withColumn("rn", rn).where(F.col("rn") <= k + 1)
+    theta = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("h"))), F.lit(_FULL_THETA)
+        ).alias("theta")
+    )
+    return ranked.where(F.col("rn") <= k).select("h").crossJoin(F.broadcast(theta))
+
+
+def theta_set_report(
+    a: DataFrame, b: DataFrame, key: str, *, k: int = THETA_K
+) -> DataFrame:
+    """One-row intersection/union/Jaccard estimate between two slices.
+
+    Both sketches are k-row samples; everything after the two sketch passes
+    touches dimension-sized frames.  est = |sample op| / (theta / 2^60) with
+    theta = min(theta_a, theta_b); exact counts ride along so the result
+    exhibits the error.  Set algebra on both the samples and the exact keys
+    is ONE tagged-union groupBy each (max(in_a)/max(in_b) flags), not four
+    separate intersect/union jobs."""
+    sa = kmv_theta_sample(a, key, k=k)
+    sb = kmv_theta_sample(b, key, k=k)
+    both = F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+    # Every sketch row carries its slice theta, so theta = min(ta, tb) is just
+    # MIN(theta) over the tagged union (an empty slice contributes no rows and
+    # its exhaustive theta = 2^60 never wins the min) — each sketch plan
+    # executes exactly ONCE, instead of once per downstream reference.  The
+    # global-window MIN is over <= 2k sketch rows, never the key space.
+    g_theta = F.min("theta").over(Window.partitionBy())
+    sample_stats = (
+        sa.select("h", "theta", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            sb.select("h", "theta", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .withColumn("g_theta", g_theta)
+        .where(F.col("h") < F.col("g_theta"))
+        .groupBy("h")
+        .agg(
+            F.min("g_theta").alias("g_theta"),
+            F.max("in_a").alias("in_a"),
+            F.max("in_b").alias("in_b"),
+        )
+        .agg(
+            F.min("g_theta").alias("theta"),
+            F.coalesce(F.sum(both), F.lit(0)).cast("long").alias("n_int_sample"),
+            F.count("*").alias("n_uni_sample"),
+        )
+    )
+    exact_stats = (
+        a.select(F.col(key).alias("ka"), F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            b.select(F.col(key).alias("ka"), F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("ka")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .agg(
+            F.coalesce(F.sum(both), F.lit(0)).cast("long").alias("exact_intersection"),
+            F.count("*").alias("exact_union"),
+        )
+    )
+    row = sample_stats.crossJoin(F.broadcast(exact_stats))
+    frac = F.col("theta").cast("double") / F.lit(float(_FULL_THETA))
+    return row.select(
+        F.lit(k).alias("k"),
+        "theta",
+        "n_int_sample",
+        "n_uni_sample",
+        F.round(F.col("n_int_sample") / frac, 6).alias("est_intersection"),
+        F.round(F.col("n_uni_sample") / frac, 6).alias("est_union"),
+        F.round(
+            F.when(
+                F.col("n_uni_sample") > 0,
+                F.col("n_int_sample") / F.col("n_uni_sample").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("jaccard_est"),
+        "exact_intersection",
+        "exact_union",
+    )
+
+
+def theta_set_sql(a_expr: str, b_expr: str, key_expr: str, *, k: int = THETA_K) -> str:
+    """DuckDB twin of :func:`theta_set_report`."""
+
+    def sample(expr, tag):
+        h = md5_long60_sql(f"CAST({key_expr} AS VARCHAR)")
+        return f"""
+    {tag}_ranked AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT {h} AS h FROM {expr})
+      QUALIFY rn <= {k + 1}
+    ),
+    {tag}_theta AS (
+      SELECT COALESCE(MAX(CASE WHEN rn = {k + 1} THEN h END), {_FULL_THETA}) AS theta
+      FROM {tag}_ranked
+    ),
+    {tag}_s AS (SELECT h FROM {tag}_ranked WHERE rn <= {k})"""
+
+    return f"""
+    WITH {sample(a_expr, 'a')},
+    {sample(b_expr, 'b')},
+    th AS (
+      SELECT LEAST(a_theta.theta, b_theta.theta) AS theta
+      FROM a_theta CROSS JOIN b_theta
+    ),
+    a_h AS (SELECT h FROM a_s, th WHERE h < theta),
+    b_h AS (SELECT h FROM b_s, th WHERE h < theta),
+    ni AS (SELECT COUNT(*) AS n_int_sample FROM (SELECT h FROM a_h INTERSECT SELECT h FROM b_h)),
+    nu AS (SELECT COUNT(*) AS n_uni_sample FROM (SELECT h FROM a_h UNION SELECT h FROM b_h)),
+    ei AS (
+      SELECT COUNT(*) AS exact_intersection FROM (
+        SELECT DISTINCT {key_expr} AS ka FROM {a_expr}
+        INTERSECT SELECT DISTINCT {key_expr} AS ka FROM {b_expr}
+      )
+    ),
+    eu AS (
+      SELECT COUNT(*) AS exact_union FROM (
+        SELECT DISTINCT {key_expr} AS ka FROM {a_expr}
+        UNION SELECT DISTINCT {key_expr} AS ka FROM {b_expr}
+      )
+    )
+    SELECT {k} AS k, theta,
+           CAST(n_int_sample AS BIGINT) AS n_int_sample,
+           CAST(n_uni_sample AS BIGINT) AS n_uni_sample,
+           ROUND(n_int_sample / (CAST(theta AS DOUBLE) / {float(_FULL_THETA)}), 6) AS est_intersection,
+           ROUND(n_uni_sample / (CAST(theta AS DOUBLE) / {float(_FULL_THETA)}), 6) AS est_union,
+           ROUND(CASE WHEN n_uni_sample > 0
+                      THEN n_int_sample / CAST(n_uni_sample AS DOUBLE)
+                      ELSE 0.0 END, 6) AS jaccard_est,
+           exact_intersection, exact_union
+    FROM th, ni, nu, ei, eu
+    """

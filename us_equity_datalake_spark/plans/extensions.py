@@ -176,6 +176,32 @@ def hll_distinct_report(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Theta-sketch set operations (KMV-as-sample)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theta_set_report",
+    oracle=sketch.theta_set_sql(
+        "(SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')",
+        "(SELECT * FROM orders WHERE o_orderpriority = '2-HIGH')",
+        "o_custkey",
+    ),
+    doc="Theta-sketch set algebra: intersection / union / Jaccard of the "
+    "customer sets behind two order-priority slices, estimated from two "
+    "k=256 KMV samples instead of a distinct-join — the 'overlap between "
+    "two corpora' question answered from two ~2 KiB sketches at 100 TB. "
+    "md5 hashing keeps sample membership (and thus every estimate) "
+    "bit-identical in DuckDB; exact counts ride along to exhibit the error.",
+)
+def theta_set_report_query(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.where(F.col("o_orderpriority") == "2-HIGH")
+    return sketch.theta_set_report(a, b, "o_custkey")
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash split
 # ---------------------------------------------------------------------------
 

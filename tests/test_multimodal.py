@@ -236,6 +236,34 @@ def test_sample_video_frames_real_avi_path(spark):
     assert "ffmpeg" in str(ei.value)
 
 
+def test_sample_video_frames_mjpeg_avi(spark):
+    """r6: Motion-JPEG AVI decodes in-sandbox — each 00db chunk is a
+    standalone baseline JPEG run through the real Huffman+IDCT decoder at
+    native size; per-frame mean luma matches the encoder's independent
+    reconstruction exactly (quant=1), and frame shas are of the JPEG bytes."""
+    import hashlib as _hl
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rng = np.random.RandomState(11)
+    imgs = [(rng.rand(16, 24) * 255).round() for _ in range(3)]
+    encoded = [_build_jpeg(img) for img in imgs]
+    frames = [payload for payload, _ in encoded]
+    avi = _build_avi(frames, 24, 16, compression=0x47504A4D)  # 'MJPG'
+
+    schema = T.StructType([T.StructField("asset_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    df = spark.createDataFrame([Row(asset_id=1, payload=bytearray(avi))], schema)
+    out = sorted(sample_video_frames(df, n_frames=3, fake=False).collect(),
+                 key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in out] == [0, 1, 2]
+    for r, (payload, ref) in zip(out, encoded):
+        assert r.frame_sha == _hl.sha256(payload).hexdigest()
+        want = float(np.clip(ref, 0, 255).mean() / 255.0)
+        assert abs(r.px_mean - want) < 1e-6
+
+
 def test_decode_audio_features_shape_and_determinism(spark):
     from us_equity_datalake_spark.multimodal.columns import decode_audio_features
 

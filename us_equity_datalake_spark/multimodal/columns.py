@@ -3,11 +3,12 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched pandas
 functions over ``mapInPandas``.  The production codecs (PIL/ffmpeg/torchaudio)
-are NOT in this image, so each modality carries a REAL in-sandbox decoder for
-one uncompressed container — 24-bit BMP (``_bmp_pixels``), PCM WAV
-(``_wav_band_energies``), BI_RGB AVI (``_parse_avi_frames``) — all pure
-stdlib-struct/numpy and golden-tested, while compressed formats hit a
-NotImplementedError gate exactly where the production codec would plug in.
+are NOT in this image, so each modality carries REAL in-sandbox decoders —
+24-bit BMP, every-depth PNG, and baseline+progressive JPEG for images;
+PCM WAV for audio; BI_RGB and Motion-JPEG AVI for video — all pure
+stdlib-struct/zlib/numpy and golden-tested, while the remaining compressed
+formats hit a NotImplementedError gate exactly where the production codec
+would plug in.
 ``fake=True`` (default) additionally produces deterministic hash-derived
 arrays so plumbing tests need no media bytes at all.
 
@@ -905,13 +906,18 @@ def extract_image_features(df: DataFrame, *, pixels_col: str = "pixels") -> Data
     )
 
 
-def _parse_avi_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+_AVI_MJPG = 0x47504A4D  # 'MJPG' fourcc, little-endian
+
+
+def _parse_avi_frames(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     """REAL video container parse: RIFF/AVI chunk walk — no external codec.
-    Supports uncompressed 24-bit BI_RGB video streams (``strf``
-    BITMAPINFOHEADER with biCompression == 0, frames in ``00db``/``00dc``
-    chunks of the ``movi`` list).  Compressed streams hit the ffmpeg gate;
-    non-AVI bytes raise ValueError at the parse boundary.
-    Returns (width, height, frame_payloads)."""
+    Supports uncompressed 24-bit BI_RGB streams (``strf`` BITMAPINFOHEADER
+    with biCompression == 0) AND Motion-JPEG streams (biCompression ==
+    'MJPG', each ``00db``/``00dc`` chunk a standalone JPEG picture decoded
+    by :func:`_jpeg_pixels` — the only video codec whose frames the
+    in-sandbox image decoders already handle).  Other codecs (H.264 etc.)
+    hit the ffmpeg gate; non-AVI bytes raise ValueError at the parse
+    boundary.  Returns (width, height, compression, frame_payloads)."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -942,12 +948,47 @@ def _parse_avi_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
     walk(12, len(payload))
     if width is None or height is None:
         raise ValueError("no 24-bit strf header found")
-    if compression != 0:
+    if compression not in (0, _AVI_MJPG):
         raise NotImplementedError(
-            "compressed AVI streams require ffmpeg — not in this image; "
-            "only BI_RGB (uncompressed) parses in-sandbox"
+            "compressed AVI streams other than MJPG require ffmpeg — not in "
+            "this image; BI_RGB and Motion-JPEG decode in-sandbox"
         )
-    return width, height, frames
+    return width, height, compression, frames
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """(height, width) from the first SOF0/SOF2 marker — a header-only walk
+    so MJPEG frames can be decoded at native size (the strf header's w/h can
+    legally disagree with the per-frame JPEG headers)."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker in (0xC0, 0xC2):
+            fh, fw = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return fh, fw
+        if marker == 0xDA:
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOF before SOS")
+
+
+def _mjpeg_frame_mean(frame: bytes) -> float:
+    """Mean luma of one MJPEG frame: full Huffman+IDCT decode at native size
+    (``_jpeg_pixels`` with dst == src is an identity resample, so the mean is
+    over every decoded pixel, not a subsampled grid)."""
+    fh, fw = _jpeg_dims(frame)
+    px = _jpeg_pixels(frame, fw, fh)
+    return float(sum(px) / len(px)) if px else 0.0
 
 
 def _frame_mean_gray(frame: bytes, width: int, height: int) -> float:
@@ -968,8 +1009,9 @@ def sample_video_frames(df: DataFrame, *, payload_col: str = "payload", n_frames
     """binary video -> per-sampled-frame rows; the UDTF shape (one→many) via
     mapInPandas.
 
-    ``fake=False`` runs a REAL parse for uncompressed RIFF/AVI payloads
-    (``_parse_avi_frames`` — executes in this image, standing in for the
+    ``fake=False`` runs a REAL parse for RIFF/AVI payloads carrying BI_RGB
+    (uncompressed) or Motion-JPEG streams (``_parse_avi_frames`` +
+    ``_jpeg_pixels`` per frame — executes in this image, standing in for the
     ffmpeg path the same way the WAV decoder stands in for torchaudio):
     frames are sampled uniformly (source index ``i * total // n_frames``,
     de-duplicated when the clip is shorter than ``n_frames``) and each emits
@@ -999,7 +1041,7 @@ def sample_video_frames(df: DataFrame, *, payload_col: str = "payload", n_frames
                             }
                         )
                 else:
-                    w, h, frames = _parse_avi_frames(payload)
+                    w, h, comp, frames = _parse_avi_frames(payload)
                     total = len(frames)
                     sampled: list[int] = []
                     for i in range(n_frames):
@@ -1007,12 +1049,17 @@ def sample_video_frames(df: DataFrame, *, payload_col: str = "payload", n_frames
                         if total and idx not in sampled:
                             sampled.append(idx)
                     for idx in sampled:
+                        mean = (
+                            _mjpeg_frame_mean(frames[idx])
+                            if comp == _AVI_MJPG
+                            else _frame_mean_gray(frames[idx], w, h)
+                        )
                         rows.append(
                             {
                                 "asset_id": r["asset_id"],
                                 "frame_idx": idx,
                                 "frame_sha": hashlib.sha256(frames[idx]).hexdigest(),
-                                "px_mean": _frame_mean_gray(frames[idx], w, h),
+                                "px_mean": mean,
                             }
                         )
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_sha", "px_mean"])

@@ -53,6 +53,36 @@ def test_streaming_tumbling_matches_batch(spark, event_dir, tmp_path):
     assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
 
 
+def test_stream_static_enrich_matches_batch(spark, event_dir, tmp_path):
+    """stream_static_enrich (broadcast dim join + tumbling rollup) must equal
+    the batch join+agg on the same bounded data; an unmatched key drops out
+    (inner join), proving the dim filter applies inside the micro-batch."""
+    from us_equity_datalake_spark.functions.safe_math import dec_sum
+    from us_equity_datalake_spark.streaming.windows import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [Row(user_id=0, segment="alpha"), Row(user_id=1, segment="beta")]
+    )  # user_id == 2 is intentionally absent
+    stream = read_stream(spark, event_dir, SCHEMA)
+    got = _run_to_memory(
+        spark,
+        stream_static_enrich(stream, dim),
+        "enrich_out",
+        str(tmp_path / "ck_enrich"),
+        output_mode="complete",
+    ).collect()
+    batch = (
+        spark.read.schema(SCHEMA).parquet(event_dir)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count("*").alias("n"), dec_sum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "segment", "n", "total_value")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert {r.segment for r in got} == {"alpha", "beta"}
+
+
 def test_streaming_sessions_match_batch_gaps(spark, event_dir, tmp_path):
     stream = read_stream(spark, event_dir, SCHEMA)
     out = _run_to_memory(spark, session_counts(stream, gap="30 minutes"), "sess_out", str(tmp_path / "ck2"), output_mode="complete").collect()

@@ -67,6 +67,7 @@ HEAVY = [
     "doc_lm_perplexity",
     "dsir_resample_topk",
     "hll_distinct_report",
+    "theta_set_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -37,6 +37,7 @@ from us_equity_datalake_spark.sources.registry import load_table
 from us_equity_datalake_spark.streaming.stateful import universe_lifecycle
 from us_equity_datalake_spark.streaming.windows import (
     session_counts,
+    stream_static_enrich,
     stream_stream_interval_join,
     tumbling_counts,
 )
@@ -239,6 +240,57 @@ def streaming_interval_join_sink_q(spark, sf_dir):
         "user_id",
         F.unix_micros("ts").alias("view_us"),
         F.unix_micros("ts_r").alias("click_us"),
+    )
+
+
+@register(
+    "streaming_enrich_join_sink",
+    oracle=f"""
+    WITH mx AS (SELECT epoch_ms(max(ts)) AS wm_ms FROM events)
+    SELECT CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS hour_ts,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n, {dec_sum_sql('e.value')} AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id, mx
+    GROUP BY date_trunc('hour', e.ts), c.c_mktsegment, wm_ms
+    HAVING (CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) + 3600) * 1000
+           <= wm_ms - {_WATERMARK_S} * 1000
+    """,
+    doc="Stream-static enrichment through the REAL engine: events file-source "
+    "stream broadcast-joined to the static customer dimension inside every "
+    "micro-batch, then watermarked tumbling rollup per market segment -> "
+    "parquet sink + checkpoint.  The join holds NO stream state (the static "
+    "side re-broadcasts per micro-batch; at 100 TB the dim is a lake table "
+    "refreshed between batches) and the watermark bounds the agg state; the "
+    "oracle replicates append-mode emission: only windows the final "
+    "watermark passed reach the sink.",
+)
+def streaming_enrich_join_sink_q(spark, sf_dir):
+    root = _scratch(sf_dir, "enrich")
+    sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
+    schema = load_table(spark, "events", sf_dir).schema
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    for _ in range(2):  # second availableNow run flushes final-watermark windows
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = (
+            stream_static_enrich(src, dim, watermark=f"{_WATERMARK_S} seconds")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(sink)
+    return out.select(
+        F.unix_timestamp("window_start").alias("hour_ts"),
+        "segment", "n", "total_value",
     )
 
 

@@ -64,6 +64,31 @@ def streaming_dedup(df: DataFrame, *, keys: list[str], watermark_col: str | None
     return df.dropDuplicates(keys)
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str = "user_id",
+    dim_cols: tuple[str, ...] = ("segment",),
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment: join each event to a broadcast dimension
+    row, then roll up per (tumbling window, dim attribute) — the canonical
+    production topology (fact stream ⋈ slowly-changing dim) the batch J9
+    broadcast joins express offline.  The static side is planned as a
+    broadcast hash join in every micro-batch (no stream state for the join
+    itself); watermark state is only the open windows of the downstream agg.
+    DECIMAL value sums keep the parquet sink hash-comparable to a SQL oracle.
+    """
+    enriched = events.withWatermark("ts", watermark).join(F.broadcast(dim), key, "inner")
+    return (
+        enriched.groupBy(F.window("ts", window).alias("w"), *dim_cols)
+        .agg(F.count("*").alias("n"), dec_sum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), *dim_cols, "n", "total_value")
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -205,6 +205,34 @@ def test_minhash_short_and_null_docs_drop_like_hof(spark):
         assert ids == [3], kern
 
 
+def test_lsh_band_join_cross_corpus(spark):
+    """Cross-corpus band join (incremental dedup shape): a new doc identical
+    to a stored one is found with est 1.0; a new doc unlike anything stored
+    produces no pair; self-join + id filter finds intra-batch dups."""
+    from us_equity_datalake_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    base_txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    lake = spark.createDataFrame(
+        [(100, base_txt), (101, "completely different words entirely here okay")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(1, base_txt), (2, other), (3, other)], "doc_id long, text string"
+    )
+    lake_sig = D.minhash_signatures(lake)
+    delta_sig = D.minhash_signatures(delta)
+    cross = {(r.id_a, r.id_b): r.est_jaccard
+             for r in D.lsh_band_join(delta_sig, lake_sig).collect()}
+    assert cross[(1, 100)] == 1.0  # identical text -> identical signature
+    assert all(a != 2 and a != 3 for a, _ in cross)  # nothing like `other` stored
+    intra = {(r.id_a, r.id_b): r.est_jaccard
+             for r in (D.lsh_band_join(delta_sig, delta_sig)
+                       .where(F.col("id_b") < F.col("id_a"))).collect()}
+    assert intra == {(3, 2): 1.0}  # the intra-batch duplicate, keep-lowest
+
+
 def test_lsh_verified_jaccard_parity(docs):
     from us_equity_datalake_spark.operators import dedup as D
 

@@ -68,6 +68,7 @@ HEAVY = [
     "dsir_resample_topk",
     "hll_distinct_report",
     "theta_set_report",
+    "doc_incremental_dedup_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -404,6 +404,63 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def _band_explode(sig: DataFrame, *, num_perm: int, bands: int) -> DataFrame:
+    """(id, sig) -> one row per LSH band: (id, sig, band, bkey) where bkey is
+    the band's signature components joined as a string (the bucket key)."""
+    rows = num_perm // bands
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)]).alias("bkey"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bx"),
+    ).select("id", "sig", F.col("bx.band").alias("band"), F.col("bx.bkey").alias("bkey"))
+
+
+def lsh_band_join(
+    sig_new: DataFrame,
+    sig_base: DataFrame,
+    *,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Cross-corpus LSH candidates: (id_a from ``sig_new``, id_b from
+    ``sig_base``, est_jaccard) for every pair sharing at least one band
+    bucket — the INCREMENTAL dedup shape: only the new batch's text was
+    hashed into ``sig_new``; ``sig_base`` is the signature store read back
+    from the lake (num_perm longs per historical doc, not its text).  Both
+    inputs are (id, sig) frames from :func:`minhash_signatures`.
+
+    At 100 TB the join shuffles band keys of the DELTA against band keys of
+    the stored signatures (tiny vs re-hashing the corpus); bucket the store
+    by (band, bkey) on write and the shuffle drops too."""
+    assert num_perm % bands == 0
+    a = _band_explode(sig_new, num_perm=num_perm, bands=bands).alias("a")
+    b = _band_explode(sig_base, num_perm=num_perm, bands=bands).alias("b")
+    est = (
+        F.size(F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda eq: eq))
+        / F.lit(num_perm)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -443,19 +500,7 @@ def minhash_lsh_pairs(
         # localCheckpoint, an executor loss recomputes instead of failing
         # the job, and catalog.clearCache() releases the storage.
         sig = _cache.track(sig.persist())
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.concat_ws(",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)]).alias("bkey"),
-                )
-                for bi in range(bands)
-            ])
-        ).alias("bx"),
-    ).select("id", "sig", F.col("bx.band").alias("band"), F.col("bx.bkey").alias("bkey"))
+    banded = _band_explode(sig, num_perm=num_perm, bands=bands)
     a, b = banded.alias("a"), banded.alias("b")
     # estimate computed AT the join row, so the dedup-across-bands distinct
     # shuffles 3 narrow columns — not two num_perm-long signature arrays

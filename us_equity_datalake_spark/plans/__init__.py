@@ -80,6 +80,7 @@ _GRADING_PRIORITY = [
     "hll_merge_report",          # register-sketch mergeability identity
     "theta_set_report",          # KMV theta-sketch intersect/union/Jaccard
     "streaming_enrich_join_sink",  # real engine: stream-static broadcast join
+    "doc_incremental_dedup_report",  # delta-vs-signature-store dedup
     # --- core regression tail (code paths touched or load-bearing) ---
     "filing_sentiment_agg",   # r6: numpy transformer encoder behind N4
     "tumbling_hourly_agg",    # r6: real Structured Streaming twin added

@@ -303,6 +303,128 @@ def lsh_verified_jaccard_q(spark, sf_dir):
     )
 
 
+_DELTA_MOD = 5  # ~20% of docs arrive as the "new batch"; the rest are the lake
+
+
+def _pair_est_sql(a_id: str, b_id: str) -> str:
+    comp = " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(_NUM_PERM))
+    return (
+        f"SELECT {a_id} AS did, ROUND(({comp}) / {_NUM_PERM}.0, 6) AS est\n"
+        f"      FROM __CAND__ c JOIN sig sa ON c.{a_id} = sa.doc_id JOIN sig sb ON c.{b_id} = sb.doc_id"
+    )
+
+
+@register(
+    "doc_incremental_dedup_report",
+    oracle=f"""
+    WITH {_TOKS_SQL}, {_SHINGLE_SQL},
+    sh32 AS (SELECT DISTINCT doc_id, {_H32} AS h FROM sh_str),
+    {_minhash_sig_sql()},
+    tag AS (
+      SELECT doc_id,
+             ({hashing.md5_long32_sql("CAST(doc_id AS VARCHAR)")}) % {_DELTA_MOD} = 0 AS is_delta
+      FROM documents
+    ),
+    bands AS ({' UNION ALL '.join('(' + _band_arm(bi) + ')' for bi in range(_BANDS))}),
+    dband AS (SELECT b.* FROM bands b JOIN tag t ON b.doc_id = t.doc_id WHERE t.is_delta),
+    lband AS (SELECT b.* FROM bands b JOIN tag t ON b.doc_id = t.doc_id WHERE NOT t.is_delta),
+    lake_cand AS (
+      SELECT DISTINCT d.doc_id AS did, l.doc_id AS oid
+      FROM dband d JOIN lband l ON d.band = l.band AND d.bkey = l.bkey
+    ),
+    intra_cand AS (
+      SELECT DISTINCT a.doc_id AS did, b.doc_id AS oid
+      FROM dband a JOIN dband b ON a.band = b.band AND a.bkey = b.bkey AND b.doc_id < a.doc_id
+    ),
+    lake_est AS ({_pair_est_sql('did', 'oid').replace('__CAND__', 'lake_cand')}),
+    intra_est AS ({_pair_est_sql('did', 'oid').replace('__CAND__', 'intra_cand')}),
+    lake_agg AS (SELECT did, COUNT(*) AS n_lake_cands, MAX(est) AS best_lake_est FROM lake_est GROUP BY did),
+    intra_agg AS (SELECT did, COUNT(*) AS n_intra_cands, MAX(est) AS best_intra_est FROM intra_est GROUP BY did)
+    SELECT t.doc_id,
+           COALESCE(la.n_lake_cands, 0) AS n_lake_cands,
+           COALESCE(la.best_lake_est, 0.0) AS best_lake_est,
+           COALESCE(ia.n_intra_cands, 0) AS n_intra_cands,
+           COALESCE(ia.best_intra_est, 0.0) AS best_intra_est,
+           CASE WHEN COALESCE(la.best_lake_est, 0.0) >= 0.5 THEN 'dup_lake'
+                WHEN COALESCE(ia.best_intra_est, 0.0) >= 0.5 THEN 'dup_intra'
+                ELSE 'new' END AS status
+    FROM tag t
+    LEFT JOIN lake_agg la ON t.doc_id = la.did
+    LEFT JOIN intra_agg ia ON t.doc_id = ia.did
+    WHERE t.is_delta
+    """,
+    doc="INCREMENTAL dedup — the shape a 100 TB lake actually runs daily: "
+    "the historical corpus's MinHash signatures are a parquet SIDE STORE "
+    "(written once here, read back), so an arriving batch hashes only its "
+    "own text, band-joins against the stored signatures (dup-vs-lake) and "
+    "against itself keep-lowest (dup-intra), and each new doc gets a "
+    "status.  The alternative — re-running full-corpus LSH per batch — "
+    "re-tokenizes the whole lake every day; this re-tokenizes only the "
+    "delta and shuffles band keys against a signature store that is "
+    "~num_perm longs per historical doc.",
+)
+def doc_incremental_dedup_report_q(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from us_equity_datalake_spark.operators import _cache
+
+    docs = load_table(spark, "documents", sf_dir)
+    is_delta = hashing.md5_long32(F.col("doc_id").cast("string")) % _DELTA_MOD == 0
+    lake, delta = docs.where(~is_delta), docs.where(is_delta)
+
+    # 1. the signature STORE: lake text hashed ONCE, persisted as parquet
+    #    (in production this store is appended per batch, never recomputed)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_incdedup_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    dedup.minhash_signatures(
+        lake, text_col="text", id_col="doc_id", num_perm=_NUM_PERM, seed=_SEED
+    ).write.parquet(root)
+    stored = spark.read.parquet(root)
+
+    # 2. only the delta's text is hashed on arrival; persisted because it
+    #    feeds three join sides (lake probe + both intra sides) and the
+    #    Arrow kernel would otherwise re-execute per side (see
+    #    minhash_lsh_pairs) — released via operators.release_caches()
+    delta_sig = _cache.track(
+        dedup.minhash_signatures(
+            delta, text_col="text", id_col="doc_id", num_perm=_NUM_PERM, seed=_SEED
+        ).persist()
+    )
+    lake_pairs = dedup.lsh_band_join(delta_sig, stored, num_perm=_NUM_PERM, bands=_BANDS)
+    intra_pairs = dedup.lsh_band_join(
+        delta_sig, delta_sig, num_perm=_NUM_PERM, bands=_BANDS
+    ).where(F.col("id_b") < F.col("id_a"))
+    lake_agg = lake_pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count("*").alias("n_lake_cands"), F.max("est_jaccard").alias("best_lake_est")
+    )
+    intra_agg = intra_pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count("*").alias("n_intra_cands"), F.max("est_jaccard").alias("best_intra_est")
+    )
+    best_lake = F.coalesce("best_lake_est", F.lit(0.0))
+    best_intra = F.coalesce("best_intra_est", F.lit(0.0))
+    return (
+        delta.select("doc_id")
+        .join(lake_agg, "doc_id", "left")
+        .join(intra_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lake_cands", F.lit(0)).alias("n_lake_cands"),
+            best_lake.alias("best_lake_est"),
+            F.coalesce("n_intra_cands", F.lit(0)).alias("n_intra_cands"),
+            best_intra.alias("best_intra_est"),
+            F.when(best_lake >= 0.5, F.lit("dup_lake"))
+            .when(best_intra >= 0.5, F.lit("dup_intra"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
 _SIM_BITS = 32
 _TH = hashing.md5_long32_sql("tok")
 

@@ -264,6 +264,182 @@ def test_sample_video_frames_mjpeg_avi(spark):
         assert abs(r.px_mean - want) < 1e-6
 
 
+def _gif_lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    """Canonical GIF LZW encoder (GIFLIB widening discipline: the encoder
+    widens one table-add AFTER the decoder does, because the decoder's table
+    lags one entry behind)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _build_gif(idx_rows, palette, *, screen=None, offset=(0, 0), interlace=False,
+               bg=0, local_table=False, version=b"89a"):
+    """Minimal GIF: logical screen + one image block; palette is a list of
+    (r, g, b); idx_rows is a row-major list of palette-index rows."""
+    import struct
+
+    fh, fw = len(idx_rows), len(idx_rows[0])
+    sw, sh = screen if screen else (fw, fh)
+    n = max(2, 1 << (max(p.bit_length() for p in ([1] + [len(palette) - 1]))))
+    while n < len(palette):
+        n <<= 1
+    ct = b"".join(bytes(c) for c in palette) + b"\x00" * (3 * (n - len(palette)))
+    size_bits = n.bit_length() - 2  # 2^(size_bits+1) == n
+    out = bytearray(b"GIF" + version)
+    gflag = 0 if local_table else (0x80 | size_bits)
+    out += struct.pack("<HHBBB", sw, sh, gflag, bg, 0)
+    if not local_table:
+        out += ct
+    out += b"\x21\xfe\x05hello\x00"  # comment extension: must be skipped
+    lflag = (0x80 | size_bits if local_table else 0) | (0x40 if interlace else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", offset[0], offset[1], fw, fh, lflag)
+    if local_table:
+        out += ct
+    min_code = max(2, (n - 1).bit_length())
+    flat = [v for row in idx_rows for v in row]
+    if interlace:  # rows stored in 4-pass order
+        order = [y for first, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for y in range(first, fh, step)]
+        flat = [v for y in order for v in idx_rows[y]]
+    data = _gif_lzw_encode(min_code, flat)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_image_real_gif_path():
+    """r6: GIF87a/89a decodes in-sandbox — LZW (incl. the KwKwK case and
+    width growth), palette luma, interlacing, sub-screen frames on a
+    background canvas, local color tables, resize grid, error arms."""
+    import numpy as np
+
+    from us_equity_datalake_spark.multimodal.columns import _gif_pixels
+
+    rng = np.random.RandomState(3)
+    palette = [(i * 16, i * 8, i * 4) for i in range(16)]
+    lum = [p[0] * 0.299 + p[1] * 0.587 + p[2] * 0.114 for p in palette]
+    idx = (rng.randint(0, 16, size=(13, 11))).tolist()
+    want = np.array([[lum[v] for v in row] for row in idx]) / 255.0
+
+    got = np.array(_gif_pixels(_build_gif(idx, palette), 11, 13)).reshape(13, 11)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+    # interlaced + local color table + GIF87a parse identically
+    got_i = np.array(
+        _gif_pixels(_build_gif(idx, palette, interlace=True, local_table=True,
+                               version=b"87a"), 11, 13)
+    ).reshape(13, 11)
+    np.testing.assert_allclose(got_i, want, atol=1e-12)
+
+    # sub-screen frame: canvas filled with the background color around it
+    off = _build_gif(idx, palette, screen=(20, 16), offset=(3, 2), bg=5)
+    got_o = np.array(_gif_pixels(off, 20, 16)).reshape(16, 20)
+    np.testing.assert_allclose(got_o[2:15, 3:14], want, atol=1e-12)
+    assert abs(got_o[0, 0] - lum[5] / 255.0) < 1e-12
+
+    # repeated-run input exercises KwKwK codes
+    rep = [[1, 1, 1, 1, 2, 2, 2, 2] for _ in range(4)]
+    want_rep = np.array([[lum[v] for v in row] for row in rep]) / 255.0
+    got_rep = np.array(_gif_pixels(_build_gif(rep, palette), 8, 4)).reshape(4, 8)
+    np.testing.assert_allclose(got_rep, want_rep, atol=1e-12)
+
+    # resize grid: 2x downsample picks the (i*src)//dst rows/cols
+    got_small = np.array(_gif_pixels(_build_gif(idx, palette), 5, 6)).reshape(6, 5)
+    ys, xs = (np.arange(6) * 13) // 6, (np.arange(5) * 11) // 5
+    np.testing.assert_allclose(got_small, want[np.ix_(ys, xs)], atol=1e-12)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        _gif_pixels(b"GIF89a" + b"\x00" * 4, 4, 4)  # truncated screen
+    with _pt.raises(ValueError):
+        _gif_pixels(b"NOTGIF" + bytes(20), 4, 4)
+    bad = bytearray(_build_gif(idx, palette))
+    bad[-10] ^= 0xFF  # corrupt the LZW tail
+    with _pt.raises(ValueError):
+        _gif_pixels(bytes(bad), 11, 13)
+
+
+def _strip_jpeg_dht(payload: bytes) -> bytes:
+    """Remove every DHT (0xFFC4) segment — the Motion-JPEG convention where
+    frames rely on the T.81 Annex K.3 default tables."""
+    import struct
+
+    out = bytearray(payload[:2])
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            out += payload[pos:]
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            out += payload[pos:pos + 2]
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        if marker != 0xC4:
+            out += payload[pos:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDA:  # entropy data + EOI follow verbatim
+            out += payload[pos:]
+            break
+    return bytes(out)
+
+
+def test_jpeg_annex_k_default_tables():
+    """A DHT-less baseline JPEG (MJPEG convention) decodes identically to the
+    same frame with its tables embedded — the encoder writes the Annex K.3
+    luma tables, so the spec defaults must reproduce its exact bitstream
+    meaning.  A scan referencing a non-default slot still errors."""
+    import numpy as np
+
+    from us_equity_datalake_spark.multimodal.columns import _jpeg_pixels
+
+    rng = np.random.RandomState(7)
+    img = (rng.rand(16, 16) * 255).round()
+    payload, _ = _build_jpeg(img)
+    stripped = _strip_jpeg_dht(payload)
+    assert b"\xff\xc4" not in stripped[: stripped.index(b"\xff\xda")]
+    assert len(stripped) < len(payload)
+    assert _jpeg_pixels(stripped, 16, 16) == _jpeg_pixels(payload, 16, 16)
+
+
 def test_decode_audio_features_shape_and_determinism(spark):
     from us_equity_datalake_spark.multimodal.columns import decode_audio_features
 

@@ -4,8 +4,8 @@ Images/audio/video are opaque ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched pandas
 functions over ``mapInPandas``.  The production codecs (PIL/ffmpeg/torchaudio)
 are NOT in this image, so each modality carries REAL in-sandbox decoders —
-24-bit BMP, every-depth PNG, and baseline+progressive JPEG for images;
-PCM WAV for audio; BI_RGB and Motion-JPEG AVI for video — all pure
+24-bit BMP, every-depth PNG, GIF (LZW), and baseline+progressive JPEG for
+images; PCM WAV for audio; BI_RGB and Motion-JPEG AVI for video — all pure
 stdlib-struct/zlib/numpy and golden-tested, while the remaining compressed
 formats hit a NotImplementedError gate exactly where the production codec
 would plug in.
@@ -285,6 +285,145 @@ _JPEG_ZIGZAG = [
 ]
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int) -> list[int]:
+    """GIF-variant LZW (LSB-first variable-width codes, CLEAR/EOI, 12-bit
+    cap with deferred-clear tolerance) -> ``expected`` palette indices."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table, code_size, prev = fresh(), min_code_size + 1, None
+                continue
+            if code == eoi:
+                nbits = 0
+                break
+            if code < len(table) and (code < clear or table[code]):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("GIF LZW code out of range")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= expected:
+                return list(out[:expected])
+    if len(out) < expected:
+        raise ValueError("GIF LZW stream ended before the frame was full")
+    return list(out[:expected])
+
+
+# interlaced GIF row schedule: (first row, step) per pass
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_pixels(payload: bytes, w: int, h: int) -> list[float]:
+    """REAL image decode for GIF87a/GIF89a — pure stdlib ``struct`` + the
+    LZW decoder above, no external codec.  Global/local color tables,
+    interlacing, sub-screen frames (composed onto a background-color canvas)
+    and extension blocks all per the GIF89a spec; of an animated GIF the
+    FIRST frame is decoded (frame sampling of animations belongs to the
+    video path).  Transparency is ignored (the transparent index renders as
+    its palette color).  Luma + (i*src)//dst grid shared with the other
+    decoders; corrupt bytes raise ValueError at the parse boundary."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, bg, _ = struct.unpack("<HHBBB", payload[6:13])
+    if sw == 0 or sh == 0:
+        raise ValueError("degenerate GIF screen dimensions")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+
+    def luma(tbl: bytes, idx: np.ndarray) -> np.ndarray:
+        rgb = np.frombuffer(tbl, np.uint8).reshape(-1, 3).astype(np.float64)
+        if idx.max(initial=0) >= rgb.shape[0]:
+            raise ValueError("GIF pixel index beyond color table")
+        lum = rgb[:, 0] * 0.299 + rgb[:, 1] * 0.587 + rgb[:, 2] * 0.114
+        return lum[idx]
+
+    bg_luma = luma(gct, np.array([bg]))[0] if gct is not None and bg < len(gct) // 3 else 0.0
+    canvas = np.full((sh, sw), bg_luma, np.float64)
+
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks until 0 terminator
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, fw, fh, fpacked = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+        pos += 10
+        table = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            table = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF frame has neither local nor global color table")
+        if fw == 0 or fh == 0 or left + fw > sw or top + fh > sh:
+            raise ValueError("GIF frame exceeds the logical screen")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError("invalid GIF LZW minimum code size")
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(_gif_lzw_decode(min_code, bytes(data), fw * fh), np.int64)
+        frame = np.empty((fh, fw), np.float64)
+        rows = luma(table, idx).reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: 4-pass row schedule
+            src = 0
+            for first, step in _GIF_INTERLACE:
+                for y in range(first, fh, step):
+                    frame[y] = rows[src]
+                    src += 1
+        else:
+            frame = rows
+        canvas[top : top + fh, left : left + fw] = frame
+        break  # first frame only — animations are the video path's job
+
+    ys = (np.arange(h) * sh) // h
+    xs = (np.arange(w) * sw) // w
+    out = canvas[np.ix_(ys, xs)] / 255.0
+    return [float(v) for v in out.reshape(-1)]
+
+
 def _jpeg_idct_basis():
     """(8, 8) type-II DCT basis A[u, x] = C(u)/2 · cos((2x+1)uπ/16); the 2-D
     inverse of an 8x8 coefficient block F is Aᵀ·F·A (two small matmuls,
@@ -370,6 +509,71 @@ def _jpeg_extend(v: int, size: int) -> int:
     if size == 0:
         return 0
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# ITU T.81 Annex K.3 "typical" Huffman tables — the spec-published defaults a
+# Motion-JPEG frame may rely on instead of carrying DHT segments (the Apple/
+# Microsoft MJPEG conventions: strip the tables from every frame, decoder
+# supplies K.3).  (counts, values) per (tc, th) slot; 0 = luma, 1 = chroma.
+_K3_TABLES = {
+    (0, 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12))),
+    (0, 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12))),
+    (1, 0): (
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+            0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+            0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+            0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+            0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+            0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+            0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+            0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+            0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+            0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ],
+    ),
+    (1, 1): (
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+            0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+            0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+            0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+            0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+            0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+            0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+            0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+            0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+            0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+            0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+            0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+            0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ],
+    ),
+}
+
+
+def _jpeg_default_htable(tc: int, th: int) -> dict[tuple[int, int], int]:
+    """Canonical-code table for a K.3 default slot (same (length, code) ->
+    value layout the DHT parser builds); raises KeyError for slots > 1."""
+    counts, vals = _K3_TABLES[(tc, th)]
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
 
 
 def _jpeg_pixels(payload: bytes, w: int, h: int) -> list[float]:
@@ -470,6 +674,12 @@ def _jpeg_pixels(payload: bytes, w: int, h: int) -> list[float]:
         pos += 2 + seglen
     if frame is None or scan_comps is None:
         raise ValueError("JPEG missing SOF0/SOS")
+    for cid, td, ta in scan_comps:  # DHT-less MJPEG frames: K.3 defaults
+        for slot in ((0, td), (1, ta)):
+            if slot not in htables:
+                if slot not in _K3_TABLES:
+                    raise ValueError(f"JPEG scan references undefined Huffman table {slot}")
+                htables[slot] = _jpeg_default_htable(*slot)
     fh, fw, comps = frame
     if fh == 0 or fw == 0:
         raise ValueError("degenerate JPEG dimensions")
@@ -824,6 +1034,8 @@ def _real_pixels(payload: bytes, w: int, h: int) -> list[float]:
         # r6: every spec depth/color/interlace combination decodes in-sandbox;
         # anything else is corrupt and raises ValueError — no PIL fallback
         return _png_pixels(payload, w, h)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_pixels(payload, w, h)
     if payload[:2] == b"\xff\xd8":
         try:
             return _jpeg_pixels(payload, w, h)
@@ -841,8 +1053,8 @@ def _real_pixels(payload: bytes, w: int, h: int) -> list[float]:
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "progressive/exotic image decode requires PIL — not in this "
-            "image; 24-bit BMP, all spec PNG shapes and baseline+progressive "
+            "exotic image decode requires PIL — not in this image; 24-bit "
+            "BMP, all spec PNG shapes, GIF87a/89a, and baseline+progressive "
             "sequential JPEG decode in-sandbox, or use fake=True for "
             "plumbing tests"
         ) from e

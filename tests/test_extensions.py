@@ -65,6 +65,32 @@ def test_kmv_estimate_within_error(spark):
     assert abs(out["est_distinct"] - n) / n < 0.25
 
 
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """3 fixed rounds on a small symmetric graph must match an independent
+    numpy power iteration (same uniform init, same damping blend) to float
+    tolerance, and total rank mass stays ~1 (no dangling nodes)."""
+    import numpy as np
+
+    edges_d = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    sym = edges_d + [(b, a) for a, b in edges_d]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["node"]: (r["outdeg"], r["pr"]) for r in components.pagerank(df, iters=3).collect()}
+
+    n = 4
+    A = np.zeros((n, n))
+    for a, b in sym:
+        A[b, a] = 1.0  # column-stochastic after normalization
+    deg = A.sum(axis=0)
+    M = A / deg
+    pr = np.full(n, 1.0 / n)
+    for _ in range(3):
+        pr = (1 - 0.85) / n + 0.85 * (M @ pr)
+    for node in range(n):
+        assert got[node][0] == int(deg[node])
+        assert abs(got[node][1] - pr[node]) < 1e-9, node
+    assert abs(sum(v for _, v in got.values()) - 1.0) < 1e-6
+
+
 def test_theta_exhaustive_small_sets_exact(spark):
     # both slices below k: theta = full hash space, every estimate is exact
     a = spark.createDataFrame([Row(k=i) for i in range(30)])

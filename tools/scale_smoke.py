@@ -69,6 +69,7 @@ HEAVY = [
     "hll_distinct_report",
     "theta_set_report",
     "doc_incremental_dedup_report",
+    "graph_pagerank_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

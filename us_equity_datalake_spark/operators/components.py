@@ -123,6 +123,99 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    sum_scale: int = 15,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the canonical
+    Spark iterative workload (each iteration = one join + one aggregation
+    shuffle), used in data curation to weight documents/domains by link
+    authority before sampling.
+
+    Contract: every node must have out-degree >= 1 (no dangling mass) —
+    symmetrize the graph first if needed.  Node set = distinct sources.
+
+    Engine-parity discipline: the per-destination contribution sum is the
+    one float reduction whose ORDER differs between engines, so contributions
+    are cast to DECIMAL(30, ``sum_scale``) before summing (exact,
+    order-independent — the same ``dec_sum`` discipline as every graded
+    aggregate); the division pr/outdeg and the damping blend stay IEEE
+    doubles with identical operands in both engines, so a fixed-``iters``
+    unrolled SQL oracle reproduces the ranks bit-for-bit.
+
+    Scale notes: ``edges`` and the degree table are persisted once and
+    re-joined per iteration (at 1000 executors pre-partition both by ``src``
+    so every iteration's join is co-located); the rank frame stays
+    (n_nodes x 2) narrow.  Lineage grows linearly in ``iters`` — for long
+    runs insert a localCheckpoint every ~20 rounds (same discipline as
+    :func:`connected_components`)."""
+    from us_equity_datalake_spark.operators import _cache
+
+    e = _cache.track(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist())
+    deg = _cache.track(e.groupBy("src").agg(F.count("*").alias("outdeg")).persist())
+    n = deg.count()
+    if n == 0:
+        raise ValueError("pagerank: empty graph")
+    pr = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
+    base = F.lit((1.0 - damping) / n)
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e["src"] == pr["node"])
+            .join(deg, "src")
+            .select(
+                "dst",
+                (F.col("pr") / F.col("outdeg")).cast(f"decimal(30,{sum_scale})").alias("c"),
+            )
+        )
+        pr = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (base + F.lit(damping) * F.sum("c").cast("double")).alias("pr")
+        )
+    return pr.join(deg, pr["node"] == deg["src"]).select(
+        "node", "outdeg", F.round("pr", 9).alias("pr")
+    )
+
+
+def pagerank_sql(
+    edges_cte: str,
+    *,
+    iters: int = 3,
+    damping: float = 0.85,
+    sum_scale: int = 15,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the fixed iteration count unrolls to
+    one CTE per round (``edges_cte`` must define ``edges(src, dst)``)."""
+    prev = "pr0"
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""pr{i} AS (
+      SELECT s.dst AS node,
+             (1.0 - {damping!r}) / n.n_nodes
+               + {damping!r} * CAST(SUM(CAST(p.pr / d.outdeg AS DECIMAL(30,{sum_scale}))) AS DOUBLE) AS pr
+      FROM edges s
+      JOIN {prev} p ON s.src = p.node
+      JOIN deg d ON s.src = d.src
+      CROSS JOIN n
+      GROUP BY s.dst, n.n_nodes
+    )"""
+        )
+        prev = f"pr{i}"
+    return f"""
+    WITH {edges_cte},
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    pr0 AS (SELECT src AS node, 1.0 / n_nodes AS pr FROM deg CROSS JOIN n),
+    {', '.join(rounds)}
+    SELECT p.node, d.outdeg, ROUND(p.pr, 9) AS pr
+    FROM {prev} p JOIN deg d ON p.node = d.src
+    """
+
+
 def dedup_clusters(
     edges: DataFrame,
     *,

@@ -81,6 +81,7 @@ _GRADING_PRIORITY = [
     "theta_set_report",          # KMV theta-sketch intersect/union/Jaccard
     "streaming_enrich_join_sink",  # real engine: stream-static broadcast join
     "doc_incremental_dedup_report",  # delta-vs-signature-store dedup
+    "graph_pagerank_report",     # fixed-round iterative PageRank
     # --- core regression tail (code paths touched or load-bearing) ---
     "filing_sentiment_agg",   # r6: numpy transformer encoder behind N4
     "tumbling_hourly_agg",    # r6: real Structured Streaming twin added

@@ -176,6 +176,49 @@ def hll_distinct_report(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Iterative PageRank (fixed rounds, exact-decimal contribution sums)
+# ---------------------------------------------------------------------------
+
+_PR_EDGES_CTE = """edges_raw AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM edges_raw
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges_raw
+    )"""
+
+
+@register(
+    "graph_pagerank_report",
+    oracle=components.pagerank_sql(_PR_EDGES_CTE, iters=3),
+    doc="Fixed-3-round PageRank over the symmetrized customer-supplier "
+    "purchase graph (suppliers offset by 1e6 to keep the id spaces "
+    "disjoint) — the canonical Spark iterative workload: each round is one "
+    "co-locatable join + one aggregation shuffle over a persisted edge "
+    "table.  Contribution sums go through DECIMAL(30,15) so the ranks are "
+    "bit-identical in the unrolled-CTE DuckDB oracle; in curation this "
+    "weights documents/domains by link authority before sampling.",
+)
+def graph_pagerank_report(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    raw = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return components.pagerank(sym, iters=3)
+
+
+# ---------------------------------------------------------------------------
 # Theta-sketch set operations (KMV-as-sample)
 # ---------------------------------------------------------------------------
 

@@ -453,6 +453,80 @@ def dq_audit_lineitem(spark, sf_dir):
     return expectations.audit(li, _dq_spark_checks())
 
 
+_DRIFT_WIN = 7  # trailing days in the control window
+
+
+@register(
+    "dq_drift_monitor",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT day, n,
+             SUM(n) OVER w AS s,
+             SUM(n * n) OVER w AS ss,
+             COUNT(*) OVER w AS cnt
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN {_DRIFT_WIN} PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT day, n, s, cnt,
+             CASE WHEN cnt = {_DRIFT_WIN}
+                  THEN (ss - s * s / CAST(cnt AS DOUBLE)) / (cnt - 1) END AS var
+      FROM t
+    )
+    SELECT day, n,
+           CASE WHEN cnt = {_DRIFT_WIN} THEN ROUND(s / CAST(cnt AS DOUBLE), 6) END AS trailing_mean,
+           CASE WHEN var > 0 THEN ROUND((n - s / CAST(cnt AS DOUBLE)) / sqrt(var), 6) END AS z,
+           CASE WHEN var IS NULL OR var <= 0 THEN 'baseline'
+                WHEN abs((n - s / CAST(cnt AS DOUBLE)) / sqrt(var)) > 3 THEN 'alert'
+                WHEN abs((n - s / CAST(cnt AS DOUBLE)) / sqrt(var)) > 2 THEN 'warn'
+                WHEN abs((n - s / CAST(cnt AS DOUBLE)) / sqrt(var)) > 1 THEN 'watch'
+                ELSE 'ok' END AS zone
+    FROM z
+    """,
+    doc="Control-chart drift monitor over daily event volumes: each day's "
+    "count vs a trailing 7-day window, z-scored and classified into Western "
+    "Electric zones (1/2/3 sigma).  The trailing mean/variance come from "
+    "exact INTEGER window sums (SUM(n), SUM(n*n)) — never a float stddev "
+    "whose accumulation order differs between engines — so the z-scores are "
+    "bit-identical in the oracle.  The ops-monitoring tier a daily 100 TB "
+    "ingest needs: a partition whose volume breaks the control band is "
+    "flagged before it poisons downstream aggregates.",
+)
+def dq_drift_monitor(spark, sf_dir):
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    w = Window.orderBy("day").rowsBetween(-_DRIFT_WIN, -1)
+    t = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    full = F.col("cnt") == _DRIFT_WIN
+    mean = F.col("s") / F.col("cnt").cast("double")
+    var = F.when(full, (F.col("ss") - F.col("s") * F.col("s") / F.col("cnt").cast("double")) / (F.col("cnt") - 1))
+    z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var))
+    zone = (
+        F.when(z.isNull(), F.lit("baseline"))
+        .when(F.abs(z) > 3, F.lit("alert"))
+        .when(F.abs(z) > 2, F.lit("warn"))
+        .when(F.abs(z) > 1, F.lit("watch"))
+        .otherwise(F.lit("ok"))
+    )
+    return t.select(
+        "day",
+        "n",
+        F.when(full, F.round(mean, 6)).alias("trailing_mean"),
+        F.round(z, 6).alias("z"),
+        zone.alias("zone"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clusters: connected components over cosine near-dup pairs
 # ---------------------------------------------------------------------------

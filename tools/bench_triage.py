@@ -49,6 +49,12 @@ WRITE_PATH = {
     "availableNow jobs against one checkpoint (cross-run state restore is the graded behavior)",
     "streaming_dedup_sink": "REAL streaming engine: lands the events table TWICE (at-least-once "
     "delivery), dropDuplicatesWithinWatermark + checkpoint + parquet sink; the oracle reads the plain table",
+    "streaming_enrich_join_sink": "REAL streaming engine: stream-static broadcast join inside every "
+    "micro-batch + watermarked tumbling rollup, two availableNow runs, checkpoint + parquet sink "
+    "the oracle never writes",
+    "doc_incremental_dedup_report": "writes + re-reads the lake's MinHash signature store (the "
+    "persisted-index pattern), then hashes only the delta; duck-1t re-hashes everything at 4.9 s — "
+    "spark is FASTER than the 1-thread oracle here",
 }
 
 UDF_PATH = {
@@ -118,6 +124,12 @@ COMPUTE_NOTES = {
     "agg; production trains once on the reference corpus, leaving scoring one pass",
     "dsir_resample_topk": "one feature pass for both hashed-ngram models + AQE-broadcast "
     "log-ratio join + TakeOrderedAndProject; duck-1t 1.4 s vs spark 1.6 s — same asymptotics",
+    "graph_pagerank_report": "3 fixed PageRank rounds = 3 join+agg shuffle pairs over the "
+    "persisted edge/degree tables + the unrolled decimal sums; duck-1t 2.7 s vs spark 3.4 s — "
+    "same asymptotics, stage-count bound",
+    "theta_set_report": "two KMV sketch passes (distinct + two-phase k-min rank each) + "
+    "tagged-union set algebra + the exact-count pass the sketch exists to avoid; "
+    "constant sketch state at any scale (sf1 ladder: 0.96x for 10x data)",
 }
 
 

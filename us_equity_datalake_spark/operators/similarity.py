@@ -441,6 +441,32 @@ def ivf_topk(
     assigned = assign_to_centroids(
         corpus, centroids, id_col=id_col, vec_col=vec_col, kernel=kernel
     )
+    return ivf_probe(
+        assigned, centroids, queries,
+        id_col=id_col, vec_col=vec_col, query_id=query_id,
+        k=k, nprobe=nprobe, kernel=kernel,
+    )
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 5,
+    nprobe: int = 2,
+    kernel: str = "arrow",
+) -> DataFrame:
+    """The query-time half of IVF, split out so a PERSISTED index (the
+    ``assigned`` table written to the lake partitioned by ``centroid_id``,
+    plus its centroid dimension) can be probed without re-running the build:
+    select each query's ``nprobe`` nearest centroids, scan only those
+    buckets, exact-rescore candidates.  Against a centroid-partitioned index
+    the bucket join prunes to nprobe/|C| of the data — the partition-pruned
+    scan that makes 100 TB ANN feasible."""
     if kernel != "arrow":
         assigned = assigned.withColumn("__vn", vector.norm(F.col(vec_col)))
     q = queries.select(

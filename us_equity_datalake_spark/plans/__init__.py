@@ -85,6 +85,7 @@ _GRADING_PRIORITY = [
     "doc_incremental_dedup_report",  # delta-vs-signature-store dedup
     "graph_pagerank_report",     # fixed-round iterative PageRank
     "dq_drift_monitor",          # control-chart volume drift z-scores
+    "emb_ivf_persisted_topk",    # IVF index as a partitioned lake table
     # --- core regression tail (code paths touched or load-bearing) ---
     "filing_sentiment_agg",   # r6: numpy transformer encoder behind N4
     "tumbling_hourly_agg",    # r6: real Structured Streaming twin added

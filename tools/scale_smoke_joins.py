@@ -46,6 +46,9 @@ JOIN_QUERIES = [
     "tpch_q21_waiting_supplier",
     "bucketed_smj_rollup",
     "scd2_merge",
+    # round 6: iterative + sketch tiers over the 100x orders/lineitem subset
+    "graph_pagerank_report",
+    "theta_set_report",
 ]
 QUANT_EVENT_QUERIES = [
     "locf_ffill_calendar",
@@ -174,9 +177,17 @@ def _maintenance_point(spark, sf_dir, label: str, *, n_buckets: int = 64) -> dic
 
 
 def main() -> None:
-    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale/sf1"
-    sf10j = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale/sf10j"
-    sf10e = sys.argv[3] if len(sys.argv) > 3 else "/tmp/spark_graft_scale/sf10"
+    argv = list(sys.argv[1:])
+    only: set[str] = set()
+    if "--only" in argv:
+        # --only NAME...: measure just those queries and MERGE them into the
+        # existing sf10_joins record (maintenance points untouched)
+        i = argv.index("--only")
+        only = set(argv[i + 1 :])
+        argv = argv[:i]
+    sf1 = argv[0] if len(argv) > 0 else "/tmp/spark_graft_scale/sf1"
+    sf10j = argv[1] if len(argv) > 1 else "/tmp/spark_graft_scale/sf10j"
+    sf10e = argv[2] if len(argv) > 2 else "/tmp/spark_graft_scale/sf10"
 
     import __spark_entry__ as entrymod
     from us_equity_datalake_spark.session import get_spark
@@ -185,6 +196,8 @@ def main() -> None:
     qs = entrymod.queries()
 
     plan = [(n, sf10j) for n in JOIN_QUERIES] + [(n, sf10e) for n in QUANT_EVENT_QUERIES]
+    if only:
+        plan = [(n, d) for n, d in plan if n in only]
     # codegen warmup (same protocol as bench.py / scale_smoke.py)
     for name, _ in plan:
         try:
@@ -217,6 +230,22 @@ def main() -> None:
             spark._jvm.System.gc()
         except Exception:
             pass
+
+    if only:
+        # merge mode: splice the measured rows into the committed record
+        detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+        detail = json.load(open(detail_path))
+        detail["sf10_joins"]["queries"].update(out)
+        over = {n: r["ratio_10x"] for n, r in detail["sf10_joins"]["queries"].items()
+                if r.get("ratio_10x") and r["ratio_10x"] > 15}
+        detail["sf10_joins"]["n_gated"] = len(detail["sf10_joins"]["queries"])
+        detail["sf10_joins"]["n_over_15x"] = len(over)
+        detail["sf10_joins"]["over_15x"] = over
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        print(json.dumps({"sf10_joins_only": {"n": len(out), "n_over_15x": len(over), "over_15x": over}}))
+        spark.stop()
+        return
 
     maint = {
         "b64": _maintenance_point(spark, sf10j, "sf10", n_buckets=64),

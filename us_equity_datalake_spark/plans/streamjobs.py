@@ -37,6 +37,7 @@ from us_equity_datalake_spark.sources.registry import load_table
 from us_equity_datalake_spark.streaming.stateful import universe_lifecycle
 from us_equity_datalake_spark.streaming.windows import (
     session_counts,
+    sliding_counts,
     stream_static_enrich,
     stream_stream_interval_join,
     tumbling_counts,
@@ -240,6 +241,60 @@ def streaming_interval_join_sink_q(spark, sf_dir):
         "user_id",
         F.unix_micros("ts").alias("view_us"),
         F.unix_micros("ts_r").alias("click_us"),
+    )
+
+
+@register(
+    "streaming_sliding_sink",
+    oracle=f"""
+    WITH mx AS (SELECT epoch_ms(max(ts)) AS wm_ms FROM events),
+    assigned AS (
+      SELECT epoch_us(date_trunc('hour', ts)) // 1000000
+               + (CASE WHEN epoch_us(ts) - epoch_us(date_trunc('hour', ts)) >= 1800 * 1000000 THEN 1800 ELSE 0 END)
+               AS b0, value
+      FROM events
+    ),
+    two AS (
+      SELECT b0 AS wstart, value FROM assigned
+      UNION ALL
+      SELECT b0 - 1800, value FROM assigned
+    )
+    SELECT wstart AS window_start, COUNT(*) AS n, {dec_sum_sql('value')} AS total_value
+    FROM two CROSS JOIN mx
+    GROUP BY wstart, wm_ms
+    HAVING (wstart + 3600) * 1000 <= wm_ms - {_WATERMARK_S} * 1000
+    """,
+    doc="Sliding windows through the REAL engine (1 h window, 30 min slide: "
+    "every event is open in TWO windows simultaneously, so watermark state "
+    "holds window/slide times the tumbling row count — the state-sizing "
+    "dimension tumbling never exercises).  File source -> availableNow x2 "
+    "-> parquet sink; the oracle assigns each event to both windows and "
+    "keeps only those whose END the final watermark passed.",
+)
+def streaming_sliding_sink_q(spark, sf_dir):
+    root = _scratch(sf_dir, "sliding")
+    sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
+    schema = load_table(spark, "events", sf_dir).schema
+    for _ in range(2):
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = (
+            sliding_counts(src, watermark=f"{_WATERMARK_S} seconds", exact_sum=True)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(sink)
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "n", "total_value",
     )
 
 

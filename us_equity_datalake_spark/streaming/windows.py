@@ -34,12 +34,21 @@ def tumbling_counts(events: DataFrame, *, window: str = "1 hour", watermark: str
 
 
 def sliding_counts(events: DataFrame, *, window: str = "1 hour", slide: str = "30 minutes",
-                   watermark: str = "2 hours") -> DataFrame:
+                   watermark: str = "2 hours", exact_sum: bool = False) -> DataFrame:
+    """Sliding-window counts (each event lands in window/slide windows).
+    ``exact_sum=True`` adds the DECIMAL value sum so a parquet sink of this
+    stream hash-compares against a SQL oracle (the r6
+    ``streaming_sliding_sink`` grading path)."""
+    aggs = [F.count("*").alias("n")]
+    cols = [F.col("w.start").alias("window_start"), "n"]
+    if exact_sum:
+        aggs.append(dec_sum(F.col("value")).alias("total_value"))
+        cols.append("total_value")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"))
-        .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("window_start"), "n")
+        .agg(*aggs)
+        .select(*cols)
     )
 
 

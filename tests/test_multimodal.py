@@ -396,6 +396,56 @@ def test_decode_image_real_gif_path():
         _gif_pixels(bytes(bad), 11, 13)
 
 
+def test_gif_lzw_width_growth_and_roundtrip():
+    """LZW code width must grow past 9/10/11 bits in lockstep between the
+    canonical encoder and the decoder: a high-entropy 120x120 16-color image
+    builds >2500 table entries (code width 12), and decode(encode(x)) == x.
+    Plus randomized roundtrips across palette sizes and shapes."""
+    import numpy as np
+
+    from us_equity_datalake_spark.multimodal.columns import _gif_lzw_decode, _gif_pixels
+
+    rng = np.random.RandomState(17)
+    flat = rng.randint(0, 16, size=120 * 120).tolist()
+    enc = _gif_lzw_encode(4, flat)
+    assert _gif_lzw_decode(4, enc, len(flat)) == flat
+    # entropy check: the table really grew past the 9-bit boundary
+    assert len(enc) > len(flat) * 9 // 8 // 2
+
+    for trial in range(6):
+        bits = int(rng.randint(1, 5))  # palette sizes 2..16
+        ncol = 1 << bits
+        fh, fw = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        palette = [(int(c[0]), int(c[1]), int(c[2]))
+                   for c in rng.randint(0, 256, size=(ncol, 3))]
+        lum = [p[0] * 0.299 + p[1] * 0.587 + p[2] * 0.114 for p in palette]
+        idx = rng.randint(0, ncol, size=(fh, fw)).tolist()
+        want = np.array([[lum[v] for v in row] for row in idx]) / 255.0
+        payload = _build_gif(idx, palette, interlace=bool(trial % 2))
+        got = np.array(_gif_pixels(payload, fw, fh)).reshape(fh, fw)
+        np.testing.assert_allclose(got, want, atol=1e-12,
+                                   err_msg=f"trial {trial} {fh}x{fw} ncol={ncol}")
+
+
+def test_jpeg_dims_header_walk():
+    """_jpeg_dims reads (h, w) from SOF0 and SOF2 without entropy decode."""
+    import numpy as np
+
+    from us_equity_datalake_spark.multimodal.columns import _jpeg_dims
+
+    img = (np.arange(24 * 40, dtype=np.float64).reshape(24, 40) % 256)
+    base, _ = _build_jpeg(img)
+    assert _jpeg_dims(base) == (24, 40)
+    prog = _build_progressive_jpeg(
+        img,
+        [dict(comps=[1], ss=0, se=0, ah=0, al=0),
+         dict(comps=[1], ss=1, se=63, ah=0, al=0)],
+    )[0]
+    assert _jpeg_dims(prog) == (24, 40)
+    with pytest.raises(ValueError):
+        _jpeg_dims(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+
+
 def _strip_jpeg_dht(payload: bytes) -> bytes:
     """Remove every DHT (0xFFC4) segment — the Motion-JPEG convention where
     frames rely on the T.81 Annex K.3 default tables."""

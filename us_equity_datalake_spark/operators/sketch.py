@@ -459,18 +459,23 @@ def kmv_theta_sample(df: DataFrame, key: str, *, k: int = THETA_K) -> DataFrame:
     post-distinct partition keeps its local k+1 smallest first (any global
     top-(k+1) hash is necessarily in its own partition's top-(k+1), whatever
     the partition assignment), so the single-partition global rank sees at
-    most (k+1) x numPartitions rows — not 100 TB of distinct hashes."""
+    most (k+1) x numPartitions rows — not 100 TB of distinct hashes.
+
+    theta rides along as a window MAX over the <= k+1 ranked rows (already
+    on one partition from the global rank) instead of a separate aggregate
+    crossJoined back — the latter re-executed the whole distinct+rank chain
+    a second time per sketch (plan-audited: 6 scans -> 4 for the set
+    report)."""
     hashed = df.select(md5_long60(F.col(key).cast("string")).alias("h")).distinct()
     local = F.row_number().over(Window.partitionBy(F.spark_partition_id()).orderBy("h"))
     survivors = hashed.withColumn("lrn", local).where(F.col("lrn") <= k + 1).drop("lrn")
     rn = F.row_number().over(Window.orderBy("h"))
     ranked = survivors.withColumn("rn", rn).where(F.col("rn") <= k + 1)
-    theta = ranked.agg(
-        F.coalesce(
-            F.max(F.when(F.col("rn") == k + 1, F.col("h"))), F.lit(_FULL_THETA)
-        ).alias("theta")
+    theta = F.coalesce(
+        F.max(F.when(F.col("rn") == k + 1, F.col("h"))).over(Window.partitionBy()),
+        F.lit(_FULL_THETA),
     )
-    return ranked.where(F.col("rn") <= k).select("h").crossJoin(F.broadcast(theta))
+    return ranked.withColumn("theta", theta).where(F.col("rn") <= k).select("h", "theta")
 
 
 def theta_set_report(

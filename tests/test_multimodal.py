@@ -526,6 +526,62 @@ def _sine_wav(freq_hz: float, sr: int = 8000, seconds: float = 1.0) -> bytes:
     return buf.getvalue()
 
 
+def _sine_aiff(freq_hz: float, sr: int = 8000, seconds: float = 1.0) -> bytes:
+    """Same sine signal as :func:`_sine_wav`, packed as big-endian AIFF with
+    the 80-bit-extended sample rate (normalized: integer bit explicit)."""
+    import math
+    import struct
+
+    n = int(sr * seconds)
+    pcm = b"".join(
+        struct.pack(">h", int(30000 * math.sin(2 * math.pi * freq_hz * t / sr)))
+        for t in range(n)
+    )
+    # 80-bit extended: sr = m * 2^(e-16383-63) with the top mantissa bit set
+    e = sr.bit_length() - 1
+    m = sr << (63 - e)
+    f80 = struct.pack(">HQ", 16383 + e, m)
+    comm = b"COMM" + struct.pack(">IhLh", 18, 1, n, 16) + f80
+    ssnd = b"SSND" + struct.pack(">ILL", 8 + len(pcm), 0, 0) + pcm
+    body = b"AIFF" + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def test_decode_audio_real_aiff_path(spark):
+    """The AIFF container of the SAME signal must produce identical features
+    to its WAV twin (shared feature tail), the 80-bit sample rate must parse
+    exactly, and garbage/odd-width arms raise."""
+    from pyspark.sql import Row, types as T
+
+    from us_equity_datalake_spark.multimodal.columns import (
+        _aiff_band_energies,
+        _float80,
+        _wav_band_energies,
+        decode_audio_features,
+    )
+
+    assert _float80(b"\x40\x0b\xfa\x00\x00\x00\x00\x00\x00\x00") == 8000.0
+    assert _float80(b"\x40\x0e\xac\x44\x00\x00\x00\x00\x00\x00") == 44100.0
+
+    wav, aiff = _sine_wav(440.0), _sine_aiff(440.0)
+    fw, dw = _wav_band_energies(wav, 8, 4)
+    fa, da = _aiff_band_energies(aiff, 8, 4)
+    assert fw == fa and dw == da  # bit-identical: same samples, same tail
+
+    schema = T.StructType([T.StructField("asset_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    df = spark.createDataFrame([Row(asset_id=1, payload=bytearray(aiff))], schema)
+    row = decode_audio_features(df, fake=False).collect()[0]
+    assert abs(row.duration_s - 1.0) < 1e-6
+    assert [pytest.approx(v, abs=1e-6) for r in fa for v in r] == \
+           [v for r in row.mel for v in r]
+
+    with pytest.raises(Exception):
+        _aiff_band_energies(b"FORM\x00\x00\x00\x04AIFF", 8, 4)  # no COMM/SSND
+    with pytest.raises(Exception):
+        _aiff_band_energies(b"RIFX" + bytes(40), 8, 4)
+
+
 def test_decode_audio_real_wav_path(spark):
     """fake=False is a REAL decode (stdlib wave + numpy FFT): a pure tone's
     energy lands in the band containing its frequency; duration comes from

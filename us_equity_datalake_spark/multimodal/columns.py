@@ -5,7 +5,7 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched pandas
 functions over ``mapInPandas``.  The production codecs (PIL/ffmpeg/torchaudio)
 are NOT in this image, so each modality carries REAL in-sandbox decoders —
 24-bit BMP, every-depth PNG, GIF (LZW), and baseline+progressive JPEG for
-images; PCM WAV for audio; BI_RGB and Motion-JPEG AVI for video — all pure
+images; PCM WAV and AIFF for audio; BI_RGB and Motion-JPEG AVI for video — all pure
 stdlib-struct/zlib/numpy and golden-tested, while the remaining compressed
 formats hit a NotImplementedError gate exactly where the production codec
 would plug in.
@@ -1279,13 +1279,29 @@ def sample_video_frames(df: DataFrame, *, payload_col: str = "payload", n_frames
     return df.mapInPandas(kernel, out_schema)
 
 
+def _band_energies_from(sig, sr: float, n_frames: int, n_mels: int) -> tuple[list[list[float]], float]:
+    """Shared feature tail for every audio container: mix-to-mono input is
+    peak-normalized, split into ``n_frames`` equal windows; each window's
+    rFFT magnitude spectrum is pooled into ``n_mels`` linear bands (a
+    deterministic stand-in for a mel filterbank — plumbing, shapes, and
+    scale behavior identical).  Returns (features, duration_seconds)."""
+    import numpy as np
+
+    peak = np.abs(sig).max() if sig.size else 0.0
+    if peak > 0:
+        sig = sig / peak
+    feats = []
+    for fr in np.array_split(sig, n_frames):
+        if fr.size == 0:
+            feats.append([0.0] * n_mels)
+            continue
+        mag = np.abs(np.fft.rfft(fr))
+        feats.append([float(b.mean()) if b.size else 0.0 for b in np.array_split(mag, n_mels)])
+    return feats, (sig.size / sr if sr else 0.0)
+
+
 def _wav_band_energies(payload: bytes, n_mels: int, n_frames: int) -> tuple[list[list[float]], float]:
-    """REAL audio decode: stdlib ``wave`` + numpy rFFT — no external codec.
-    The signal is mixed to mono, peak-normalized, split into ``n_frames``
-    equal windows; each window's magnitude spectrum is pooled into
-    ``n_mels`` linear bands (a deterministic stand-in for a mel filterbank —
-    the plumbing, shapes, and scale behavior are identical).  Returns
-    (features, duration_seconds)."""
+    """REAL audio decode: stdlib ``wave`` + numpy rFFT — no external codec."""
     import io
     import wave
 
@@ -1303,17 +1319,64 @@ def _wav_band_energies(payload: bytes, n_mels: int, n_frames: int) -> tuple[list
     sig = np.frombuffer(raw, dtype=dtype).astype(np.float64)
     if channels > 1:
         sig = sig.reshape(-1, channels).mean(axis=1)
-    peak = np.abs(sig).max() if sig.size else 0.0
-    if peak > 0:
-        sig = sig / peak
-    feats = []
-    for fr in np.array_split(sig, n_frames):
-        if fr.size == 0:
-            feats.append([0.0] * n_mels)
-            continue
-        mag = np.abs(np.fft.rfft(fr))
-        feats.append([float(b.mean()) if b.size else 0.0 for b in np.array_split(mag, n_mels)])
-    return feats, (n / sr if sr else 0.0)
+    return _band_energies_from(sig, sr, n_frames, n_mels)
+
+
+def _float80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (the AIFF sample-rate encoding):
+    1 sign bit, 15 exponent bits, 64 mantissa bits with an EXPLICIT
+    integer bit — m * 2^(e - 16383 - 63)."""
+    import struct
+
+    se, m = struct.unpack(">HQ", b)
+    sign = -1.0 if se & 0x8000 else 1.0
+    e = se & 0x7FFF
+    if e == 0 and m == 0:
+        return 0.0
+    if e == 0x7FFF:
+        raise ValueError("AIFF sample rate is inf/nan")
+    return sign * m * 2.0 ** (e - 16383 - 63)
+
+
+def _aiff_band_energies(payload: bytes, n_mels: int, n_frames: int) -> tuple[list[list[float]], float]:
+    """REAL audio decode for AIFF (big-endian IFF): COMM chunk carries
+    channels / frames / sample size / an 80-bit-extended sample rate, SSND
+    the big-endian signed PCM — pure stdlib struct + numpy, the second
+    in-sandbox audio container next to WAV (same feature tail, so the two
+    containers of one signal produce identical features)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    channels = frames = size_bits = None
+    sr = 0.0
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated AIFF chunk")
+        if cid == b"COMM":
+            channels, frames, size_bits = struct.unpack(">hLh", body[:8])
+            sr = _float80(body[8:18])
+        elif cid == b"SSND":
+            off, _blk = struct.unpack(">LL", body[:8])
+            data = body[8 + off :]
+        pos += 8 + clen + (clen & 1)  # IFF chunks are word-aligned
+    if channels is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    dtype = {8: ">i1", 16: ">i2", 32: ">i4"}.get(size_bits)
+    if dtype is None:
+        raise ValueError(f"unsupported AIFF sample size: {size_bits}")
+    want = frames * channels * (size_bits // 8)
+    sig = np.frombuffer(data[:want], dtype=dtype).astype(np.float64)
+    if channels > 1:
+        sig = sig.reshape(-1, channels).mean(axis=1)
+    return _band_energies_from(sig, sr, n_frames, n_mels)
 
 
 def decode_audio_features(df: DataFrame, *, payload_col: str = "payload", n_mels: int = 8,
@@ -1346,9 +1409,13 @@ def decode_audio_features(df: DataFrame, *, payload_col: str = "payload", n_mels
                 pdf["mel"] = pdf[payload_col].map(mel)
                 pdf["duration_s"] = pdf[payload_col].map(lambda b: len(bytes(b or b"")) / 16000.0)
             else:
-                decoded = pdf[payload_col].map(
-                    lambda b: _wav_band_energies(bytes(b or b""), n_mels, n_frames)
-                )
+                def decode(b):
+                    raw = bytes(b or b"")
+                    if raw[:4] == b"FORM" and raw[8:12] == b"AIFF":
+                        return _aiff_band_energies(raw, n_mels, n_frames)
+                    return _wav_band_energies(raw, n_mels, n_frames)
+
+                decoded = pdf[payload_col].map(decode)
                 pdf["mel"] = decoded.map(lambda t: t[0])
                 pdf["duration_s"] = decoded.map(lambda t: t[1])
             yield pdf

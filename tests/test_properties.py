@@ -312,3 +312,53 @@ def test_scd2_invariants(spark, case):
     a = sorted((r.k, r.seg, str(r.start_date), str(r.end_date)) for r in again.collect())
     b = sorted((r.k, r.seg, str(r.start_date), str(r.end_date)) for r in rows)
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# GIF LZW — decode(encode(x)) == x for arbitrary index streams (pure Python,
+# no Spark job, so this property can afford real example counts)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.data(),
+)
+def test_gif_lzw_roundtrip_property(min_code, data):
+    from us_equity_datalake_spark.multimodal.columns import _gif_lzw_decode
+    from tests.test_multimodal import _gif_lzw_encode
+
+    nsym = 1 << min_code
+    idx = data.draw(
+        st.lists(st.integers(0, nsym - 1), min_size=1, max_size=400)
+    )
+    enc = _gif_lzw_encode(min_code, idx)
+    assert _gif_lzw_decode(min_code, enc, len(idx)) == idx
+
+
+# ---------------------------------------------------------------------------
+# Theta sketch — exhaustive regime (distinct keys <= k) is EXACT for any
+# input multiset; estimates keep intersection <= union in every regime
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=80),
+    st.lists(st.integers(20, 70), min_size=1, max_size=80),
+)
+def test_theta_sketch_exhaustive_exactness(spark, xs, ys):
+    from us_equity_datalake_spark.operators import sketch
+
+    a = spark.createDataFrame([(v,) for v in xs], "k long")
+    b = spark.createDataFrame([(v,) for v in ys], "k long")
+    row = sketch.theta_set_report(a, b, "k", k=64).collect()[0]
+    sx, sy = set(xs), set(ys)
+    assert row["exact_intersection"] == len(sx & sy)
+    assert row["exact_union"] == len(sx | sy)
+    assert row["theta"] == (1 << 60)  # <= 64 distinct keys per side
+    assert row["est_intersection"] == float(len(sx & sy))
+    assert row["est_union"] == float(len(sx | sy))
+    assert row["est_intersection"] <= row["est_union"]

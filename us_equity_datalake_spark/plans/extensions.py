@@ -453,6 +453,88 @@ def dq_audit_lineitem(spark, sf_dir):
     return expectations.audit(li, _dq_spark_checks())
 
 
+# ---------------------------------------------------------------------------
+# Fuzzy entity resolution: blocked Levenshtein record linkage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_part_match",
+    oracle="""
+    WITH clean AS (
+      SELECT p_partkey AS clean_key,
+             p_name || '#' || CAST(p_partkey AS VARCHAR) AS clean_name
+      FROM part
+    ),
+    dirty AS (
+      SELECT clean_key AS dirty_key,
+             substr(clean_name, 1, 8) || substr(clean_name, 10) AS dirty_name
+      FROM clean WHERE clean_key % 10 = 0
+    ),
+    cand AS (
+      SELECT d.dirty_key, c.clean_key,
+             levenshtein(d.dirty_name, c.clean_name) AS dist
+      FROM dirty d JOIN clean c ON substr(d.dirty_name, 1, 6) = substr(c.clean_name, 1, 6)
+      WHERE levenshtein(d.dirty_name, c.clean_name) <= 2
+    ),
+    best AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY dirty_key ORDER BY dist, clean_key) AS rn,
+             COUNT(*) OVER (PARTITION BY dirty_key) AS n_candidates
+      FROM cand
+    )
+    SELECT dirty_key, clean_key AS matched_key, CAST(dist AS BIGINT) AS distance,
+           n_candidates, (clean_key = dirty_key) AS is_original
+    FROM best WHERE rn = 1
+    """,
+    doc="Record linkage with prefix blocking: a 'dirty feed' (every 10th "
+    "unique entity name with its 9th character dropped) is resolved against "
+    "the clean dimension by Levenshtein distance <= 2 — but only within "
+    "6-char-prefix blocks, so the comparison count is sum of block sizes "
+    "squared, never |dirty| x |dim| (the blocking discipline every entity-"
+    "resolution pipeline needs at 100 TB; both engines compute the same "
+    "integer edit distance, so the match set grades exactly).  is_original "
+    "exhibits resolution accuracy directly in the graded result.",
+)
+def fuzzy_part_match(spark, sf_dir):
+    part = load_table(spark, "part", sf_dir)
+    clean = part.select(
+        F.col("p_partkey").alias("clean_key"),
+        F.concat(
+            F.col("p_name"), F.lit("#"), F.col("p_partkey").cast("string")
+        ).alias("clean_name"),
+    )
+    dirty = clean.where(F.col("clean_key") % 10 == 0).select(
+        F.col("clean_key").alias("dirty_key"),
+        F.concat(
+            F.substring("clean_name", 1, 8), F.expr("substring(clean_name, 10)")
+        ).alias("dirty_name"),
+    )
+    cand = (
+        dirty.join(
+            clean,
+            F.substring("dirty_name", 1, 6) == F.substring("clean_name", 1, 6),
+        )
+        .withColumn("dist", F.levenshtein("dirty_name", "clean_name"))
+        .where(F.col("dist") <= 2)
+        .select("dirty_key", "clean_key", "dist")
+    )
+    w = Window.partitionBy("dirty_key").orderBy("dist", "clean_key")
+    wc = Window.partitionBy("dirty_key")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_candidates", F.count("*").over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "dirty_key",
+            F.col("clean_key").alias("matched_key"),
+            F.col("dist").cast("long").alias("distance"),
+            "n_candidates",
+            (F.col("clean_key") == F.col("dirty_key")).alias("is_original"),
+        )
+    )
+
+
 _DRIFT_WIN = 7  # trailing days in the control window
 
 

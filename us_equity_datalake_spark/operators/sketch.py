@@ -330,6 +330,90 @@ def cms_sql(
     return grid, probe_arr
 
 
+def cms_join_size(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = CMS_SEED,
+) -> DataFrame:
+    """Join-cardinality estimate from two Count-Min grids (the classic CMS
+    inner-product estimator): |A ⋈ B on col| = Σ_k f_A(k)·f_B(k), estimated
+    as min over depth rows of Σ_bucket cms_A[d][bkt]·cms_B[d][bkt] — always
+    an OVERestimate (collision cross-terms add ~N_A·N_B/width), which is how
+    an optimizer sizes a 100 TB join from two sketch-sized summaries instead
+    of scanning either side.  The exact join size rides along so the result
+    exhibits the error; all arithmetic is integer, so the estimate is
+    bit-identical in DuckDB."""
+    sa = cms_sketch(a, col, depth=depth, width=width, seed=seed)
+    sb = cms_sketch(b, col, depth=depth, width=width, seed=seed)
+    ip = (
+        sa.alias("x")
+        .join(sb.alias("y"), ["row_i", "bucket"])
+        .groupBy("row_i")
+        .agg(F.sum(F.col("x.c") * F.col("y.c")).alias("ip"))
+    )
+    est = ip.agg(F.min("ip").alias("est_join_size"))
+    fa = a.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("ca"))
+    fb = b.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("cb"))
+    exact = (
+        fa.join(fb, "k")
+        .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).cast("long")
+             .alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit(depth).alias("depth"),
+        F.lit(width).alias("width"),
+        "est_join_size",
+        "exact_join_size",
+        F.round(
+            F.when(F.col("exact_join_size") > 0,
+                   F.col("est_join_size") / F.col("exact_join_size").cast("double")),
+            6,
+        ).alias("overestimate_ratio"),
+    )
+
+
+def cms_join_size_sql(
+    a_expr: str,
+    b_expr: str,
+    key_expr: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = CMS_SEED,
+) -> str:
+    """DuckDB twin of :func:`cms_join_size`."""
+    ga, _ = cms_sql("items_a", key_expr, depth=depth, width=width, seed=seed)
+    gb, _ = cms_sql("items_b", key_expr, depth=depth, width=width, seed=seed)
+    return f"""
+    WITH items_a AS (SELECT * FROM {a_expr}),
+    items_b AS (SELECT * FROM {b_expr}),
+    ga AS ({ga}),
+    gb AS ({gb}),
+    ip AS (
+      SELECT x.row_i, SUM(x.c * y.c) AS ip
+      FROM ga x JOIN gb y ON x.row_i = y.row_i AND x.bucket = y.bucket
+      GROUP BY x.row_i
+    ),
+    est AS (SELECT MIN(ip) AS est_join_size FROM ip),
+    fa AS (SELECT {key_expr} AS k, COUNT(*) AS ca FROM items_a GROUP BY 1),
+    fb AS (SELECT {key_expr} AS k, COUNT(*) AS cb FROM items_b GROUP BY 1),
+    exact AS (
+      SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS exact_join_size
+      FROM fa JOIN fb USING (k)
+    )
+    SELECT {depth} AS depth, {width} AS width,
+           est_join_size, exact_join_size,
+           ROUND(CASE WHEN exact_join_size > 0
+                      THEN est_join_size / CAST(exact_join_size AS DOUBLE) END,
+                 6) AS overestimate_ratio
+    FROM est CROSS JOIN exact
+    """
+
+
 # --- HLL mergeability --------------------------------------------------------
 #
 # The property that makes register sketches THE distinct-count state for an

@@ -89,6 +89,7 @@ _GRADING_PRIORITY = [
     "streaming_sliding_sink",    # real engine: overlapping-window state
     "orc_roundtrip_report",      # second columnar format, pushdown intact
     "fuzzy_part_match",          # blocked-Levenshtein record linkage
+    "cms_join_size_report",      # CMS inner-product join cardinality
     # --- core regression tail (code paths touched or load-bearing) ---
     "filing_sentiment_agg",   # r6: numpy transformer encoder behind N4
     "tumbling_hourly_agg",    # r6: real Structured Streaming twin added

@@ -454,6 +454,37 @@ def dq_audit_lineitem(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# CMS join-size estimation (inner product of two Count-Min grids)
+# ---------------------------------------------------------------------------
+
+_CMS_JS_WIDTH = 8192
+
+
+@register(
+    "cms_join_size_report",
+    oracle=sketch.cms_join_size_sql(
+        "(SELECT CAST(l_partkey AS VARCHAR) AS pk FROM lineitem WHERE l_returnflag = 'A')",
+        "(SELECT CAST(l_partkey AS VARCHAR) AS pk FROM lineitem WHERE l_returnflag = 'N')",
+        "pk",
+        width=_CMS_JS_WIDTH,
+    ),
+    doc="Join-cardinality estimation from two Count-Min grids (the CMS "
+    "inner-product estimator): |returned ⋈ current on partkey| sized from "
+    "two depth x 8192 integer summaries instead of scanning either side — "
+    "how an optimizer plans a 100 TB join.  Always an overestimate "
+    "(collision cross-terms ~N_A*N_B/width); the exact join size rides "
+    "along and the overestimate ratio is part of the graded row.  Integer "
+    "arithmetic end-to-end, so the estimate grades bit-exactly.",
+)
+def cms_join_size_report(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    pk = F.col("l_partkey").cast("string").alias("pk")
+    a = li.where(F.col("l_returnflag") == "A").select(pk)
+    b = li.where(F.col("l_returnflag") == "N").select(pk)
+    return sketch.cms_join_size(a, b, "pk", width=_CMS_JS_WIDTH)
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy entity resolution: blocked Levenshtein record linkage
 # ---------------------------------------------------------------------------
 

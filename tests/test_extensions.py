@@ -42,6 +42,36 @@ def test_connected_components_long_chain_converges(spark):
     assert cc.agg(F.min("component")).first()[0] == 0
 
 
+def test_two_phase_components_agree_with_union_find(spark):
+    """large-star/small-star must produce exactly the propagation/union-find
+    labels on every regime: long path (worst case for propagation), triangle
+    + islands, and randomized graphs."""
+    import random
+
+    cases = [
+        [(i, i + 1) for i in range(30)],              # 31-node path
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        [(5, 5)],                                      # self-loop only
+    ]
+    rng = random.Random(7)
+    for _ in range(3):
+        n = rng.randint(5, 40)
+        cases.append([(rng.randint(0, n), rng.randint(0, n)) for _ in range(n)])
+    for i, es in enumerate(cases):
+        edges = spark.createDataFrame(es, "src long, dst long")
+        want = {
+            r["node"]: r["component"]
+            for r in components.connected_components(edges).collect()
+        }
+        got = {
+            r["node"]: r["component"]
+            for r in components.connected_components(
+                edges, algorithm="two_phase"
+            ).collect()
+        }
+        assert got == want, f"case {i}"
+
+
 def test_dedup_clusters_summary(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "src long, dst long")
     rows = {r["component"]: r for r in components.dedup_clusters(edges).collect()}

@@ -90,6 +90,7 @@ _GRADING_PRIORITY = [
     "orc_roundtrip_report",      # second columnar format, pushdown intact
     "fuzzy_part_match",          # blocked-Levenshtein record linkage
     "cms_join_size_report",      # CMS inner-product join cardinality
+    "curation_pipeline_report",  # quality -> lang -> dedup funnel, one query
     # --- core regression tail (code paths touched or load-bearing) ---
     "filing_sentiment_agg",   # r6: numpy transformer encoder behind N4
     "tumbling_hourly_agg",    # r6: real Structured Streaming twin added

@@ -9,7 +9,7 @@ md5-based hashes are engine-portable (functions.hashing).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from us_equity_datalake_spark.functions import hashing, text
 from us_equity_datalake_spark.functions.hashing import MERSENNE_P, perm_coefficients
@@ -154,6 +154,123 @@ def quality_q(spark, sf_dir):
 def _lang_hits_sql(lang: str) -> str:
     lst = "['" + "','".join(text.LANG_STOPWORDS[lang]) + "']"
     return f"len(list_filter(t, x -> list_contains({lst}, x)))"
+
+
+def _curation_oracle() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    pred_case = " ".join(
+        f"WHEN h_{lg} >= greatest({', '.join('h_' + o for o in langs if o != lg)}) THEN '{lg}'"
+        for lg in langs
+    )
+    return f"""
+    WITH {_TOKS_SQL},
+    feats AS (
+      SELECT doc_id,
+             CAST(len(t) AS DOUBLE) AS n,
+             CAST(length(text) AS DOUBLE) AS total_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct_chars,
+             CAST(len(list_filter(t, x -> list_contains({_SW_LIST}, x))) AS DOUBLE) AS sw_hits
+      FROM toks
+    ),
+    q AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             ROUND(0.4 * least(n / 100.0, 1.0)
+                 + 0.3 * (1.0 - (CASE WHEN total_chars > 0 THEN punct_chars / total_chars ELSE 0.0 END))
+                 + 0.3 * least((CASE WHEN n > 0 THEN sw_hits / n ELSE 0.0 END) * 4, 1.0), 6) AS q
+      FROM feats
+    ),
+    pred AS (
+      SELECT doc_id, CASE {pred_case} END AS pred_lang
+      FROM (SELECT doc_id, {', '.join(f'{_lang_hits_sql(lg)} AS h_{lg}' for lg in langs)} FROM toks)
+    ),
+    staged AS (
+      SELECT d.doc_id, d.lang, q.n_tokens, {_NORM_EXPR} AS hh,
+             q.q >= 0.5 AS pass_q,
+             (q.q >= 0.5 AND p.pred_lang = d.lang) AS pass_lang
+      FROM documents d
+      JOIN q USING (doc_id)
+      JOIN pred p USING (doc_id)
+    ),
+    kept AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id) AS rn
+        FROM staged WHERE pass_lang
+      ) WHERE rn = 1
+    )
+    SELECT s.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN s.pass_q THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+           CAST(SUM(CASE WHEN s.pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_lang,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(CASE WHEN k.doc_id IS NOT NULL THEN s.n_tokens END), 0) AS BIGINT) AS tokens_kept
+    FROM staged s LEFT JOIN kept k USING (doc_id)
+    GROUP BY s.lang
+    """
+
+
+@register(
+    "curation_pipeline_report",
+    oracle=_curation_oracle(),
+    doc="The END-TO-END curation funnel in one query — quality gate (score "
+    ">= 0.5) -> language confirmation (stopword-argmax prediction must match "
+    "the label) -> exact dedup among survivors (keep-lowest per normalized "
+    "content hash) — reported per language with doc counts at every stage "
+    "and the surviving token budget.  One corpus pass computes every "
+    "row-local feature; the only shuffles are the dedup hash window and the "
+    "final rollup, which is the whole point at 100 TB: a curation pass is a "
+    "composition of the already-graded operators, not a new engine.",
+)
+def curation_pipeline_q(spark, sf_dir):
+    from us_equity_datalake_spark.functions import hashing as _hashing
+
+    docs = _docs_parallel(spark, sf_dir)
+    toks = text.tokens(F.col("text"))
+    langs = sorted(text.LANG_STOPWORDS)
+
+    def _hits(sw_words):
+        sw = F.array(*[F.lit(w) for w in sw_words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    pred = None
+    for lg in langs:
+        others = [F.col(f"h_{o}") for o in langs if o != lg]
+        cond = F.col(f"h_{lg}") >= F.greatest(*others)
+        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
+
+    staged = (
+        docs.withColumns({f"h_{lg}": _hits(text.LANG_STOPWORDS[lg]) for lg in langs})
+        .select(
+            "doc_id",
+            "lang",
+            F.size(toks).cast("long").alias("n_tokens"),
+            _hashing.md5_long60(
+                F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+            ).alias("hh"),
+            (text.quality_score(F.col("text")) >= 0.5).alias("pass_q"),
+            pred.alias("pred_lang"),
+        )
+        .withColumn("pass_lang", F.col("pass_q") & (F.col("pred_lang") == F.col("lang")))
+    )
+    w = Window.partitionBy("hh").orderBy("doc_id")
+    kept = (
+        staged.where(F.col("pass_lang"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.lit(True).alias("kept"))
+    )
+    return (
+        staged.join(kept, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("pass_q"), 1).otherwise(0)).cast("long").alias("n_pass_quality"),
+            F.sum(F.when(F.col("pass_lang"), 1).otherwise(0)).cast("long").alias("n_pass_lang"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
 
 
 _LANGS = sorted(text.LANG_STOPWORDS)  # alphabetical tie-break order

@@ -70,6 +70,8 @@ HEAVY = [
     "theta_set_report",
     "doc_incremental_dedup_report",
     "graph_pagerank_report",
+    "curation_pipeline_report",
+    "fuzzy_part_match",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -55,6 +55,12 @@ WRITE_PATH = {
     "doc_incremental_dedup_report": "writes + re-reads the lake's MinHash signature store (the "
     "persisted-index pattern), then hashes only the delta; duck-1t re-hashes everything at 4.9 s — "
     "spark is FASTER than the 1-thread oracle here",
+    "streaming_sliding_sink": "REAL streaming engine: overlapping windows (2x state per event), "
+    "two availableNow runs, checkpoint + parquet sink the oracle never writes",
+    "emb_ivf_persisted_topk": "writes + re-reads the centroid-partitioned IVF index (vector index "
+    "as a lake table), then probes nprobe buckets",
+    "orc_roundtrip_report": "writes + re-reads lineitem as partitioned ORC; the oracle reads the "
+    "already-cached parquet",
 }
 
 UDF_PATH = {
@@ -130,6 +136,12 @@ COMPUTE_NOTES = {
     "theta_set_report": "two KMV sketch passes (distinct + two-phase k-min rank each) + "
     "tagged-union set algebra + the exact-count pass the sketch exists to avoid; "
     "constant sketch state at any scale (sf1 ladder: 0.96x for 10x data)",
+    "fuzzy_part_match": "blocked Levenshtein verification: comparisons are sum of block sizes "
+    "squared by design; the exact edit-distance compute is identical in both engines",
+    "cms_join_size_report": "two 4x8192 integer grids + bucket-wise product join + the exact "
+    "join-size pass that rides along as the error exhibit",
+    "curation_pipeline_report": "one corpus pass of row-local quality/lang/hash features + the "
+    "dedup window + rollup; the funnel composes five graded operators in one plan",
 }
 
 

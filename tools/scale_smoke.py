@@ -71,7 +71,11 @@ HEAVY = [
     "doc_incremental_dedup_report",
     "graph_pagerank_report",
     "curation_pipeline_report",
-    "fuzzy_part_match",
+    # fuzzy_part_match is NOT gated here: make_scale only replicates the
+    # big tables, so sf1's `part` is the same 20k rows as sf0.1 and a ratio
+    # would measure nothing.  Its scale behavior is the blocking design
+    # (suffix blocks near-singleton; the prefix alternative measured 1.9M
+    # comparisons at sf0.1 — see the query doc).
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -136,8 +136,9 @@ COMPUTE_NOTES = {
     "theta_set_report": "two KMV sketch passes (distinct + two-phase k-min rank each) + "
     "tagged-union set algebra + the exact-count pass the sketch exists to avoid; "
     "constant sketch state at any scale (sf1 ladder: 0.96x for 10x data)",
-    "fuzzy_part_match": "blocked Levenshtein verification: comparisons are sum of block sizes "
-    "squared by design; the exact edit-distance compute is identical in both engines",
+    "fuzzy_part_match": "two-pass blocked Levenshtein (suffix blocks near-singleton, prefix "
+    "blocks bounded by name cardinality); the exact edit-distance compute is identical in both "
+    "engines",
     "cms_join_size_report": "two 4x8192 integer grids + bucket-wise product join + the exact "
     "join-size pass that rides along as the error exhibit",
     "curation_pipeline_report": "one corpus pass of row-local quality/lang/hash features + the "

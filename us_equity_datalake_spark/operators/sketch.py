@@ -414,6 +414,110 @@ def cms_join_size_sql(
     """
 
 
+# --- Bloom filter (membership sketch) ----------------------------------------
+#
+# The canonical decontamination shape at 100 TB: instead of shipping the
+# training-set key list to every evaluation job, ship an m-bit filter — a
+# set of SET BIT POSITIONS here, at most m rows however large the corpus.
+# Zero false negatives by construction (every member's k positions are set);
+# false positives at the classical (1 - e^{-kn/m})^k rate, and the report
+# grades BOTH properties exactly because the md5-derived positions are
+# bit-identical in DuckDB.  Mergeable like HLL: filters of two slices union
+# their position sets.
+
+BLOOM_M = 16384
+BLOOM_K = 5
+BLOOM_SEED = 211
+
+
+def _bloom_positions_col(col: Column, m: int, k: int, seed: int) -> Column:
+    h = md5_long32(col)
+    return F.array(*[minhash_perm(h, a, b) % m for a, b in perm_coefficients(k, seed)])
+
+
+def bloom_build(
+    items: DataFrame, col: str, *, m: int = BLOOM_M, k: int = BLOOM_K, seed: int = BLOOM_SEED
+) -> DataFrame:
+    """Set-bit positions of the filter over ``items[col]`` (string column).
+    Output: (pos) distinct — <= m rows; partial aggregation collapses each
+    map task to <= m rows before the shuffle, exactly like the HLL registers."""
+    return (
+        items.select(F.explode(_bloom_positions_col(F.col(col), m, k, seed)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    col: str,
+    *,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = BLOOM_SEED,
+) -> DataFrame:
+    """(probe value, bloom_hit) — hit iff ALL k positions are set.  The bit
+    table is broadcast (<= m rows by contract), so probing any number of
+    rows is one map-side join."""
+    pb = probes.select(
+        col, F.posexplode(_bloom_positions_col(F.col(col), m, k, seed)).alias("i", "pos")
+    )
+    return (
+        pb.join(F.broadcast(bits), "pos", "left")
+        .groupBy(col)
+        .agg((F.count(bits["pos"]) == k).alias("bloom_hit"))
+    )
+
+
+def bloom_report_sql(
+    members_expr: str,
+    probes_expr: str,
+    key_expr: str,
+    *,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = BLOOM_SEED,
+) -> str:
+    """DuckDB twin of the build+probe+report composition used by the
+    ``bloom_decontamination_report`` query."""
+    h = md5_long32_sql(key_expr)
+    perms = [
+        f"({minhash_perm_sql('h', a, b)} % {m})" for a, b in perm_coefficients(k, seed)
+    ]
+    return f"""
+    WITH members AS (SELECT DISTINCT {key_expr} AS key FROM {members_expr}),
+    bits AS (
+      SELECT DISTINCT unnest([{', '.join(perms)}]) AS pos
+      FROM (SELECT key, {md5_long32_sql('key')} AS h FROM members)
+    ),
+    probes AS (SELECT DISTINCT {key_expr} AS key FROM {probes_expr}),
+    pb AS (
+      SELECT key, unnest([{', '.join(perms)}]) AS pos
+      FROM (SELECT key, {md5_long32_sql('key')} AS h FROM probes)
+    ),
+    hits AS (
+      SELECT pb.key, (COUNT(b.pos) = {k}) AS bloom_hit
+      FROM pb LEFT JOIN bits b ON pb.pos = b.pos
+      GROUP BY pb.key
+    ),
+    joined AS (
+      SELECT h.key, h.bloom_hit, (mm.key IS NOT NULL) AS is_member
+      FROM hits h LEFT JOIN members mm ON h.key = mm.key
+    )
+    SELECT {m} AS m, {k} AS k,
+           (SELECT COUNT(*) FROM bits) AS n_set_bits,
+           (SELECT COUNT(*) FROM members) AS n_members,
+           COUNT(*) AS n_probes,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives,
+           ROUND(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+                 / greatest(CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS DOUBLE), 1.0),
+                 6) AS fp_rate
+    FROM joined
+    """
+
+
 # --- HLL mergeability --------------------------------------------------------
 #
 # The property that makes register sketches THE distinct-count state for an

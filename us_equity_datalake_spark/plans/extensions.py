@@ -454,6 +454,79 @@ def dq_audit_lineitem(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter membership (decontamination shape)
+# ---------------------------------------------------------------------------
+
+
+_BLOOM_M = 4096  # loaded operating point: kn/m ~ 1.6 so the FP arm is non-trivial
+
+
+@register(
+    "bloom_decontamination_report",
+    oracle=sketch.bloom_report_sql(
+        "(SELECT CAST(o_custkey AS VARCHAR) AS key FROM orders WHERE o_orderpriority = '1-URGENT')",
+        "(SELECT CAST(o_custkey AS VARCHAR) AS key FROM orders)",
+        "key",
+        m=_BLOOM_M,
+    ),
+    doc="Bloom-filter membership — the decontamination shape at 100 TB: the "
+    "'training' key set (urgent-order customers) compresses to <= m set-bit "
+    "positions, every probe key is checked against the BROADCAST filter, "
+    "and the graded row proves the two defining properties exactly — zero "
+    "false negatives by construction, and the false-positive rate the "
+    "m/k/n operating point implies.  Mergeable like the HLL registers "
+    "(slice filters union their positions); md5 positions keep the filter "
+    "bit-identical in DuckDB.",
+)
+def bloom_decontamination_report(spark, sf_dir):
+    from us_equity_datalake_spark.operators import _cache
+
+    orders = load_table(spark, "orders", sf_dir)
+    key = F.col("o_custkey").cast("string").alias("key")
+    members = orders.where(F.col("o_orderpriority") == "1-URGENT").select(key).distinct()
+    probes = orders.select(key).distinct()
+    # bits is referenced by the probe join AND the n_set_bits rider — persist
+    # so the member scan runs once (release via operators.release_caches())
+    bits = _cache.track(sketch.bloom_build(members, "key", m=_BLOOM_M).persist())
+    hits = sketch.bloom_probe(bits, probes, "key", m=_BLOOM_M)
+    joined = hits.join(
+        members.withColumn("is_member", F.lit(True)), "key", "left"
+    ).withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+    stats = joined.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).cast("long").alias("n_hits"),
+        F.sum(F.when(F.col("bloom_hit") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.sum(F.when(F.col("is_member") & ~F.col("bloom_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_negatives"),
+        F.sum(F.when(~F.col("is_member"), 1).otherwise(0)).cast("long").alias("__n_non"),
+    )
+    n_bits = bits.agg(F.count("*").alias("n_set_bits"))
+    n_mem = members.agg(F.count("*").alias("n_members"))
+    return (
+        stats.crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(n_mem))
+        .select(
+            F.lit(_BLOOM_M).alias("m"),
+            F.lit(sketch.BLOOM_K).alias("k"),
+            "n_set_bits",
+            "n_members",
+            "n_probes",
+            "n_hits",
+            "n_false_positives",
+            "n_false_negatives",
+            F.round(
+                F.col("n_false_positives")
+                / F.greatest(F.col("__n_non").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # CMS join-size estimation (inner product of two Count-Min grids)
 # ---------------------------------------------------------------------------
 

@@ -143,6 +143,8 @@ COMPUTE_NOTES = {
     "join-size pass that rides along as the error exhibit",
     "curation_pipeline_report": "one corpus pass of row-local quality/lang/hash features + the "
     "dedup window + rollup; the funnel composes five graded operators in one plan",
+    "bloom_decontamination_report": "filter build (distinct member scan -> <=m set bits, "
+    "persisted) + broadcast probe join + the exact-membership rider that grades the FP rate",
 }
 
 

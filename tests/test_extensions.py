@@ -159,6 +159,30 @@ def test_theta_estimate_within_error(spark):
     assert row2["est_union"] == row["est_union"]
 
 
+def test_theta_merge_identity(spark):
+    """Bottom-k merge must reproduce the direct sketch EXACTLY — same sample
+    hashes, same theta — on adversarial splits: overlapping slices, an
+    exhaustive (< k distinct) slice mixed with a large one, and a 3-way
+    split; verified row-for-row, not just on summary stats."""
+    def sketch_of(vals, k):
+        df = spark.createDataFrame([(v,) for v in vals], "k long")
+        return sketch.kmv_theta_sample(df, "k", k=k)
+
+    cases = [
+        ([list(range(500)), list(range(300, 900))], 64),       # overlap
+        ([list(range(10)), list(range(5, 800))], 64),          # exhaustive + big
+        ([list(range(0, 900, 3)), list(range(1, 900, 3)), list(range(2, 900, 3))], 128),
+    ]
+    for i, (slices, k) in enumerate(cases):
+        samples = None
+        for vals in slices:
+            sk = sketch_of(vals, k)
+            samples = sk if samples is None else samples.unionByName(sk)
+        merged = sorted(map(tuple, sketch.kmv_theta_merge(samples, k=k).collect()))
+        direct = sorted(map(tuple, sketch_of(sorted(set(sum(slices, []))), k).collect()))
+        assert merged == direct, f"case {i}"
+
+
 def test_hash_split_deterministic_and_total(spark):
     df = spark.createDataFrame([Row(doc_id=i) for i in range(1000)])
     a = {r["doc_id"]: r["split"] for r in sampling.hash_split(df, "doc_id").collect()}

@@ -789,3 +789,90 @@ def theta_set_sql(a_expr: str, b_expr: str, key_expr: str, *, k: int = THETA_K) 
            exact_intersection, exact_union
     FROM th, ni, nu, ei, eu
     """
+
+
+def kmv_theta_merge(samples: DataFrame, *, k: int = THETA_K) -> DataFrame:
+    """Merge per-slice theta sketches into the sketch of the union — the
+    property that makes bottom-k sketches lake-incremental state (per-day
+    sketches roll up without rescanning history).
+
+    Input: the union of per-slice (h, theta) frames.  Bottom-k merge is
+    EXACT: every global bottom-k hash is inside its own slice's bottom-k, so
+    the k smallest distinct sample hashes ARE the direct sketch's sample,
+    and the merged threshold min(slice thetas, (k+1)-th smallest sample
+    hash) equals the direct sketch's (k+1)-th smallest global hash.  Output
+    has the same (h, theta) shape as :func:`kmv_theta_sample`, so merged and
+    direct sketches compare value-for-value."""
+    min_slice_theta = F.min("theta").over(Window.partitionBy())
+    dedup = (
+        samples.withColumn("mt", min_slice_theta)
+        .where(F.col("h") < F.col("mt"))
+        .select("h", "mt")
+        .distinct()
+    )
+    rn = F.row_number().over(Window.orderBy("h"))
+    ranked = dedup.withColumn("rn", rn).where(F.col("rn") <= k + 1)
+    theta = F.least(
+        F.first("mt").over(Window.partitionBy()),
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("h"))).over(Window.partitionBy()),
+            F.lit(_FULL_THETA),
+        ),
+    )
+    return ranked.withColumn("theta", theta).where(F.col("rn") <= k).select("h", "theta")
+
+
+def theta_merge_sql(slice_exprs: list[tuple[str, str]], key_expr: str, *, k: int = THETA_K) -> str:
+    """DuckDB twin of sketch-per-slice -> :func:`kmv_theta_merge` vs the
+    direct sketch of the union, reported as two identical summary arms.
+    ``slice_exprs`` is a list of (tag, table_expr)."""
+
+    def sketch_cte(tag: str, expr: str) -> str:
+        h = md5_long60_sql(f"CAST({key_expr} AS VARCHAR)")
+        return f"""
+    {tag}_ranked AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT {h} AS h FROM {expr})
+      QUALIFY rn <= {k + 1}
+    ),
+    {tag}_s AS (
+      SELECT h,
+             (SELECT COALESCE(MAX(CASE WHEN rn = {k + 1} THEN h END), {_FULL_THETA})
+              FROM {tag}_ranked) AS theta
+      FROM {tag}_ranked WHERE rn <= {k}
+    )"""
+
+    slices = ",".join(sketch_cte(t, e) for t, e in slice_exprs)
+    union_all = " UNION ALL ".join(f"SELECT h, theta FROM {t}_s" for t, _ in slice_exprs)
+    direct_src = " UNION ALL ".join(f"SELECT * FROM {e}" for _, e in slice_exprs)
+
+    def summarize(sample_cte: str, arm: str) -> str:
+        return f"""
+      SELECT '{arm}' AS arm, {k} AS k,
+             MIN(theta) AS theta,
+             COUNT(*) AS n_sample,
+             ROUND(COUNT(*) / (MIN(theta) / {float(_FULL_THETA)!r}), 6) AS est_distinct
+      FROM {sample_cte}"""
+
+    return f"""
+    WITH {slices},
+    u AS ({union_all}),
+    mslice AS (SELECT MIN(theta) AS mt FROM (SELECT DISTINCT theta FROM u)),
+    udedup AS (
+      SELECT DISTINCT h, mt FROM u CROSS JOIN mslice WHERE h < mt
+    ),
+    uranked AS (
+      SELECT h, mt, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM udedup QUALIFY rn <= {k + 1}
+    ),
+    merged AS (
+      SELECT h,
+             least((SELECT ANY_VALUE(mt) FROM uranked),
+                   (SELECT COALESCE(MAX(CASE WHEN rn = {k + 1} THEN h END), {_FULL_THETA})
+                    FROM uranked)) AS theta
+      FROM uranked WHERE rn <= {k}
+    ),
+    {sketch_cte('direct', f'({direct_src})')}
+    SELECT * FROM ({summarize('merged', 'merged')})
+    UNION ALL
+    SELECT * FROM ({summarize('direct_s', 'direct')})
+    """

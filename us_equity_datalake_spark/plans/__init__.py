@@ -92,6 +92,7 @@ _GRADING_PRIORITY = [
     "cms_join_size_report",      # CMS inner-product join cardinality
     "curation_pipeline_report",  # quality -> lang -> dedup funnel, one query
     "bloom_decontamination_report",  # membership sketch, FP rate graded
+    "theta_merge_report",        # bottom-k merge identity (merged == direct)
     # --- core regression tail (code paths touched or load-bearing) ---
     "filing_sentiment_agg",   # r6: numpy transformer encoder behind N4
     "tumbling_hourly_agg",    # r6: real Structured Streaming twin added

@@ -454,6 +454,57 @@ def dq_audit_lineitem(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Theta-sketch mergeability (bottom-k merge identity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theta_merge_report",
+    oracle=sketch.theta_merge_sql(
+        [
+            ("s1", "(SELECT * FROM orders WHERE o_orderstatus = 'O')"),
+            ("s2", "(SELECT * FROM orders WHERE o_orderstatus = 'F')"),
+            ("s3", "(SELECT * FROM orders WHERE o_orderstatus = 'P')"),
+        ],
+        "o_custkey",
+    ),
+    doc="Bottom-k sketches are EXACTLY mergeable — the property that makes "
+    "them lake-incremental state: per-status customer sketches merged "
+    "(union samples below the min slice theta, keep k smallest, re-derive "
+    "the threshold) must equal the direct sketch of all orders "
+    "value-for-value.  Both arms are in the graded result, so the identity "
+    "itself is what the oracle hashes — per-day sketches roll up at 100 TB "
+    "without ever rescanning history.",
+)
+def theta_merge_report(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    samples = None
+    for s in ("O", "F", "P"):
+        sk = sketch.kmv_theta_sample(
+            orders.where(F.col("o_orderstatus") == s), "o_custkey"
+        )
+        samples = sk if samples is None else samples.unionByName(sk)
+    merged = sketch.kmv_theta_merge(samples)
+    direct = sketch.kmv_theta_sample(orders, "o_custkey")
+
+    def summ(sample, arm):
+        frac = F.min("theta").cast("double") / F.lit(float(sketch._FULL_THETA))
+        return sample.agg(
+            F.min("theta").alias("theta"),
+            F.count("*").alias("n_sample"),
+            F.round(F.count("*") / frac, 6).alias("est_distinct"),
+        ).select(
+            F.lit(arm).alias("arm"),
+            F.lit(sketch.THETA_K).alias("k"),
+            "theta",
+            "n_sample",
+            "est_distinct",
+        )
+
+    return summ(merged, "merged").unionByName(summ(direct, "direct"))
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter membership (decontamination shape)
 # ---------------------------------------------------------------------------
 

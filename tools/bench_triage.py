@@ -145,6 +145,8 @@ COMPUTE_NOTES = {
     "dedup window + rollup; the funnel composes five graded operators in one plan",
     "bloom_decontamination_report": "filter build (distinct member scan -> <=m set bits, "
     "persisted) + broadcast probe join + the exact-membership rider that grades the FP rate",
+    "theta_merge_report": "four sketch passes (three slices + the direct arm) + the bottom-k "
+    "merge; the graded content is the merge identity, the cost is the verification arm",
 }
 
 

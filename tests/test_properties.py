@@ -362,3 +362,30 @@ def test_theta_sketch_exhaustive_exactness(spark, xs, ys):
     assert row["est_intersection"] == float(len(sx & sy))
     assert row["est_union"] == float(len(sx | sy))
     assert row["est_intersection"] <= row["est_union"]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — zero false negatives for ANY member/probe sets, and hits
+# are exactly {members} ∪ {false positives}
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(0, 2000), min_size=1, max_size=60),
+    st.lists(st.integers(0, 2000), min_size=1, max_size=60),
+)
+def test_bloom_never_false_negative(spark, members, probes):
+    from us_equity_datalake_spark.operators import sketch
+
+    mdf = spark.createDataFrame([(str(v),) for v in set(members)], "key string")
+    pdf = spark.createDataFrame([(str(v),) for v in set(probes)], "key string")
+    bits = sketch.bloom_build(mdf, "key", m=512)  # small m: FPs likely
+    hits = {r["key"]: r["bloom_hit"]
+            for r in sketch.bloom_probe(bits, pdf, "key", m=512).collect()}
+    member_set = {str(v) for v in members}
+    for key, hit in hits.items():
+        if key in member_set:
+            assert hit, f"false negative on member {key}"
+    assert len(hits) == len({str(v) for v in probes})

@@ -25,46 +25,23 @@ from . import quant  # noqa: E402,F401
 
 
 # The driver grades the FIRST 50 entries of queries(); registration order is
-# therefore a grading lever, not cosmetics.  Round 6's window (VERDICT r5 #1):
-# after r5, 29 queries had exactly one green driver grading (counted from
-# CORRECTNESS_r01-r05) — they LEAD this window so every r1-r5 query reaches
-# >=2 driver gradings across r1-r6.  New round-6 queries (zero gradings)
-# slot in right behind them, then a core regression tail fills the remaining
-# slots.  ROUND 7: the r6-block queries below (streaming_* sinks through
-# dq_drift_monitor) will have exactly ONE grading after r6 — they lead r7's
-# window; verify counts from CORRECTNESS_r06 + priors before reordering.
+# therefore a grading lever, not cosmetics.  Round 7's window (VERDICT r6 #1):
+# six round-6 queries landed after the window cutoff and have ZERO driver
+# gradings in CORRECTNESS_r01-r06 — they LEAD.  The 21 r6-block queries with
+# exactly one grading follow, so every r6 query reaches >=2 driver gradings
+# across r6-r7.  New round-7 queries (zero gradings) slot in right behind
+# them; a core regression tail (paths touched by round-7 ADVICE fixes) fills
+# the remaining slots.  Grading counts verified from CORRECTNESS_r01-r06:
+# histogram {0: 6, 1: 21, 2: 123, 3: 7, 4: 3} over the 160-query registry.
 _GRADING_PRIORITY = [
-    # --- once-graded backlog (exactly one green grading in r1-r5) ---
-    "master_universe_lifecycle",
-    "salted_agg_orders",
-    "salted_join_nation_rollup",
-    "asof_tolerance_join",
-    "kmv_distinct_customers",
-    "hash_split_report",
-    "weighted_sample_docs",
-    "stratified_sample_langs",
-    "zorder_bucket_stats",
-    "dq_audit_lineitem",
-    "tfidf_top_terms",
-    "bm25_search",
-    "conjunctive_term_search",
-    "locf_ffill_calendar",
-    "vwap_daily",
-    "beta_vs_market",
-    "max_drawdown",
-    "scd2_merge",
-    "realized_vol_daily",
-    "rollup_priority_status",
-    "cube_status_year",
-    "grouping_sets_source_lang",
-    "quantile_profile_totalprice",
-    "pipe_directory_roundtrip",
-    "fulltext_source_roundtrip",
-    "universe_state_roundtrip",
-    "doc_duplicate_spans",
-    "doc_duplicate_span_scrub",
-    "doc_subword_stats",      # r6: BPE regex \s -> explicit class (VT parity)
-    # --- new in round 6 (zero gradings; inserted as built) ---
+    # --- never driver-graded (zero gradings in r1-r6; judge-green at r6 HEAD) ---
+    "orc_roundtrip_report",      # second columnar format, pushdown intact
+    "fuzzy_part_match",          # blocked-Levenshtein record linkage
+    "cms_join_size_report",      # CMS inner-product join cardinality
+    "curation_pipeline_report",  # quality -> lang -> dedup funnel, one query
+    "bloom_decontamination_report",  # membership sketch, FP rate graded
+    "theta_merge_report",        # bottom-k merge identity (merged == direct)
+    # --- once-graded round-6 block (exactly one green grading, all in r6) ---
     "streaming_tumbling_sink",   # real engine: availableNow -> parquet sink
     "streaming_session_sink",    # real engine: session windows -> sink
     "streaming_interval_join_sink",  # real engine: stream-stream join -> sink
@@ -87,26 +64,16 @@ _GRADING_PRIORITY = [
     "dq_drift_monitor",          # control-chart volume drift z-scores
     "emb_ivf_persisted_topk",    # IVF index as a partitioned lake table
     "streaming_sliding_sink",    # real engine: overlapping-window state
-    "orc_roundtrip_report",      # second columnar format, pushdown intact
-    "fuzzy_part_match",          # blocked-Levenshtein record linkage
-    "cms_join_size_report",      # CMS inner-product join cardinality
-    "curation_pipeline_report",  # quality -> lang -> dedup funnel, one query
-    "bloom_decontamination_report",  # membership sketch, FP rate graded
-    "theta_merge_report",        # bottom-k merge identity (merged == direct)
-    # --- core regression tail (code paths touched or load-bearing) ---
-    "filing_sentiment_agg",   # r6: numpy transformer encoder behind N4
-    "tumbling_hourly_agg",    # r6: real Structured Streaming twin added
-    "sliding_window_agg",
-    "sessionize_events",
-    "multimodal_binary_metadata",  # r6: baseline-JPEG decode path
-    "incremental_derived_report",
+    # --- new in round 7 (zero gradings; inserted as built) ---
+    # --- core regression tail (paths touched by round-7 ADVICE fixes) ---
+    "near_dup_components",       # r7: components max_iter convergence guard
     "doc_minhash_lsh_pairs",
     "doc_lsh_verified_jaccard",
     "emb_cosine_topk",
-    "emb_cosine_topk_arrow",
     "emb_near_dup_pairs",
-    "near_dup_components",
     "doc_simhash_pairs",
+    "filing_sentiment_agg",
+    "incremental_derived_report",
     "lake_roundtrip_report",
     "top3000_text_sink_report",
     "master_update_from_sec",
@@ -115,6 +82,13 @@ _GRADING_PRIORITY = [
     "ttm_rolling_4q",
     "doc_exact_dedup",
     "token_pack_report",
+    "multimodal_binary_metadata",
+    "tumbling_hourly_agg",
+    "sliding_window_agg",
+    "sessionize_events",
+    "master_universe_lifecycle",
+    "zorder_bucket_stats",       # r7: file-skip proof touches this layout
+    "scd2_merge",
 ]
 
 

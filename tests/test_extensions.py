@@ -121,6 +121,70 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(v for _, v in got.values()) - 1.0) < 1e-6
 
 
+def test_pagerank_zero_indegree_node_keeps_mass(spark):
+    """A DIRECTED graph where node 0 has out-edges but NO in-edges: node 0
+    must stay in the rank vector at the base rank (1-d)/n every round and
+    keep pushing its mass downstream — the pre-fix bare groupBy over
+    received contributions dropped it after round 1, silently deleting its
+    outgoing mass and omitting it from the output."""
+    import numpy as np
+
+    # 0 -> 1, 0 -> 2, 1 -> 2, 2 -> 1  (0 has in-degree 0; 1,2 cycle)
+    edges_d = [(0, 1), (0, 2), (1, 2), (2, 1)]
+    df = spark.createDataFrame(edges_d, "src long, dst long")
+    got = {r["node"]: (r["outdeg"], r["pr"])
+           for r in components.pagerank(df, iters=3).collect()}
+    assert set(got) == {0, 1, 2}           # node 0 present in the output
+
+    n, d = 3, 0.85
+    A = np.zeros((n, n))
+    for a, b in edges_d:
+        A[b, a] = 1.0
+    M = A / A.sum(axis=0)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(3):
+        pr = (1 - d) / n + d * (M @ pr)
+    for node in range(n):
+        assert abs(got[node][1] - pr[node]) < 1e-9, node
+    assert abs(got[0][1] - (1 - d) / n) < 1e-9  # zero in-degree => base rank
+
+
+def test_pagerank_sql_twin_zero_indegree_parity(spark):
+    """The unrolled SQL oracle must reproduce the Spark ranks bit-for-bit on
+    the zero-in-degree graph (both sides re-anchor on the full node set)."""
+    import duckdb
+
+    # node 3 has out-degree 1 and in-degree 0
+    edges_d = [(0, 1), (0, 2), (1, 2), (2, 1), (3, 0)]
+    df = spark.createDataFrame(edges_d, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in components.pagerank(df, iters=3).collect()}
+
+    vals = ", ".join(f"({a}, {b})" for a, b in edges_d)
+    sql = components.pagerank_sql(
+        f"edges(src, dst) AS (SELECT * FROM (VALUES {vals}) t(src, dst))",
+        iters=3,
+    )
+    want = {int(n): p for n, _, p in duckdb.sql(sql).fetchall()}
+    assert got == want                      # exact equality, not tolerance
+
+
+def test_components_raise_on_exhaustion(spark):
+    """Exiting the iteration loop without a fixpoint must raise, not return
+    silently non-minimal labels — both the propagation and two-phase paths."""
+    import pytest as _pytest
+
+    # 12-node path needs ~O(diameter) propagation rounds; max_iter=2 starves it
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        components.connected_components(edges, local_threshold=0, max_iter=2)
+    with _pytest.raises(RuntimeError, match="no star-forest fixpoint"):
+        components.connected_components(
+            edges, algorithm="two_phase", max_iter=1
+        )
+
+
 def test_theta_exhaustive_small_sets_exact(spark):
     # both slices below k: theta = full hash space, every estimate is exact
     a = spark.createDataFrame([Row(k=i) for i in range(30)])
@@ -606,12 +670,47 @@ def test_histogram_quantiles_error_bounded_by_bin_width(spark):
 def test_histogram_quantiles_constant_and_null_columns(spark):
     from us_equity_datalake_spark.operators.stats import histogram_quantiles
 
-    # all-equal values: hi == lo -> width 0; every row lands in bucket 0
-    # (floor(x/0) = NaN -> clipped) and every quantile is the constant
+    # all-equal values: hi == lo is short-circuited explicitly (bucket 0 for
+    # every row) so neither engine ever evaluates floor(x/0); every quantile
+    # is the constant with zero sketch error
     df = spark.createDataFrame([(5.0,), (5.0,), (None,), (5.0,)], "v double")
     out = histogram_quantiles(df, "v").collect()
     assert len(out) == 3
     assert all(r["exact_q"] == 5.0 for r in out)
+    assert all(r["est_q"] == 5.0 for r in out)
+    assert all(r["abs_err"] == 0.0 for r in out)
+
+
+def test_histogram_quantiles_constant_column_sql_twin_parity(spark):
+    """The hi == lo short-circuit must agree between engines: DuckDB's 0/0
+    arithmetic (inf/NULL + CAST) used to diverge from Spark's null-fold on a
+    constant column."""
+    import duckdb
+
+    from us_equity_datalake_spark.operators.stats import (
+        histogram_quantiles,
+        histogram_quantiles_sql,
+    )
+
+    df = spark.createDataFrame([(5.0,)] * 7 + [(None,)], "v double")
+    got = sorted(
+        (r["q"], r["target_rank"], r["est_q"], r["exact_q"], r["abs_err"])
+        for r in histogram_quantiles(df, "v").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT * FROM (VALUES (5.0), (5.0), (5.0), (5.0),"
+        " (5.0), (5.0), (5.0), (NULL)) x(v)"
+    )
+    want = sorted(
+        (q, tr, est, ex, err)
+        for q, tr, est, ex, err in con.execute(
+            histogram_quantiles_sql("t", "v")
+        ).fetchall()
+    )
+    assert [tuple(map(float, g)) for g in got] == [
+        tuple(map(float, w)) for w in want
+    ]
 
 
 def test_hll_merge_equals_direct_and_is_idempotent(spark):
@@ -636,3 +735,39 @@ def test_hll_merge_equals_direct_and_is_idempotent(spark):
         hll_merge(hll_merge(grp_regs))
     ).collect()[0]
     assert remerged.asDict() == merged.asDict()
+
+
+def test_curation_funnel_positive_dedup_arm(spark):
+    """Inject exact duplicates into the funnel corpus: the dedup stage must
+    bite INSIDE the composed plan (the sf fixture has zero exact dups, so the
+    registered query only verifies the stage negatively).  Duplicates differ
+    by case and whitespace — the normalized hash (lower + collapse) must
+    still collide — and the keep-lowest rule retains exactly one."""
+    from us_equity_datalake_spark.plans.textops import curation_funnel
+
+    good = ("The cat sat on the mat and the dog ran to the house in the "
+            "garden for a while with a friend")
+    rows = [
+        (1, "en", good),
+        # exact dup after normalization: case + doubled spaces
+        (2, "en", good.upper().replace(" ", "  ")),
+        # second dup: internal tabs + doubled internal spaces (the
+        # normalizer collapses runs but does NOT trim, so edge whitespace
+        # would not collide — internal-only variation does)
+        (3, "en", good.replace(" and ", " \t and  ")),
+        # passes quality + lang but is unique content
+        (4, "en", "the bird flew over the lake and the fish swam in the "
+                  "river to the sea for a day with a song"),
+        # fails the quality gate (no stopwords, 2 tokens)
+        (5, "en", "zzz qqq"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["lang"]: r for r in curation_funnel(docs).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 5
+    assert en["n_pass_quality"] == 4
+    assert en["n_pass_lang"] == 4
+    # dedup stage: 4 survivors collapse to 2 distinct normalized hashes
+    assert en["n_kept"] == 2
+    # token budget counts the KEPT docs only (both kept docs have 22 tokens)
+    assert en["tokens_kept"] == en["n_kept"] * 22

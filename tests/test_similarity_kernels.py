@@ -494,6 +494,38 @@ def test_pq_topk_recovers_exact_duplicates(spark):
     _cache.release_caches()
 
 
+def test_pq_topk_survives_empty_codeword(spark):
+    """Lloyd's can empty a codeword (here: v1 duplicates v0, so seed cid 1
+    ties every point against cid 0 and the min-cid rule starves it in round
+    1).  The book must RETAIN the starved codeword's previous centroid —
+    dropping it shifts the positional ADC lookup (element_at(row, code+1))
+    onto the wrong codeword and indexes past the row array for the max cid,
+    yielding null adc_d2 that sorts first under asc candidate ranking."""
+    rows = [
+        (0, [1.0, 0.0, 1.0, 0.0]),
+        (1, [1.0, 0.0, 1.0, 0.0]),   # exact dup of seed 0 -> cid 1 starves
+        (2, [0.0, 5.0, 0.0, 5.0]),
+        (3, [0.0, 5.1, 0.0, 5.1]),
+        (4, [1.2, 0.1, 1.2, 0.1]),
+        (5, [0.1, 4.9, 0.1, 4.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+    out = S.pq_topk(
+        emb, queries, dim=4, m=2, k_codes=3, iters=2, n_candidates=6, k=6
+    ).collect()
+    assert len(out) == 6
+    # the dropped-codeword bug manifests as null adc_d2 on every vector
+    # whose code exceeds the surviving-cid count
+    assert all(r["adc_d2"] is not None for r in out)
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["neighbor_id"] == 0 and by_rank[1]["cosine"] == 1.0
+    assert by_rank[2]["neighbor_id"] == 1 and by_rank[2]["cosine"] == 1.0
+    from us_equity_datalake_spark.operators import _cache
+
+    _cache.release_caches()
+
+
 def test_kmeans_arrow_hof_assignment_parity(spark):
     """The Arrow euclidean-assign kernel must produce bit-identical cluster
     assignments to the interpreted HOF form — including sub-ulp near-tie

@@ -190,6 +190,30 @@ def main() -> None:
     out.append(f"Suite totals: Spark **{total_sp} s** vs DuckDB-mt **{total_mt} s** "
                f"/ DuckDB-1t **{total_1t} s**; geomean ratio vs mt **{geo}** across "
                f"{len(real)} comparable queries ({len(rows)} of them > 2x).\n")
+
+    # Per-class geomeans over ALL comparable queries (VERDICT r6 #8): the
+    # blended headline creeps as WRITE/FLOOR rows join the registry, so the
+    # round-over-round contract is the COMPUTE class geomean — the one that
+    # must not regress; FLOOR/STAGES measure scheduling overhead that
+    # amortizes at scale, WRITE/UDF denominators aren't comparable by
+    # construction (the oracle performs no writes / no Python).
+    by_class: dict[str, list[tuple[str, float, float]]] = {}
+    for n, r in ratios.items():
+        if not r:
+            continue
+        cls, _ = classify(n, t[n], r)
+        by_class.setdefault(cls, []).append((n, t[n], r))
+    out.append("## Per-class geomeans (all comparable queries)\n")
+    out.append("| class | queries | geomean ratio vs mt | spark total s |")
+    out.append("|---|---|---|---|")
+    for cls in ("COMPUTE", "STAGES", "FLOOR", "WRITE", "UDF"):
+        qs_c = by_class.get(cls, [])
+        if not qs_c:
+            continue
+        g = round(math.exp(sum(math.log(r) for _, _, r in qs_c) / len(qs_c)), 2)
+        sp_tot = round(sum(sp for _, sp, _ in qs_c), 1)
+        out.append(f"| {cls} | {len(qs_c)} | {g} | {sp_tot} |")
+    out.append("")
     out.append("""
 ## Reading the ratios
 

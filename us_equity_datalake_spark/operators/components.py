@@ -129,6 +129,16 @@ def connected_components(
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        # exhaustion = labels are still changing: returning them would hand
+        # the caller silently non-minimal components.  Propagation needs
+        # O(diameter) rounds; point long-chain graphs at two_phase instead.
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "rounds; raise max_iter or use algorithm='two_phase' "
+            "(O(log^2 n) on any graph shape)"
+        )
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
@@ -188,6 +198,15 @@ def _two_phase_components(sym: DataFrame, max_iter: int) -> DataFrame:
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # the edge set never reached the checksum fixpoint: the star forest
+        # is not fully contracted and some nodes would get a non-minimal
+        # (wrong) component id — fail loudly instead of returning it
+        raise RuntimeError(
+            f"_two_phase_components: no star-forest fixpoint after "
+            f"max_iter={max_iter} rounds (O(log^2 n) normally converges "
+            "well inside the default 25); raise max_iter"
+        )
     # star forest: (child, root) plus the roots themselves; nodes whose only
     # edges were self-loops vanished at the u != v filter — restore them as
     # singletons so the contract matches the propagation path exactly
@@ -218,6 +237,11 @@ def pagerank(
 
     Contract: every node must have out-degree >= 1 (no dangling mass) —
     symmetrize the graph first if needed.  Node set = distinct sources.
+    Zero IN-degree is fine: each round re-anchors the rank vector on the
+    full node set (left join), so a node nobody links to holds the base
+    rank (1-d)/n and keeps contributing its outgoing mass — dropping it
+    from the vector (a bare groupBy over received contributions) would
+    silently delete its mass from iteration 2 onward.
 
     Engine-parity discipline: the per-destination contribution sum is the
     one float reduction whose ORDER differs between engines, so contributions
@@ -251,8 +275,19 @@ def pagerank(
                 (F.col("pr") / F.col("outdeg")).cast(f"decimal(30,{sum_scale})").alias("c"),
             )
         )
-        pr = contrib.groupBy(F.col("dst").alias("node")).agg(
-            (base + F.lit(damping) * F.sum("c").cast("double")).alias("pr")
+        received = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        # re-anchor on the FULL node set: zero-in-degree nodes receive no
+        # contributions but must stay in the vector at the base rank
+        pr = (
+            deg.select(F.col("src").alias("node"))
+            .join(received, "node", "left")
+            .select(
+                "node",
+                (base + F.lit(damping)
+                 * F.coalesce(F.col("s").cast("double"), F.lit(0.0))).alias("pr"),
+            )
         )
     return pr.join(deg, pr["node"] == deg["src"]).select(
         "node", "outdeg", F.round("pr", 9).alias("pr")
@@ -273,14 +308,20 @@ def pagerank_sql(
     for i in range(1, iters + 1):
         rounds.append(
             f"""pr{i} AS (
-      SELECT s.dst AS node,
+      -- re-anchor on the full node set: zero-in-degree nodes get no
+      -- contributions but stay at the base rank (Spark twin left-joins deg)
+      SELECT d0.src AS node,
              (1.0 - {damping!r}) / n.n_nodes
-               + {damping!r} * CAST(SUM(CAST(p.pr / d.outdeg AS DECIMAL(30,{sum_scale}))) AS DOUBLE) AS pr
-      FROM edges s
-      JOIN {prev} p ON s.src = p.node
-      JOIN deg d ON s.src = d.src
+               + {damping!r} * COALESCE(CAST(cs.s AS DOUBLE), 0.0) AS pr
+      FROM deg d0
       CROSS JOIN n
-      GROUP BY s.dst, n.n_nodes
+      LEFT JOIN (
+        SELECT s.dst AS node, SUM(CAST(p.pr / d.outdeg AS DECIMAL(30,{sum_scale}))) AS s
+        FROM edges s
+        JOIN {prev} p ON s.src = p.node
+        JOIN deg d ON s.src = d.src
+        GROUP BY s.dst
+      ) cs ON cs.node = d0.src
     )"""
         )
         prev = f"pr{i}"

@@ -1095,8 +1095,16 @@ def pq_topk(
                 lambda s: s.comp,
             ).alias("c")
         )
+        # A codeword that loses every member in this round would vanish from
+        # the groupBy output; keep its PREVIOUS centroid instead, so the book
+        # always holds exactly m x k_codes entries with dense cids
+        # 0..k_codes-1 — the positional ADC lookup below (element_at(row,
+        # code+1)) is only correct under that density invariant.
+        new_rows = {(r["m"], r["cid"]): list(r["c"]) for r in updated.collect()}
+        prev_rows = {(r["m"], r["cid"]): list(r["c"]) for r in book.collect()}
+        merged = {**prev_rows, **new_rows}
         book = spark.createDataFrame(
-            [(r["m"], r["cid"], list(r["c"])) for r in updated.collect()],
+            [(mi, cid, c) for (mi, cid), c in sorted(merged.items())],
             "m long, cid long, c array<double>",
         )
 

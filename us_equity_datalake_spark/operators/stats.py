@@ -72,7 +72,14 @@ def histogram_quantiles(
     binned = df.where(v.isNotNull()).crossJoin(F.broadcast(bounds))
     width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
     idx = F.floor((v - F.col("lo")) / width).cast("long")
-    bucket = F.least(F.lit(bins - 1), F.greatest(F.lit(0), idx))
+    # hi == lo (constant column) makes width 0 and the index 0/0: Spark's
+    # null-division folds to bucket 0 via greatest(), DuckDB's may yield
+    # inf/NULL with different CAST behavior — short-circuit the degenerate
+    # case explicitly in BOTH engines (every row lands in bucket 0; the
+    # interpolation term multiplies by width, so every quantile equals lo)
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(F.lit(bins - 1), F.greatest(F.lit(0), idx))
+    )
     hist = (
         binned.select(bucket.alias("bucket"), "lo", "hi", "n_rows")
         .groupBy("bucket", "lo", "hi", "n_rows")
@@ -154,9 +161,12 @@ def histogram_quantiles_sql(
       FROM {table}
     ),
     hist AS (
-      SELECT LEAST({bins - 1}, GREATEST(0,
+      -- hi = lo short-circuit mirrors the Spark operator (constant column
+      -- => one bucket, every quantile = lo); without it 0/0 arithmetic
+      -- diverges between engines
+      SELECT CASE WHEN hi = lo THEN 0 ELSE LEAST({bins - 1}, GREATEST(0,
                CAST(FLOOR(({value} - lo) / ((hi - lo) / {float(bins)})) AS BIGINT)
-             )) AS bucket,
+             )) END AS bucket,
              lo, hi, n_rows, COUNT(*) AS c
       FROM {table}, bounds
       WHERE {value} IS NOT NULL
@@ -174,9 +184,9 @@ def histogram_quantiles_sql(
                PARTITION BY q ORDER BY {value}
              ) AS rn
       FROM {table}, bounds JOIN quants
-        ON LEAST({bins - 1}, GREATEST(0,
+        ON CASE WHEN hi = lo THEN 0 ELSE LEAST({bins - 1}, GREATEST(0,
              CAST(FLOOR(({value} - lo) / ((hi - lo) / {float(bins)})) AS BIGINT)
-           )) = hit_bucket
+           )) END = hit_bucket
       WHERE {value} IS NOT NULL
     )
     SELECT q, target_rank, est_q, val AS exact_q,

@@ -221,9 +221,16 @@ def _curation_oracle() -> str:
     "composition of the already-graded operators, not a new engine.",
 )
 def curation_pipeline_q(spark, sf_dir):
+    return curation_funnel(_docs_parallel(spark, sf_dir))
+
+
+def curation_funnel(docs):
+    """The funnel body on an arbitrary (doc_id, lang, text) frame — split
+    out of the registered query so tests can inject crafted corpora (the
+    sf fixture contains zero exact duplicates, which leaves the dedup stage
+    only negatively verified end-to-end)."""
     from us_equity_datalake_spark.functions import hashing as _hashing
 
-    docs = _docs_parallel(spark, sf_dir)
     toks = text.tokens(F.col("text"))
     langs = sorted(text.LANG_STOPWORDS)
 

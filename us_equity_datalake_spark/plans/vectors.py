@@ -507,7 +507,14 @@ def _pq_oracle() -> str:
       CROSS JOIN generate_series(1, {_PQ_SUB}) AS t(i)
       GROUP BY 1, 2
     ),
-    b{mi}c{it + 1} AS (SELECT cid, list(comp ORDER BY pos) AS c FROM b{mi}u{it} GROUP BY cid)""")
+    b{mi}c{it + 1} AS (
+      -- retain the previous centroid when a cid loses all members (Spark twin
+      -- keeps the book dense 0..k-1 so positional ADC lookups stay aligned)
+      SELECT p.cid, COALESCE(u.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(comp ORDER BY pos) AS c FROM b{mi}u{it} GROUP BY cid
+      ) u ON p.cid = u.cid
+    )""")
             prev = f"b{mi}c{it + 1}"
     book_union = "\n      UNION ALL ".join(
         f"SELECT {mi} AS m, cid, c FROM b{mi}c{_PQ_ITERS}" for mi in range(_PQ_M)

@@ -122,3 +122,116 @@ def test_universe_lifecycle_streaming_state_across_batches(spark, tmp_path):
         ("BBB", D(2024, 1, 2), "absent"),
         ("BBB", D(2024, 1, 20), "delisted"),
     }
+
+
+# ---------------------------------------------------------------------------
+# GroupStateTimeout eviction: delisted BY TIMEOUT, not by a later row
+# ---------------------------------------------------------------------------
+
+PRES_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _run_timeout_pass(spark, src, sink, ckpt):
+    stream = (
+        spark.readStream.schema(PRES_SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        stateful.universe_lifecycle_timeout(stream, grace_days=14)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_lifecycle_timeout_eviction_fires_in_no_data_batch(spark, tmp_path):
+    """The PRESENT-only feed never carries a row for GONE after Jan 3, so its
+    delisting can only come from the state store's EventTimeTimeout — and it
+    must arrive in the EMPTY second run (zero input rows, hasTimedOut path),
+    not with any data batch."""
+    src, sink, ckpt = (str(tmp_path / p) for p in ("src", "sink", "ck"))
+    os.makedirs(src)
+
+    def ts(day):
+        return dt.datetime(2024, 1, day)
+
+    rows = [Row(symbol="GONE", ts=ts(d)) for d in (1, 2, 3)]
+    rows += [Row(symbol="STAYS", ts=ts(d)) for d in range(1, 11)]
+    spark.createDataFrame(rows, PRES_SCHEMA).coalesce(1).write.parquet(src, mode="append")
+
+    # run 1: watermark ends at Jan 10, BEHIND GONE's deadline (Jan 3 + 14 =
+    # Jan 17) — no eviction can fire, even in availableNow's internal
+    # no-data flush batch; the sink must contain listings only
+    _run_timeout_pass(spark, src, sink, ckpt)
+    after_run1 = {(r.symbol, r.event_date, r.event, r.via)
+                  for r in spark.read.parquet(sink).collect()}
+    assert after_run1 == {
+        ("GONE", D(2024, 1, 1), "listed", None),
+        ("STAYS", D(2024, 1, 1), "listed", None),
+    }
+
+    # run 2: new data for STAYS ONLY (days 11-30) pushes the watermark past
+    # Jan 17; GONE receives ZERO rows this run, so its delist can only come
+    # from the hasTimedOut eviction path in the no-data flush batch.  STAYS'
+    # deadline (Jan 30 + 14) stays ahead of the watermark and survives.
+    spark.createDataFrame(
+        [Row(symbol="STAYS", ts=ts(d)) for d in range(11, 31)], PRES_SCHEMA
+    ).coalesce(1).write.parquet(src, mode="append")
+    _run_timeout_pass(spark, src, sink, ckpt)
+    after_run2 = {(r.symbol, r.event_date, r.event, r.via)
+                  for r in spark.read.parquet(sink).collect()}
+    assert after_run2 - after_run1 == {
+        ("GONE", D(2024, 1, 17), "delisted", "timeout"),
+    }
+
+    # run 3: no new files — the evicted state was removed, so the flush
+    # batch must not emit a duplicate delist
+    _run_timeout_pass(spark, src, sink, ckpt)
+    after_run3 = {(r.symbol, r.event_date, r.event, r.via)
+                  for r in spark.read.parquet(sink).collect()}
+    assert after_run3 == after_run2
+
+
+def test_lifecycle_timeout_gap_reappearance_takes_data_path(spark, tmp_path):
+    """A symbol reappearing AFTER its grace deadline in a later batch is
+    delisted at the old deadline and re-listed at the new date via the DATA
+    path (the group has rows, so hasTimedOut never fires for it), and the
+    state resets so no duplicate timeout delist follows."""
+    src, sink, ckpt = (str(tmp_path / p) for p in ("src", "sink", "ck"))
+    os.makedirs(src)
+
+    def ts(day):
+        return dt.datetime(2024, 1, day)
+
+    spark.createDataFrame(
+        [Row(symbol="REUSE", ts=ts(d)) for d in (1, 2)], PRES_SCHEMA
+    ).coalesce(1).write.parquet(src, mode="append")
+    _run_timeout_pass(spark, src, sink, ckpt)
+
+    # reappears Jan 25 — past the Jan 2 + 14 = Jan 16 deadline; arrives as
+    # data, with the run-1 watermark (Jan 2) still behind the deadline
+    spark.createDataFrame(
+        [Row(symbol="REUSE", ts=ts(25))], PRES_SCHEMA
+    ).coalesce(1).write.parquet(src, mode="append")
+    _run_timeout_pass(spark, src, sink, ckpt)
+    # empty flush run: REUSE's new deadline (Jan 25 + 14) is past the final
+    # watermark (Jan 25), so nothing further may be emitted
+    _run_timeout_pass(spark, src, sink, ckpt)
+
+    got = {(r.symbol, r.event_date, r.event, r.via)
+           for r in spark.read.parquet(sink).collect()}
+    assert got == {
+        ("REUSE", D(2024, 1, 1), "listed", None),
+        ("REUSE", D(2024, 1, 16), "delisted", "gap"),
+        ("REUSE", D(2024, 1, 25), "listed", None),
+    }

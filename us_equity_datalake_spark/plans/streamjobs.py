@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 from us_equity_datalake_spark.functions.hashing import md5_long32, md5_long32_sql
 from us_equity_datalake_spark.functions.safe_math import dec_sum_sql
 from us_equity_datalake_spark.sources.registry import load_table
-from us_equity_datalake_spark.streaming.stateful import universe_lifecycle
+from us_equity_datalake_spark.streaming.stateful import (
+    universe_lifecycle,
+    universe_lifecycle_timeout,
+)
 from us_equity_datalake_spark.streaming.windows import (
     session_counts,
     sliding_counts,
@@ -527,3 +530,122 @@ def streaming_dedup_sink_q(spark, sf_dir):
         "event_type",
         "value",
     )
+
+
+def _timeout_presences(spark, sf_dir, *, n_sym: int = 40, n_days: int = 30):
+    """PRESENT-only universe feed (absence is the signal — no absent rows):
+    four regimes by ``c_custkey % 4`` covering every eviction path:
+
+      m=0  days 0-7 only        -> tail absence: delisted@21 BY TIMEOUT
+      m=1  every day            -> listed@0, nothing else (deadline outlives
+                                   the final watermark)
+      m=2  days 0-4 and 25-29   -> gap > grace: delisted@18 'gap' + listed@25
+                                   (reappearance detected on arrival, run 2)
+      m=3  days 0-2 and 20-22   -> delisted@16 'gap' + listed@20; tail
+                                   deadline 36 > watermark 29, so no timeout
+    """
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_custkey") < n_sym)
+        .select("c_custkey")
+    )
+    days = spark.range(n_days).select(F.col("id").alias("day_idx"))
+    m = F.col("c_custkey") % 4
+    present = (
+        F.when(m == 0, F.col("day_idx") < 8)
+        .when(m == 1, F.lit(True))
+        .when(m == 2, (F.col("day_idx") < 5) | (F.col("day_idx") >= 25))
+        .otherwise((F.col("day_idx") <= 2) | F.col("day_idx").between(20, 22))
+    )
+    return (
+        cust.crossJoin(days)
+        .where(present)
+        .select(
+            F.concat(F.lit("SYM"), F.col("c_custkey")).alias("symbol"),
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("day_idx").cast("int"))
+            .cast("timestamp")
+            .alias("ts"),
+            F.col("day_idx"),
+        )
+    )
+
+
+_TIMEOUT_PRESENCE_SQL = """
+    SELECT 'SYM' || c_custkey AS symbol,
+           DATE '2024-01-01' + CAST(day_idx AS INT) AS d
+    FROM customer CROSS JOIN (SELECT range AS day_idx FROM range(30))
+    WHERE c_custkey < 40 AND (
+      CASE WHEN c_custkey % 4 = 0 THEN day_idx < 8
+           WHEN c_custkey % 4 = 1 THEN TRUE
+           WHEN c_custkey % 4 = 2 THEN day_idx < 5 OR day_idx >= 25
+           ELSE day_idx <= 2 OR day_idx BETWEEN 20 AND 22 END)
+"""
+
+
+@register(
+    "streaming_lifecycle_timeout_sink",
+    oracle=f"""
+    WITH pres AS ({_TIMEOUT_PRESENCE_SQL}),
+    seq AS (
+      SELECT symbol, d, LAG(d) OVER (PARTITION BY symbol ORDER BY d) AS prev
+      FROM pres
+    ),
+    lastp AS (SELECT symbol, MAX(d) AS last_d FROM pres GROUP BY symbol),
+    wm AS (SELECT MAX(d) AS w FROM pres)
+    SELECT symbol, d AS event_date, 'listed' AS event, CAST(NULL AS VARCHAR) AS via
+    FROM seq WHERE prev IS NULL OR d > prev + 14
+    UNION ALL
+    SELECT symbol, prev + 14 AS event_date, 'delisted' AS event, 'gap' AS via
+    FROM seq WHERE prev IS NOT NULL AND d > prev + 14
+    UNION ALL
+    SELECT l.symbol, l.last_d + 14 AS event_date, 'delisted' AS event,
+           'timeout' AS via
+    FROM lastp l CROSS JOIN wm WHERE wm.w > l.last_d + 14
+    """,
+    doc="State-store EVICTION through the real engine — the one stateful "
+    "contract a row-driven machine cannot express: the feed is PRESENT-only "
+    "(absence carries no row), so a symbol that stops appearing must be "
+    "delisted BY TIMEOUT (GroupStateTimeout.EventTimeTimeout fires the "
+    "group function with hasTimedOut and ZERO input rows once the watermark "
+    "passes last_present + 14 days), not by a later batch's arrival.  Three "
+    "availableNow runs against one checkpoint: days 0-14, days 15-29, then "
+    "an EMPTY run whose no-data batch flushes the expired states at the "
+    "final watermark.  Reappearance past the deadline inside run 2 takes "
+    "the data path instead (delisted 'gap' + fresh listing — symbol reuse). "
+    "The oracle replays both paths: gap delists are LAG gaps > 14 days, "
+    "timeout delists are tail absences the final watermark outlived.",
+)
+def streaming_lifecycle_timeout_sink_q(spark, sf_dir):
+    root = _scratch(sf_dir, "lifetimeout")
+    src = os.path.join(root, "src")
+    sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
+    snaps = _timeout_presences(spark, sf_dir)
+    schema = snaps.drop("day_idx").schema
+    # two data runs + one EMPTY run: the empty run finds no new files and
+    # executes the no-data batch that fires every expired timeout at the
+    # final watermark (same flush discipline as run_events_tumbling_stream)
+    for lo, hi in ((0, 15), (15, 30), (30, 30)):
+        if lo < hi:
+            (
+                snaps.filter(F.col("day_idx").between(lo, hi - 1))
+                .drop("day_idx")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+        )
+        q = (
+            universe_lifecycle_timeout(stream, grace_days=14)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink).select("symbol", "event_date", "event", "via")

@@ -116,3 +116,92 @@ def universe_lifecycle_batch(snapshots: DataFrame, *, grace_days: int = 14) -> D
         )
 
     return snapshots.groupBy("symbol").applyInPandas(fn, OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Timeout-driven delisting: the contract the grace-window state machine above
+# cannot express.  `universe_lifecycle` only reacts to ROWS — a symbol that
+# simply stops appearing is never delisted because no later batch carries an
+# absent-row for it.  Real feeds are PRESENT-only (a universe snapshot lists
+# what exists; absence IS the signal), so eviction must come from the state
+# store itself: GroupStateTimeout.EventTimeTimeout fires the group function
+# with hasTimedOut=True once the watermark passes the symbol's grace
+# deadline, with NO input rows — the engine's no-data-batch flush.
+# Reference analog: security_master.py:1198-1410's 14-day grace expiry.
+# ---------------------------------------------------------------------------
+
+TIMEOUT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("event_date", T.DateType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("via", T.StringType()),  # delisted: 'gap' | 'timeout'
+    ]
+)
+TIMEOUT_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_present", T.StringType())]  # ISO date
+)
+
+
+def universe_lifecycle_timeout(presences: DataFrame, *, grace_days: int = 14) -> DataFrame:
+    """PRESENT-only (symbol, ts: timestamp) stream → listed/delisted events.
+
+    Two delisting paths, distinguished in the ``via`` column:
+
+    - ``gap``: the symbol REAPPEARS after its grace deadline — detected on
+      data arrival (delisted at the old deadline, then listed at the new
+      date: symbol reuse).
+    - ``timeout``: the symbol never reappears — the state store evicts it
+      when the watermark passes ``last_present + grace_days`` and the group
+      function fires with ``state.hasTimedOut`` and zero input rows.  This
+      is the one contract a row-driven state machine cannot express.
+
+    The stream must carry ``withWatermark`` on ``ts`` (EventTimeTimeout
+    requires it).  Timeout timestamps are epoch-ms of the raw event time
+    plus the grace period — the same UTC basis the engine computes the
+    watermark from, so `deadline < watermark` is exact day arithmetic.
+    """
+    grace = pd.Timedelta(days=grace_days)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        out: list[dict] = []
+        if state.hasTimedOut:
+            (last_present,) = state.get
+            deadline = (pd.Timestamp(last_present) + grace).date()
+            out.append({"symbol": symbol, "event_date": deadline,
+                        "event": "delisted", "via": "timeout"})
+            state.remove()  # a later reappearance is a fresh listing
+        else:
+            last = pd.Timestamp(state.get[0]) if state.exists else None
+            for pdf in pdfs:
+                for ts in sorted(pdf["ts"]):
+                    d = pd.Timestamp(ts).normalize()
+                    if last is None:
+                        out.append({"symbol": symbol, "event_date": d.date(),
+                                    "event": "listed", "via": None})
+                    elif d > last + grace:
+                        out.append({"symbol": symbol,
+                                    "event_date": (last + grace).date(),
+                                    "event": "delisted", "via": "gap"})
+                        out.append({"symbol": symbol, "event_date": d.date(),
+                                    "event": "listed", "via": None})
+                    last = d if last is None else max(last, d)
+            state.update((last.date().isoformat(),))
+            # fire when the watermark passes last_present + grace; by
+            # construction new data's deadline is ahead of the current
+            # watermark (the engine rejects timestamps behind it)
+            state.setTimeoutTimestamp(int((last + grace).value // 1_000_000))
+        yield (
+            pd.DataFrame(out, columns=["symbol", "event_date", "event", "via"])
+            if out
+            else pd.DataFrame(columns=["symbol", "event_date", "event", "via"])
+        )
+
+    return presences.groupBy("symbol").applyInPandasWithState(
+        fn,
+        TIMEOUT_OUTPUT_SCHEMA,
+        TIMEOUT_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

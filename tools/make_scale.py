@@ -24,7 +24,13 @@ times with disjoint key ranges:
   sessionize/funnel/cohort working set) stay CONSTANT while user cardinality
   grows 10x, which is exactly how real event data scales.
 - lineitem/orders/customer: orderkey/custkey shifted per copy (joins stay
-  consistent); part/supplier/nation/region copied as-is (dims).
+  consistent).
+- part/supplier: partkey/suppkey shifted per copy, with lineitem's
+  l_partkey/l_suppkey shifted identically so each copy joins its own dim
+  replicas (constant fanout).  Names are kept verbatim — the fuzzy-match
+  entity key (p_name || '#' || p_partkey) already distinguishes copies,
+  and flat name-prefix cardinality under 10x entities is the honest
+  blocking-degradation regime to measure.  nation/region stay fixed-size.
 
 Usage: python tools/make_scale.py [K] [OUT_DIR] [tables_csv]
        tables_csv (optional): scale only these tables (e.g.
@@ -98,7 +104,9 @@ def main() -> None:
     )
     write(
         "lineitem",
-        f"""SELECT l.* REPLACE (l.l_orderkey + c.copy * 100000000 AS l_orderkey)
+        f"""SELECT l.* REPLACE (l.l_orderkey + c.copy * 100000000 AS l_orderkey,
+                                l.l_partkey + c.copy * 10000000 AS l_partkey,
+                                l.l_suppkey + c.copy * 10000000 AS l_suppkey)
             FROM {rp('lineitem')} l CROSS JOIN {copies} c""",
     )
     write(
@@ -112,9 +120,25 @@ def main() -> None:
         f"""SELECT cu.* REPLACE (cu.c_custkey + c.copy * 10000000 AS c_custkey)
             FROM {rp('customer')} cu CROSS JOIN {copies} c""",
     )
-    for t in ("part", "supplier", "nation", "region"):
+    # part/supplier replicate with the SAME per-copy shift the lineitem FKs
+    # get, so join fanout stays constant (each copy joins its own dims).
+    # p_name is kept verbatim: entity identity in the fuzzy query is
+    # p_name || '#' || p_partkey, so shifted keys already make every copy a
+    # distinct entity, while name-prefix cardinality stays flat — exactly the
+    # blocking-degradation regime the ladder is meant to measure.
+    write(
+        "part",
+        f"""SELECT p.* REPLACE (p.p_partkey + c.copy * 10000000 AS p_partkey)
+            FROM {rp('part')} p CROSS JOIN {copies} c""",
+    )
+    write(
+        "supplier",
+        f"""SELECT s.* REPLACE (s.s_suppkey + c.copy * 10000000 AS s_suppkey)
+            FROM {rp('supplier')} s CROSS JOIN {copies} c""",
+    )
+    for t in ("nation", "region"):
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
-        print(f"{t}: copied")
+        print(f"{t}: copied (fixed-size dim)")
     con.close()
     print(f"done -> {out}")
 

@@ -91,6 +91,15 @@ def bigram_lm_perplexity(
         .crossJoin(F.broadcast(totals))
         .select(id_col, term.alias("nll"))
     )
+    # avg_nll rounding is INTEGER half-up in micro-units: total_nll is an
+    # exact DECIMAL(.,6) sum, and the double quotient total/count can land
+    # exactly on a 6th-decimal half (e.g. 271.59884/80 = 3.3949855), where
+    # Spark's BigDecimal-of-binary rounds down and DuckDB rounds up — a
+    # divergence the sf0.1 gate caught.  (2*micro + n) div (2*n) is the
+    # same half-up rule computed tie-free in exact arithmetic.
+    avg_micro = F.expr(
+        "(2 * cast(total_nll * 1000000 as bigint) + n_bigrams) div (2 * n_bigrams)"
+    )
     return (
         scored.groupBy(id_col)
         .agg(
@@ -101,9 +110,7 @@ def bigram_lm_perplexity(
             id_col,
             "n_bigrams",
             F.col("total_nll").cast("double").alias("total_nll"),
-            F.round(
-                F.col("total_nll").cast("double") / F.col("n_bigrams"), 6
-            ).alias("avg_nll"),
+            (avg_micro.cast("double") / F.lit(1000000.0)).alias("avg_nll"),
         )
     )
 

@@ -1086,18 +1086,26 @@ def line_dedup_q(spark, sf_dir):
     return kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_segments"),
         F.sum((F.col("n_docs") >= _SEG_DF).cast("long")).cast("long").alias("n_removed"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("n_docs") < _SEG_DF, F.struct("pos", "seg"))
-                        )
+        # a doc whose EVERY segment is boilerplate scrubs to nothing:
+        # scrubbed_md5 is NULL then (the oracle's string_agg over zero
+        # surviving segments is NULL; Spark's collect_list would silently
+        # skip the nulls and hash '' instead — divergence first seen at
+        # sf0.1, where fully-boilerplate docs actually occur)
+        F.when(
+            F.sum((F.col("n_docs") < _SEG_DF).cast("long")) > 0,
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("n_docs") < _SEG_DF, F.struct("pos", "seg"))
+                            )
+                        ),
+                        lambda s: s.seg,
                     ),
-                    lambda s: s.seg,
-                ),
-            )
+                )
+            ),
         ).alias("scrubbed_md5"),
     )
 
@@ -1240,10 +1248,14 @@ _PPL_HEAD, _PPL_MID = 4.5, 6.0  # avg-NLL band cuts on the rounded statistic
       JOIN big USING (p, w) JOIN ctx USING (p) JOIN uni USING (w) CROSS JOIN tot
     ),
     scored AS (
+      -- avg_nll = integer half-up in micro-units (tie-free: the double
+      -- quotient can land exactly on a 6th-decimal half, where the two
+      -- engines' ROUND disagree — mirrors operators/lm.py)
       SELECT doc_id,
              COUNT(*) AS n_bigrams,
              CAST(SUM(nll) AS DOUBLE) AS total_nll,
-             ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+             CAST((2 * CAST(SUM(nll) * 1000000 AS BIGINT) + COUNT(*))
+                  // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_nll
       FROM terms GROUP BY doc_id
     )
     SELECT doc_id, n_bigrams, total_nll, avg_nll,

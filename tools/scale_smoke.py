@@ -71,11 +71,11 @@ HEAVY = [
     "doc_incremental_dedup_report",
     "graph_pagerank_report",
     "curation_pipeline_report",
-    # fuzzy_part_match is NOT gated here: make_scale only replicates the
-    # big tables, so sf1's `part` is the same 20k rows as sf0.1 and a ratio
-    # would measure nothing.  Its scale behavior is the blocking design
-    # (suffix blocks near-singleton; the prefix alternative measured 1.9M
-    # comparisons at sf0.1 — see the query doc).
+    # round 7: make_scale now replicates part/supplier (keys shifted, FKs
+    # consistent), so the r6 part-dim family ladders honestly
+    "theta_merge_report",
+    "cms_join_size_report",
+    "bloom_decontamination_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason
@@ -97,6 +97,12 @@ KNOWN_BOUND = {
     "cluster sizes and ~100x within-cluster pairs — the paper's design "
     "scales k WITH the corpus to hold cluster size constant; that "
     "configuration is gated as emb_semdedup_prod below",
+    # round 7, with the dims now replicated:
+    "fuzzy_part_match": "prefix-8 blocking comparisons grow ~x100 per x10 "
+    "entities because make_scale keeps p_name verbatim (name-prefix "
+    "cardinality flat while entities grow 10x) — the blocking-degradation "
+    "regime bloom_fuzzy_curve.py documents, with recall held at 1.0; the "
+    "suffix-6 (key-digit) pass stays near-linear",
 }
 
 

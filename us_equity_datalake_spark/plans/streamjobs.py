@@ -649,3 +649,73 @@ def streaming_lifecycle_timeout_sink_q(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.read.parquet(sink).select("symbol", "event_date", "event", "via")
+
+
+@register(
+    "streaming_interval_join_outer_sink",
+    oracle="""
+    WITH mx AS (SELECT epoch_ms(max(ts)) AS wm_ms FROM events),
+    v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT v.user_id AS user_id, epoch_us(v.ts) AS view_us,
+           epoch_us(c.ts) AS click_us
+    FROM v JOIN c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+    UNION ALL
+    SELECT v.user_id, epoch_us(v.ts), CAST(NULL AS BIGINT)
+    FROM v CROSS JOIN mx
+    WHERE NOT EXISTS (
+        SELECT 1 FROM c
+        WHERE c.user_id = v.user_id
+          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+      )
+      AND epoch_ms(v.ts + INTERVAL 24 HOUR) < wm_ms - 48 * 3600 * 1000
+    """,
+    doc="Stream-stream LEFT OUTER interval join through the REAL engine — "
+    "the contract the inner form never exercises: a view with no click "
+    "within 24 h is emitted WITH A NULL RIGHT SIDE only when state eviction "
+    "proves no match can still arrive (watermark past view_ts + 24 h), so "
+    "unmatched views inside the final watermark+interval horizon of the "
+    "stream's end stay in state and NEVER reach the sink.  The oracle "
+    "replays both arms: the inner matches, plus never-matched views whose "
+    "eviction deadline the final ms-truncated watermark (max ts - 48 h) "
+    "strictly passed.  Two availableNow runs; the second run's no-data "
+    "batch performs the final eviction flush.",
+)
+def streaming_interval_join_outer_sink_q(spark, sf_dir):
+    root = _scratch(sf_dir, "ssjoin_outer")
+    sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
+    schema = load_table(spark, "events", sf_dir).schema
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    for _ in range(2):
+        views = src().filter(F.col("event_type") == "view").select("user_id", "ts")
+        clicks = src().filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("ts_r")
+        )
+        joined = stream_stream_interval_join(
+            views, clicks, within="24 hours", watermark="48 hours",
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(sink)
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("view_us"),
+        F.unix_micros("ts_r").alias("click_us"),
+    )

@@ -107,14 +107,22 @@ def stream_stream_interval_join(
     right_ts: str = "ts_r",
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (impressions ⋈ clicks attribution): right
     events join left events of the same key that happened within
     ``within`` BEFORE them.  Both sides carry watermarks so state is bounded
     — Spark drops left state once right's watermark passes left_ts + within.
 
+    ``how='left_outer'`` additionally emits never-matched left rows with a
+    NULL right side — but only once the watermark proves no match can still
+    arrive (state eviction IS the emission trigger), so left rows inside the
+    final ``watermark + within`` horizon of the stream's end stay in state
+    and never reach the sink.
+
     Batch twin for tests: the same inequality join on static frames (results
-    must match exactly on bounded input).
+    must match exactly on bounded input for the inner form; the outer form
+    additionally withholds the unexpired tail).
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -123,6 +131,6 @@ def stream_stream_interval_join(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "inner").select(
+    return lw.join(rw, cond, how).select(
         lw[key].alias(key), F.col(left_ts), F.col(right_ts)
     )

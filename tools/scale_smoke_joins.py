@@ -49,6 +49,12 @@ JOIN_QUERIES = [
     # round 6: iterative + sketch tiers over the 100x orders/lineitem subset
     "graph_pagerank_report",
     "theta_set_report",
+    # round 7: the r6 session-3 family (part/supplier now replicate, so the
+    # sf10j subset must be generated with part,supplier in its tables_csv)
+    "theta_merge_report",
+    "cms_join_size_report",
+    "bloom_decontamination_report",
+    "fuzzy_part_match",
 ]
 QUANT_EVENT_QUERIES = [
     "locf_ffill_calendar",

@@ -1,0 +1,56 @@
+"""Snapshot-log semantics (sources/snapshots.py): immutable commits,
+manifest-pinned time travel, copy-on-write partial rewrite, isolation of old
+versions from later commits."""
+
+from pyspark.sql import functions as F
+
+from us_equity_datalake_spark.sources import snapshots
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_append_commits_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = snapshots.commit(spark.range(0, 5), path)
+    v2 = snapshots.commit(spark.range(5, 8), path)
+    assert (v1, v2) == (1, 2)
+    assert snapshots.latest_version(path) == 2
+    assert _ids(snapshots.read_version(spark, path, 1)) == list(range(5))
+    assert _ids(snapshots.read_version(spark, path, 2)) == list(range(8))
+    assert _ids(snapshots.read_version(spark, path)) == list(range(8))  # latest
+
+
+def test_overwrite_isolates_prior_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5), path)
+    snapshots.commit(spark.range(100, 103), path, mode="overwrite")
+    # old snapshot still reads its own immutable files
+    assert _ids(snapshots.read_version(spark, path, 1)) == list(range(5))
+    assert _ids(snapshots.read_version(spark, path, 2)) == [100, 101, 102]
+
+
+def test_copy_on_write_replace_drops_only_matched_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5), path)         # commit_v000001
+    snapshots.commit(spark.range(10, 15), path)       # commit_v000002
+    # rewrite commit 1's slice applying a delete (keep even ids only)
+    snapshots.commit(
+        spark.range(0, 5).where(F.col("id") % 2 == 0),
+        path,
+        replace=lambda f: "commit_v000001" in f,
+    )
+    assert _ids(snapshots.read_version(spark, path, 3)) == [0, 2, 4, 10, 11, 12, 13, 14]
+    # the rewrite never touched the bytes older manifests reference
+    assert _ids(snapshots.read_version(spark, path, 1)) == list(range(5))
+    assert _ids(snapshots.read_version(spark, path, 2)) == list(range(5)) + list(range(10, 15))
+
+
+def test_manifest_lists_files_not_directories(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 3), path)
+    m = snapshots.read_manifest(path, 1)
+    assert m["version"] == 1 and m["mode"] == "append"
+    assert all(f.endswith(".parquet") for f in m["files"])
+    assert len(m["files"]) >= 1

@@ -1,0 +1,109 @@
+"""Versioned snapshot log: copy-on-write commits + time-travel reads.
+
+The reference's lake mutates parquet in place and keeps one JSON state file
+(update/app.py universe state; security_master.py:831-840 custom metadata) —
+so yesterday's table is gone the moment today's job lands.  A 100 TB lake
+wants the Delta/Iceberg discipline instead: data files are IMMUTABLE, every
+commit writes new files plus a tiny manifest listing the files that make up
+that version, and a reader pins a manifest — snapshot isolation for free,
+time travel by reading an old manifest, instant rollback by re-pointing.
+
+This is the minimal honest core of that design (a manifest per version under
+``_snapshots/``, files never rewritten), NOT a transaction protocol: there is
+no concurrent-writer arbitration (Delta's optimistic log conflict check) —
+single-writer-per-table is the operating assumption, same as the reference's
+daily job.
+
+Scale notes: a manifest lists file paths (KB-scale for thousands of files —
+at Iceberg scale you'd shard manifests, same structure one level deeper);
+``read_version`` hands Spark the explicit file list, so listing cost is the
+manifest read, not a recursive directory walk, and normal parquet pruning
+(footer stats, column projection) applies unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SNAP_DIR = "_snapshots"
+
+
+def _snap_path(path: str, version: int) -> str:
+    return os.path.join(path, _SNAP_DIR, f"v{version:06d}.json")
+
+
+def latest_version(path: str) -> int:
+    """0 when the table has no commits yet."""
+    d = os.path.join(path, _SNAP_DIR)
+    if not os.path.isdir(d):
+        return 0
+    vs = [int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")]
+    return max(vs, default=0)
+
+
+def read_manifest(path: str, version: int) -> dict:
+    with open(_snap_path(path, version)) as f:
+        return json.load(f)
+
+
+def _data_files(commit_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(commit_dir, f)
+        for f in os.listdir(commit_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def commit(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    replace: "callable | None" = None,
+) -> int:
+    """Write ``df`` as a new immutable commit and a new manifest.
+
+    - ``mode='append'``: new version = previous file list + this commit's
+      files.
+    - ``mode='overwrite'``: new version = this commit's files only.
+    - ``replace=predicate(file_entry) -> bool``: copy-on-write partial
+      rewrite — previous files for which ``replace`` returns True are
+      DROPPED from the new manifest (the bytes stay on disk: older versions
+      still reference them), the commit's files are added.
+
+    Returns the new version number.  Files land under ``commit_v{N}/`` so a
+    commit's files are identifiable without tracking Spark's part-file names.
+    """
+    prev_v = latest_version(path)
+    new_v = prev_v + 1
+    commit_dir = os.path.join(path, f"commit_v{new_v:06d}")
+    df.write.mode("error").parquet(commit_dir)
+    new_files = _data_files(commit_dir)
+    if mode == "overwrite":
+        files = new_files
+    else:
+        prev_files = read_manifest(path, prev_v)["files"] if prev_v else []
+        if replace is not None:
+            prev_files = [f for f in prev_files if not replace(f)]
+        files = sorted(prev_files) + new_files
+    os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
+    manifest = {"version": new_v, "mode": mode, "files": files}
+    tmp = _snap_path(path, new_v) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.rename(tmp, _snap_path(path, new_v))  # manifest publish is atomic
+    return new_v
+
+
+def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: the table exactly as of ``version`` (default:
+    latest).  Spark receives the explicit immutable file list, so later
+    commits — appends, rewrites, compactions — cannot change this frame."""
+    v = latest_version(path) if version is None else version
+    files = read_manifest(path, v)["files"]
+    if not files:
+        raise ValueError(f"snapshot v{v} of {path} lists no files")
+    return spark.read.parquet(*files)

@@ -54,3 +54,44 @@ def test_manifest_lists_files_not_directories(spark, tmp_path):
     assert m["version"] == 1 and m["mode"] == "append"
     assert all(f.endswith(".parquet") for f in m["files"])
     assert len(m["files"]) >= 1
+
+
+def test_rollback_is_a_new_manifest(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5), path)
+    snapshots.commit(spark.range(100, 110), path, mode="overwrite")  # the bad commit
+    v3 = snapshots.rollback(path, 1)
+    assert v3 == 3
+    assert _ids(snapshots.read_version(spark, path)) == list(range(5))
+    # forensics: the bad version stays readable after the rollback
+    assert _ids(snapshots.read_version(spark, path, 2)) == list(range(100, 110))
+    assert snapshots.read_manifest(path, 3)["rolled_back_to"] == 1
+
+
+def test_vacuum_reclaims_only_unreferenced_files(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5), path)                       # v1
+    snapshots.commit(spark.range(100, 103), path, mode="overwrite")  # v2 orphans v1's files
+    snapshots.commit(spark.range(200, 202), path)                   # v3 = v2 files + new
+    removed = snapshots.vacuum(path, keep_last=2)
+    # only commit 1's files die: v2/v3 still reference commits 2 and 3
+    assert removed and all("commit_v000001" in f for f in removed)
+    assert _ids(snapshots.read_version(spark, path, 3)) == [100, 101, 102, 200, 201]
+    assert _ids(snapshots.read_version(spark, path, 2)) == [100, 101, 102]
+    with _pytest.raises(FileNotFoundError):
+        snapshots.read_manifest(path, 1)  # expired beyond the horizon
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 3).select("id"), path)
+    snapshots.commit(
+        spark.range(3, 5).select("id", F.lit("x").alias("tag")), path
+    )
+    got = snapshots.read_version_merged(spark, path).orderBy("id").collect()
+    assert [r["id"] for r in got] == [0, 1, 2, 3, 4]
+    assert [r["tag"] for r in got] == [None, None, None, "x", "x"]

@@ -107,3 +107,59 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     if not files:
         raise ValueError(f"snapshot v{v} of {path} lists no files")
     return spark.read.parquet(*files)
+
+
+def rollback(path: str, to_version: int) -> int:
+    """Instant rollback: publish a NEW manifest whose file list is the old
+    version's — no data movement, and the bad versions stay readable for
+    forensics (the Delta RESTORE semantics)."""
+    files = read_manifest(path, to_version)["files"]
+    new_v = latest_version(path) + 1
+    manifest = {
+        "version": new_v,
+        "mode": "rollback",
+        "rolled_back_to": to_version,
+        "files": files,
+    }
+    tmp = _snap_path(path, new_v) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.rename(tmp, _snap_path(path, new_v))
+    return new_v
+
+
+def vacuum(path: str, *, keep_last: int = 1) -> list[str]:
+    """Expire history: delete data files referenced ONLY by manifests older
+    than the last ``keep_last`` versions, and drop those manifests.  Time
+    travel beyond the horizon is gone after this — that is the point (the
+    Delta VACUUM / Iceberg expire_snapshots trade: reclaim bytes, lose
+    history).  Returns the deleted file paths."""
+    last = latest_version(path)
+    if last == 0:
+        return []
+    keep_versions = [v for v in range(max(1, last - keep_last + 1), last + 1)
+                     if os.path.exists(_snap_path(path, v))]
+    keep_files: set[str] = set()
+    for v in keep_versions:
+        keep_files.update(read_manifest(path, v)["files"])
+    removed: list[str] = []
+    for v in range(1, last + 1):
+        p = _snap_path(path, v)
+        if v in keep_versions or not os.path.exists(p):
+            continue
+        for f in read_manifest(path, v)["files"]:
+            if f not in keep_files and os.path.exists(f):
+                os.remove(f)
+                removed.append(f)
+        os.remove(p)
+    return removed
+
+
+def read_version_merged(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Time-travel read with schema evolution: commits may ADD columns over
+    the table's life; ``mergeSchema`` unions the per-file schemas (absent
+    columns read as null) — the additive half of schema evolution, which is
+    the only half immutable files can express without a rewrite."""
+    v = latest_version(path) if version is None else version
+    files = read_manifest(path, v)["files"]
+    return spark.read.option("mergeSchema", "true").parquet(*files)

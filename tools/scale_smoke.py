@@ -76,6 +76,10 @@ HEAVY = [
     "theta_merge_report",
     "cms_join_size_report",
     "bloom_decontamination_report",
+    # gated since the SymSpell deletion-neighborhood rework: the r6 prefix-8
+    # pass measured 105x per 10x on this ladder (flat name-prefix
+    # cardinality), the deletion blocking measures 4.6x at full recall
+    "fuzzy_part_match",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason
@@ -97,12 +101,6 @@ KNOWN_BOUND = {
     "cluster sizes and ~100x within-cluster pairs — the paper's design "
     "scales k WITH the corpus to hold cluster size constant; that "
     "configuration is gated as emb_semdedup_prod below",
-    # round 7, with the dims now replicated:
-    "fuzzy_part_match": "prefix-8 blocking comparisons grow ~x100 per x10 "
-    "entities because make_scale keeps p_name verbatim (name-prefix "
-    "cardinality flat while entities grow 10x) — the blocking-degradation "
-    "regime bloom_fuzzy_curve.py documents, with recall held at 1.0; the "
-    "suffix-6 (key-digit) pass stays near-linear",
 }
 
 

@@ -626,12 +626,28 @@ def cms_join_size_report(spark, sf_dir):
              substr(clean_name, 1, 8) || substr(clean_name, 10) AS dirty_name
       FROM clean WHERE clean_key % 10 = 0
     ),
+    clean_keys AS (
+      SELECT clean_key, clean_name,
+             unnest(array_concat([clean_name],
+               list_transform(generate_series(1, length(clean_name)),
+                 i -> substr(clean_name, 1, i - 1) || substr(clean_name, i + 1))
+             )) AS bkey
+      FROM clean
+    ),
+    dirty_keys AS (
+      SELECT dirty_key, dirty_name,
+             unnest(array_concat([dirty_name],
+               list_transform(generate_series(1, length(dirty_name)),
+                 i -> substr(dirty_name, 1, i - 1) || substr(dirty_name, i + 1))
+             )) AS bkey
+      FROM dirty
+    ),
     pairs AS (
       SELECT d.dirty_key, c.clean_key, d.dirty_name, c.clean_name
       FROM dirty d JOIN clean c ON right(d.dirty_name, 6) = right(c.clean_name, 6)
       UNION
-      SELECT d.dirty_key, c.clean_key, d.dirty_name, c.clean_name
-      FROM dirty d JOIN clean c ON substr(d.dirty_name, 1, 8) = substr(c.clean_name, 1, 8)
+      SELECT DISTINCT dk.dirty_key, ck.clean_key, dk.dirty_name, ck.clean_name
+      FROM dirty_keys dk JOIN clean_keys ck USING (bkey)
     ),
     cand AS (
       SELECT dirty_key, clean_key,
@@ -651,18 +667,24 @@ def cms_join_size_report(spark, sf_dir):
            COALESCE(b.clean_key = d.dirty_key, FALSE) AS is_original
     FROM dirty d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (dirty_key)
     """,
-    doc="Record linkage with MULTI-KEY blocking (the standard two-pass "
-    "design): a 'dirty feed' (every 10th unique entity name with its 9th "
-    "character dropped) is resolved against the clean dimension by "
-    "Levenshtein distance <= 2, candidates = union of a 6-char-SUFFIX pass "
-    "(high-entropy, near-singleton blocks — linear) and an 8-char-PREFIX "
-    "pass (full recall for this corruption, blocks bounded by name "
-    "cardinality).  Neither key alone suffices: suffix blocking loses the "
-    "short names whose dropped char falls inside the suffix (measured 72/200 "
-    "matched), prefix blocking alone is the sum-of-block-sizes-squared trap "
-    "(a 6-char prefix measured 1.9M comparisons at sf0.1).  Unmatched dirty "
-    "rows stay in the result with n_candidates = 0; both engines compute "
-    "the same integer edit distance, so the match set grades exactly.",
+    doc="Record linkage with MULTI-KEY blocking: a 'dirty feed' (every 10th "
+    "unique entity name with its 9th character dropped) is resolved against "
+    "the clean dimension by Levenshtein distance <= 2, candidates = union "
+    "of a 6-char-SUFFIX pass (high-entropy, near-singleton blocks) and a "
+    "SymSpell DELETION-NEIGHBORHOOD pass (Garbe's symmetric-delete "
+    "blocking: each side explodes to itself + its length single-deletion "
+    "variants; any pair within one insert/delete/substitute shares a key, "
+    "and key entropy grows WITH the corpus because the variants carry the "
+    "unique key digits).  The deletion pass replaced round 6's 8-char-"
+    "PREFIX pass after the sf1 ladder measured the prefix blocks quadratic "
+    "— name-prefix cardinality is flat (64 distinct names), so 10x "
+    "entities made 105x wall; deletion blocking is linear (~len keys per "
+    "row) at full recall for deletion-class corruption.  Exhaustive "
+    "distance-2 coverage (e.g. two substitutions apart) needs deletion "
+    "depth 2 (cost ~len^2 keys) — the documented production knob.  "
+    "Unmatched dirty rows stay in the result with n_candidates = 0; both "
+    "engines compute the same integer edit distance, so the match set "
+    "grades exactly.",
 )
 def fuzzy_part_match(spark, sf_dir):
     part = load_table(spark, "part", sf_dir)
@@ -681,10 +703,23 @@ def fuzzy_part_match(spark, sf_dir):
     by_suffix = dirty.join(
         clean, F.substring("dirty_name", -6, 6) == F.substring("clean_name", -6, 6)
     )
-    by_prefix = dirty.join(
-        clean, F.substring("dirty_name", 1, 8) == F.substring("clean_name", 1, 8)
-    )
-    pairs = by_suffix.unionByName(by_prefix).distinct()
+
+    # SymSpell symmetric-delete blocking: a row's keys are itself plus every
+    # single-deletion variant; the join key therefore carries the unique
+    # key-digit tail, so blocks stay near-singleton as the corpus grows
+    def _del_keys(name_col: str):
+        return F.explode(
+            F.expr(
+                f"array_union(array({name_col}), transform("
+                f"sequence(1, length({name_col})), i -> "
+                f"concat(substring({name_col}, 1, i - 1), substring({name_col}, i + 1))))"
+            )
+        ).alias("bkey")
+
+    dirty_keys = dirty.select("dirty_key", "dirty_name", _del_keys("dirty_name"))
+    clean_keys = clean.select("clean_key", "clean_name", _del_keys("clean_name"))
+    by_deletion = dirty_keys.join(clean_keys, "bkey").drop("bkey")
+    pairs = by_suffix.unionByName(by_deletion).distinct()
     cand = (
         pairs.withColumn("dist", F.levenshtein("dirty_name", "clean_name"))
         .where(F.col("dist") <= 2)

@@ -1069,11 +1069,21 @@ def pq_topk(
         .alias("m", "es"),
     )
     subs = _cache.track(subs.persist())
-    book = spark.createDataFrame(
-        [(r["m"], r["vec_id"], list(r["es"]))
-         for r in subs.filter(F.col("vec_id") < k_codes).collect()],
-        "m long, cid long, c array<double>",
-    )
+    # the book lives as a DRIVER dict across iterations (k_codes x m rows):
+    # re-collecting it from Spark each round would cost an extra job for
+    # data that never left the driver
+    book_rows = {
+        (r["m"], r["vec_id"]): list(r["es"])
+        for r in subs.filter(F.col("vec_id") < k_codes).collect()
+    }
+
+    def _book_df():
+        return spark.createDataFrame(
+            [(mi, cid, c) for (mi, cid), c in sorted(book_rows.items())],
+            "m long, cid long, c array<double>",
+        )
+
+    book = _book_df()
     for _ in range(iters):
         assigned = (
             subs.join(F.broadcast(book), "m")
@@ -1100,13 +1110,10 @@ def pq_topk(
         # always holds exactly m x k_codes entries with dense cids
         # 0..k_codes-1 — the positional ADC lookup below (element_at(row,
         # code+1)) is only correct under that density invariant.
-        new_rows = {(r["m"], r["cid"]): list(r["c"]) for r in updated.collect()}
-        prev_rows = {(r["m"], r["cid"]): list(r["c"]) for r in book.collect()}
-        merged = {**prev_rows, **new_rows}
-        book = spark.createDataFrame(
-            [(mi, cid, c) for (mi, cid), c in sorted(merged.items())],
-            "m long, cid long, c array<double>",
+        book_rows.update(
+            {(r["m"], r["cid"]): list(r["c"]) for r in updated.collect()}
         )
+        book = _book_df()
 
     # --- encode: one corpus pass -> (vec_id, codes array<long> ordered by m) ---
     codes = (

@@ -61,6 +61,14 @@ WRITE_PATH = {
     "as a lake table), then probes nprobe buckets",
     "orc_roundtrip_report": "writes + re-reads lineitem as partitioned ORC; the oracle reads the "
     "already-cached parquet",
+    "streaming_lifecycle_timeout_sink": "REAL streaming engine: THREE availableNow runs against one "
+    "checkpoint (two data runs + the empty eviction-flush run) — the GroupStateTimeout contract "
+    "is the graded behavior; the oracle reads the plain table once",
+    "streaming_interval_join_outer_sink": "REAL streaming engine: two watermarked source streams, "
+    "stream-stream LEFT OUTER interval join run TWICE (second run's no-data batch performs the "
+    "final eviction flush that emits the outer-nulls); the heaviest real-engine job in the suite",
+    "lake_time_travel_report": "three snapshot-log commits (parquet writes) + three manifest-pinned "
+    "version reads; the oracle reconstructs the versions from the base table with zero writes",
 }
 
 UDF_PATH = {

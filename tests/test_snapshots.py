@@ -95,3 +95,33 @@ def test_schema_evolution_merged_read(spark, tmp_path):
     got = snapshots.read_version_merged(spark, path).orderBy("id").collect()
     assert [r["id"] for r in got] == [0, 1, 2, 3, 4]
     assert [r["tag"] for r in got] == [None, None, None, "x", "x"]
+
+
+def test_merge_upsert_rewrites_only_touched_files(spark, tmp_path):
+    """MERGE INTO with file pruning: on a key-clustered layout, a delta
+    localized to one key range rewrites exactly the files containing
+    matched keys — everything else carries into the new manifest by
+    reference — and old versions stay isolated from the upsert."""
+    path = str(tmp_path / "t")
+    base = spark.range(0, 800).select(
+        F.col("id"), (F.col("id") * 2.0).alias("v")
+    )
+    snapshots.commit(base.repartitionByRange(8, "id"), path)
+
+    delta = spark.range(0, 50).select(F.col("id"), F.lit(-1.0).alias("v"))
+    delta = delta.unionByName(
+        spark.range(1000, 1003).select(F.col("id"), F.lit(9.0).alias("v"))
+    )
+    stats = snapshots.merge_upsert(spark, path, delta, key="id")
+    assert stats["files_total"] == 8
+    # keys 0..49 live in the lowest range file(s) only
+    assert 1 <= stats["files_rewritten"] <= 2
+
+    got = {r["id"]: r["v"] for r in snapshots.read_version(spark, path).collect()}
+    assert len(got) == 803
+    assert all(got[i] == -1.0 for i in range(50))          # updated
+    assert all(got[i] == i * 2.0 for i in range(50, 800))  # untouched
+    assert all(got[i] == 9.0 for i in (1000, 1001, 1002))  # inserted
+    # snapshot isolation: v1 still shows the pre-merge state
+    v1 = {r["id"]: r["v"] for r in snapshots.read_version(spark, path, 1).collect()}
+    assert len(v1) == 800 and v1[0] == 0.0

@@ -68,6 +68,7 @@ _GRADING_PRIORITY = [
     "streaming_lifecycle_timeout_sink",  # GroupStateTimeout eviction flush
     "streaming_interval_join_outer_sink",  # outer-null emission on eviction
     "lake_time_travel_report",   # snapshot-log time travel, CoW delete
+    "lake_merge_upsert_report",  # MERGE INTO with file pruning
     # --- core regression tail (paths touched by round-7 ADVICE fixes) ---
     "near_dup_components",       # r7: components max_iter convergence guard
     "doc_minhash_lsh_pairs",

@@ -620,3 +620,76 @@ def lake_time_travel_q(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_MERGED_PRICE = (
+    "CASE WHEN o_orderstatus = 'F' AND o_orderkey < (SELECT c FROM cut) "
+    "THEN o_totalprice + 100000.0 ELSE o_totalprice END"
+)
+
+
+@register(
+    "lake_merge_upsert_report",
+    oracle=f"""
+    WITH cut AS (
+      SELECT MAX(o_orderkey) // 10 AS c FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT 1 AS version, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 2, o_orderstatus, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql(_MERGED_PRICE)}
+    FROM orders, cut
+    WHERE o_orderstatus IN ('F', 'P')
+    GROUP BY o_orderstatus
+    """,
+    doc="MERGE INTO (upsert) on the snapshot log with Delta-style FILE "
+    "PRUNING: the base commit lands the 'F' orders key-clustered "
+    "(repartitionByRange on o_orderkey), the delta updates the lowest "
+    "key decile (+100000.0 marker) and inserts the 'P' orders; "
+    "merge_upsert rewrites ONLY the data files that contain a matched key "
+    "(one input_file_name semi-join finds them) and carries every other "
+    "file into the new manifest by reference.  The graded rows read BOTH "
+    "versions after the merge — v1 must show the pre-merge 'F' slice "
+    "untouched (snapshot isolation under upsert), v2 the upserted state.  "
+    "The file-pruning win itself (rewritten << total under a clustered "
+    "layout) is pinned in tests/test_snapshots.py.",
+)
+def lake_merge_upsert_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_merge_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f_rows = orders.where(F.col("o_orderstatus") == "F")
+    snapshots.commit(f_rows.repartitionByRange(8, "o_orderkey"), root)
+
+    cut = f_rows.agg((F.max("o_orderkey") / 10).cast("long")).collect()[0][0]
+    updates = f_rows.where(F.col("o_orderkey") < cut).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100000.0)
+    )
+    inserts = orders.where(F.col("o_orderstatus") == "P")
+    snapshots.merge_upsert(
+        spark, root, updates.unionByName(inserts), key="o_orderkey"
+    )
+
+    def summ(v):
+        return (
+            snapshots.read_version(spark, root, v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                dec_sum(F.col("o_totalprice")).alias("total_price"),
+            )
+            .select(F.lit(v).alias("version"), "o_orderstatus", "n_rows", "total_price")
+        )
+
+    return summ(1).unionByName(summ(2))

@@ -163,3 +163,46 @@ def read_version_merged(spark: SparkSession, path: str, version: int | None = No
     v = latest_version(path) if version is None else version
     files = read_manifest(path, v)["files"]
     return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    *,
+    key: str,
+) -> dict:
+    """MERGE INTO the latest snapshot (upsert): rows of ``delta`` whose
+    ``key`` exists in the table REPLACE the current row; new keys are
+    inserted — one copy-on-write commit.
+
+    The Delta-style file pruning is the point at 100 TB: only data files
+    that actually CONTAIN a matched key are rewritten.  The touched-file
+    set comes from one semi-join of the current version (tagged with
+    ``input_file_name``) against the delta keys; untouched files carry over
+    into the new manifest by reference.  With a key-clustered layout
+    (``repartitionByRange`` on the key at write time, or the z-order
+    writer) a localized delta touches O(delta) files, not the table.
+
+    Returns {"version", "files_total", "files_rewritten"}.
+    """
+    from pyspark.sql import functions as F
+
+    current = read_version(spark, path).withColumn("__file", F.input_file_name())
+    keys = delta.select(key).distinct()
+    touched = [
+        r["__file"]
+        for r in current.join(keys, key, "left_semi").select("__file").distinct().collect()
+    ]
+    # input_file_name returns URI-style paths; manifests store plain paths
+    touched_set = {t.removeprefix("file://") for t in touched}
+    n_total = len(read_manifest(path, latest_version(path))["files"])
+
+    survivors = (
+        current.where(F.col("__file").isin(list(touched_set | set(touched))))
+        .drop("__file")
+        .join(keys, key, "left_anti")
+    )
+    new_rows = survivors.unionByName(delta)
+    v = commit(new_rows, path, replace=lambda f: f in touched_set)
+    return {"version": v, "files_total": n_total, "files_rewritten": len(touched_set)}

@@ -125,3 +125,17 @@ def test_merge_upsert_rewrites_only_touched_files(spark, tmp_path):
     # snapshot isolation: v1 still shows the pre-merge state
     v1 = {r["id"]: r["v"] for r in snapshots.read_version(spark, path, 1).collect()}
     assert len(v1) == 800 and v1[0] == 0.0
+
+
+def test_delete_where_prunes_files_and_change_feed_shapes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.range(0, 800).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    snapshots.commit(base.repartitionByRange(8, "id"), path)
+    stats = snapshots.delete_where(spark, path, F.col("id") < 30)
+    assert stats["files_total"] == 8 and stats["files_rewritten"] == 1
+    assert snapshots.read_version(spark, path).count() == 770
+
+    feed = snapshots.change_feed(spark, path, 1, 2, key="id").collect()
+    assert {r["change_type"] for r in feed} == {"delete"}
+    assert sorted(r["id"] for r in feed) == list(range(30))
+    assert all(r["v"] == r["id"] * 2.0 for r in feed)  # deletes carry preimage

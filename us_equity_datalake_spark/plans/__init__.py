@@ -69,6 +69,7 @@ _GRADING_PRIORITY = [
     "streaming_interval_join_outer_sink",  # outer-null emission on eviction
     "lake_time_travel_report",   # snapshot-log time travel, CoW delete
     "lake_merge_upsert_report",  # MERGE INTO with file pruning
+    "lake_change_feed_report",   # row-level CDF between versions
     # --- core regression tail (paths touched by round-7 ADVICE fixes) ---
     "near_dup_components",       # r7: components max_iter convergence guard
     "doc_minhash_lsh_pairs",

@@ -693,3 +693,71 @@ def lake_merge_upsert_q(spark, sf_dir):
         )
 
     return summ(1).unionByName(summ(2))
+
+
+_CDF_DEL = 400000.0  # v3's delete threshold on the POST-merge price
+
+
+@register(
+    "lake_change_feed_report",
+    oracle=f"""
+    WITH cut AS (
+      SELECT MAX(o_orderkey) // 10 AS c FROM orders WHERE o_orderstatus = 'F'
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' AND o_orderkey < (SELECT c FROM cut)
+                  THEN o_totalprice + 100000.0 ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderstatus IN ('F', 'P')
+    )
+    SELECT 'v1_v2' AS step, o_orderkey, 'insert' AS change_type,
+           o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT 'v1_v2', o_orderkey, 'update_preimage', o_orderstatus, o_totalprice
+    FROM orders, cut WHERE o_orderstatus = 'F' AND o_orderkey < cut.c
+    UNION ALL
+    SELECT 'v1_v2', o_orderkey, 'update_postimage', o_orderstatus,
+           o_totalprice + 100000.0
+    FROM orders, cut WHERE o_orderstatus = 'F' AND o_orderkey < cut.c
+    UNION ALL
+    SELECT 'v2_v3', o_orderkey, 'delete', o_orderstatus, price
+    FROM v2 WHERE price >= {_CDF_DEL}
+    """,
+    doc="Row-level CHANGE DATA FEED between snapshot versions (the Delta "
+    "CDF shape): v1 = the clustered 'F' orders, v2 = MERGE (decile update "
+    "+ 'P' inserts), v3 = DELETE WHERE price >= 400k (file-pruned CoW).  "
+    "change_feed(v1,v2) must emit exactly the inserts plus BOTH update "
+    "images; change_feed(v2,v3) exactly the deletes with the post-merge "
+    "price — one full-outer join per step on the manifest-pinned reads, "
+    "so an incremental consumer (replication, audit, downstream aggregate "
+    "maintenance) never rescans the table.  The oracle reconstructs every "
+    "change row from the base table.",
+)
+def lake_change_feed_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_cdf_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f_rows = orders.where(F.col("o_orderstatus") == "F")
+    snapshots.commit(f_rows.repartitionByRange(8, "o_orderkey"), root)
+    cut = f_rows.agg((F.max("o_orderkey") / 10).cast("long")).collect()[0][0]
+    updates = f_rows.where(F.col("o_orderkey") < cut).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100000.0)
+    )
+    inserts = orders.where(F.col("o_orderstatus") == "P")
+    snapshots.merge_upsert(spark, root, updates.unionByName(inserts), key="o_orderkey")
+    snapshots.delete_where(spark, root, F.col("o_totalprice") >= F.lit(_CDF_DEL))
+
+    def feed(vf, vt, tag):
+        return snapshots.change_feed(
+            spark, root, vf, vt, key="o_orderkey"
+        ).select(F.lit(tag).alias("step"), "*")
+
+    return feed(1, 2, "v1_v2").unionByName(feed(2, 3, "v2_v3"))

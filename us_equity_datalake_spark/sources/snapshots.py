@@ -206,3 +206,70 @@ def merge_upsert(
     new_rows = survivors.unionByName(delta)
     v = commit(new_rows, path, replace=lambda f: f in touched_set)
     return {"version": v, "files_total": n_total, "files_rewritten": len(touched_set)}
+
+
+def delete_where(spark: SparkSession, path: str, predicate) -> dict:
+    """DELETE FROM the latest snapshot: rewrite only the data files that
+    contain a matching row (same input_file_name pruning as merge_upsert);
+    files with no matches carry over by reference.  ``predicate`` is a
+    Column.  Returns {"version", "files_total", "files_rewritten"}."""
+    from pyspark.sql import functions as F
+
+    current = read_version(spark, path).withColumn("__file", F.input_file_name())
+    touched = [
+        r["__file"]
+        for r in current.where(predicate).select("__file").distinct().collect()
+    ]
+    touched_set = {t.removeprefix("file://") for t in touched}
+    n_total = len(read_manifest(path, latest_version(path))["files"])
+    survivors = (
+        current.where(F.col("__file").isin(list(touched_set | set(touched))))
+        .where(~predicate)
+        .drop("__file")
+    )
+    v = commit(survivors, path, replace=lambda f: f in touched_set)
+    return {"version": v, "files_total": n_total, "files_rewritten": len(touched_set)}
+
+
+def change_feed(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    *,
+    key: str,
+) -> DataFrame:
+    """Row-level change feed between two snapshot versions (the Delta CDF
+    shape): full-outer join on ``key`` comparing every other column —
+    'insert' rows carry the new image, 'delete' rows the old image, and an
+    updated key emits BOTH 'update_preimage' and 'update_postimage'.
+    One shuffle join of two manifest-pinned reads; downstream consumers
+    (incremental aggregates, replication, audit) never rescan the table."""
+    from pyspark.sql import functions as F
+
+    a = read_version(spark, path, v_from)
+    b = read_version(spark, path, v_to)
+    cols = [c for c in a.columns if c != key]
+    assert cols == [c for c in b.columns if c != key], "schema drift across versions"
+    pre = a.select(key, F.struct(*cols).alias("__pre"))
+    post = b.select(key, F.struct(*cols).alias("__post"))
+    j = pre.join(post, key, "full_outer")
+    inserts = j.where(F.col("__pre").isNull()).select(
+        key, F.lit("insert").alias("change_type"), F.col("__post").alias("__img")
+    )
+    deletes = j.where(F.col("__post").isNull()).select(
+        key, F.lit("delete").alias("change_type"), F.col("__pre").alias("__img")
+    )
+    changed = j.where(
+        F.col("__pre").isNotNull()
+        & F.col("__post").isNotNull()
+        & (F.col("__pre") != F.col("__post"))
+    )
+    upd_pre = changed.select(
+        key, F.lit("update_preimage").alias("change_type"), F.col("__pre").alias("__img")
+    )
+    upd_post = changed.select(
+        key, F.lit("update_postimage").alias("change_type"), F.col("__post").alias("__img")
+    )
+    out = inserts.unionByName(deletes).unionByName(upd_pre).unionByName(upd_post)
+    return out.select(key, "change_type", *[F.col(f"__img.{c}").alias(c) for c in cols])

@@ -719,3 +719,70 @@ def streaming_interval_join_outer_sink_q(spark, sf_dir):
         F.unix_micros("ts").alias("view_us"),
         F.unix_micros("ts_r").alias("click_us"),
     )
+
+
+_SM_BUMP = 50000.0  # the streamed update marker
+
+
+@register(
+    "streaming_merge_upsert_sink",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'F' AND o_orderkey % 3 = 0
+                THEN o_totalprice + {_SM_BUMP} ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    """,
+    doc="Streaming MERGE INTO the snapshot lake (the Delta streaming-upsert "
+    "topology): an AT-LEAST-ONCE feed (every delta row landed twice across "
+    "files) is consumed with foreachBatch, each micro-batch key-deduped "
+    "and merge_upsert-ed into the copy-on-write snapshot log — updates "
+    "(every 3rd 'F' key, +50000.0) and inserts (the 'O' orders) across TWO "
+    "availableNow runs against one checkpoint.  Exactly-once lands by "
+    "IDEMPOTENCE, not dedup state: re-delivered rows merge to the same "
+    "image, so the graded final table equals the base with each change "
+    "applied exactly once — while the file-pruned CoW commits keep every "
+    "intermediate version time-travelable.  The oracle reconstructs the "
+    "final state straight from the base table.",
+)
+def streaming_merge_upsert_sink_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = _scratch(sf_dir, "smerge")
+    src, lake_path = os.path.join(root, "src"), os.path.join(root, "lake")
+    ckpt = os.path.join(root, "ckpt")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f_rows = orders.where(F.col("o_orderstatus") == "F")
+    snapshots.commit(f_rows.repartitionByRange(8, "o_orderkey"), lake_path)
+
+    updates = f_rows.where(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(_SM_BUMP)
+    )
+    inserts = orders.where(F.col("o_orderstatus") == "O")
+    delta = updates.unionByName(inserts)
+    half = F.col("o_orderkey") % 2
+
+    def merge_batch(batch_df, _batch_id):
+        d = batch_df.dropDuplicates(["o_orderkey"])
+        if d.isEmpty():
+            return
+        snapshots.merge_upsert(spark, lake_path, d, key="o_orderkey")
+
+    # two availableNow runs; each half of the delta is landed TWICE
+    # (at-least-once delivery) before its run
+    for want in (0, 1):
+        part = delta.where(half == want).coalesce(1)
+        part.write.mode("append").parquet(src)
+        part.write.mode("append").parquet(src)  # the duplicate delivery
+        stream = spark.readStream.schema(delta.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return snapshots.read_version(spark, lake_path).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

@@ -139,3 +139,23 @@ def test_delete_where_prunes_files_and_change_feed_shapes(spark, tmp_path):
     assert {r["change_type"] for r in feed} == {"delete"}
     assert sorted(r["id"] for r in feed) == list(range(30))
     assert all(r["v"] == r["id"] * 2.0 for r in feed)  # deletes carry preimage
+
+
+def test_optimize_compacts_without_breaking_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # many small appends -> small-file problem
+    for lo in range(0, 100, 10):
+        snapshots.commit(spark.range(lo, lo + 10).select(
+            F.col("id"), (F.col("id") % 7).alias("g")
+        ), path)
+    v_pre = snapshots.latest_version(path)
+    n_pre = len(snapshots.read_manifest(path, v_pre)["files"])
+    stats = snapshots.optimize(spark, path, target_files=2, zorder_by=["id", "g"])
+    assert stats["files_before"] == n_pre and stats["files_after"] <= 2
+    # content identical post-optimize, old layout still readable (pinned
+    # readers survive compaction; vacuum reclaims it later)
+    assert _ids(snapshots.read_version(spark, path)) == list(range(100))
+    assert _ids(snapshots.read_version(spark, path, v_pre)) == list(range(100))
+    removed = snapshots.vacuum(path, keep_last=1)
+    assert removed  # the pre-optimize files are reclaimable afterwards
+    assert _ids(snapshots.read_version(spark, path)) == list(range(100))

@@ -273,3 +273,36 @@ def change_feed(
     )
     out = inserts.unionByName(deletes).unionByName(upd_pre).unionByName(upd_post)
     return out.select(key, "change_type", *[F.col(f"__img.{c}").alias(c) for c in cols])
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_files: int = 1,
+    zorder_by: "list[str] | None" = None,
+) -> dict:
+    """OPTIMIZE: rewrite the latest version's data into ``target_files``
+    files — optionally z-order-clustered (operators.zorder) so multi-
+    dimension predicates prune — as a NEW commit.  Content is identical by
+    construction; the old layout stays time-travelable (compaction never
+    breaks a pinned reader), and vacuum() reclaims it when the horizon
+    passes.  Returns {"version", "files_before", "files_after"}."""
+    from us_equity_datalake_spark.operators import zorder as _z
+
+    cur = read_version(spark, path)
+    n_before = len(read_manifest(path, latest_version(path))["files"])
+    if zorder_by:
+        from pyspark.sql import functions as F
+
+        keyed = cur.withColumn("__z", _z.z_value([F.col(c) for c in zorder_by]))
+        out = (
+            keyed.repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        out = cur.coalesce(target_files)
+    v = commit(out, path, mode="overwrite")
+    n_after = len(read_manifest(path, v)["files"])
+    return {"version": v, "files_before": n_before, "files_after": n_after}

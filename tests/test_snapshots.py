@@ -159,3 +159,35 @@ def test_optimize_compacts_without_breaking_time_travel(spark, tmp_path):
     removed = snapshots.vacuum(path, keep_last=1)
     assert removed  # the pre-optimize files are reclaimable afterwards
     assert _ids(snapshots.read_version(spark, path)) == list(range(100))
+
+
+def test_commit_checked_rejects_atomically(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    good = spark.range(0, 5).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    cons = {"v_nonneg": F.col("v") >= 0, "id_notnull": F.col("id").isNotNull()}
+    assert snapshots.commit_checked(good, path, constraints=cons) == 1
+
+    bad = spark.range(5, 8).select(F.col("id"), F.lit(-1.0).alias("v"))
+    with _pytest.raises(snapshots.ConstraintViolation, match="v_nonneg"):
+        snapshots.commit_checked(bad, path, constraints=cons)
+    # atomic rejection: no manifest advanced, no stray files referenced
+    assert snapshots.latest_version(path) == 1
+    assert _ids(snapshots.read_version(spark, path)) == list(range(5))
+
+
+def test_incremental_rows_fast_path_and_rewrite_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5), path)
+    snapshots.commit(spark.range(5, 9), path)
+    snapshots.commit(spark.range(9, 12), path)
+    # append-only: the delta is the manifest difference, read by reference
+    assert _ids(snapshots.incremental_rows(spark, path, 1, 3)) == list(range(5, 12))
+    assert snapshots.incremental_rows(spark, path, 3, 3).count() == 0
+    # a rewrite breaks the fast path loudly, pointing at change_feed
+    snapshots.delete_where(spark, path, F.col("id") < 2)
+    with _pytest.raises(ValueError, match="change_feed"):
+        snapshots.incremental_rows(spark, path, 1, 4)

@@ -306,3 +306,58 @@ def optimize(
     v = commit(out, path, mode="overwrite")
     n_after = len(read_manifest(path, v)["files"])
     return {"version": v, "files_before": n_before, "files_after": n_after}
+
+
+class ConstraintViolation(ValueError):
+    """A commit was rejected because rows violate a table constraint."""
+
+
+def commit_checked(
+    df: DataFrame,
+    path: str,
+    *,
+    constraints: "dict[str, object]",
+    mode: str = "append",
+    replace: "callable | None" = None,
+) -> int:
+    """commit() with Delta-style CHECK constraints: every constraint (name ->
+    boolean Column) must hold on EVERY incoming row or the commit is
+    rejected atomically — no files land, no manifest is published, the
+    table is untouched.  One validation pass over the incoming frame
+    (count per failed constraint, reported in the error)."""
+    from pyspark.sql import functions as F
+
+    checks = df.agg(
+        *[
+            F.sum(F.when(~F.coalesce(c, F.lit(False)), 1).otherwise(0)).alias(name)
+            for name, c in constraints.items()
+        ]
+    ).collect()[0]
+    failed = {name: int(checks[name]) for name in constraints if checks[name]}
+    if failed:
+        raise ConstraintViolation(
+            f"commit to {path} rejected: constraint violations {failed}"
+        )
+    return commit(df, path, mode=mode, replace=replace)
+
+
+def incremental_rows(spark: SparkSession, path: str, v_from: int, v_to: int) -> DataFrame:
+    """The rows ADDED between two versions, read by FILE REFERENCES — the
+    Delta streaming-source fast path: for append-only history the delta is
+    exactly the manifest difference (no join, no diff compute); Spark reads
+    only the new files.  Raises if any ``v_from`` file was removed in
+    between (a rewrite happened — use ``change_feed`` for row-level diffs
+    through rewrites)."""
+    old = set(read_manifest(path, v_from)["files"])
+    new = read_manifest(path, v_to)["files"]
+    removed = old - set(new)
+    if removed:
+        raise ValueError(
+            f"versions {v_from}..{v_to} of {path} rewrote {len(removed)} "
+            "file(s); the append-only fast path does not apply — use "
+            "change_feed for row-level diffs"
+        )
+    added = [f for f in new if f not in old]
+    if not added:
+        return read_version(spark, path, v_to).limit(0)
+    return spark.read.parquet(*added)

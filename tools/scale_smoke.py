@@ -80,6 +80,13 @@ HEAVY = [
     # pass measured 105x per 10x on this ladder (flat name-prefix
     # cardinality), the deletion blocking measures 4.6x at full recall
     "fuzzy_part_match",
+    # round 7: the snapshot-log family (write-path; commits + manifest
+    # reads scale with data, manifests stay KB-sized)
+    "lake_time_travel_report",
+    "lake_merge_upsert_report",
+    "lake_change_feed_report",
+    "lake_cdf_incremental_agg",
+    "streaming_merge_upsert_sink",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -191,3 +191,29 @@ def test_incremental_rows_fast_path_and_rewrite_guard(spark, tmp_path):
     snapshots.delete_where(spark, path, F.col("id") < 2)
     with _pytest.raises(ValueError, match="change_feed"):
         snapshots.incremental_rows(spark, path, 1, 4)
+
+
+def test_concurrent_publish_detected(spark, tmp_path):
+    """Two writers racing to the same version number: the manifest is
+    created O_EXCL, so the loser gets ConcurrentWriteError and the winner's
+    manifest is untouched."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5), path)
+    # both writers read latest=1 and race to publish v2; the winner lands
+    winner = {"version": 2, "mode": "append", "files":
+              snapshots.read_manifest(path, 1)["files"]}
+    with open(_os.path.join(path, "_snapshots", "v000002.json"), "w") as f:
+        _json.dump(winner, f)
+    loser = {"version": 2, "mode": "append", "files": []}
+    with _pytest.raises(snapshots.ConcurrentWriteError, match="another writer"):
+        snapshots._publish(path, 2, loser)
+    # the winner's manifest survives byte-for-byte
+    assert snapshots.read_manifest(path, 2) == winner
+    # a fresh commit AFTER the race re-reads the log and lands as v3
+    assert snapshots.commit(spark.range(5, 8), path) == 3
+    assert _ids(snapshots.read_version(spark, path)) == list(range(8))

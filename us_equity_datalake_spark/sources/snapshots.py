@@ -57,6 +57,29 @@ def _data_files(commit_dir: str) -> list[str]:
     )
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published this version first (optimistic concurrency)."""
+
+
+def _publish(path: str, new_v: int, manifest: dict) -> None:
+    """Atomically publish a manifest, DETECTING a concurrent writer: the
+    version file is created with O_EXCL, so two writers racing to publish
+    the same version number cannot both win — the loser gets
+    ConcurrentWriteError and must re-read the log and retry (the Delta
+    optimistic-concurrency protocol, minus conflict reconciliation)."""
+    target = _snap_path(path, new_v)
+    try:
+        fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"version {new_v} of {path} was published by another writer; "
+            "re-read the log and retry the commit"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+
+
+
 def commit(
     df: DataFrame,
     path: str,
@@ -91,10 +114,7 @@ def commit(
         files = sorted(prev_files) + new_files
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
     manifest = {"version": new_v, "mode": mode, "files": files}
-    tmp = _snap_path(path, new_v) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-    os.rename(tmp, _snap_path(path, new_v))  # manifest publish is atomic
+    _publish(path, new_v, manifest)
     return new_v
 
 
@@ -121,10 +141,7 @@ def rollback(path: str, to_version: int) -> int:
         "rolled_back_to": to_version,
         "files": files,
     }
-    tmp = _snap_path(path, new_v) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-    os.rename(tmp, _snap_path(path, new_v))
+    _publish(path, new_v, manifest)
     return new_v
 
 

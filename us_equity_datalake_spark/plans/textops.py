@@ -1399,3 +1399,30 @@ def cms_heavy_hitters_q(spark, sf_dir):
         "cms_n",
         (F.col("cms_n") > F.col("exact_n")).alias("inflated"),
     )
+
+
+_BPE_MERGES = 12
+
+from us_equity_datalake_spark.operators import bpe as _bpe  # noqa: E402
+
+
+@register(
+    "bpe_vocab_train",
+    oracle=_bpe.bpe_train_sql("documents", "text", n_merges=_BPE_MERGES),
+    doc="BPE tokenizer-vocabulary training (Sennrich et al. 2016) learned "
+    "ON the corpus: the corpus is scanned ONCE into a word-count table, "
+    f"then {_BPE_MERGES} merge rounds run on the VOCABULARY (bounded by "
+    "language, not data — dimension-sized at 100 TB), each one vocab "
+    "aggregation + a 1-row argmax with deterministic (count desc, pair "
+    "lexicographic) tie-break.  The greedy within-word merge is a plain "
+    "non-overlapping replace under the double-space padding trick, so the "
+    "DuckDB oracle replays the identical string op through "
+    f"{_BPE_MERGES} unrolled MATERIALIZED CTE rounds (non-materialized "
+    "scalar-subquery chains re-evaluate exponentially — measured).  The "
+    "graded rows are the ordered merge table, i.e. the tokenizer artifact "
+    "itself; Spark-vs-pure-Python-reference parity is pinned in "
+    "tests/test_bpe.py.",
+)
+def bpe_vocab_train_q(spark, sf_dir):
+    docs = _docs_parallel(spark, sf_dir)
+    return _bpe.bpe_train(docs, text_col="text", n_merges=_BPE_MERGES)

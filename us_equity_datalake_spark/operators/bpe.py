@@ -69,16 +69,8 @@ def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
-def bpe_train(
-    docs: DataFrame,
-    *,
-    text_col: str = "text",
-    n_merges: int = 12,
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges; returns (step, merge_left, merge_right,
-    pair_count) — the ordered merge table.  Each step costs one vocab-sized
-    aggregation plus a 1-row collect; the corpus is scanned once."""
-    spark = docs.sparkSession
+def _train(docs: DataFrame, text_col: str, n_merges: int):
+    """(merge list, final vocab frame) — the loop both surfaces share."""
     vocab = _initial_vocab(docs, text_col).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -95,7 +87,20 @@ def bpe_train(
         # checkpoint per step: keeps the plan one string-op deep instead of
         # n_merges nested replaces (vocab is dimension-sized, the job is tiny)
         vocab = _apply_merge(vocab, a, b).localCheckpoint()
-    return spark.createDataFrame(
+    return merges, vocab
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 12,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns (step, merge_left, merge_right,
+    pair_count) — the ordered merge table.  Each step costs one vocab-sized
+    aggregation plus a 1-row collect; the corpus is scanned once."""
+    merges, _ = _train(docs, text_col, n_merges)
+    return docs.sparkSession.createDataFrame(
         merges, "step long, merge_left string, merge_right string, pair_count long"
     )
 
@@ -145,3 +150,36 @@ def bpe_train_sql(table: str, text_col: str, *, n_merges: int = 12) -> str:
     )
     parts.append(f"\n    {finals}")
     return "".join(parts)
+
+
+def subword_counts(vocab: DataFrame, *, top_k: int = 20) -> DataFrame:
+    """Corpus subword distribution under the CURRENT segmentation: explode
+    symbols weighted by word counts, rank by (count desc, token) — the
+    fertility/coverage report a tokenizer run ends with."""
+    from pyspark.sql import Window
+
+    toks = vocab.select("n", F.explode(F.split("seg", " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.sum("n").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("rank", "token", "cnt")
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def bpe_encode_report_sql(table: str, text_col: str, *, n_merges: int = 12,
+                          top_k: int = 20) -> str:
+    """DuckDB twin of train + :func:`subword_counts` on the final vocab."""
+    chain = bpe_train_sql(table, text_col, n_merges=n_merges)
+    # drop the merge-table final SELECT, keep the CTE chain
+    chain = chain[: chain.rindex("\n    SELECT 1 AS step")]
+    return f"""{chain}
+    SELECT CAST(rank AS BIGINT) AS rank, token, cnt FROM (
+      SELECT token, CAST(SUM(n) AS BIGINT) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, token) AS rank
+      FROM (SELECT n, unnest(string_split(seg, ' ')) AS token FROM w{n_merges})
+      GROUP BY token
+    ) WHERE rank <= {top_k}
+    """

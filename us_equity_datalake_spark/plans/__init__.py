@@ -73,6 +73,7 @@ _GRADING_PRIORITY = [
     "streaming_merge_upsert_sink",  # foreachBatch MERGE, exactly-once by idempotence
     "lake_cdf_incremental_agg",  # aggregate maintained from CDF == direct
     "bpe_vocab_train",           # BPE merge learning, unrolled oracle
+    "bpe_encode_report",         # subword distribution after merges
     # --- core regression tail (paths touched by round-7 ADVICE fixes) ---
     "near_dup_components",       # r7: components max_iter convergence guard
     "doc_minhash_lsh_pairs",

@@ -1426,3 +1426,19 @@ from us_equity_datalake_spark.operators import bpe as _bpe  # noqa: E402
 def bpe_vocab_train_q(spark, sf_dir):
     docs = _docs_parallel(spark, sf_dir)
     return _bpe.bpe_train(docs, text_col="text", n_merges=_BPE_MERGES)
+
+
+@register(
+    "bpe_encode_report",
+    oracle=_bpe.bpe_encode_report_sql("documents", "text", n_merges=_BPE_MERGES),
+    doc="The ENCODE half of the tokenizer: after the 12 learned merges, the "
+    "corpus subword distribution (top-20 tokens by weighted frequency, "
+    "deterministic token tie-break) — the fertility/coverage report a "
+    "tokenizer-training run ends with.  Shares the train loop with "
+    "bpe_vocab_train; the oracle replays the same unrolled MATERIALIZED "
+    "rounds and aggregates the final segmentation.",
+)
+def bpe_encode_report_q(spark, sf_dir):
+    docs = _docs_parallel(spark, sf_dir)
+    _, vocab = _bpe._train(docs, "text", _BPE_MERGES)
+    return _bpe.subword_counts(vocab, top_k=20)

@@ -87,6 +87,10 @@ HEAVY = [
     "lake_change_feed_report",
     "lake_cdf_incremental_agg",
     "streaming_merge_upsert_sink",
+    # round 7: the merge loop runs on the VOCABULARY, which grows with
+    # distinct words (slowly), not documents — near-flat ratios expected
+    "bpe_vocab_train",
+    "bpe_encode_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -217,3 +217,60 @@ def test_concurrent_publish_detected(spark, tmp_path):
     # a fresh commit AFTER the race re-reads the log and lands as v3
     assert snapshots.commit(spark.range(5, 8), path) == 3
     assert _ids(snapshots.read_version(spark, path)) == list(range(8))
+
+
+def test_randomized_op_sequence_matches_model(spark, tmp_path):
+    """Model-based sequence test: a seeded random interleaving of appends,
+    merge-upserts, and predicate deletes is tracked against a plain dict
+    model; EVERY historical version must read back exactly its model state
+    (time travel through arbitrary op interleavings, not just the per-op
+    fixtures)."""
+    import random
+
+    rng = random.Random(20260815)
+    path = str(tmp_path / "t")
+    model: dict[int, float] = {}
+    history: list[dict[int, float]] = []
+    next_key = 0
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, v) for k, v in rows], "id long, v double"
+        )
+
+    # v1 must exist before merges/deletes have a target
+    fresh = {k: float(k) for k in range(10)}
+    model.update(fresh)
+    next_key = 10
+    snapshots.commit(df_of(fresh.items()), path)
+    history.append(dict(model))
+
+    for _ in range(12):
+        op = rng.choice(("append", "merge", "delete"))
+        if op == "append":
+            fresh = {k: float(k * 3) for k in range(next_key, next_key + rng.randint(1, 6))}
+            next_key += len(fresh)
+            model.update(fresh)
+            snapshots.commit(df_of(fresh.items()), path)
+        elif op == "merge":
+            upd = {k: model[k] + 1000.0
+                   for k in rng.sample(sorted(model), min(4, len(model)))}
+            ins = {k: -1.0 for k in range(next_key, next_key + rng.randint(0, 3))}
+            next_key += len(ins)
+            delta = {**upd, **ins}
+            model.update(delta)
+            snapshots.merge_upsert(spark, path, df_of(delta.items()), key="id")
+        else:
+            cut = rng.choice(sorted(model)) if model else 0
+            doomed = [k for k in model if k <= cut and model[k] >= 0]
+            for k in doomed:
+                del model[k]
+            snapshots.delete_where(
+                spark, path, (F.col("id") <= cut) & (F.col("v") >= 0)
+            )
+        history.append(dict(model))
+
+    assert snapshots.latest_version(path) == len(history)
+    for v, want in enumerate(history, start=1):
+        got = {r["id"]: r["v"] for r in snapshots.read_version(spark, path, v).collect()}
+        assert got == want, f"version {v} diverged from the model"

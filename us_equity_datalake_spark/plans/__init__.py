@@ -75,6 +75,7 @@ _GRADING_PRIORITY = [
     "lake_cdf_incremental_agg",  # aggregate maintained from CDF == direct
     "bpe_vocab_train",           # BPE merge learning, unrolled oracle
     "bpe_encode_report",         # subword distribution after merges
+    "emb_ivf_incremental_topk",  # frozen-centroid delta append == rebuild
     # --- core regression tail (paths touched by round-7 ADVICE fixes) ---
     "near_dup_components",       # r7: components max_iter convergence guard
     "doc_minhash_lsh_pairs",

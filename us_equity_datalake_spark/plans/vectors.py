@@ -221,6 +221,90 @@ def ivf_persisted_topk_q(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
 
 
+@register(
+    "emb_ivf_incremental_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_COS_VC} DESC, c.centroid_id ASC) AS rn
+        FROM embeddings v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 3),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {_COS_QCENT} DESC, c.centroid_id ASC) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= {_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {cosine_sql('p.qv', 'a.embedding')} AS cos
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {_K}
+    """,
+    doc="INCREMENTAL maintenance of the persisted IVF index (the production "
+    "vector-index lifecycle: segments append, centroids are retrained "
+    "rarely): the index is BUILT on 80% of the corpus, then the remaining "
+    "20% arrives as a delta — assigned against the FROZEN centroids and "
+    "landed as a partitioned APPEND into the same bucket directories, no "
+    "rebuild, no re-assignment of existing rows.  Because per-row "
+    "assignment is independent of arrival batch, the appended index must "
+    "equal a fresh full build — which is exactly what the oracle computes, "
+    "so any append-path row loss/dup/misbucketing breaks the probe's hash. "
+    "Same persisted-index discipline as the MinHash signature store and "
+    "the snapshot log's append commits.",
+)
+def ivf_incremental_topk_q(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_ivfinc_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    idx_path = os.path.join(root, "index")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    # build on the base slice; centroids are a fixed parameter table
+    similarity.assign_to_centroids(base, centroids).write.partitionBy(
+        "centroid_id"
+    ).parquet(idx_path)
+    # the delta assigns against the FROZEN centroids and APPENDS in place
+    similarity.assign_to_centroids(delta, centroids).write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(idx_path)
+    idx = spark.read.parquet(idx_path).withColumn(
+        "centroid_id", F.col("centroid_id").cast("long")
+    )
+    queries = emb.filter(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_probe(
+        idx, centroids, queries, id_col="vec_id", vec_col="embedding",
+        query_id="query_id", k=_K, nprobe=_NPROBE,
+    )
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+
+
 from us_equity_datalake_spark.functions.vector import hyperplanes, lsh_bucket_sql  # noqa: E402
 
 _N_PLANES, _LSH_SEED = 6, 11

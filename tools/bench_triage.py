@@ -69,6 +69,22 @@ WRITE_PATH = {
     "final eviction flush that emits the outer-nulls); the heaviest real-engine job in the suite",
     "lake_time_travel_report": "three snapshot-log commits (parquet writes) + three manifest-pinned "
     "version reads; the oracle reconstructs the versions from the base table with zero writes",
+    "lake_merge_upsert_report": "snapshot commit + file-pruned MERGE rewrite + two version reads; "
+    "the oracle reconstructs both versions with zero writes",
+    "lake_change_feed_report": "three snapshot commits (base, merge, delete) + two full-outer "
+    "change-feed joins over manifest-pinned reads",
+    "lake_cdf_incremental_agg": "same three commits + two change feeds + the maintained-vs-direct "
+    "identity aggregation",
+    "streaming_merge_upsert_sink": "REAL streaming engine: foreachBatch MERGE commits into the "
+    "snapshot lake across two availableNow runs (at-least-once feed landed twice)",
+    "emb_ivf_incremental_topk": "partitioned index build + frozen-centroid delta APPEND + probe "
+    "readback; the oracle computes the equivalent fresh build with zero writes",
+}
+
+COMPUTE_NOTES_R7 = {
+    "bpe_vocab_train": "12 merge rounds = 12 vocab aggregations + 12 argmax collects + 12 "
+    "localCheckpoints (dimension-sized jobs; the corpus is scanned once; sf1 ladder flat at 1.0x)",
+    "bpe_encode_report": "the same 12-round train loop + the final-vocab subword aggregation",
 }
 
 UDF_PATH = {
@@ -166,8 +182,8 @@ def classify(name: str, sp: float, ratio: float | None) -> tuple[str, str]:
     if sp < 0.3:
         return "FLOOR", ""
     if sp < 1.0:
-        return "STAGES", COMPUTE_NOTES.get(name, "")
-    return "COMPUTE", COMPUTE_NOTES.get(name, "")
+        return "STAGES", COMPUTE_NOTES.get(name, COMPUTE_NOTES_R7.get(name, ""))
+    return "COMPUTE", COMPUTE_NOTES.get(name, COMPUTE_NOTES_R7.get(name, ""))
 
 
 def main() -> None:

@@ -91,3 +91,35 @@ def test_bpe_greedy_overlap_semantics(spark):
     # sentinel pair.  Any non-greedy step-1 merge (e.g. 'aa a a </w>')
     # would surface (a, a) or different counts here instead.
     assert (out[1]["merge_left"], out[1]["merge_right"], out[1]["pair_count"]) == ("aa", "</w>", 2)
+
+
+def test_bpe_sql_twin_exhausted_merges_parity(spark):
+    """A corpus whose merges exhaust before n_merges rounds: Spark's loop
+    breaks holding the last real vocab; the unrolled oracle must carry the
+    vocab forward UNCHANGED through the empty rounds — an unguarded scalar
+    subquery on the empty b{r} would null every seg and return an empty
+    encode report while Spark returns real rows (engine divergence on tiny
+    corpora)."""
+    import duckdb
+
+    docs = spark.createDataFrame([(0, "ab ab ab")], "doc_id long, text string")
+    merges = bpe.bpe_train(docs, n_merges=6).collect()
+    assert len(merges) == 2  # (a,b) then (ab,</w>), then exhausted
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 0 AS doc_id, 'ab ab ab' AS text")
+    want_merges = con.execute(
+        bpe.bpe_train_sql("documents", "text", n_merges=6)
+    ).fetchall()
+    assert sorted(tuple(r) for r in want_merges) == sorted(
+        (r["step"], r["merge_left"], r["merge_right"], r["pair_count"]) for r in merges
+    )
+
+    # the encode report must agree too (the all-NULL w{n} failure mode)
+    _, vocab = bpe._train(docs, "text", 6)
+    got = sorted(tuple(r) for r in bpe.subword_counts(vocab).collect())
+    want = sorted(tuple(r) for r in con.execute(
+        bpe.bpe_encode_report_sql("documents", "text", n_merges=6)
+    ).fetchall())
+    assert got == want
+    assert got == [(1, "ab</w>", 3)]  # one fully-merged token, count 3

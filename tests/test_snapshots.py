@@ -274,3 +274,107 @@ def test_randomized_op_sequence_matches_model(spark, tmp_path):
     for v, want in enumerate(history, start=1):
         got = {r["id"]: r["v"] for r in snapshots.read_version(spark, path, v).collect()}
         assert got == want, f"version {v} diverged from the model"
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is not TRUE survive —
+    including NULL.  A NULL-valued row co-located in a rewritten file with
+    matched rows must survive the rewrite (the survivor filter is
+    NOT coalesce(pred, FALSE); a bare ~pred is NULL for NULL inputs and
+    would silently drop the row), and a file whose only predicate hits are
+    NULL is never rewritten at all (NULL is no-match for pruning too)."""
+    path = str(tmp_path / "t")
+    f1 = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 5.0), (3, None), (4, 2.0)], "id long, v double"
+    ).coalesce(1)
+    f2 = spark.createDataFrame([(5, None), (6, None)], "id long, v double").coalesce(1)
+    snapshots.commit(f1, path)
+    snapshots.commit(f2, path)
+    stats = snapshots.delete_where(spark, path, F.col("v") < 3)
+    # file 2 (all-NULL hits) carries over by reference; file 1 is rewritten
+    assert stats["files_total"] == 2 and stats["files_rewritten"] == 1
+    got = {r["id"] for r in snapshots.read_version(spark, path).collect()}
+    assert got == {1, 2, 3, 5, 6}  # v<3 deleted; NULLs and v>=3 kept
+
+
+def test_merge_and_delete_on_path_with_space(spark, tmp_path):
+    """input_file_name() returns URL-encoded URIs (a space arrives as %20);
+    touched-file mapping must DECODE before comparing to manifest paths, or
+    the replace predicate misses every file and the old rows stay referenced
+    next to their rewrite — silent duplication."""
+    path = str(tmp_path / "dir with space" / "t")
+    base = spark.range(0, 100).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    snapshots.commit(base.repartitionByRange(4, "id"), path)
+
+    delta = spark.range(0, 10).select(F.col("id"), F.lit(-1.0).alias("v"))
+    stats = snapshots.merge_upsert(spark, path, delta, key="id")
+    assert stats["files_rewritten"] >= 1
+    got = snapshots.read_version(spark, path)
+    assert got.count() == 100  # no duplication
+    vals = {r["id"]: r["v"] for r in got.collect()}
+    assert all(vals[i] == -1.0 for i in range(10))
+
+    snapshots.delete_where(spark, path, F.col("id") >= 90)
+    assert snapshots.read_version(spark, path).count() == 90
+
+
+def test_commit_with_retry_rebases_on_stale_log(spark, tmp_path, monkeypatch):
+    """Deterministic append/append race: an interloper publishes v2 while
+    our writer still sees v1 — the first publish collides, the retry
+    re-reads the log, REBASES onto the interloper's file list, and lands v3
+    containing BOTH commits' rows (Delta's automatic append retry)."""
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5), path)           # v1
+    snapshots.commit(spark.range(100, 103), path)       # interloper's v2
+
+    real = snapshots.latest_version
+    calls = {"n": 0}
+
+    def stale_once(p):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real(p)
+
+    monkeypatch.setattr(snapshots, "latest_version", stale_once)
+    v = snapshots.commit_with_retry(spark.range(5, 8), path)
+    assert v == 3 and calls["n"] >= 2  # first attempt collided, retry won
+    assert _ids(snapshots.read_version(spark, path, 3)) == (
+        list(range(8)) + [100, 101, 102]
+    )
+
+
+def test_commit_with_retry_two_appenders_race(spark, tmp_path):
+    """Two REAL appenders race on one table: both must commit (no lost
+    update, no exception) and the final manifest must reference both
+    commits' rows — the benign append/append reconciliation."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 2), path)
+    frames = [spark.range(10, 15), spark.range(20, 25)]
+    with ThreadPoolExecutor(2) as ex:
+        versions = sorted(
+            ex.map(lambda d: snapshots.commit_with_retry(d, path), frames)
+        )
+    assert versions == [2, 3]
+    assert _ids(snapshots.read_version(spark, path)) == (
+        [0, 1] + list(range(10, 15)) + list(range(20, 25))
+    )
+
+
+def test_publish_atomic_no_temp_residue(spark, tmp_path):
+    """_publish stages the JSON in a temp file and os.link's it onto the
+    version name: a complete manifest or none, never a truncated one — and
+    the temp file is cleaned up on success AND on a lost race."""
+    import os as _os
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 3), path)
+    snap_dir = _os.path.join(path, "_snapshots")
+    assert [f for f in _os.listdir(snap_dir) if ".tmp." in f] == []
+    with _pytest.raises(snapshots.ConcurrentWriteError):
+        snapshots._publish(path, 1, {"version": 1, "mode": "append", "files": []})
+    assert [f for f in _os.listdir(snap_dir) if ".tmp." in f] == []
+    # the winner's manifest is still complete, parseable JSON
+    assert snapshots.read_manifest(path, 1)["version"] == 1

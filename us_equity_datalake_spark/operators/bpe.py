@@ -137,11 +137,16 @@ def bpe_train_sql(table: str, text_col: str, *, n_merges: int = 12) -> str:
     ),
     b{r} AS MATERIALIZED (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
     w{r} AS MATERIALIZED (
-      SELECT trim(regexp_replace(
-               replace(' ' || replace(seg, ' ', '  ') || ' ',
-                       ' ' || (SELECT a FROM b{r}) || '  ' || (SELECT b FROM b{r}) || ' ',
-                       ' ' || (SELECT a FROM b{r}) || (SELECT b FROM b{r}) || ' '),
-               ' +', ' ', 'g')) AS seg, n
+      -- if merges exhausted before round {r} (b{r} empty), carry the vocab
+      -- forward UNCHANGED: the scalar subqueries would be NULL and null out
+      -- every seg, diverging from Spark's loop break on tiny corpora
+      SELECT CASE WHEN EXISTS (SELECT 1 FROM b{r}) THEN
+               trim(regexp_replace(
+                 replace(' ' || replace(seg, ' ', '  ') || ' ',
+                         ' ' || (SELECT a FROM b{r}) || '  ' || (SELECT b FROM b{r}) || ' ',
+                         ' ' || (SELECT a FROM b{r}) || (SELECT b FROM b{r}) || ' '),
+                 ' +', ' ', 'g'))
+             ELSE seg END AS seg, n
       FROM {prev}
     )""")
     finals = "\n    UNION ALL ".join(

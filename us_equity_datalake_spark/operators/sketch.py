@@ -345,8 +345,12 @@ def cms_join_size(
     an OVERestimate (collision cross-terms add ~N_A·N_B/width), which is how
     an optimizer sizes a 100 TB join from two sketch-sized summaries instead
     of scanning either side.  The exact join size rides along so the result
-    exhibits the error; all arithmetic is integer, so the estimate is
-    bit-identical in DuckDB."""
+    exhibits the error; ALL columns including the overestimate ratio are
+    integer-exact (the ratio is parts-per-million via integer division,
+    ``div`` ↔ DuckDB ``//``) so the report grades bit-identically across
+    engines — a ``ROUND(double, 6)`` here diverged on the r7 driver because
+    Spark rounds decimal-HALF_UP on the shortest repr while DuckDB computes
+    ``round(x*1e6)/1e6`` in floating point."""
     sa = cms_sketch(a, col, depth=depth, width=width, seed=seed)
     sb = cms_sketch(b, col, depth=depth, width=width, seed=seed)
     ip = (
@@ -368,11 +372,10 @@ def cms_join_size(
         F.lit(width).alias("width"),
         "est_join_size",
         "exact_join_size",
-        F.round(
-            F.when(F.col("exact_join_size") > 0,
-                   F.col("est_join_size") / F.col("exact_join_size").cast("double")),
-            6,
-        ).alias("overestimate_ratio"),
+        F.when(
+            F.col("exact_join_size") > 0,
+            F.expr("(est_join_size * 1000000L) div exact_join_size"),
+        ).cast("long").alias("overestimate_ppm"),
     )
 
 
@@ -407,9 +410,10 @@ def cms_join_size_sql(
     )
     SELECT {depth} AS depth, {width} AS width,
            est_join_size, exact_join_size,
-           ROUND(CASE WHEN exact_join_size > 0
-                      THEN est_join_size / CAST(exact_join_size AS DOUBLE) END,
-                 6) AS overestimate_ratio
+           CAST(CASE WHEN exact_join_size > 0
+                     THEN (CAST(est_join_size AS BIGINT) * 1000000)
+                          // exact_join_size END
+                AS BIGINT) AS overestimate_ppm
     FROM est CROSS JOIN exact
     """
 

@@ -597,8 +597,10 @@ _CMS_JS_WIDTH = 8192
     "two depth x 8192 integer summaries instead of scanning either side — "
     "how an optimizer plans a 100 TB join.  Always an overestimate "
     "(collision cross-terms ~N_A*N_B/width); the exact join size rides "
-    "along and the overestimate ratio is part of the graded row.  Integer "
-    "arithmetic end-to-end, so the estimate grades bit-exactly.",
+    "along and the overestimate ratio (as integer parts-per-million — a "
+    "ROUND(double,6) column diverged on the r7 driver, Spark decimal-HALF_UP "
+    "vs DuckDB float round) is part of the graded row.  Integer arithmetic "
+    "end-to-end, so every column grades bit-exactly.",
 )
 def cms_join_size_report(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)

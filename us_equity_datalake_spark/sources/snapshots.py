@@ -9,10 +9,13 @@ that version, and a reader pins a manifest — snapshot isolation for free,
 time travel by reading an old manifest, instant rollback by re-pointing.
 
 This is the minimal honest core of that design (a manifest per version under
-``_snapshots/``, files never rewritten), NOT a transaction protocol: there is
-no concurrent-writer arbitration (Delta's optimistic log conflict check) —
-single-writer-per-table is the operating assumption, same as the reference's
-daily job.
+``_snapshots/``, files never rewritten), NOT a full transaction protocol:
+concurrent publishes are DETECTED (exclusive-create on the version file) and
+the benign append/append case is reconciled by :func:`commit_with_retry`
+(re-read the log, rebase, bump, retry — Delta's automatic append retry);
+rewrite/rewrite conflicts stay an explicit error, so single-writer-per-table
+remains the operating assumption for mutating commits, same as the
+reference's daily job.
 
 Scale notes: a manifest lists file paths (KB-scale for thousands of files —
 at Iceberg scale you'd shard manifests, same structure one level deeper);
@@ -25,10 +28,23 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
 _SNAP_DIR = "_snapshots"
+
+
+def _local_path(uri: str) -> str:
+    """Decode an ``input_file_name()`` value to the plain local path stored
+    in manifests.  Spark returns URL-encoded file URIs (a space arrives as
+    ``%20``), so stripping only the ``file://`` prefix would miss every
+    touched file whose path contains a URI-escaped character — old rows
+    would silently stay referenced next to their rewrite."""
+    if "://" in uri:
+        return unquote(urlparse(uri).path)
+    return uri
 
 
 def _snap_path(path: str, version: int) -> str:
@@ -62,21 +78,30 @@ class ConcurrentWriteError(RuntimeError):
 
 
 def _publish(path: str, new_v: int, manifest: dict) -> None:
-    """Atomically publish a manifest, DETECTING a concurrent writer: the
-    version file is created with O_EXCL, so two writers racing to publish
-    the same version number cannot both win — the loser gets
-    ConcurrentWriteError and must re-read the log and retry (the Delta
-    optimistic-concurrency protocol, minus conflict reconciliation)."""
+    """Atomically publish a manifest, DETECTING a concurrent writer AND
+    surviving a crash mid-write: the JSON is fully written (and fsynced) to
+    a temp file first, then ``os.link``-ed onto the final version name —
+    link fails with EEXIST exactly like O_EXCL (two writers racing to
+    publish the same version number cannot both win; the loser gets
+    ConcurrentWriteError and must re-read the log and retry, the Delta
+    optimistic-concurrency protocol), and a crash at ANY point leaves
+    either no version file or a complete one — never a truncated manifest
+    that would poison every subsequent read."""
     target = _snap_path(path, new_v)
+    tmp = f"{target}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        os.link(tmp, target)
     except FileExistsError:
         raise ConcurrentWriteError(
             f"version {new_v} of {path} was published by another writer; "
             "re-read the log and retry the commit"
         ) from None
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+    finally:
+        os.unlink(tmp)
 
 
 
@@ -116,6 +141,48 @@ def commit(
     manifest = {"version": new_v, "mode": mode, "files": files}
     _publish(path, new_v, manifest)
     return new_v
+
+
+def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
+    """Append-mode commit that RECONCILES with concurrent appenders — the
+    benign append/append case Delta retries automatically (two appends
+    cannot conflict: neither removes files the other read).
+
+    The data files are written ONCE into a uniquely-named commit directory
+    (plain :func:`commit` names the directory after the version, so two
+    racing appenders collide at the data write, not just at publish);
+    then the manifest publish loops: on :class:`ConcurrentWriteError`
+    re-read the log — the previous file list now includes the winner's
+    files — rebase this commit's files onto it, bump the version, retry.
+    Rewrite conflicts (``replace``/``overwrite``) stay an explicit error:
+    reconciling those needs row-level conflict detection, which is exactly
+    the part of the Delta protocol this module documents as out of scope.
+
+    Returns the new version number.
+    """
+    commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
+    df.write.mode("error").parquet(commit_dir)
+    new_files = _data_files(commit_dir)
+    last_err: ConcurrentWriteError | None = None
+    for _ in range(max_retries):
+        prev_v = latest_version(path)
+        prev_files = read_manifest(path, prev_v)["files"] if prev_v else []
+        new_v = prev_v + 1
+        os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
+        manifest = {
+            "version": new_v,
+            "mode": "append",
+            "files": sorted(prev_files) + new_files,
+        }
+        try:
+            _publish(path, new_v, manifest)
+            return new_v
+        except ConcurrentWriteError as e:
+            last_err = e
+            continue
+    raise ConcurrentWriteError(
+        f"append to {path} lost the publish race {max_retries} times"
+    ) from last_err
 
 
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -211,12 +278,21 @@ def merge_upsert(
         r["__file"]
         for r in current.join(keys, key, "left_semi").select("__file").distinct().collect()
     ]
-    # input_file_name returns URI-style paths; manifests store plain paths
-    touched_set = {t.removeprefix("file://") for t in touched}
-    n_total = len(read_manifest(path, latest_version(path))["files"])
+    # input_file_name returns URL-encoded URIs; manifests store plain paths —
+    # decode (not just strip the scheme) and fail loudly if any decoded path
+    # is unknown to the manifest, rather than silently duplicating rows.
+    touched_set = {_local_path(t) for t in touched}
+    manifest_files = set(read_manifest(path, latest_version(path))["files"])
+    unknown = touched_set - manifest_files
+    if unknown:
+        raise ValueError(
+            f"merge_upsert: {len(unknown)} touched file(s) not in the "
+            f"manifest of {path} (path decoding mismatch): {sorted(unknown)[:3]}"
+        )
+    n_total = len(manifest_files)
 
     survivors = (
-        current.where(F.col("__file").isin(list(touched_set | set(touched))))
+        current.where(F.col("__file").isin(touched))
         .drop("__file")
         .join(keys, key, "left_anti")
     )
@@ -229,7 +305,12 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
     """DELETE FROM the latest snapshot: rewrite only the data files that
     contain a matching row (same input_file_name pruning as merge_upsert);
     files with no matches carry over by reference.  ``predicate`` is a
-    Column.  Returns {"version", "files_total", "files_rewritten"}."""
+    Column.  SQL DELETE semantics: rows where the predicate is NULL are
+    KEPT — touched-file detection treats NULL as no-match (a file whose
+    only predicate hits are NULL is never rewritten), and within a
+    rewritten file survivors are ``NOT coalesce(pred, FALSE)`` so a
+    NULL-valued row co-located with matched rows survives the rewrite.
+    Returns {"version", "files_total", "files_rewritten"}."""
     from pyspark.sql import functions as F
 
     current = read_version(spark, path).withColumn("__file", F.input_file_name())
@@ -237,11 +318,18 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
         r["__file"]
         for r in current.where(predicate).select("__file").distinct().collect()
     ]
-    touched_set = {t.removeprefix("file://") for t in touched}
-    n_total = len(read_manifest(path, latest_version(path))["files"])
+    touched_set = {_local_path(t) for t in touched}
+    manifest_files = set(read_manifest(path, latest_version(path))["files"])
+    unknown = touched_set - manifest_files
+    if unknown:
+        raise ValueError(
+            f"delete_where: {len(unknown)} touched file(s) not in the "
+            f"manifest of {path} (path decoding mismatch): {sorted(unknown)[:3]}"
+        )
+    n_total = len(manifest_files)
     survivors = (
-        current.where(F.col("__file").isin(list(touched_set | set(touched))))
-        .where(~predicate)
+        current.where(F.col("__file").isin(touched))
+        .where(~F.coalesce(predicate, F.lit(False)))
         .drop("__file")
     )
     v = commit(survivors, path, replace=lambda f: f in touched_set)

@@ -174,24 +174,29 @@ def universe_lifecycle_timeout(presences: DataFrame, *, grace_days: int = 14) ->
             state.remove()  # a later reappearance is a fresh listing
         else:
             last = pd.Timestamp(state.get[0]) if state.exists else None
-            for pdf in pdfs:
-                for ts in sorted(pdf["ts"]):
-                    d = pd.Timestamp(ts).normalize()
-                    if last is None:
-                        out.append({"symbol": symbol, "event_date": d.date(),
-                                    "event": "listed", "via": None})
-                    elif d > last + grace:
-                        out.append({"symbol": symbol,
-                                    "event_date": (last + grace).date(),
-                                    "event": "delisted", "via": "gap"})
-                        out.append({"symbol": symbol, "event_date": d.date(),
-                                    "event": "listed", "via": None})
-                    last = d if last is None else max(last, d)
-            state.update((last.date().isoformat(),))
-            # fire when the watermark passes last_present + grace; by
-            # construction new data's deadline is ahead of the current
-            # watermark (the engine rejects timestamps behind it)
-            state.setTimeoutTimestamp(int((last + grace).value // 1_000_000))
+            # a group's rows arrive as MULTIPLE Arrow chunks (~10k rows
+            # each); the gap state machine is order-sensitive, so sort
+            # ONCE across the whole group-batch — per-chunk sorting would
+            # process a later chunk first and emit wrong listed/gap events
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            for ts in sorted(batch["ts"]) if len(batch) else []:
+                d = pd.Timestamp(ts).normalize()
+                if last is None:
+                    out.append({"symbol": symbol, "event_date": d.date(),
+                                "event": "listed", "via": None})
+                elif d > last + grace:
+                    out.append({"symbol": symbol,
+                                "event_date": (last + grace).date(),
+                                "event": "delisted", "via": "gap"})
+                    out.append({"symbol": symbol, "event_date": d.date(),
+                                "event": "listed", "via": None})
+                last = d if last is None else max(last, d)
+            if last is not None:
+                state.update((last.date().isoformat(),))
+                # fire when the watermark passes last_present + grace; by
+                # construction new data's deadline is ahead of the current
+                # watermark (the engine rejects timestamps behind it)
+                state.setTimeoutTimestamp(int((last + grace).value // 1_000_000))
         yield (
             pd.DataFrame(out, columns=["symbol", "event_date", "event", "via"])
             if out

@@ -378,3 +378,43 @@ def test_publish_atomic_no_temp_residue(spark, tmp_path):
     assert [f for f in _os.listdir(snap_dir) if ".tmp." in f] == []
     # the winner's manifest is still complete, parseable JSON
     assert snapshots.read_manifest(path, 1)["version"] == 1
+
+
+def test_stage_incremental_files_feed_contract(spark, tmp_path):
+    """The lake->stream feed adapter: stages ONLY committed files (a file a
+    crashed writer left in a commit dir without publishing never becomes
+    visible), is idempotent per version, hardlinks (no byte copy), advances
+    across commits, and refuses rewrites like incremental_rows."""
+    import os as _os
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    staging = str(tmp_path / "staging")
+    state = str(tmp_path / "feed.json")
+
+    snapshots.commit(spark.range(0, 5).coalesce(1), path)
+    staged = snapshots.stage_incremental_files(path, staging, state)
+    assert len(staged) == 1
+    # hardlink, not copy: same inode
+    src = snapshots.read_manifest(path, 1)["files"][0]
+    assert _os.stat(staged[0]).st_ino == _os.stat(src).st_ino
+    # idempotent: no new commit -> nothing staged
+    assert snapshots.stage_incremental_files(path, staging, state) == []
+
+    # an UNPUBLISHED write (crashed writer: data landed, no manifest) is
+    # invisible to the feed
+    spark.range(900, 905).coalesce(1).write.parquet(_os.path.join(path, "commit_orphan"))
+    assert snapshots.stage_incremental_files(path, staging, state) == []
+
+    # the next real commit stages exactly its own files
+    snapshots.commit(spark.range(5, 9).coalesce(1), path)
+    staged2 = snapshots.stage_incremental_files(path, staging, state)
+    assert len(staged2) == 1 and staged2[0] != staged[0]
+    got = sorted(r["id"] for r in spark.read.parquet(staging).collect())
+    assert got == list(range(9))  # orphan rows never reached the stream
+
+    # a rewrite breaks the append-only feed loudly
+    snapshots.delete_where(spark, path, F.col("id") < 2)
+    with _pytest.raises(ValueError, match="change_feed"):
+        snapshots.stage_incremental_files(path, staging, state)

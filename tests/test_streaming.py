@@ -386,3 +386,65 @@ def test_streaming_dedup_within_watermark_contract(spark, tmp_path):
                    (2, base + dt.timedelta(hours=10))]
     # run 3: key 2 again but BELOW the watermark -> dropped as late input
     assert run([ev(2, 1)]) == got
+
+
+def test_snapshot_feed_cross_commit_resume(spark, tmp_path):
+    """Lake->stream: three chronological snapshot commits tailed through
+    stage_incremental_files into ONE engine checkpoint.  Pins the resume
+    contract: each run processes only the newly staged files and the
+    watermark/window state carries across runs — early windows are emitted
+    by EARLIER runs (the sink grows monotonically per commit), and the
+    final no-data run flushes exactly the batch-oracle set."""
+    from us_equity_datalake_spark.sources import snapshots
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(event_id=i, ts=base + dt.timedelta(minutes=13 * i), user_id=i % 3,
+            event_type="view", value=float(i))
+        for i in range(120)  # ~26 h span: plenty of closed 1 h windows
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    lake = str(tmp_path / "lake")
+    staging = str(tmp_path / "staging")
+    state = str(tmp_path / "feed.json")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        src = spark.readStream.schema(SCHEMA).parquet(staging)
+        q = (
+            tumbling_counts(src, window="1 hour", watermark="2 hours")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet").option("path", sink).start()
+        )
+        q.awaitTermination(120)
+        import glob as _glob
+        files = _glob.glob(sink + "/*.parquet")
+        return spark.read.parquet(sink).count() if files else 0
+
+    counts = []
+    for k in range(3):
+        chunk = df.where((F.col("event_id") >= 40 * k) & (F.col("event_id") < 40 * (k + 1)))
+        snapshots.commit(chunk.coalesce(1), lake)
+        snapshots.stage_incremental_files(lake, staging, state)
+        counts.append(run_once())
+    final = run_once()  # no-data flush
+
+    # incremental emission: each commit's run emitted MORE closed windows
+    # (state resumed; nothing was re-emitted, appends only grow the sink)
+    assert counts[0] > 0 and counts[1] > counts[0] and counts[2] > counts[1]
+
+    # final state equals the batch semantics with the engine's cutoff:
+    # windows whose end <= max_ts - 2h
+    max_ts = base + dt.timedelta(minutes=13 * 119)
+    cutoff = max_ts - dt.timedelta(hours=2)
+    want = (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .where(F.col("w.end") <= F.lit(cutoff))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    got = spark.read.parquet(sink)
+    assert final == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

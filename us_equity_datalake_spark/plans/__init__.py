@@ -56,6 +56,9 @@ _GRADING_PRIORITY = [
     "bloom_decontamination_report",  # membership sketch, FP rate graded
     "theta_merge_report",        # bottom-k merge identity (merged == direct)
     # --- new in round 8 (zero gradings; inserted as built) ---
+    "lake_optimize_report",      # z-order OPTIMIZE: content identity + file counts
+    "lake_lifecycle_report",     # commit/rollback/vacuum version matrix
+    "streaming_from_snapshot_sink",  # lake->stream: manifest-tailed feed
     # --- regression tail: paths touched by round-8 fixes ---
     "cms_heavy_hitters",         # sketch.py family (shares the cms fix file)
     "histogram_quantile_sketch",

@@ -852,3 +852,168 @@ def lake_cdf_incremental_agg_q(spark, sf_dir):
     )
     direct = agg(snapshots.read_version(spark, root, 3), "direct")
     return direct.unionByName(maintained)
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE + lifecycle, oracle-graded (VERDICT r7 #4): the snapshot log's
+# compaction/rollback/vacuum arms were pytest-only; these two queries put the
+# lifecycle semantics on the driver's DuckDB gate.  File counts are made
+# deterministic by coalesce(1) appends, so they can be graded as literals.
+# ---------------------------------------------------------------------------
+
+_OPT_CHUNKS = 6     # appends before OPTIMIZE (1 file each)
+_OPT_TARGET = 2     # z-ordered output files
+
+
+@register(
+    "lake_optimize_report",
+    oracle=f"""
+    SELECT arm, o_orderstatus, n_rows, total_price, n_files FROM (
+      SELECT 'pinned_pre' AS arm, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {dec_sum_sql('o_totalprice')} AS total_price,
+             CAST({_OPT_CHUNKS} AS BIGINT) AS n_files
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'optimized', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+             {dec_sum_sql('o_totalprice')}, CAST({_OPT_TARGET} AS BIGINT)
+      FROM orders GROUP BY o_orderstatus
+    )
+    """,
+    doc="OPTIMIZE on the snapshot log, oracle-graded (reference I5 "
+    "consolidation, update/app.py:447-607): six single-file appends build "
+    "the small-file problem, then optimize() rewrites the table into two "
+    "z-order-clustered files (o_orderkey x o_custkey) as a NEW commit.  "
+    "The graded rows read BOTH the pre-optimize version (a pinned reader "
+    "must survive compaction byte-for-byte — content identity is the "
+    "contract, the oracle computes it straight from the base table) and "
+    "the optimized version, each with its manifest file count riding "
+    "along (6 -> 2, deterministic via coalesce(1) appends).  The z-order "
+    "file-skipping win itself is proven with scan metrics in "
+    "tests/test_zorder_skipping.py.",
+)
+def lake_optimize_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_opt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    for i in range(_OPT_CHUNKS):
+        snapshots.commit(
+            orders.where(F.col("o_orderkey") % _OPT_CHUNKS == i).coalesce(1), root
+        )
+    v_pre = snapshots.latest_version(root)
+    stats = snapshots.optimize(
+        spark, root, target_files=_OPT_TARGET, zorder_by=["o_orderkey", "o_custkey"]
+    )
+
+    def summ(version, arm, n_files):
+        return (
+            snapshots.read_version(spark, root, version)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                dec_sum(F.col("o_totalprice")).alias("total_price"),
+            )
+            .select(
+                F.lit(arm).alias("arm"), "o_orderstatus", "n_rows", "total_price",
+                F.lit(n_files).cast("long").alias("n_files"),
+            )
+        )
+
+    return summ(v_pre, "pinned_pre", stats["files_before"]).unionByName(
+        summ(stats["version"], "optimized", stats["files_after"])
+    )
+
+
+@register(
+    "lake_lifecycle_report",
+    oracle=f"""
+    WITH f AS (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'F'),
+    o AS (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'O'),
+    p AS (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'P')
+    SELECT 'pre_vacuum' AS stage, 1 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS total_price,
+           CAST(1 AS BIGINT) AS n_files
+    FROM f
+    UNION ALL
+    SELECT 'pre_vacuum', 2, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, CAST(2 AS BIGINT)
+    FROM (SELECT * FROM f UNION ALL SELECT * FROM o)
+    UNION ALL
+    SELECT 'pre_vacuum', 3, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, CAST(1 AS BIGINT)
+    FROM p
+    UNION ALL
+    SELECT 'pre_vacuum', 4, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, CAST(2 AS BIGINT)
+    FROM (SELECT * FROM f UNION ALL SELECT * FROM o)
+    UNION ALL
+    SELECT 'post_vacuum', 4, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, CAST(2 AS BIGINT)
+    FROM (SELECT * FROM f UNION ALL SELECT * FROM o)
+    UNION ALL
+    SELECT 'vacuum_removed', 0, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),
+           CAST(1 AS BIGINT)
+    """,
+    doc="Snapshot-log LIFECYCLE matrix, oracle-graded: v1 commits the 'F' "
+    "orders, v2 appends the 'O' orders, v3 is a BAD OVERWRITE (the 'P' "
+    "orders — a broken deploy), v4 = rollback(2) republishes v2's file "
+    "list without moving data.  The pre-vacuum matrix time-travels all "
+    "four versions (count + exact decimal sum + manifest file count per "
+    "version — rollback must read exactly like v2); then vacuum(keep_last"
+    "=1) reclaims ONLY the bad overwrite's file (the rolled-back-to files "
+    "are still referenced by v4 and must survive), graded as the "
+    "vacuum_removed row's n_files=1, and the post-vacuum latest read must "
+    "still equal v2.  Every count is deterministic via coalesce(1) "
+    "commits; the oracle reconstructs each version from the base table.",
+)
+def lake_lifecycle_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_lc_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderstatus", "o_totalprice"
+    )
+    by = lambda s: orders.where(F.col("o_orderstatus") == s).coalesce(1)
+    snapshots.commit(by("F"), root)                      # v1
+    snapshots.commit(by("O"), root)                      # v2
+    snapshots.commit(by("P"), root, mode="overwrite")    # v3: bad deploy
+    snapshots.rollback(root, 2)                          # v4
+
+    def row(stage, version):
+        n_files = len(snapshots.read_manifest(root, version)["files"])
+        return (
+            snapshots.read_version(spark, root, version)
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                dec_sum(F.col("o_totalprice")).alias("total_price"),
+            )
+            .select(
+                F.lit(stage).alias("stage"),
+                F.lit(version).cast("long").alias("version"),
+                "n_rows", "total_price",
+                F.lit(n_files).cast("long").alias("n_files"),
+            )
+        )
+
+    # materialize the matrix BEFORE vacuum: the frames are lazy, and vacuum
+    # deletes v3's file — a post-vacuum collect of the v3 read would fail
+    rows = [tuple(r) for v in (1, 2, 3, 4) for r in row("pre_vacuum", v).collect()]
+    removed = snapshots.vacuum(root, keep_last=1)
+    rows += [tuple(r) for r in row("post_vacuum", snapshots.latest_version(root)).collect()]
+    rows.append(("vacuum_removed", 0, 0, 0.0, len(removed)))
+    return spark.createDataFrame(
+        rows,
+        "stage string, version long, n_rows long, total_price double, n_files long",
+    )

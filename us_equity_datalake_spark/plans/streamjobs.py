@@ -786,3 +786,78 @@ def streaming_merge_upsert_sink_q(spark, sf_dir):
     return snapshots.read_version(spark, lake_path).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@register(
+    "streaming_from_snapshot_sink",
+    oracle=f"""
+    WITH mx AS (SELECT epoch_ms(max(ts)) AS wm_ms FROM events),
+    b AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+             - CAST(epoch(date_trunc('hour', ts)) AS BIGINT) % 7200 AS bucket_ts,
+             event_type, value
+      FROM events
+    )
+    SELECT bucket_ts, event_type, COUNT(*) AS n,
+           {dec_sum_sql('value')} AS total_value
+    FROM b, mx
+    GROUP BY bucket_ts, event_type, wm_ms
+    HAVING (bucket_ts + 7200) * 1000 <= wm_ms - {_WATERMARK_S} * 1000
+    """,
+    doc="Streaming FROM the snapshot log — the lake-to-stream half of the "
+    "loop whose stream-to-lake half is streaming_merge_upsert_sink: events "
+    "land in the copy-on-write lake as THREE chronological commits, and "
+    "after each commit stage_incremental_files tails the manifest delta "
+    "(hardlinks ONLY committed files — the Delta streaming-source "
+    "visibility contract; a file a crashed writer left unpublished never "
+    "reaches the stream) into a staging dir a real file-source stream "
+    "reads: 2-hour tumbling watermarked agg -> parquet sink, ONE engine "
+    "checkpoint across all runs, so window state and the watermark RESUME "
+    "across commits — early windows are emitted by earlier runs, and a "
+    "final no-data run flushes everything the last watermark passed.  The "
+    "oracle models the final append-mode state: every 2-hour bucket whose "
+    "end the final ms-truncated watermark (max ts - 2 h) has passed.",
+)
+def streaming_from_snapshot_sink_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = _scratch(sf_dir, "fromsnap")
+    lake_path = os.path.join(root, "lake")
+    staging = os.path.join(root, "staging")
+    feed_state = os.path.join(root, "feed_state.json")
+    sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
+
+    events = load_table(spark, "events", sf_dir)
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    c1, c2 = lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3
+    chunks = [
+        events.where(F.col("ts") < F.lit(c1)),
+        events.where((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
+        events.where(F.col("ts") >= F.lit(c2)),
+    ]
+    schema = events.schema
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(staging)
+        q = (
+            tumbling_counts(src, window="2 hours",
+                            watermark=f"{_WATERMARK_S} seconds", exact_sum=True)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination()
+
+    for chunk in chunks:
+        snapshots.commit(chunk.coalesce(1), lake_path)
+        snapshots.stage_incremental_files(lake_path, staging, feed_state)
+        run_once()
+    run_once()  # no-data flush: emit every window the final watermark passed
+    out = spark.read.parquet(sink)
+    return out.select(
+        F.unix_timestamp("window_start").alias("bucket_ts"),
+        "event_type", "n", "total_value",
+    )

@@ -446,6 +446,58 @@ def commit_checked(
     return commit(df, path, mode=mode, replace=replace)
 
 
+def stage_incremental_files(path: str, staging_dir: str, state_path: str) -> list[str]:
+    """Advance the lake→stream FEED: hardlink every data file added between
+    the last-fed version (tracked in a tiny JSON state file) and the current
+    latest into ``staging_dir``, where a Structured-Streaming file source
+    picks them up as new input.  This is the Delta streaming-source adapter
+    in its honest minimal form: the file source alone cannot follow
+    manifests — it would also ingest files a crashed writer left in a commit
+    directory that never published — so visibility is gated on the COMMITTED
+    manifest delta, and the hardlinks move metadata only (no byte copy; at
+    object-store scale this is the file-index handoff, not a copy either).
+
+    Append-only fast path, same contract as :func:`incremental_rows`: raises
+    if a fed file was removed by a rewrite (a streaming consumer of a
+    rewritten table needs :func:`change_feed` semantics instead).  Returns
+    the newly staged file paths; idempotent per version (re-running without
+    new commits stages nothing), crash-safe (the state file is advanced
+    atomically AFTER the links land; a crash in between re-links, and
+    ``os.link`` onto an existing name is skipped)."""
+    last_fed = 0
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            last_fed = json.load(f)["version"]
+    latest = latest_version(path)
+    if latest <= last_fed:
+        return []
+    old = set(read_manifest(path, last_fed)["files"]) if last_fed else set()
+    new = read_manifest(path, latest)["files"]
+    removed = old - set(new)
+    if removed:
+        raise ValueError(
+            f"versions {last_fed}..{latest} of {path} rewrote {len(removed)} "
+            "file(s); a streaming feed over rewrites needs change_feed "
+            "semantics, not the append-only fast path"
+        )
+    os.makedirs(staging_dir, exist_ok=True)
+    staged: list[str] = []
+    for f in new:
+        if f in old:
+            continue
+        dst = os.path.join(staging_dir, os.path.basename(f))
+        try:
+            os.link(f, dst)
+        except FileExistsError:
+            pass  # re-link after a crash between link and state advance
+        staged.append(dst)
+    tmp = f"{state_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": latest}, f)
+    os.replace(tmp, state_path)
+    return staged
+
+
 def incremental_rows(spark: SparkSession, path: str, v_from: int, v_to: int) -> DataFrame:
     """The rows ADDED between two versions, read by FILE REFERENCES — the
     Delta streaming-source fast path: for append-only history the delta is

@@ -418,3 +418,38 @@ def test_stage_incremental_files_feed_contract(spark, tmp_path):
     snapshots.delete_where(spark, path, F.col("id") < 2)
     with _pytest.raises(ValueError, match="change_feed"):
         snapshots.stage_incremental_files(path, staging, state)
+
+
+def test_manifest_stats_pruned_read(spark, tmp_path):
+    """Manifest-level file skipping: per-file min/max recorded at commit
+    time prunes the FILE LIST before Spark opens anything.  Pins exact skip
+    counts on a range-clustered layout, upper- and lower-bound pruning,
+    the conservative keep-all fallback for a column without recorded
+    stats, and stats carry-over across appends."""
+    path = str(tmp_path / "t")
+    base = spark.range(0, 800).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    snapshots.commit(base.repartitionByRange(8, "id"), path, stats_cols=["id"])
+
+    df, info = snapshots.read_version_pruned(spark, path, "id", hi=50)
+    assert info["files_total"] == 8 and 1 <= info["files_scanned"] <= 2
+    assert sorted(r["id"] for r in df.where(F.col("id") <= 50).collect()) == list(range(51))
+
+    _, info_lo = snapshots.read_version_pruned(spark, path, "id", lo=750)
+    assert 1 <= info_lo["files_scanned"] <= 2
+
+    # no recorded stats for 'v' -> conservative: every file kept
+    _, info_v = snapshots.read_version_pruned(spark, path, "v", lo=0.0)
+    assert info_v["files_scanned"] == 8
+
+    # stats carry over an append; the new file gets its own stats
+    snapshots.commit(
+        spark.range(800, 900).select(F.col("id"), (F.col("id") * 2.0).alias("v")).coalesce(1),
+        path, stats_cols=["id"],
+    )
+    df4, info4 = snapshots.read_version_pruned(spark, path, "id", lo=850)
+    assert info4["files_total"] == 9 and info4["files_scanned"] == 1
+    assert df4.where(F.col("id") >= 850).count() == 50
+
+    # a fully out-of-range predicate prunes EVERYTHING and reads empty
+    df5, info5 = snapshots.read_version_pruned(spark, path, "id", lo=10_000)
+    assert info5["files_scanned"] == 0 and df5.count() == 0

@@ -79,6 +79,16 @@ WRITE_PATH = {
     "snapshot lake across two availableNow runs (at-least-once feed landed twice)",
     "emb_ivf_incremental_topk": "partitioned index build + frozen-centroid delta APPEND + probe "
     "readback; the oracle computes the equivalent fresh build with zero writes",
+    # round 8
+    "lake_optimize_report": "six snapshot commits + z-order OPTIMIZE rewrite + two version reads; "
+    "the oracle reads the base table twice with zero writes",
+    "lake_lifecycle_report": "four commits (incl. a bad overwrite) + rollback + vacuum + six "
+    "version reads; the oracle reconstructs every version with zero writes",
+    "lake_manifest_prune_report": "key-clustered commit with footer-lifted manifest stats + the "
+    "manifest-pruned slice read; the oracle filters the base table with zero writes",
+    "streaming_from_snapshot_sink": "REAL streaming engine: three snapshot commits tailed through "
+    "the manifest-delta feed into FOUR availableNow runs against one checkpoint (cross-commit "
+    "watermark resume is the graded behavior); the oracle reads the plain table once",
 }
 
 COMPUTE_NOTES_R7 = {

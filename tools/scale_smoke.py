@@ -91,6 +91,14 @@ HEAVY = [
     # distinct words (slowly), not documents — near-flat ratios expected
     "bpe_vocab_train",
     "bpe_encode_report",
+    # round 8 (VERDICT r7 #5): the three unladdered r7 queries
+    "emb_ivf_incremental_topk",
+    "streaming_lifecycle_timeout_sink",
+    "streaming_interval_join_outer_sink",
+    # round 8 additions: lake lifecycle + the lake->stream feed
+    "lake_optimize_report",
+    "lake_lifecycle_report",
+    "streaming_from_snapshot_sink",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

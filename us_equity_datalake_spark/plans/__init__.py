@@ -59,6 +59,7 @@ _GRADING_PRIORITY = [
     "lake_optimize_report",      # z-order OPTIMIZE: content identity + file counts
     "lake_lifecycle_report",     # commit/rollback/vacuum version matrix
     "streaming_from_snapshot_sink",  # lake->stream: manifest-tailed feed
+    "lake_manifest_prune_report",    # Iceberg-style manifest min/max skipping
     # --- regression tail: paths touched by round-8 fixes ---
     "cms_heavy_hitters",         # sketch.py family (shares the cms fix file)
     "histogram_quantile_sketch",

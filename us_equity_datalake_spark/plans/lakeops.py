@@ -1017,3 +1017,59 @@ def lake_lifecycle_q(spark, sf_dir):
         rows,
         "stage string, version long, n_rows long, total_price double, n_files long",
     )
+
+
+@register(
+    "lake_manifest_prune_report",
+    oracle=f"""
+    WITH cut AS (SELECT MAX(o_orderkey) // 10 AS c FROM orders)
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS total_price,
+           CAST(8 AS BIGINT) AS files_total,
+           CAST(1 AS BIGINT) AS pruned
+    FROM orders, cut WHERE o_orderkey < cut.c
+    GROUP BY o_orderstatus
+    """,
+    doc="MANIFEST-LEVEL file skipping (the Iceberg scan-planning layer "
+    "above parquet footer pruning): commit records per-file o_orderkey "
+    "min/max in the manifest (footer-lifted, driver-side, KB-sized), and "
+    "read_version_pruned hands Spark ONLY the files whose range overlaps "
+    "the predicate — at object-store scale the non-overlapping files are "
+    "never opened or even listed.  The table is key-clustered "
+    "(repartitionByRange into 8 files); the graded slice is the lowest "
+    "key decile, so pruning must cut the file list (the ``pruned`` rider) "
+    "WITHOUT changing the answer (the content columns hash against the "
+    "oracle computed from the base table — a wrongly pruned file would "
+    "drop rows).  Exact skip counts and the conservative no-stats "
+    "fallback are pinned in tests/test_snapshots.py.",
+)
+def lake_manifest_prune_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_prune_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snapshots.commit(
+        orders.repartitionByRange(8, "o_orderkey"), root, stats_cols=["o_orderkey"]
+    )
+    cut = int(orders.agg(F.max("o_orderkey")).collect()[0][0]) // 10
+    pruned, info = snapshots.read_version_pruned(spark, root, "o_orderkey", hi=cut)
+    return (
+        pruned.where(F.col("o_orderkey") < cut)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "n_rows", "total_price",
+            F.lit(info["files_total"]).cast("long").alias("files_total"),
+            F.lit(1 if info["files_scanned"] < info["files_total"] else 0)
+            .cast("long").alias("pruned"),
+        )
+    )

@@ -105,12 +105,51 @@ def _publish(path: str, new_v: int, manifest: dict) -> None:
 
 
 
+def _json_scalar(v):
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return str(v)
+
+
+def _file_stats(files: list[str], cols: list[str]) -> dict:
+    """Per-file column min/max lifted from the parquet FOOTERS into the
+    manifest — the Iceberg/Delta stats-collection step.  Driver-side and
+    file-count-bounded (one footer read per new file, no data scan); a
+    column whose footer lacks min/max in any row group is omitted, which
+    downstream pruning treats as 'cannot prune' (conservative)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st: dict[str, list] = {}
+        for c in cols:
+            i = idx.get(c)
+            if i is None:
+                continue
+            mn = mx = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(i).statistics
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                mn = s.min if mn is None else min(mn, s.min)
+                mx = s.max if mx is None else max(mx, s.max)
+            if ok and mn is not None:
+                st[c] = [_json_scalar(mn), _json_scalar(mx)]
+        out[f] = st
+    return out
+
+
 def commit(
     df: DataFrame,
     path: str,
     *,
     mode: str = "append",
     replace: "callable | None" = None,
+    stats_cols: "list[str] | None" = None,
 ) -> int:
     """Write ``df`` as a new immutable commit and a new manifest.
 
@@ -121,6 +160,12 @@ def commit(
       rewrite — previous files for which ``replace`` returns True are
       DROPPED from the new manifest (the bytes stay on disk: older versions
       still reference them), the commit's files are added.
+    - ``stats_cols``: record per-file min/max for these columns in the
+      manifest (lifted from the parquet footers of the NEW files only;
+      carried-over files keep their previously recorded stats).  Enables
+      :func:`read_version_pruned` — manifest-level file skipping, which at
+      object-store scale avoids even OPENING non-overlapping files (the
+      Iceberg scan-planning layer above parquet's own footer pruning).
 
     Returns the new version number.  Files land under ``commit_v{N}/`` so a
     commit's files are identifiable without tracking Spark's part-file names.
@@ -130,15 +175,22 @@ def commit(
     commit_dir = os.path.join(path, f"commit_v{new_v:06d}")
     df.write.mode("error").parquet(commit_dir)
     new_files = _data_files(commit_dir)
+    prev_manifest = read_manifest(path, prev_v) if prev_v else {}
     if mode == "overwrite":
         files = new_files
     else:
-        prev_files = read_manifest(path, prev_v)["files"] if prev_v else []
+        prev_files = prev_manifest.get("files", [])
         if replace is not None:
             prev_files = [f for f in prev_files if not replace(f)]
         files = sorted(prev_files) + new_files
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
     manifest = {"version": new_v, "mode": mode, "files": files}
+    prev_stats = prev_manifest.get("stats", {})
+    if stats_cols or prev_stats:
+        stats = {f: prev_stats[f] for f in files if f in prev_stats}
+        if stats_cols:
+            stats.update(_file_stats(new_files, stats_cols))
+        manifest["stats"] = stats
     _publish(path, new_v, manifest)
     return new_v
 
@@ -194,6 +246,43 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     if not files:
         raise ValueError(f"snapshot v{v} of {path} lists no files")
     return spark.read.parquet(*files)
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    *,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> "tuple[DataFrame, dict]":
+    """MANIFEST-LEVEL file skipping: hand Spark only the files whose
+    recorded [min, max] for ``col`` overlaps [lo, hi] (either bound may be
+    None = unbounded).  This is Iceberg's scan-planning layer ABOVE
+    parquet's own footer pruning: at object-store scale the win is never
+    opening (or listing) the non-overlapping files at all — the decision is
+    made from the KB-sized manifest on the driver.
+
+    Pruning is a FILE-LIST cut, not a row filter: the caller still applies
+    the row predicate (and should — a kept file can contain non-matching
+    rows).  Files with no recorded stats for ``col`` are conservatively
+    KEPT.  Returns (frame, {"files_total", "files_scanned"})."""
+    v = latest_version(path) if version is None else version
+    m = read_manifest(path, v)
+    stats = m.get("stats", {})
+    kept = []
+    for f in m["files"]:
+        s = stats.get(f, {}).get(col)
+        if s is not None:
+            mn, mx = s
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                continue
+        kept.append(f)
+    info = {"files_total": len(m["files"]), "files_scanned": len(kept)}
+    if not kept:
+        return read_version(spark, path, v).limit(0), info
+    return spark.read.parquet(*kept), info
 
 
 def rollback(path: str, to_version: int) -> int:

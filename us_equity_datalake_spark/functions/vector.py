@@ -94,3 +94,31 @@ def lsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
         d = f"list_sum(list_transform(list_zip({vec_expr}, {lst}), p -> CAST(p[1] AS DOUBLE) * p[2]))"
         arms.append(f"(CASE WHEN {d} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
     return "(" + " + ".join(arms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# 1-bit (sign) quantization: pack each 32-dim slice's signs into a BIGINT.
+# 16 bytes per 64-dim vector instead of 256 — the billion-vector memory
+# trick; Hamming distance on the packed words (xor + popcount) is the
+# SIMD-cheap pre-rank, full-precision cosine rescores the survivors.
+# Integer-exact packing, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def sign_bits(vec_expr: str, lo_bit: int, n_bits: int = 32) -> Column:
+    """Pack sign bits [lo_bit, lo_bit + n_bits) of an array column into a
+    long: bit i set when ``vec[lo_bit + i] > 0`` (zero packs as 0)."""
+    return F.expr(
+        f"aggregate(sequence(0, {n_bits - 1}), 0L, (acc, i) -> acc + "
+        f"CASE WHEN CAST(element_at({vec_expr}, i + {lo_bit} + 1) AS DOUBLE) > 0 "
+        f"THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+
+
+def sign_bits_sql(vec_expr: str, lo_bit: int, n_bits: int = 32) -> str:
+    """DuckDB twin of :func:`sign_bits` (same integer sum of powers)."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(0, {n_bits - 1}), "
+        f"i -> CASE WHEN CAST({vec_expr}[i + {lo_bit} + 1] AS DOUBLE) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )

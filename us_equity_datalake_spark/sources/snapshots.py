@@ -301,6 +301,32 @@ def rollback(path: str, to_version: int) -> int:
     return new_v
 
 
+def clone(src_path: str, dst_path: str, *, version: int | None = None) -> int:
+    """Zero-copy SHALLOW CLONE (the Delta CLONE semantics): publish a v1
+    manifest at ``dst_path`` that references the source version's files —
+    no data copied, instant at any size.  Because data files are immutable
+    and each table's log is independent, later commits to either table
+    never affect the other; the documented Delta caveat carries over too:
+    :func:`vacuum` on the SOURCE can reclaim files the clone still
+    references (a clone pins bytes logically, not physically — promote to a
+    deep copy before vacuuming if the clone must outlive source history)."""
+    v = latest_version(src_path) if version is None else version
+    src = read_manifest(src_path, v)
+    if latest_version(dst_path) != 0:
+        raise ValueError(f"clone target {dst_path} already has commits")
+    os.makedirs(os.path.join(dst_path, _SNAP_DIR), exist_ok=True)
+    manifest = {
+        "version": 1,
+        "mode": "clone",
+        "cloned_from": {"path": src_path, "version": v},
+        "files": src["files"],
+    }
+    if "stats" in src:
+        manifest["stats"] = src["stats"]
+    _publish(dst_path, 1, manifest)
+    return 1
+
+
 def vacuum(path: str, *, keep_last: int = 1) -> list[str]:
     """Expire history: delete data files referenced ONLY by manifests older
     than the last ``keep_last`` versions, and drop those manifests.  Time

@@ -520,3 +520,28 @@ def test_binary_sign_topk_recall_and_shape(spark):
     # of the exact top-5; the exact bound is a fixture observation, the
     # contract is "well above chance and stable" (seedless, deterministic)
     assert recall >= 0.5, recall
+
+
+def test_manifest_stats_maintained_through_rewrites(spark, tmp_path):
+    """Once a table has a skipping index, every commit maintains it: a
+    DELETE's rewritten file and an OPTIMIZE's compacted files get fresh
+    min/max for the SAME columns without the caller re-passing stats_cols
+    (otherwise rewrites silently degrade pruning to the conservative
+    keep-everything fallback)."""
+    path = str(tmp_path / "t")
+    base = spark.range(0, 800).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    snapshots.commit(base.repartitionByRange(8, "id"), path, stats_cols=["id"])
+
+    snapshots.delete_where(spark, path, F.col("id") < 30)  # rewrites file 1
+    m = snapshots.read_manifest(path, snapshots.latest_version(path))
+    assert all("id" in m["stats"].get(f, {}) for f in m["files"])
+    _, info = snapshots.read_version_pruned(spark, path, "id", hi=50)
+    assert info["files_scanned"] < info["files_total"]  # index still prunes
+
+    snapshots.optimize(spark, path, target_files=2, zorder_by=["id", "v"])
+    m2 = snapshots.read_manifest(path, snapshots.latest_version(path))
+    assert len(m2["files"]) <= 2
+    assert all("id" in m2["stats"].get(f, {}) for f in m2["files"])
+    # pruned read through the compacted layout still exact
+    df, _ = snapshots.read_version_pruned(spark, path, "id", lo=700)
+    assert sorted(r["id"] for r in df.where(F.col("id") >= 700).collect()) == list(range(700, 800))

@@ -99,6 +99,10 @@ HEAVY = [
     "lake_optimize_report",
     "lake_lifecycle_report",
     "streaming_from_snapshot_sink",
+    # round 8: manifest-stats pruning (file-list cut is manifest-sized) and
+    # binary-quant ANN (fixed query set, one packed-word scan per batch)
+    "lake_manifest_prune_report",
+    "emb_binary_quant_topk",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

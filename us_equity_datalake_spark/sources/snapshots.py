@@ -66,11 +66,30 @@ def read_manifest(path: str, version: int) -> dict:
 
 
 def _data_files(commit_dir: str) -> list[str]:
-    return sorted(
-        os.path.join(commit_dir, f)
-        for f in os.listdir(commit_dir)
-        if f.endswith(".parquet")
-    )
+    """The commit's data-bearing files.  Spark writes a part file per task
+    even when the task had no rows; zero-row files carry no information and
+    no footer stats, so they are dropped from the manifest AND from disk
+    (one driver-side footer read per new file — the same file-count-bounded
+    design point as stats collection).  If the commit produced NO rows at
+    all, one empty file is kept as the schema anchor: a version whose
+    content is legitimately empty (delete-everything) must still be
+    readable with its schema."""
+    import pyarrow.parquet as pq
+
+    out, empties = [], []
+    for f in sorted(os.listdir(commit_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(commit_dir, f)
+        if pq.ParquetFile(p).metadata.num_rows == 0:
+            empties.append(p)
+            continue
+        out.append(p)
+    keep_anchor = empties[:1] if not out else []
+    for p in empties:
+        if p not in keep_anchor:
+            os.remove(p)
+    return out or keep_anchor
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -166,6 +185,11 @@ def commit(
       :func:`read_version_pruned` — manifest-level file skipping, which at
       object-store scale avoids even OPENING non-overlapping files (the
       Iceberg scan-planning layer above parquet's own footer pruning).
+      Once a table has stats, they are MAINTAINED automatically: a commit
+      without ``stats_cols`` re-collects the previously indexed columns
+      for its new files (the Delta table-property discipline — MERGE,
+      DELETE, and OPTIMIZE rewrites keep the skipping index alive instead
+      of silently degrading it to the conservative fallback).
 
     Returns the new version number.  Files land under ``commit_v{N}/`` so a
     commit's files are identifiable without tracking Spark's part-file names.
@@ -186,6 +210,9 @@ def commit(
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
     manifest = {"version": new_v, "mode": mode, "files": files}
     prev_stats = prev_manifest.get("stats", {})
+    if stats_cols is None and prev_stats:
+        # maintain the existing skipping index: re-collect the same columns
+        stats_cols = sorted({c for st in prev_stats.values() for c in st})
     if stats_cols or prev_stats:
         stats = {f: prev_stats[f] for f in files if f in prev_stats}
         if stats_cols:

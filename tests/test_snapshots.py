@@ -545,3 +545,29 @@ def test_manifest_stats_maintained_through_rewrites(spark, tmp_path):
     # pruned read through the compacted layout still exact
     df, _ = snapshots.read_version_pruned(spark, path, "id", lo=700)
     assert sorted(r["id"] for r in df.where(F.col("id") >= 700).collect()) == list(range(700, 800))
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: every publish stamps committed_at; read_version_asof
+    resolves the LAST version at-or-before the timestamp, before-first
+    raises, and vacuumed manifests are skipped."""
+    import time as _time
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    t0 = _time.time()
+    snapshots.commit(spark.range(0, 5).coalesce(1), path)
+    t1 = _time.time()
+    snapshots.commit(spark.range(5, 8).coalesce(1), path)
+    t2 = _time.time()
+
+    assert snapshots.version_asof(path, t1) == 1
+    assert snapshots.version_asof(path, t2) == 2
+    assert _ids(snapshots.read_version_asof(spark, path, t1)) == list(range(5))
+    assert _ids(snapshots.read_version_asof(spark, path, t2)) == list(range(8))
+    with _pytest.raises(ValueError, match="no version committed"):
+        snapshots.version_asof(path, t0 - 10)
+
+    snapshots.vacuum(path, keep_last=1)
+    assert snapshots.version_asof(path, _time.time()) == 2

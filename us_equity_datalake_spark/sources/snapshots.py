@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from urllib.parse import unquote, urlparse
 
@@ -107,6 +108,11 @@ def _publish(path: str, new_v: int, manifest: dict) -> None:
     either no version file or a complete one — never a truncated manifest
     that would poison every subsequent read."""
     target = _snap_path(path, new_v)
+    # wall-clock commit stamp (Delta's TIMESTAMP AS OF basis).  Single-writer
+    # per mutating commit is the operating assumption, so the log's stamps
+    # are monotone in practice; read_version_asof still guards against a
+    # skewed clock by taking the LAST version at-or-before the timestamp.
+    manifest.setdefault("committed_at", time.time())
     tmp = f"{target}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
@@ -310,6 +316,28 @@ def read_version_pruned(
     if not kept:
         return read_version(spark, path, v).limit(0), info
     return spark.read.parquet(*kept), info
+
+
+def version_asof(path: str, ts: float) -> int:
+    """The last version committed at or before epoch-seconds ``ts`` (the
+    Delta ``TIMESTAMP AS OF`` resolution).  Raises if the table has no
+    commit that old."""
+    best = 0
+    for v in range(1, latest_version(path) + 1):
+        p = _snap_path(path, v)
+        if not os.path.exists(p):
+            continue
+        at = read_manifest(path, v).get("committed_at")
+        if at is not None and at <= ts:
+            best = v
+    if best == 0:
+        raise ValueError(f"{path} has no version committed at or before {ts}")
+    return best
+
+
+def read_version_asof(spark: SparkSession, path: str, ts: float) -> DataFrame:
+    """Time travel BY TIMESTAMP: the table as of epoch-seconds ``ts``."""
+    return read_version(spark, path, version_asof(path, ts))
 
 
 def rollback(path: str, to_version: int) -> int:

@@ -571,3 +571,59 @@ def test_timestamp_time_travel(spark, tmp_path):
 
     snapshots.vacuum(path, keep_last=1)
     assert snapshots.version_asof(path, _time.time()) == 2
+
+
+def test_box_prune_after_zorder_optimize(spark, tmp_path):
+    """Manifest-level 2-D box pruning on a z-order OPTIMIZE'd layout — the
+    manifest analog of the footer-stats z-order skip proof: the box touches
+    only files whose z-curve segment crosses it, decided from the manifest
+    alone; random layout cannot prune (every file spans the full range of
+    both columns)."""
+    path = str(tmp_path / "t")
+    n = 1 << 12
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.pmod(F.hash("id"), F.lit(64))).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    snapshots.commit(df.repartition(8), path, stats_cols=["x", "y"])
+    # random layout: every file spans both full ranges -> nothing prunable
+    _, info_rand = snapshots.read_version_pruned_box(
+        spark, path, {"x": (0, 7), "y": (0, 7)}
+    )
+    assert info_rand["files_scanned"] == info_rand["files_total"]
+
+    snapshots.optimize(spark, path, target_files=16, zorder_by=["x", "y"])
+    got, info_z = snapshots.read_version_pruned_box(
+        spark, path, {"x": (0, 7), "y": (0, 7)}
+    )
+    assert info_z["files_scanned"] < info_z["files_total"]
+    # pruning is a file-list cut, never a row filter: content stays exact
+    want = df.where((F.col("x") <= 7) & (F.col("y") <= 7))
+    have = got.where((F.col("x") <= 7) & (F.col("y") <= 7))
+    assert have.count() == want.count()
+    assert have.exceptAll(want).count() == 0
+
+
+def test_history_audit_surface(spark, tmp_path):
+    """DESCRIBE HISTORY: version/mode/timestamp/file-count per surviving
+    manifest, with rollback and clone provenance, and vacuumed versions
+    dropped from the listing."""
+    src = str(tmp_path / "src")
+    snapshots.commit(spark.range(0, 5).coalesce(1), src)
+    snapshots.commit(spark.range(5, 8).coalesce(1), src)
+    snapshots.rollback(src, 1)
+    h = snapshots.history(src)
+    assert [r["version"] for r in h] == [1, 2, 3]
+    assert [r["mode"] for r in h] == ["append", "append", "rollback"]
+    assert h[2]["rolled_back_to"] == 1
+    assert all(isinstance(r["committed_at"], float) for r in h)
+    assert [r["n_files"] for r in h] == [1, 2, 1]
+
+    dst = str(tmp_path / "dst")
+    snapshots.clone(src, dst)
+    hd = snapshots.history(dst)
+    assert hd[0]["mode"] == "clone" and hd[0]["cloned_from"]["version"] == 3
+
+    snapshots.vacuum(src, keep_last=1)
+    assert [r["version"] for r in snapshots.history(src)] == [3]

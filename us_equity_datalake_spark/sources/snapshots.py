@@ -248,10 +248,12 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
     commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
     df.write.mode("error").parquet(commit_dir)
     new_files = _data_files(commit_dir)
+    new_stats: dict | None = None
     last_err: ConcurrentWriteError | None = None
     for _ in range(max_retries):
         prev_v = latest_version(path)
-        prev_files = read_manifest(path, prev_v)["files"] if prev_v else []
+        prev_manifest = read_manifest(path, prev_v) if prev_v else {}
+        prev_files = prev_manifest.get("files", [])
         new_v = prev_v + 1
         os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
         manifest = {
@@ -259,6 +261,14 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
             "mode": "append",
             "files": sorted(prev_files) + new_files,
         }
+        prev_stats = prev_manifest.get("stats", {})
+        if prev_stats:
+            # maintain the skipping index across the reconciled append
+            # (footer reads once, reused on retry)
+            if new_stats is None:
+                cols = sorted({c for st in prev_stats.values() for c in st})
+                new_stats = _file_stats(new_files, cols)
+            manifest["stats"] = {**prev_stats, **new_stats}
         try:
             _publish(path, new_v, manifest)
             return new_v
@@ -316,6 +326,67 @@ def read_version_pruned(
     if not kept:
         return read_version(spark, path, v).limit(0), info
     return spark.read.parquet(*kept), info
+
+
+def read_version_pruned_box(
+    spark: SparkSession,
+    path: str,
+    ranges: "dict[str, tuple]",
+    *,
+    version: int | None = None,
+) -> "tuple[DataFrame, dict]":
+    """Multi-column manifest pruning: keep files whose recorded [min, max]
+    overlaps EVERY column's (lo, hi) range (either bound may be None).
+    With a z-order OPTIMIZE'd layout this is the manifest-level analog of
+    the footer-stats skip proof: a 2-D box touches only the files whose
+    z-curve segment crosses it, and the decision is made from the KB
+    manifest without opening a single file.  Missing stats for a column
+    keep the file (conservative).  Returns (frame, counts) like
+    :func:`read_version_pruned`."""
+    v = latest_version(path) if version is None else version
+    m = read_manifest(path, v)
+    stats = m.get("stats", {})
+    kept = []
+    for f in m["files"]:
+        fstats = stats.get(f, {})
+        drop = False
+        for col, (lo, hi) in ranges.items():
+            s = fstats.get(col)
+            if s is None:
+                continue
+            mn, mx = s
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                drop = True
+                break
+        if not drop:
+            kept.append(f)
+    info = {"files_total": len(m["files"]), "files_scanned": len(kept)}
+    if not kept:
+        return read_version(spark, path, v).limit(0), info
+    return spark.read.parquet(*kept), info
+
+
+def history(path: str) -> "list[dict]":
+    """DESCRIBE HISTORY: one row per surviving manifest — version, mode,
+    commit timestamp, file count, and the mode-specific extras (rollback
+    target, clone source).  Driver-side and manifest-sized; the audit
+    surface an operator checks before a rollback or vacuum."""
+    rows = []
+    for v in range(1, latest_version(path) + 1):
+        if not os.path.exists(_snap_path(path, v)):
+            continue
+        m = read_manifest(path, v)
+        row = {
+            "version": v,
+            "mode": m.get("mode"),
+            "committed_at": m.get("committed_at"),
+            "n_files": len(m.get("files", [])),
+        }
+        for extra in ("rolled_back_to", "cloned_from"):
+            if extra in m:
+                row[extra] = m[extra]
+        rows.append(row)
+    return rows
 
 
 def version_asof(path: str, ts: float) -> int:

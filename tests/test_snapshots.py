@@ -627,3 +627,42 @@ def test_history_audit_surface(spark, tmp_path):
 
     snapshots.vacuum(src, keep_last=1)
     assert [r["version"] for r in snapshots.history(src)] == [3]
+
+
+def test_bloom_point_lookup_pruning(spark, tmp_path):
+    """Per-file bloom index: equality lookups on a NON-clustered column —
+    min/max stats keep nearly every file (each spans the full value range),
+    the bloom keeps ~1.  Zero false negatives by construction; filters are
+    maintained through a delete rewrite like the stats index."""
+    path = str(tmp_path / "t")
+    # k is a permutation-ish scatter of id: every file spans the full k
+    # range (stats useless for equality), every k lives in exactly one file
+    k = (F.col("id") * F.lit(2654435761)) % F.lit(1 << 32)
+    df = spark.range(0, 4000).select("id", k.alias("k"))
+    snapshots.commit(df.repartitionByRange(8, "id"), path,
+                     stats_cols=["k"], bloom_cols=["k"])
+
+    target = (1234 * 2654435761) % (1 << 32)
+    _, info_s = snapshots.read_version_pruned(spark, path, "k", lo=target, hi=target)
+    assert info_s["files_scanned"] >= 7  # ranges can't cut an equality here
+
+    got, info_b = snapshots.read_version_point(spark, path, "k", target)
+    assert info_b["files_total"] == 8 and info_b["files_scanned"] <= 2
+    assert [r["id"] for r in got.where(F.col("k") == target).collect()] == [1234]
+
+    # zero false negatives: spot keys from different files
+    for i in (0, 999, 3777):
+        t = (i * 2654435761) % (1 << 32)
+        g, _ = snapshots.read_version_point(spark, path, "k", t)
+        assert g.where(F.col("k") == t).count() == 1
+
+    # absent value: prunes (almost always to zero files), reads empty
+    g0, info0 = snapshots.read_version_point(spark, path, "k", 13)
+    assert info0["files_scanned"] <= 2
+    assert g0.where(F.col("k") == 13).count() == 0
+
+    # the index survives a rewrite without re-passing bloom_cols
+    snapshots.delete_where(spark, path, F.col("id") < 100)
+    g2, info2 = snapshots.read_version_point(spark, path, "k", target)
+    assert info2["files_scanned"] <= 2
+    assert g2.where(F.col("k") == target).count() == 1

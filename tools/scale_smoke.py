@@ -103,6 +103,7 @@ HEAVY = [
     # binary-quant ANN (fixed query set, one packed-word scan per batch)
     "lake_manifest_prune_report",
     "emb_binary_quant_topk",
+    "lake_bloom_point_lookup_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

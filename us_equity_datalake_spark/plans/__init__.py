@@ -61,6 +61,7 @@ _GRADING_PRIORITY = [
     "streaming_from_snapshot_sink",  # lake->stream: manifest-tailed feed
     "lake_manifest_prune_report",    # Iceberg-style manifest min/max skipping
     "emb_binary_quant_topk",         # 1-bit sign ANN: Hamming pre-rank + rescore
+    "lake_bloom_point_lookup_report",  # per-file bloom index point lookup
     # --- regression tail: paths touched by round-8 fixes ---
     "cms_heavy_hitters",         # sketch.py family (shares the cms fix file)
     "histogram_quantile_sketch",

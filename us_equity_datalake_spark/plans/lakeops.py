@@ -1073,3 +1073,52 @@ def lake_manifest_prune_q(spark, sf_dir):
             .cast("long").alias("pruned"),
         )
     )
+
+
+@register(
+    "lake_bloom_point_lookup_report",
+    oracle="""
+    WITH t AS (SELECT MIN(o_custkey) AS ck FROM orders)
+    SELECT o_orderkey, o_totalprice,
+           CAST(8 AS BIGINT) AS files_total,
+           CAST(1 AS BIGINT) AS pruned
+    FROM orders, t WHERE o_custkey = t.ck
+    """,
+    doc="Per-file BLOOM index point lookup (the Delta bloom-index analog): "
+    "the table is clustered by o_orderkey, so a min/max range can never "
+    "prune an equality on o_custkey — every file spans the full custkey "
+    "range.  commit(bloom_cols=['o_custkey']) builds one 16-bits/key "
+    "filter per file in a distributed pass (the sizing constant the bloom "
+    "scale curve measured); read_version_point keeps only the files whose "
+    "filter MIGHT contain the probe key (zero false negatives, so the "
+    "content columns must hash against the oracle's direct filter of the "
+    "base table; false positives cost an extra file, never a row).  The "
+    "``pruned`` rider proves the file list shrank; exact skip counts and "
+    "index maintenance through rewrites are pinned in "
+    "tests/test_snapshots.py.",
+)
+def lake_bloom_point_lookup_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_bloomix_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    snapshots.commit(
+        orders.repartitionByRange(8, "o_orderkey"), root, bloom_cols=["o_custkey"]
+    )
+    ck = orders.agg(F.min("o_custkey")).collect()[0][0]
+    pruned, info = snapshots.read_version_point(spark, root, "o_custkey", ck)
+    return (
+        pruned.where(F.col("o_custkey") == ck)
+        .select(
+            "o_orderkey", "o_totalprice",
+            F.lit(info["files_total"]).cast("long").alias("files_total"),
+            F.lit(1 if info["files_scanned"] < info["files_total"] else 0)
+            .cast("long").alias("pruned"),
+        )
+    )

@@ -168,6 +168,83 @@ def _file_stats(files: list[str], cols: list[str]) -> dict:
     return out
 
 
+_BLOOM_BITS_PER_KEY = 16  # per-file filter sizing (the production constant)
+_BLOOM_K = 5
+_BLOOM_SEED = 211
+
+
+def _bloom_m_for(n_distinct: int) -> int:
+    """Power-of-two filter width holding ~16 bits per distinct key — the
+    bits-per-key discipline the bloom scale curve measured (fixed m
+    saturates; bits/key holds the designed FP rate at any file size)."""
+    m = 64
+    while m < _BLOOM_BITS_PER_KEY * max(1, n_distinct):
+        m *= 2
+    return m
+
+
+def _file_blooms(spark: SparkSession, files: list[str], cols: list[str]) -> dict:
+    """Per-(file, column) bloom set-bit positions, built in ONE distributed
+    pass per column over the commit's files (executor-side md5 universal
+    hashing — the same family as the decontamination filter; the driver
+    receives <= files x m positions, index-sized like Delta's writer-task
+    blooms).  Each file's width is sized from ITS distinct count at 16
+    bits/key.  Fixture storage is a JSON int list; the production form
+    packs the same bits base64 — same information, same math."""
+    from pyspark.sql import functions as F
+
+    from us_equity_datalake_spark.functions.hashing import (
+        md5_long32, minhash_perm, perm_coefficients,
+    )
+
+    df = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
+    out: dict[str, dict] = {}
+    for c in cols:
+        nd_rows = (
+            df.where(F.col(c).isNotNull())
+            .groupBy("__file")
+            .agg(F.countDistinct(c).alias("nd"))
+            .collect()
+        )
+        m_by_uri = {r["__file"]: _bloom_m_for(r["nd"]) for r in nd_rows}
+        m_by_file = {_local_path(u): m for u, m in m_by_uri.items()}
+        m_map = spark.createDataFrame(
+            list(m_by_uri.items()), "__file string, __m long"
+        )
+        h = md5_long32(F.col(c).cast("string"))
+        pos = F.array(
+            *[minhash_perm(h, a, b) % F.col("__m")
+              for a, b in perm_coefficients(_BLOOM_K, _BLOOM_SEED)]
+        )
+        rows = (
+            df.join(F.broadcast(m_map), "__file")
+            .where(F.col(c).isNotNull())
+            .select("__file", F.explode(pos).alias("pos"))
+            .distinct()
+            .collect()
+        )
+        for r in rows:
+            f = _local_path(r["__file"])
+            out.setdefault(f, {}).setdefault(c, {"m": m_by_file[f], "bits": set()})
+            out[f][c]["bits"].add(r["pos"])
+    return {
+        f: {c: {"m": v["m"], "bits": sorted(v["bits"])} for c, v in d.items()}
+        for f, d in out.items()
+    }
+
+
+def _bloom_positions_py(value, m: int) -> list[int]:
+    """Driver-side twin of the executor hash: positions of ``value`` in an
+    m-bit filter (md5 first-8-hex -> universal hash family)."""
+    import hashlib
+
+    from us_equity_datalake_spark.functions.hashing import MERSENNE_P, perm_coefficients
+
+    h = int(hashlib.md5(str(value).encode()).hexdigest()[:8], 16)
+    return [(h * a + b) % MERSENNE_P % m
+            for a, b in perm_coefficients(_BLOOM_K, _BLOOM_SEED)]
+
+
 def commit(
     df: DataFrame,
     path: str,
@@ -175,6 +252,7 @@ def commit(
     mode: str = "append",
     replace: "callable | None" = None,
     stats_cols: "list[str] | None" = None,
+    bloom_cols: "list[str] | None" = None,
 ) -> int:
     """Write ``df`` as a new immutable commit and a new manifest.
 
@@ -196,6 +274,12 @@ def commit(
       for its new files (the Delta table-property discipline — MERGE,
       DELETE, and OPTIMIZE rewrites keep the skipping index alive instead
       of silently degrading it to the conservative fallback).
+    - ``bloom_cols``: per-file BLOOM filters for these columns (the Delta
+      bloom-index analog for point lookups on non-clustered columns, where
+      min/max ranges cannot prune).  Built in one distributed pass per
+      column over the commit's files; width sized per file at 16 bits per
+      distinct key (the measured bloom constant).  Probed by
+      :func:`read_version_point`; maintained across commits like stats.
 
     Returns the new version number.  Files land under ``commit_v{N}/`` so a
     commit's files are identifiable without tracking Spark's part-file names.
@@ -224,6 +308,14 @@ def commit(
         if stats_cols:
             stats.update(_file_stats(new_files, stats_cols))
         manifest["stats"] = stats
+    prev_blooms = prev_manifest.get("blooms", {})
+    if bloom_cols is None and prev_blooms:
+        bloom_cols = sorted({c for b in prev_blooms.values() for c in b})
+    if bloom_cols or prev_blooms:
+        blooms = {f: prev_blooms[f] for f in files if f in prev_blooms}
+        if bloom_cols:
+            blooms.update(_file_blooms(df.sparkSession, new_files, bloom_cols))
+        manifest["blooms"] = blooms
     _publish(path, new_v, manifest)
     return new_v
 
@@ -320,6 +412,40 @@ def read_version_pruned(
         if s is not None:
             mn, mx = s
             if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                continue
+        kept.append(f)
+    info = {"files_total": len(m["files"]), "files_scanned": len(kept)}
+    if not kept:
+        return read_version(spark, path, v).limit(0), info
+    return spark.read.parquet(*kept), info
+
+
+def read_version_point(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    *,
+    version: int | None = None,
+) -> "tuple[DataFrame, dict]":
+    """POINT-LOOKUP file pruning via the manifest's per-file bloom filters:
+    keep only files whose filter MIGHT contain ``value`` (zero false
+    negatives by construction; false positives keep an extra file, never
+    lose a row).  This is the pruning layer for equality predicates on
+    NON-CLUSTERED columns — min/max stats cannot cut anything when every
+    file spans the full value range, but a 16-bits/key bloom almost always
+    can.  Files without a recorded filter for ``col`` are conservatively
+    kept.  The caller still applies the row predicate.  Returns
+    (frame, {"files_total", "files_scanned"})."""
+    v = latest_version(path) if version is None else version
+    m = read_manifest(path, v)
+    blooms = m.get("blooms", {})
+    kept = []
+    for f in m["files"]:
+        b = blooms.get(f, {}).get(col)
+        if b is not None:
+            bits = set(b["bits"])
+            if not all(p in bits for p in _bloom_positions_py(value, b["m"])):
                 continue
         kept.append(f)
     info = {"files_total": len(m["files"]), "files_scanned": len(kept)}

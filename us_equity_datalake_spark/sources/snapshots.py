@@ -183,14 +183,21 @@ def _bloom_m_for(n_distinct: int) -> int:
     return m
 
 
-def _file_blooms(spark: SparkSession, files: list[str], cols: list[str]) -> dict:
-    """Per-(file, column) bloom set-bit positions, built in ONE distributed
-    pass per column over the commit's files (executor-side md5 universal
-    hashing — the same family as the decontamination filter; the driver
-    receives <= files x m positions, index-sized like Delta's writer-task
-    blooms).  Each file's width is sized from ITS distinct count at 16
-    bits/key.  Fixture storage is a JSON int list; the production form
-    packs the same bits base64 — same information, same math."""
+def _bloom_sidecar(data_file: str) -> str:
+    return data_file + ".bloom.json"
+
+
+def _write_file_blooms(spark: SparkSession, files: list[str], cols: list[str]) -> None:
+    """Per-(file, column) bloom filters, built in ONE distributed pass per
+    column over the commit's files (executor-side md5 universal hashing —
+    the same family as the decontamination filter) and written as a
+    base64-packed-bitmap SIDECAR next to each data file — Delta's
+    bloom-index layout: the tiny JSON log stays KB-sized, the index rides
+    with the immutable file it describes (carried-over files keep their
+    sidecars for free, vacuum reclaims them with the data).  Each file's
+    width is sized from ITS distinct count at 16 bits/key."""
+    import base64
+
     from pyspark.sql import functions as F
 
     from us_equity_datalake_spark.functions.hashing import (
@@ -198,7 +205,7 @@ def _file_blooms(spark: SparkSession, files: list[str], cols: list[str]) -> dict
     )
 
     df = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
-    out: dict[str, dict] = {}
+    per_file: dict[str, dict] = {}
     for c in cols:
         nd_rows = (
             df.where(F.col(c).isNotNull())
@@ -223,26 +230,47 @@ def _file_blooms(spark: SparkSession, files: list[str], cols: list[str]) -> dict
             .distinct()
             .collect()
         )
+        bits_by_file: dict[str, set] = {}
         for r in rows:
-            f = _local_path(r["__file"])
-            out.setdefault(f, {}).setdefault(c, {"m": m_by_file[f], "bits": set()})
-            out[f][c]["bits"].add(r["pos"])
-    return {
-        f: {c: {"m": v["m"], "bits": sorted(v["bits"])} for c, v in d.items()}
-        for f, d in out.items()
-    }
+            bits_by_file.setdefault(_local_path(r["__file"]), set()).add(r["pos"])
+        for f, bits in bits_by_file.items():
+            m = m_by_file[f]
+            buf = bytearray(m // 8)
+            for p in bits:
+                buf[p >> 3] |= 1 << (p & 7)
+            per_file.setdefault(f, {})[c] = {
+                "m": m,
+                "bitmap": base64.b64encode(bytes(buf)).decode(),
+            }
+    for f, d in per_file.items():
+        with open(_bloom_sidecar(f), "w") as fh:
+            json.dump(d, fh)
 
 
-def _bloom_positions_py(value, m: int) -> list[int]:
-    """Driver-side twin of the executor hash: positions of ``value`` in an
-    m-bit filter (md5 first-8-hex -> universal hash family)."""
+def _bloom_might_contain(data_file: str, col: str, value) -> bool:
+    """Probe a data file's bloom sidecar for ``value`` (driver-side twin of
+    the executor hash: md5 first-8-hex -> universal hash family).  True —
+    conservative — when the file has no sidecar or no filter for ``col``."""
+    import base64
     import hashlib
 
     from us_equity_datalake_spark.functions.hashing import MERSENNE_P, perm_coefficients
 
+    sc = _bloom_sidecar(data_file)
+    if not os.path.exists(sc):
+        return True
+    with open(sc) as fh:
+        b = json.load(fh).get(col)
+    if b is None:
+        return True
+    m = b["m"]
+    buf = base64.b64decode(b["bitmap"])
     h = int(hashlib.md5(str(value).encode()).hexdigest()[:8], 16)
-    return [(h * a + b) % MERSENNE_P % m
-            for a, b in perm_coefficients(_BLOOM_K, _BLOOM_SEED)]
+    for a, bb in perm_coefficients(_BLOOM_K, _BLOOM_SEED):
+        p = (h * a + bb) % MERSENNE_P % m
+        if not (buf[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
 
 
 def commit(
@@ -278,8 +306,11 @@ def commit(
       bloom-index analog for point lookups on non-clustered columns, where
       min/max ranges cannot prune).  Built in one distributed pass per
       column over the commit's files; width sized per file at 16 bits per
-      distinct key (the measured bloom constant).  Probed by
-      :func:`read_version_point`; maintained across commits like stats.
+      distinct key (the measured bloom constant); stored as a base64
+      bitmap SIDECAR next to each immutable data file so the JSON log
+      stays KB-sized and carried-over files keep their index for free.
+      Probed by :func:`read_version_point`; the manifest records only
+      ``bloom_cols`` so later commits maintain the index like stats.
 
     Returns the new version number.  Files land under ``commit_v{N}/`` so a
     commit's files are identifiable without tracking Spark's part-file names.
@@ -308,14 +339,12 @@ def commit(
         if stats_cols:
             stats.update(_file_stats(new_files, stats_cols))
         manifest["stats"] = stats
-    prev_blooms = prev_manifest.get("blooms", {})
-    if bloom_cols is None and prev_blooms:
-        bloom_cols = sorted({c for b in prev_blooms.values() for c in b})
-    if bloom_cols or prev_blooms:
-        blooms = {f: prev_blooms[f] for f in files if f in prev_blooms}
-        if bloom_cols:
-            blooms.update(_file_blooms(df.sparkSession, new_files, bloom_cols))
-        manifest["blooms"] = blooms
+    prev_bloom_cols = prev_manifest.get("bloom_cols")
+    if bloom_cols is None and prev_bloom_cols:
+        bloom_cols = prev_bloom_cols  # maintain the point-lookup index
+    if bloom_cols:
+        _write_file_blooms(df.sparkSession, new_files, bloom_cols)
+        manifest["bloom_cols"] = sorted(bloom_cols)
     _publish(path, new_v, manifest)
     return new_v
 
@@ -361,6 +390,11 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
                 cols = sorted({c for st in prev_stats.values() for c in st})
                 new_stats = _file_stats(new_files, cols)
             manifest["stats"] = {**prev_stats, **new_stats}
+        prev_bloom_cols = prev_manifest.get("bloom_cols")
+        if prev_bloom_cols:
+            if not os.path.exists(_bloom_sidecar(new_files[0])):
+                _write_file_blooms(df.sparkSession, new_files, prev_bloom_cols)
+            manifest["bloom_cols"] = prev_bloom_cols
         try:
             _publish(path, new_v, manifest)
             return new_v
@@ -439,15 +473,7 @@ def read_version_point(
     (frame, {"files_total", "files_scanned"})."""
     v = latest_version(path) if version is None else version
     m = read_manifest(path, v)
-    blooms = m.get("blooms", {})
-    kept = []
-    for f in m["files"]:
-        b = blooms.get(f, {}).get(col)
-        if b is not None:
-            bits = set(b["bits"])
-            if not all(p in bits for p in _bloom_positions_py(value, b["m"])):
-                continue
-        kept.append(f)
+    kept = [f for f in m["files"] if _bloom_might_contain(f, col, value)]
     info = {"files_total": len(m["files"]), "files_scanned": len(kept)}
     if not kept:
         return read_version(spark, path, v).limit(0), info
@@ -573,8 +599,9 @@ def clone(src_path: str, dst_path: str, *, version: int | None = None) -> int:
         "cloned_from": {"path": src_path, "version": v},
         "files": src["files"],
     }
-    if "stats" in src:
-        manifest["stats"] = src["stats"]
+    for carried in ("stats", "bloom_cols"):
+        if carried in src:
+            manifest[carried] = src[carried]
     _publish(dst_path, 1, manifest)
     return 1
 
@@ -602,6 +629,9 @@ def vacuum(path: str, *, keep_last: int = 1) -> list[str]:
             if f not in keep_files and os.path.exists(f):
                 os.remove(f)
                 removed.append(f)
+                sc = _bloom_sidecar(f)
+                if os.path.exists(sc):
+                    os.remove(sc)  # the index rides with its data file
         os.remove(p)
     return removed
 

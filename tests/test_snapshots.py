@@ -666,3 +666,26 @@ def test_bloom_point_lookup_pruning(spark, tmp_path):
     g2, info2 = snapshots.read_version_point(spark, path, "k", target)
     assert info2["files_scanned"] <= 2
     assert g2.where(F.col("k") == target).count() == 1
+
+
+def test_log_replay_dispatcher_modes(spark, tmp_path):
+    """log_replay_deltas picks the append-only fast path when no file was
+    removed and the change feed only across rewrites — and the folded
+    state lands exactly on the direct recompute."""
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 100).select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "id"), path)                       # v1
+    snapshots.commit(
+        spark.range(100, 120).select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+        .coalesce(1), path)                                       # v2: append
+    snapshots.delete_where(spark, path, F.col("id") < 10)         # v3: rewrite
+
+    modes = []
+    deltas = snapshots.log_replay_deltas(spark, path, 1, 3, key="id", modes_out=modes)
+    assert modes == ["append", "rewrite"]
+
+    base = snapshots.read_version(spark, path, 1).select("id", "v", F.lit(1).alias("__w"))
+    state = base.unionByName(deltas.select("id", "v", "__w")).groupBy("id").agg(
+        F.sum("__w").alias("n")).where(F.col("n") > 0)
+    assert sorted(r["id"] for r in state.collect()) == list(range(10, 120))

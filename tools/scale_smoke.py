@@ -104,6 +104,7 @@ HEAVY = [
     "lake_manifest_prune_report",
     "emb_binary_quant_topk",
     "lake_bloom_point_lookup_report",
+    "lake_log_replay_agg",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -62,6 +62,7 @@ _GRADING_PRIORITY = [
     "lake_manifest_prune_report",    # Iceberg-style manifest min/max skipping
     "emb_binary_quant_topk",         # 1-bit sign ANN: Hamming pre-rank + rescore
     "lake_bloom_point_lookup_report",  # per-file bloom index point lookup
+    "lake_log_replay_agg",           # mixed append/rewrite replay == direct
     # --- regression tail: paths touched by round-8 fixes ---
     "cms_heavy_hitters",         # sketch.py family (shares the cms fix file)
     "histogram_quantile_sketch",

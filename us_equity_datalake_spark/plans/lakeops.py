@@ -1122,3 +1122,87 @@ def lake_bloom_point_lookup_q(spark, sf_dir):
             .cast("long").alias("pruned"),
         )
     )
+
+
+@register(
+    "lake_log_replay_agg",
+    oracle=f"""
+    WITH cut AS (
+      SELECT MAX(o_orderkey) // 10 AS c FROM orders WHERE o_orderstatus = 'F'
+    ),
+    v AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' AND o_orderkey < (SELECT c FROM cut)
+                  THEN o_totalprice + 100000.0 ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+    ),
+    final AS (SELECT * FROM v WHERE price < {_CDF_DEL})
+    SELECT arm, o_orderstatus, n_rows, total_price FROM (
+      SELECT 'direct' AS arm, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {dec_sum_sql('price')} AS total_price
+      FROM final GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'replayed', o_orderstatus,
+             CAST(COUNT(*) AS BIGINT), {dec_sum_sql('price')}
+      FROM final GROUP BY o_orderstatus
+    )
+    """,
+    doc="LOG-REPLAY aggregate maintenance across MIXED transitions — the "
+    "dispatcher a CDF streaming consumer runs: v1 commits the 'F' orders "
+    "clustered, v2 APPENDS the 'O' orders (fast path: manifest "
+    "set-difference, no join), v3 is a MERGE (decile price bump + 'P' "
+    "inserts — rewrite, row-level change feed), v4 a price DELETE "
+    "(rewrite).  log_replay_deltas picks the cheapest correct feed per "
+    "transition; folding the signed rows into v1's per-status (count, "
+    "exact decimal sum) must land exactly on a direct v4 recompute — the "
+    "identity the oracle hashes, generalizing lake_cdf_incremental_agg to "
+    "heterogeneous logs.  The dispatch decisions themselves "
+    "(append/rewrite/rewrite) are pinned in pytest.",
+)
+def lake_log_replay_agg_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_replay_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f_rows = orders.where(F.col("o_orderstatus") == "F")
+    snapshots.commit(f_rows.repartitionByRange(8, "o_orderkey"), root)      # v1
+    snapshots.commit(orders.where(F.col("o_orderstatus") == "O"), root)     # v2: append
+    cut = f_rows.agg((F.max("o_orderkey") / 10).cast("long")).collect()[0][0]
+    updates = f_rows.where(F.col("o_orderkey") < cut).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100000.0)
+    )
+    inserts = orders.where(F.col("o_orderstatus") == "P")
+    snapshots.merge_upsert(spark, root, updates.unionByName(inserts), key="o_orderkey")  # v3
+    snapshots.delete_where(spark, root, F.col("o_totalprice") >= F.lit(_CDF_DEL))        # v4
+
+    def agg(df, arm):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("o_totalprice")).alias("total_price"),
+        ).select(F.lit(arm).alias("arm"), "o_orderstatus", "n_rows", "total_price")
+
+    base_state = snapshots.read_version(spark, root, 1).select(
+        "o_orderstatus", F.lit(1).alias("__w"), "o_totalprice"
+    )
+    deltas = snapshots.log_replay_deltas(spark, root, 1, 4, key="o_orderkey").select(
+        "o_orderstatus", "__w", "o_totalprice"
+    )
+    replayed = (
+        base_state.unionByName(deltas)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("__w").cast("long").alias("n_rows"),
+            dec_sum(F.col("o_totalprice") * F.col("__w")).alias("total_price"),
+        )
+        .where(F.col("n_rows") > 0)
+        .select(F.lit("replayed").alias("arm"), "o_orderstatus", "n_rows", "total_price")
+    )
+    direct = agg(snapshots.read_version(spark, root, 4), "direct")
+    return direct.unionByName(replayed)

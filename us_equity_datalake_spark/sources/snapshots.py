@@ -895,6 +895,52 @@ def stage_incremental_files(path: str, staging_dir: str, state_path: str) -> lis
     return staged
 
 
+def log_replay_deltas(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    *,
+    key: str,
+    modes_out: "list | None" = None,
+) -> DataFrame:
+    """SIGNED row deltas for maintaining a downstream aggregate across ANY
+    commit sequence — the dispatcher a Delta-CDF streaming consumer runs:
+    per transition v→v+1, take the append-only fast path when no file was
+    removed (the delta is the manifest set-difference, weight +1, NO join,
+    no diff compute) and fall back to the row-level change feed only when
+    a rewrite happened (insert/update_postimage +1, delete/update_preimage
+    −1).  Folding these into a per-group (count, exact-decimal sum) state
+    advances it from v_from's aggregate to v_to's without ever rescanning
+    the table.  ``modes_out`` (if a list) receives 'append'/'rewrite' per
+    transition — the dispatch decision itself, pinned in tests."""
+    from pyspark.sql import functions as F
+
+    cols = [c for c in read_version(spark, path, v_from).columns if c != key]
+    out = None
+    for v in range(v_from, v_to):
+        old = set(read_manifest(path, v)["files"])
+        new = read_manifest(path, v + 1)["files"]
+        if old - set(new):
+            cf = change_feed(spark, path, v, v + 1, key=key)
+            d = cf.select(
+                key, *cols,
+                F.when(
+                    F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+                ).otherwise(F.lit(-1)).alias("__w"),
+            )
+            mode = "rewrite"
+        else:
+            d = incremental_rows(spark, path, v, v + 1).select(
+                key, *cols, F.lit(1).alias("__w")
+            )
+            mode = "append"
+        if modes_out is not None:
+            modes_out.append(mode)
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def incremental_rows(spark: SparkSession, path: str, v_from: int, v_to: int) -> DataFrame:
     """The rows ADDED between two versions, read by FILE REFERENCES — the
     Delta streaming-source fast path: for append-only history the delta is

@@ -689,3 +689,39 @@ def test_log_replay_dispatcher_modes(spark, tmp_path):
     state = base.unionByName(deltas.select("id", "v", "__w")).groupBy("id").agg(
         F.sum("__w").alias("n")).where(F.col("n") > 0)
     assert sorted(r["id"] for r in state.collect()) == list(range(10, 120))
+
+
+def test_metadata_count_and_quarantine(spark, tmp_path):
+    """table_count answers COUNT(*) from the manifest (through appends,
+    rewrites, rollback and clone); commit_quarantined splits good/bad rows
+    with multi-violation reasons and never drops a row."""
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 100).repartition(4), path)
+    snapshots.commit(spark.range(100, 130).coalesce(1), path)
+    assert snapshots.table_count(path, 1) == 100
+    assert snapshots.table_count(path, 2) == 130
+    snapshots.delete_where(spark, path, F.col("id") < 10)
+    assert snapshots.table_count(path) == 120
+    snapshots.rollback(path, 2)
+    assert snapshots.table_count(path) == 130
+    dst = str(tmp_path / "c")
+    snapshots.clone(path, dst)
+    assert snapshots.table_count(dst) == 130
+
+    good_p, quar_p = str(tmp_path / "g"), str(tmp_path / "q")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, v double"
+    )
+    stats = snapshots.commit_quarantined(
+        df, good_p,
+        constraints={"v_small": F.col("v") < 15, "id_odd": F.col("id") % 2 == 1},
+        quarantine_path=quar_p,
+    )
+    assert stats["n_good"] + stats["n_bad"] == 20
+    assert stats["n_good"] == 7  # odd ids < 15: 1,3,...,13
+    quar = {r["id"]: r["quarantine_reasons"]
+            for r in snapshots.read_version(spark, quar_p).collect()}
+    assert quar[0] == "id_odd"                 # even, small: one violation
+    assert quar[16] == "id_odd,v_small"        # even, large: both (name-sorted)
+    assert quar[15] == "v_small" and quar[17] == "v_small"  # odd but too large
+    assert len(quar) == 13

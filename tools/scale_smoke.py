@@ -105,6 +105,8 @@ HEAVY = [
     "emb_binary_quant_topk",
     "lake_bloom_point_lookup_report",
     "lake_log_replay_agg",
+    "lake_metadata_count_report",
+    "lake_quarantine_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -63,6 +63,8 @@ _GRADING_PRIORITY = [
     "emb_binary_quant_topk",         # 1-bit sign ANN: Hamming pre-rank + rescore
     "lake_bloom_point_lookup_report",  # per-file bloom index point lookup
     "lake_log_replay_agg",           # mixed append/rewrite replay == direct
+    "lake_metadata_count_report",    # COUNT(*) from the manifest, zero jobs
+    "lake_quarantine_report",        # DLT expect_or_quarantine split
     # --- regression tail: paths touched by round-8 fixes ---
     "cms_heavy_hitters",         # sketch.py family (shares the cms fix file)
     "histogram_quantile_sketch",

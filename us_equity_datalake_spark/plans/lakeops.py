@@ -1206,3 +1206,124 @@ def lake_log_replay_agg_q(spark, sf_dir):
     )
     direct = agg(snapshots.read_version(spark, root, 4), "direct")
     return direct.unionByName(replayed)
+
+
+_MC_DEL = 300000.0  # the metadata-count fixture's delete threshold
+
+
+@register(
+    "lake_metadata_count_report",
+    oracle=f"""
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus IN ('F', 'O') AND o_totalprice < {_MC_DEL}
+    """,
+    doc="METADATA-ONLY COUNT(*) (the Delta/Iceberg metadata-query fast "
+    "path): per-file row counts are captured from the parquet footers at "
+    "commit time, so counting any version — through an append AND a "
+    "file-pruned DELETE rewrite — is a manifest sum on the driver: zero "
+    "Spark jobs, zero file opens.  The oracle recomputes each version's "
+    "count from the base table; a mismatch means the commit path lost or "
+    "duplicated rows OR the metadata drifted from the data — the "
+    "consistency this fast path depends on.  The graded frame is a local "
+    "relation built from table_count() values.",
+)
+def lake_metadata_count_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_metacount_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snapshots.commit(
+        orders.where(F.col("o_orderstatus") == "F").repartitionByRange(4, "o_orderkey"),
+        root,
+    )
+    snapshots.commit(orders.where(F.col("o_orderstatus") == "O"), root)
+    snapshots.delete_where(spark, root, F.col("o_totalprice") >= F.lit(_MC_DEL))
+    rows = [(v, snapshots.table_count(root, v)) for v in (1, 2, 3)]
+    return spark.createDataFrame(rows, "version long, n_rows long")
+
+
+@register(
+    "lake_quarantine_report",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    tagged AS (
+      SELECT *, concat_ws(',',
+        CASE WHEN NOT (o_orderkey % 7 <> 0) THEN 'key_mod' END,
+        CASE WHEN NOT (o_totalprice < {_MC_DEL}) THEN 'price_cap' END
+      ) AS reasons
+      FROM src
+    )
+    SELECT arm, grp, n_rows, total_price FROM (
+      SELECT 'good' AS arm, o_orderstatus AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {dec_sum_sql('o_totalprice')} AS total_price
+      FROM tagged WHERE reasons = '' GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'quarantine', reasons, CAST(COUNT(*) AS BIGINT),
+             {dec_sum_sql('o_totalprice')}
+      FROM tagged WHERE reasons <> '' GROUP BY reasons
+    )
+    """,
+    doc="Expectation-gated commit with QUARANTINE (the DLT "
+    "expect_or_quarantine pattern, the production alternative to "
+    "commit_checked's all-or-nothing reject): rows passing every "
+    "constraint land in the table, failing rows land in a side quarantine "
+    "table with a reasons column naming EVERY violated expectation "
+    "(multi-violation rows carry the name-sorted comma join) — an "
+    "incident never blocks the pipeline or silently drops rows.  Graded "
+    "on BOTH tables: per-status aggregates of the good rows plus "
+    "per-reason aggregates of the quarantined rows must reconstruct the "
+    "oracle's direct split of the base table.",
+)
+def lake_quarantine_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_quar_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    good_path, quar_path = os.path.join(root, "t"), os.path.join(root, "q")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).where(F.col("o_orderstatus").isin("F", "O"))
+    stats = snapshots.commit_quarantined(
+        orders, good_path,
+        constraints={
+            "price_cap": F.col("o_totalprice") < _MC_DEL,
+            "key_mod": F.col("o_orderkey") % 7 != 0,
+        },
+        quarantine_path=quar_path,
+    )
+    assert stats["n_good"] + stats["n_bad"] == orders.count()
+
+    good = (
+        snapshots.read_version(spark, good_path)
+        .groupBy(F.col("o_orderstatus").alias("grp"))
+        .agg(F.count("*").cast("long").alias("n_rows"),
+             dec_sum(F.col("o_totalprice")).alias("total_price"))
+        .select(F.lit("good").alias("arm"), "grp", "n_rows", "total_price")
+    )
+    quar = (
+        snapshots.read_version(spark, quar_path)
+        .groupBy(F.col("quarantine_reasons").alias("grp"))
+        .agg(F.count("*").cast("long").alias("n_rows"),
+             dec_sum(F.col("o_totalprice")).alias("total_price"))
+        .select(F.lit("quarantine").alias("arm"), "grp", "n_rows", "total_price")
+    )
+    return good.unionByName(quar)

@@ -66,31 +66,36 @@ def read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _data_files(commit_dir: str) -> list[str]:
-    """The commit's data-bearing files.  Spark writes a part file per task
-    even when the task had no rows; zero-row files carry no information and
-    no footer stats, so they are dropped from the manifest AND from disk
-    (one driver-side footer read per new file — the same file-count-bounded
-    design point as stats collection).  If the commit produced NO rows at
-    all, one empty file is kept as the schema anchor: a version whose
-    content is legitimately empty (delete-everything) must still be
-    readable with its schema."""
+def _data_files(commit_dir: str) -> "dict[str, int]":
+    """The commit's data-bearing files with their footer row counts
+    ({path: n_rows}).  Spark writes a part file per task even when the task
+    had no rows; zero-row files carry no information and no footer stats,
+    so they are dropped from the manifest AND from disk (one driver-side
+    footer read per new file — the same file-count-bounded design point as
+    stats collection).  If the commit produced NO rows at all, one empty
+    file is kept as the schema anchor: a version whose content is
+    legitimately empty (delete-everything) must still be readable with its
+    schema.  The row counts land in the manifest, which makes COUNT(*) a
+    metadata-only answer (:func:`table_count`) — the Delta/Iceberg
+    metadata-query fast path."""
     import pyarrow.parquet as pq
 
-    out, empties = [], []
+    out, empties = {}, []
     for f in sorted(os.listdir(commit_dir)):
         if not f.endswith(".parquet"):
             continue
         p = os.path.join(commit_dir, f)
-        if pq.ParquetFile(p).metadata.num_rows == 0:
+        n = pq.ParquetFile(p).metadata.num_rows
+        if n == 0:
             empties.append(p)
             continue
-        out.append(p)
-    keep_anchor = empties[:1] if not out else []
+        out[p] = n
+    if not out and empties:
+        out[empties[0]] = 0
+        empties = empties[1:]
     for p in empties:
-        if p not in keep_anchor:
-            os.remove(p)
-    return out or keep_anchor
+        os.remove(p)
+    return out
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -319,7 +324,8 @@ def commit(
     new_v = prev_v + 1
     commit_dir = os.path.join(path, f"commit_v{new_v:06d}")
     df.write.mode("error").parquet(commit_dir)
-    new_files = _data_files(commit_dir)
+    new_counts = _data_files(commit_dir)
+    new_files = list(new_counts)
     prev_manifest = read_manifest(path, prev_v) if prev_v else {}
     if mode == "overwrite":
         files = new_files
@@ -330,6 +336,10 @@ def commit(
         files = sorted(prev_files) + new_files
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
     manifest = {"version": new_v, "mode": mode, "files": files}
+    prev_rows = prev_manifest.get("rows", {})
+    manifest["rows"] = {
+        **{f: prev_rows[f] for f in files if f in prev_rows}, **new_counts
+    }
     prev_stats = prev_manifest.get("stats", {})
     if stats_cols is None and prev_stats:
         # maintain the existing skipping index: re-collect the same columns
@@ -368,7 +378,8 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
     """
     commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
     df.write.mode("error").parquet(commit_dir)
-    new_files = _data_files(commit_dir)
+    new_counts = _data_files(commit_dir)
+    new_files = list(new_counts)
     new_stats: dict | None = None
     last_err: ConcurrentWriteError | None = None
     for _ in range(max_retries):
@@ -381,6 +392,11 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
             "version": new_v,
             "mode": "append",
             "files": sorted(prev_files) + new_files,
+        }
+        prev_rows = prev_manifest.get("rows", {})
+        manifest["rows"] = {
+            **{f: prev_rows[f] for f in prev_files if f in prev_rows},
+            **new_counts,
         }
         prev_stats = prev_manifest.get("stats", {})
         if prev_stats:
@@ -541,6 +557,20 @@ def history(path: str) -> "list[dict]":
     return rows
 
 
+def table_count(path: str, version: int | None = None) -> "int | None":
+    """COUNT(*) answered from the MANIFEST — zero Spark jobs, zero file
+    opens (the Delta/Iceberg metadata-query fast path: per-file row counts
+    were captured from the footers at commit time).  Returns None when the
+    version predates row-count capture for any of its files (fall back to
+    a scan)."""
+    v = latest_version(path) if version is None else version
+    m = read_manifest(path, v)
+    rows = m.get("rows", {})
+    if any(f not in rows for f in m["files"]):
+        return None
+    return sum(rows[f] for f in m["files"])
+
+
 def version_asof(path: str, ts: float) -> int:
     """The last version committed at or before epoch-seconds ``ts`` (the
     Delta ``TIMESTAMP AS OF`` resolution).  Raises if the table has no
@@ -567,14 +597,17 @@ def rollback(path: str, to_version: int) -> int:
     """Instant rollback: publish a NEW manifest whose file list is the old
     version's — no data movement, and the bad versions stay readable for
     forensics (the Delta RESTORE semantics)."""
-    files = read_manifest(path, to_version)["files"]
+    target = read_manifest(path, to_version)
     new_v = latest_version(path) + 1
     manifest = {
         "version": new_v,
         "mode": "rollback",
         "rolled_back_to": to_version,
-        "files": files,
+        "files": target["files"],
     }
+    for carried in ("stats", "bloom_cols", "rows"):
+        if carried in target:
+            manifest[carried] = target[carried]
     _publish(path, new_v, manifest)
     return new_v
 
@@ -599,7 +632,7 @@ def clone(src_path: str, dst_path: str, *, version: int | None = None) -> int:
         "cloned_from": {"path": src_path, "version": v},
         "files": src["files"],
     }
-    for carried in ("stats", "bloom_cols"):
+    for carried in ("stats", "bloom_cols", "rows"):
         if carried in src:
             manifest[carried] = src[carried]
     _publish(dst_path, 1, manifest)
@@ -939,6 +972,49 @@ def log_replay_deltas(
             modes_out.append(mode)
         out = d if out is None else out.unionByName(d)
     return out
+
+
+def commit_quarantined(
+    df: DataFrame,
+    path: str,
+    *,
+    constraints: "dict[str, object]",
+    quarantine_path: str,
+    mode: str = "append",
+) -> dict:
+    """Expectation-gated commit with QUARANTINE (the Delta Live Tables
+    'expect_or_quarantine' pattern — the production alternative to
+    :func:`commit_checked`'s all-or-nothing reject): rows passing EVERY
+    constraint commit to the table; failing rows commit to a side
+    quarantine table with a ``quarantine_reasons`` column naming every
+    violated expectation (comma-joined, name-sorted), so a data-quality
+    incident never blocks the pipeline OR silently drops rows — the bad
+    rows stay queryable, re-processable, and auditable.  One pass over the
+    frame, split by one row-local predicate; both commits are ordinary
+    snapshot commits (time travel, CDF, vacuum all apply to the
+    quarantine table too).  Returns {"version", "quarantine_version",
+    "n_good", "n_bad"} (counts metadata-only via :func:`table_count`)."""
+    from pyspark.sql import functions as F
+
+    reasons = F.array_compact(
+        F.array(*[
+            F.when(~F.coalesce(c, F.lit(False)), F.lit(name))
+            for name, c in sorted(constraints.items())
+        ])
+    )
+    tagged = df.withColumn("__reasons", reasons)
+    good = tagged.where(F.size("__reasons") == 0).drop("__reasons")
+    bad = tagged.where(F.size("__reasons") > 0).withColumn(
+        "quarantine_reasons", F.concat_ws(",", "__reasons")
+    ).drop("__reasons")
+    v_good = commit(good, path, mode=mode)
+    v_bad = commit(bad, quarantine_path, mode=mode)
+    return {
+        "version": v_good,
+        "quarantine_version": v_bad,
+        "n_good": table_count(path, v_good),
+        "n_bad": table_count(quarantine_path, v_bad),
+    }
 
 
 def incremental_rows(spark: SparkSession, path: str, v_from: int, v_to: int) -> DataFrame:

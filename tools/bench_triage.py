@@ -89,6 +89,18 @@ WRITE_PATH = {
     "streaming_from_snapshot_sink": "REAL streaming engine: three snapshot commits tailed through "
     "the manifest-delta feed into FOUR availableNow runs against one checkpoint (cross-commit "
     "watermark resume is the graded behavior); the oracle reads the plain table once",
+    "lake_log_replay_agg": "four commits incl. a merge and a delete + the per-transition "
+    "dispatched feeds + the replayed-vs-direct identity aggregation",
+    "lake_bloom_point_lookup_report": "clustered commit + a distributed bloom-index build pass "
+    "(countDistinct + positions per file) + the pruned point read; the oracle filters the cached "
+    "base table",
+    "lake_metadata_count_report": "three commits incl. a file-pruned delete; the graded counts "
+    "are manifest sums (zero jobs) but the commits are real writes",
+    "lake_quarantine_report": "two expectation-split commits + two table reads; the oracle "
+    "splits the base table with zero writes",
+    "streaming_cms_heavy_hitters_sink": "REAL streaming engine: applyInPandasWithState CMS grid "
+    "across two availableNow runs + checkpoint + parquet sink; the oracle builds the grids in "
+    "SQL with zero writes",
 }
 
 COMPUTE_NOTES_R7 = {

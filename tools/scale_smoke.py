@@ -107,6 +107,7 @@ HEAVY = [
     "lake_log_replay_agg",
     "lake_metadata_count_report",
     "lake_quarantine_report",
+    "streaming_cms_heavy_hitters_sink",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -65,6 +65,7 @@ _GRADING_PRIORITY = [
     "lake_log_replay_agg",           # mixed append/rewrite replay == direct
     "lake_metadata_count_report",    # COUNT(*) from the manifest, zero jobs
     "lake_quarantine_report",        # DLT expect_or_quarantine split
+    "streaming_cms_heavy_hitters_sink",  # CMS grid in the state store
     # --- regression tail: paths touched by round-8 fixes ---
     "cms_heavy_hitters",         # sketch.py family (shares the cms fix file)
     "histogram_quantile_sketch",

@@ -861,3 +861,81 @@ def streaming_from_snapshot_sink_q(spark, sf_dir):
         F.unix_timestamp("window_start").alias("bucket_ts"),
         "event_type", "n", "total_value",
     )
+
+
+def _cms_stream_oracle(n_shards: int = 4) -> str:
+    from us_equity_datalake_spark.operators.sketch import cms_sql
+
+    parts, finals = [], []
+    for s in range(n_shards):
+        grid, probe_arr = cms_sql(f"u{s}", "u", depth=4, width=1024, seed=101)
+        parts.append(f"""
+    u{s} AS (
+      SELECT CAST(user_id AS VARCHAR) AS u FROM events WHERE user_id % {n_shards} = {s}
+    ),
+    g{s} AS ({grid}),
+    d{s} AS (
+      SELECT DISTINCT user_id, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events WHERE user_id % {n_shards} = {s}
+    ),
+    p{s} AS (
+      SELECT user_id, unnest({probe_arr}) AS bucket, unnest(range(0, 4)) AS row_i
+      FROM d{s}
+    ),
+    e{s} AS (
+      SELECT CAST({s} AS BIGINT) AS shard, p.user_id,
+             CAST(MIN(g.c) AS BIGINT) AS cms_n
+      FROM p{s} p JOIN g{s} g USING (row_i, bucket)
+      GROUP BY p.user_id
+    )""")
+        finals.append(f"SELECT * FROM e{s}")
+    return "WITH " + ",".join(p.strip() for p in parts) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+@register(
+    "streaming_cms_heavy_hitters_sink",
+    oracle=_cms_stream_oracle(),
+    doc="SKETCH-IN-STATE through the REAL engine: a fixed 4x1024 Count-Min "
+    "grid lives in the state store per shard (bounded state for an "
+    "unbounded key space — the 100 TB streaming-counting property), fed "
+    "across TWO availableNow runs against one checkpoint (the second "
+    "run's grid RESUMES from the first's — integer adds are commutative, "
+    "so the final grid depends only on the event multiset).  Each "
+    "invocation emits the shard's current estimates tagged with a "
+    "monotone n_seen; the graded read-back takes each shard's LAST "
+    "report, which must equal the batch-built per-shard CMS the oracle "
+    "computes with the same md5 universal-hash family — bit-exact, "
+    "including the overestimates.",
+)
+def streaming_cms_heavy_hitters_sink_q(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from us_equity_datalake_spark.streaming.stateful import cms_heavy_hitters_stream
+
+    root = _scratch(sf_dir, "cmsstate")
+    src, sink, ckpt = (os.path.join(root, d) for d in ("src", "sink", "ckpt"))
+    events = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    chunks = [events.where(F.col("ts") < F.lit(mid)),
+              events.where(F.col("ts") >= F.lit(mid))]
+    for chunk in chunks:
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            cms_heavy_hitters_stream(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(sink)
+    w = Window.partitionBy("shard")
+    return (
+        out.withColumn("__mx", F.max("n_seen").over(w))
+        .where(F.col("n_seen") == F.col("__mx"))
+        .select("shard", "user_id", "cms_n")
+    )

@@ -210,3 +210,107 @@ def universe_lifecycle_timeout(presences: DataFrame, *, grace_days: int = 14) ->
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-in-state: a Count-Min grid lives in the engine's state store — the
+# bounded-state answer to counting an unbounded key space in a stream.  The
+# grid is FIXED-SIZE however many keys arrive (the 100 TB property); the
+# per-shard candidate list is the report's enumeration aid (production pairs
+# the grid with a space-saving top-k of the same fixed size).  The grid uses
+# the SAME md5 universal-hash family as the batch CMS (operators/sketch.py),
+# so the streamed state grades bit-exactly against the batch-built oracle.
+# ---------------------------------------------------------------------------
+
+CMS_STATE_DEPTH = 4
+CMS_STATE_WIDTH = 1024
+CMS_STATE_SEED = 101  # = operators.sketch.CMS_SEED: shared hash family
+
+CMS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cms_n", T.LongType()),
+        T.StructField("n_seen", T.LongType()),  # monotone: pick max per shard
+    ]
+)
+CMS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("grid", T.BinaryType()),   # depth x width int64, packed
+        T.StructField("users", T.BinaryType()),  # distinct user ids, packed
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def cms_heavy_hitters_stream(events: DataFrame, *, n_shards: int = 4) -> DataFrame:
+    """(user_id) stream → per-shard CMS estimates, state = one fixed grid.
+
+    Each micro-batch folds its rows into the shard's grid (numpy
+    ``add.at`` — commutative integer adds, so the final grid depends only
+    on the multiset of events, never on batching) and emits the CURRENT
+    estimate for every user the shard has seen, tagged with the monotone
+    ``n_seen`` so a reader takes the last report per shard.  Estimates are
+    md5-universal-hash CMS, bit-identical to the batch grid the oracle
+    builds per shard."""
+    import numpy as np
+
+    from us_equity_datalake_spark.functions.hashing import MERSENNE_P, perm_coefficients
+
+    coeffs = perm_coefficients(CMS_STATE_DEPTH, CMS_STATE_SEED)
+
+    def positions(uid: int) -> list[int]:
+        import hashlib
+
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16)
+        return [(h * a + b) % MERSENNE_P % CMS_STATE_WIDTH for a, b in coeffs]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            grid_b, users_b, n_seen = state.get
+            grid = np.frombuffer(grid_b, dtype=np.int64).reshape(
+                CMS_STATE_DEPTH, CMS_STATE_WIDTH
+            ).copy()
+            users = set(np.frombuffer(users_b, dtype=np.int64).tolist())
+        else:
+            grid = np.zeros((CMS_STATE_DEPTH, CMS_STATE_WIDTH), dtype=np.int64)
+            users, n_seen = set(), 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            counts = batch["user_id"].value_counts()
+            for uid, cnt in counts.items():
+                uid = int(uid)
+                users.add(uid)
+                for d, p in enumerate(positions(uid)):
+                    grid[d, p] += int(cnt)
+            n_seen += int(len(batch))
+        state.update((
+            grid.tobytes(),
+            np.array(sorted(users), dtype=np.int64).tobytes(),
+            n_seen,
+        ))
+        out = [
+            {"shard": shard, "user_id": u,
+             "cms_n": int(min(grid[d, p] for d, p in enumerate(positions(u)))),
+             "n_seen": n_seen}
+            for u in sorted(users)
+        ]
+        yield (
+            pd.DataFrame(out, columns=["shard", "user_id", "cms_n", "n_seen"])
+            if out
+            else pd.DataFrame(columns=["shard", "user_id", "cms_n", "n_seen"])
+        )
+
+    import pyspark.sql.functions as F
+
+    keyed = events.select(
+        (F.col("user_id") % n_shards).alias("shard"), "user_id", "ts"
+    ).withWatermark("ts", "1 second")
+    return keyed.groupBy("shard").applyInPandasWithState(
+        fn,
+        CMS_OUTPUT_SCHEMA,
+        CMS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -771,3 +771,26 @@ def test_curation_funnel_positive_dedup_arm(spark):
     assert en["n_kept"] == 2
     # token budget counts the KEPT docs only (both kept docs have 22 tokens)
     assert en["tokens_kept"] == en["n_kept"] * 22
+
+
+def test_ema_closed_form_equals_pandas_recurrence(spark):
+    """The windowed-prefix-sum EMA equals pandas ewm(alpha=0.5,
+    adjust=False) BIT-EXACTLY on integer-cent inputs: with a dyadic alpha
+    and integer terms, every intermediate is an exact double, so the
+    parallel closed form and the sequential recurrence cannot drift."""
+    import pyspark.sql.functions as F
+
+    from us_equity_datalake_spark.plans import REGISTRY
+    from us_equity_datalake_spark.plans.quant import _daily
+
+    sf = "/root/testdata/sf0.01"
+    got = REGISTRY["ema_daily_close"].fn(spark, sf).toPandas()
+    d = _daily(spark, sf).select(
+        "security_id", "d",
+        F.floor(F.col("close") * 100 + F.lit(0.5)).alias("cents"),
+    ).toPandas().sort_values(["security_id", "d"])
+    d["want"] = d.groupby("security_id")["cents"].transform(
+        lambda s: s.ewm(alpha=0.5, adjust=False).mean()
+    )
+    m = got.merge(d, on=["security_id", "d"])
+    assert len(m) == len(got) and (m.ema_cents != m.want).sum() == 0

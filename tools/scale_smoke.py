@@ -108,6 +108,7 @@ HEAVY = [
     "lake_metadata_count_report",
     "lake_quarantine_report",
     "streaming_cms_heavy_hitters_sink",
+    "ema_daily_close",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

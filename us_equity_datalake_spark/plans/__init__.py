@@ -66,6 +66,7 @@ _GRADING_PRIORITY = [
     "lake_metadata_count_report",    # COUNT(*) from the manifest, zero jobs
     "lake_quarantine_report",        # DLT expect_or_quarantine split
     "streaming_cms_heavy_hitters_sink",  # CMS grid in the state store
+    "ema_daily_close",               # EMA recurrence as one prefix sum
     # --- regression tail: paths touched by round-8 fixes ---
     "cms_heavy_hitters",         # sketch.py family (shares the cms fix file)
     "histogram_quantile_sketch",

@@ -794,3 +794,33 @@ def test_ema_closed_form_equals_pandas_recurrence(spark):
     )
     m = got.merge(d, on=["security_id", "d"])
     assert len(m) == len(got) and (m.ema_cents != m.want).sum() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    """Triangle counting on hand-checkable graphs: a 4-clique (4 triangles,
+    clustering 1.0), a star (0 triangles), and duplicate/reversed edge
+    input normalizing to a simple graph."""
+    from us_equity_datalake_spark.operators.components import triangle_count
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df).collect()[0]
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = run(clique)
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["clustering_ppm"] == 1_000_000  # every wedge closed
+
+    star = [(0, i) for i in range(1, 6)]
+    r = run(star)
+    assert (r["n_triangles"], r["clustering_ppm"]) == (0, 0)
+
+    # dup + reversed + self-loop edges normalize away
+    messy = clique + [(b, a) for a, b in clique] + [(1, 1), (2, 3), (2, 3)]
+    r = run(messy)
+    assert (r["n_edges"], r["n_triangles"]) == (6, 4)
+
+    # triangle hanging off a hub: degree orientation still finds exactly 1
+    hub = [(0, i) for i in range(1, 8)] + [(1, 2)]
+    r = run(hub)
+    assert r["n_triangles"] == 1

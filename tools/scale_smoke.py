@@ -109,6 +109,7 @@ HEAVY = [
     "lake_quarantine_report",
     "streaming_cms_heavy_hitters_sink",
     "ema_daily_close",
+    "graph_triangle_count",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

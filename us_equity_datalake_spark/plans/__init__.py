@@ -67,6 +67,7 @@ _GRADING_PRIORITY = [
     "lake_quarantine_report",        # DLT expect_or_quarantine split
     "streaming_cms_heavy_hitters_sink",  # CMS grid in the state store
     "ema_daily_close",               # EMA recurrence as one prefix sum
+    "graph_triangle_count",          # degree-ordered triangle enumeration
     # --- regression tail: paths touched by round-8 fixes ---
     "cms_heavy_hitters",         # sketch.py family (shares the cms fix file)
     "histogram_quantile_sketch",

@@ -1051,3 +1051,70 @@ def hll_merge_report(spark, sf_dir):
         direct.select(F.lit("direct").alias("arm"), "*")
     )
     return out.crossJoin(F.broadcast(exact))
+
+
+# ---------------------------------------------------------------------------
+# Degree-ordered triangle counting (Suri-Vassilvitskii / Cohen): the classic
+# distributed-graph benchmark over the part co-purchase graph.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey % 10 = 0
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(x.p, y.p) AS a, GREATEST(x.p, y.p) AS b
+      FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p
+    ),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+    de AS (
+      SELECT e.a, e.b, da.deg AS deg_a, db.deg AS deg_b
+      FROM e JOIN deg da ON e.a = da.a JOIN deg db ON e.b = db.a
+    ),
+    oriented AS (
+      SELECT CASE WHEN (deg_a, a) < (deg_b, b) THEN a ELSE b END AS lo,
+             CASE WHEN (deg_a, a) < (deg_b, b) THEN b ELSE a END AS hi
+      FROM de
+    ),
+    w AS (
+      SELECT a1.lo AS p, a1.hi AS x, a2.hi AS y
+      FROM oriented a1 JOIN oriented a2 ON a1.lo = a2.lo AND a1.hi <> a2.hi
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w
+      WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.lo = w.x AND o.hi = w.y)
+    ),
+    wopen AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS nw FROM deg)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT n FROM tri) AS n_triangles,
+           CASE WHEN (SELECT nw FROM wopen) > 0
+                THEN (3 * (SELECT n FROM tri) * 1000000) // (SELECT nw FROM wopen)
+                ELSE 0 END AS clustering_ppm
+    """,
+    doc="Degree-ordered triangle counting (Suri-Vassilvitskii MapReduce "
+    "triangles / Cohen orientation) over the part co-purchase graph "
+    "(parts sharing an order, every-10th-part slice): orient each edge "
+    "from the lower-(degree, id) endpoint so every triangle is "
+    "enumerated EXACTLY ONCE and wedge fan-out is bounded by oriented "
+    "out-degree — O(m^1.5) total regardless of hub parts, where the "
+    "naive wedge join explodes on the hottest part (the skew killer in "
+    "co-occurrence graphs).  Graded: vertex/edge/triangle counts plus "
+    "the global clustering coefficient as integer ppm (the bit-exact "
+    "ratio discipline).  Two shuffles (wedges, closure semi-join).",
+)
+def graph_triangle_count_q(spark, sf_dir):
+    from us_equity_datalake_spark.operators.components import triangle_count
+
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_partkey") % 10 == 0)
+    li = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") != F.col("y.p")))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    return triangle_count(pairs)

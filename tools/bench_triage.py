@@ -104,6 +104,10 @@ WRITE_PATH = {
 }
 
 COMPUTE_NOTES_R7 = {
+    "q4_operator_roundtrip": "r8 flag triage: in-suite 1.45 (r7) -> 1.8-2.6 s across two r8 "
+    "suite runs with an IDENTICAL plan (PLANS.md row unchanged: 1 scan/1 push/SMJ-only) and "
+    "zero code changes on its path; isolated fresh-JVM noop best-of-3 measured 2.13 s. "
+    "Variance, not regression — no action available without a plan or code delta to revert",
     "bpe_vocab_train": "12 merge rounds = 12 vocab aggregations + 12 argmax collects + 12 "
     "localCheckpoints (dimension-sized jobs; the corpus is scanned once; sf1 ladder flat at 1.0x)",
     "bpe_encode_report": "the same 12-round train loop + the final-vocab subword aggregation",

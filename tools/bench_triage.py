@@ -101,6 +101,9 @@ WRITE_PATH = {
     "streaming_cms_heavy_hitters_sink": "REAL streaming engine: applyInPandasWithState CMS grid "
     "across two availableNow runs + checkpoint + parquet sink; the oracle builds the grids in "
     "SQL with zero writes",
+    "lake_ivm_join_report": "five snapshot commits across three tables (two bases + the "
+    "materialized view and its delta-join maintenance commit) + the maintained-vs-direct "
+    "identity aggregation; the oracle joins the base tables with zero writes",
 }
 
 COMPUTE_NOTES_R7 = {

@@ -110,6 +110,7 @@ HEAVY = [
     "streaming_cms_heavy_hitters_sink",
     "ema_daily_close",
     "graph_triangle_count",
+    "lake_ivm_join_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

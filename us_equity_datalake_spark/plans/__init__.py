@@ -68,6 +68,7 @@ _GRADING_PRIORITY = [
     "streaming_cms_heavy_hitters_sink",  # CMS grid in the state store
     "ema_daily_close",               # EMA recurrence as one prefix sum
     "graph_triangle_count",          # degree-ordered triangle enumeration
+    "lake_ivm_join_report",          # delta-join view maintenance == rebuild
     # --- regression tail: paths touched by round-8 fixes ---
     "cms_heavy_hitters",         # sketch.py family (shares the cms fix file)
     "histogram_quantile_sketch",

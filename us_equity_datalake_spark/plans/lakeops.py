@@ -1327,3 +1327,93 @@ def lake_quarantine_q(spark, sf_dir):
         .select(F.lit("quarantine").alias("arm"), "grp", "n_rows", "total_price")
     )
     return good.unionByName(quar)
+
+
+@register(
+    "lake_ivm_join_report",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    b AS (SELECT c_custkey, c_mktsegment FROM customer),
+    j AS (SELECT o_orderstatus, c_mktsegment, o_totalprice
+          FROM a JOIN b ON o_custkey = c_custkey)
+    SELECT arm, o_orderstatus, c_mktsegment, n_rows, total_price FROM (
+      SELECT 'direct' AS arm, o_orderstatus, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {dec_sum_sql('o_totalprice')} AS total_price
+      FROM j GROUP BY o_orderstatus, c_mktsegment
+      UNION ALL
+      SELECT 'maintained', o_orderstatus, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT), {dec_sum_sql('o_totalprice')}
+      FROM j GROUP BY o_orderstatus, c_mktsegment
+    )
+    """,
+    doc="INCREMENTAL VIEW MAINTENANCE for a JOIN (the delta-join algebra "
+    "beyond aggregate maintenance): a materialized join view V = A ⋈ B "
+    "is advanced after appends to BOTH base tables by committing ONLY "
+    "ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — O(Δ) join work against the pre-append "
+    "snapshots (time travel provides exactly the A₁/B₁ the algebra "
+    "needs; the deltas come from the manifest set-difference fast path), "
+    "never a view rebuild.  The maintained view's aggregate must equal a "
+    "direct join of the final tables — the identity the oracle hashes "
+    "from the base tables for both arms, same discipline as "
+    "lake_cdf_incremental_agg.  At 100 TB this is the difference between "
+    "a nightly view rebuild and a minutes-long delta join.",
+)
+def lake_ivm_join_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_ivm_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    a_path, b_path, v_path = (os.path.join(root, d) for d in ("a", "b", "v"))
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+
+    # v1 of both base tables, and the view materialized from them
+    snapshots.commit(orders.where(F.col("o_orderstatus") == "F"), a_path)
+    snapshots.commit(cust.where(F.col("c_custkey") % 3 != 0), b_path)
+    a1 = snapshots.read_version(spark, a_path, 1)
+    b1 = snapshots.read_version(spark, b_path, 1)
+    view_cols = ["o_orderstatus", "c_mktsegment", "o_totalprice"]
+    snapshots.commit(
+        a1.join(b1, F.col("o_custkey") == F.col("c_custkey")).select(*view_cols),
+        v_path,
+    )
+
+    # appends land on BOTH sides
+    snapshots.commit(orders.where(F.col("o_orderstatus") == "O"), a_path)
+    snapshots.commit(cust.where(F.col("c_custkey") % 3 == 0), b_path)
+
+    # delta-join maintenance: ΔA⋈B1 ∪ A1⋈ΔB ∪ ΔA⋈ΔB — one O(Δ) commit
+    da = snapshots.incremental_rows(spark, a_path, 1, 2)
+    db = snapshots.incremental_rows(spark, b_path, 1, 2)
+    on = F.col("o_custkey") == F.col("c_custkey")
+    delta_view = (
+        da.join(b1, on).select(*view_cols)
+        .unionByName(a1.join(db, on).select(*view_cols))
+        .unionByName(da.join(db, on).select(*view_cols))
+    )
+    snapshots.commit(delta_view, v_path)
+
+    def agg(df, arm):
+        return df.groupBy("o_orderstatus", "c_mktsegment").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("o_totalprice")).alias("total_price"),
+        ).select(F.lit(arm).alias("arm"), "o_orderstatus", "c_mktsegment",
+                 "n_rows", "total_price")
+
+    maintained = agg(snapshots.read_version(spark, v_path), "maintained")
+    direct = agg(
+        snapshots.read_version(spark, a_path).join(
+            snapshots.read_version(spark, b_path), on
+        ).select(*view_cols),
+        "direct",
+    )
+    return direct.unionByName(maintained)

@@ -725,3 +725,43 @@ def test_metadata_count_and_quarantine(spark, tmp_path):
     assert quar[16] == "id_odd,v_small"        # even, large: both (name-sorted)
     assert quar[15] == "v_small" and quar[17] == "v_small"  # odd but too large
     assert len(quar) == 13
+
+
+def test_ivm_join_maintenance_commit_is_delta_sized(spark, tmp_path):
+    """Join-view IVM: the maintenance commit contains ONLY the delta-join
+    rows (dA><B1 + A1><dB + dA><dB) — O(delta), never a view rebuild —
+    and the maintained view equals a direct join of the final tables."""
+    a_p, b_p, v_p = (str(tmp_path / d) for d in "abv")
+    a1 = spark.createDataFrame([(i, i % 4) for i in range(40)], "k long, g long")
+    b1 = spark.createDataFrame([(g, f"s{g}") for g in range(3)], "g long, seg string")
+    snapshots.commit(a1, a_p)
+    snapshots.commit(b1, b_p)
+    va = snapshots.read_version(spark, a_p, 1)
+    vb = snapshots.read_version(spark, b_p, 1)
+    snapshots.commit(va.join(vb, "g").select("k", "g", "seg"), v_p)
+
+    da = spark.createDataFrame([(i, i % 4) for i in range(40, 50)], "k long, g long")
+    db = spark.createDataFrame([(3, "s3")], "g long, seg string")
+    snapshots.commit(da, a_p)
+    snapshots.commit(db, b_p)
+    d_a = snapshots.incremental_rows(spark, a_p, 1, 2)
+    d_b = snapshots.incremental_rows(spark, b_p, 1, 2)
+    delta_view = (
+        d_a.join(vb, "g").select("k", "g", "seg")
+        .unionByName(va.join(d_b, "g").select("k", "g", "seg"))
+        .unionByName(d_a.join(d_b, "g").select("k", "g", "seg"))
+    )
+    snapshots.commit(delta_view, v_p)
+
+    # the maintenance commit's rows are metadata-countable and delta-sized:
+    # dA(g<3): 7 rows + A1(g=3): 10 rows + dA(g=3): 3 rows = 20 << 50
+    added = snapshots.table_count(v_p, 2) - snapshots.table_count(v_p, 1)
+    assert added == 20
+
+    direct = (
+        snapshots.read_version(spark, a_p).join(snapshots.read_version(spark, b_p), "g")
+        .select("k", "g", "seg")
+    )
+    view = snapshots.read_version(spark, v_p)
+    assert view.count() == direct.count() == 50
+    assert view.exceptAll(direct).count() == 0 and direct.exceptAll(view).count() == 0

@@ -235,3 +235,53 @@ def test_lifecycle_timeout_gap_reappearance_takes_data_path(spark, tmp_path):
         ("REUSE", D(2024, 1, 16), "delisted", "gap"),
         ("REUSE", D(2024, 1, 25), "listed", None),
     }
+
+
+def test_lifecycle_timeout_group_spanning_arrow_chunks(spark, tmp_path):
+    """Regression for the multi-chunk ordering fix: a group whose rows span
+    MULTIPLE Arrow record batches must sort ONCE across the whole
+    group-batch before the gap state machine runs — per-chunk sorting
+    processes a later chunk first and emits phantom gap events.  Forced by
+    shrinking arrow.maxRecordsPerBatch far below the group size and
+    feeding the rows in REVERSE time order."""
+    import datetime as dt
+
+    from pyspark.sql import Row, functions as F, types as T
+
+    from us_equity_datalake_spark.streaming.stateful import universe_lifecycle_timeout
+
+    schema = T.StructType([
+        T.StructField("symbol", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    base = dt.datetime(2024, 1, 1)
+    # one symbol, 400 consecutive days, written in REVERSE order: with
+    # per-chunk sorting (100-row Arrow batches) the later chunk arrives
+    # first and every chunk boundary fabricates a gap
+    rows = [Row(symbol="AAA", ts=base + dt.timedelta(days=i))
+            for i in range(399, -1, -1)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src).withWatermark(
+            "ts", "1 second"
+        )
+        q = (
+            universe_lifecycle_timeout(stream, grace_days=14)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = spark.read.parquet(str(tmp_path / "sink")).collect()
+    # exactly ONE event: the initial listing; consecutive days have no gap
+    assert [(r["event"], r["via"]) for r in got] == [("listed", None)]
+    assert got[0]["event_date"] == dt.date(2024, 1, 1)

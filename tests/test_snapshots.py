@@ -765,3 +765,41 @@ def test_ivm_join_maintenance_commit_is_delta_sized(spark, tmp_path):
     view = snapshots.read_version(spark, v_p)
     assert view.count() == direct.count() == 50
     assert view.exceptAll(direct).count() == 0 and direct.exceptAll(view).count() == 0
+
+
+def test_schema_enforced_on_write(spark, tmp_path):
+    """Delta schema-on-write: an append may ADD columns (the additive
+    evolution read_version_merged serves) but dropping or retyping an
+    existing column is rejected BEFORE any file lands; overwrite or an
+    explicit allow_schema_change resets/permits; the manifest tracks the
+    additive schema union."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 3).select("id", F.lit(1.0).alias("v")), path)
+
+    # additive: fine, schema union recorded
+    snapshots.commit(
+        spark.range(3, 5).select("id", F.lit(2.0).alias("v"), F.lit("x").alias("tag")),
+        path,
+    )
+    assert set(snapshots.read_manifest(path, 2)["schema"]) == {"id", "v", "tag"}
+
+    # dropped column: rejected atomically (no version advanced)
+    with _pytest.raises(snapshots.SchemaEnforcementError, match="dropped"):
+        snapshots.commit(spark.range(5, 7).select("id"), path)
+    # retyped column: rejected
+    with _pytest.raises(snapshots.SchemaEnforcementError, match="retyped"):
+        snapshots.commit(
+            spark.range(5, 7).select("id", F.lit("oops").alias("v")), path
+        )
+    assert snapshots.latest_version(path) == 2
+
+    # the retry path enforces the same contract
+    with _pytest.raises(snapshots.SchemaEnforcementError):
+        snapshots.commit_with_retry(spark.range(5, 7).select("id"), path)
+
+    # explicit escape hatches
+    snapshots.commit(spark.range(5, 7).select("id"), path, allow_schema_change=True)
+    snapshots.commit(spark.range(0, 2).select("id"), path, mode="overwrite")
+    assert set(snapshots.read_manifest(path, snapshots.latest_version(path))["schema"]) == {"id"}

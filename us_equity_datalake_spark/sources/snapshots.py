@@ -278,6 +278,10 @@ def _bloom_might_contain(data_file: str, col: str, value) -> bool:
     return True
 
 
+class SchemaEnforcementError(ValueError):
+    """An append would drop or retype columns of the table schema."""
+
+
 def commit(
     df: DataFrame,
     path: str,
@@ -286,6 +290,7 @@ def commit(
     replace: "callable | None" = None,
     stats_cols: "list[str] | None" = None,
     bloom_cols: "list[str] | None" = None,
+    allow_schema_change: bool = False,
 ) -> int:
     """Write ``df`` as a new immutable commit and a new manifest.
 
@@ -317,16 +322,43 @@ def commit(
       Probed by :func:`read_version_point`; the manifest records only
       ``bloom_cols`` so later commits maintain the index like stats.
 
+    Schema is ENFORCED ON WRITE (the Delta contract): an append-mode
+    commit must carry every existing column at its existing type — new
+    columns are fine (the additive evolution ``read_version_merged``
+    serves), but a dropped or retyped column is rejected BEFORE any file
+    lands unless ``allow_schema_change=True`` (or ``mode='overwrite'``,
+    which replaces the schema with the data).  Silent drops/retypes are
+    how a lake quietly loses a column at version 847.
+
     Returns the new version number.  Files land under ``commit_v{N}/`` so a
     commit's files are identifiable without tracking Spark's part-file names.
     """
     prev_v = latest_version(path)
     new_v = prev_v + 1
+    prev_manifest = read_manifest(path, prev_v) if prev_v else {}
+    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    prev_schema = prev_manifest.get("schema")
+    if (
+        mode != "overwrite"
+        and not allow_schema_change
+        and prev_schema is not None
+    ):
+        dropped = {c for c in prev_schema if c not in new_schema}
+        retyped = {
+            c: (prev_schema[c], new_schema[c])
+            for c in prev_schema
+            if c in new_schema and new_schema[c] != prev_schema[c]
+        }
+        if dropped or retyped:
+            raise SchemaEnforcementError(
+                f"append to {path} rejected before any file landed: "
+                f"dropped columns {sorted(dropped)}, retyped {retyped}; "
+                "pass allow_schema_change=True (or overwrite) if intended"
+            )
     commit_dir = os.path.join(path, f"commit_v{new_v:06d}")
     df.write.mode("error").parquet(commit_dir)
     new_counts = _data_files(commit_dir)
     new_files = list(new_counts)
-    prev_manifest = read_manifest(path, prev_v) if prev_v else {}
     if mode == "overwrite":
         files = new_files
     else:
@@ -336,6 +368,11 @@ def commit(
         files = sorted(prev_files) + new_files
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
     manifest = {"version": new_v, "mode": mode, "files": files}
+    manifest["schema"] = (
+        new_schema
+        if mode == "overwrite" or prev_schema is None
+        else {**prev_schema, **new_schema}  # additive union; types validated
+    )
     prev_rows = prev_manifest.get("rows", {})
     manifest["rows"] = {
         **{f: prev_rows[f] for f in files if f in prev_rows}, **new_counts
@@ -376,6 +413,18 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
 
     Returns the new version number.
     """
+    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    latest0 = latest_version(path)
+    prev_schema0 = read_manifest(path, latest0).get("schema") if latest0 else None
+    if prev_schema0 is not None:
+        dropped = {c for c in prev_schema0 if c not in new_schema}
+        retyped = {c for c in prev_schema0
+                   if c in new_schema and new_schema[c] != prev_schema0[c]}
+        if dropped or retyped:
+            raise SchemaEnforcementError(
+                f"append to {path} rejected before any file landed: "
+                f"dropped columns {sorted(dropped)}, retyped {sorted(retyped)}"
+            )
     commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
     df.write.mode("error").parquet(commit_dir)
     new_counts = _data_files(commit_dir)
@@ -411,6 +460,10 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
             if not os.path.exists(_bloom_sidecar(new_files[0])):
                 _write_file_blooms(df.sparkSession, new_files, prev_bloom_cols)
             manifest["bloom_cols"] = prev_bloom_cols
+        prev_schema = prev_manifest.get("schema")
+        manifest["schema"] = (
+            new_schema if prev_schema is None else {**prev_schema, **new_schema}
+        )
         try:
             _publish(path, new_v, manifest)
             return new_v
@@ -605,7 +658,7 @@ def rollback(path: str, to_version: int) -> int:
         "rolled_back_to": to_version,
         "files": target["files"],
     }
-    for carried in ("stats", "bloom_cols", "rows"):
+    for carried in ("stats", "bloom_cols", "rows", "schema"):
         if carried in target:
             manifest[carried] = target[carried]
     _publish(path, new_v, manifest)
@@ -632,7 +685,7 @@ def clone(src_path: str, dst_path: str, *, version: int | None = None) -> int:
         "cloned_from": {"path": src_path, "version": v},
         "files": src["files"],
     }
-    for carried in ("stats", "bloom_cols", "rows"):
+    for carried in ("stats", "bloom_cols", "rows", "schema"):
         if carried in src:
             manifest[carried] = src[carried]
     _publish(dst_path, 1, manifest)

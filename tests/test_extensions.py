@@ -796,6 +796,84 @@ def test_ema_closed_form_equals_pandas_recurrence(spark):
     assert len(m) == len(got) and (m.ema_cents != m.want).sum() == 0
 
 
+def test_ema_segmented_long_series_matches_pandas_and_survives_overflow(spark):
+    """The segmented (blocked-scan) EMA stays finite and correct at 1,500
+    rows per key — the regime where the naive closed form's 2^t weights
+    (a) lose integer exactness past t+log2(cents)>53 and (b) hard-overflow
+    doubles past t~1020.  Pins VERDICT r8 #4: segmented output matches the
+    sequential pandas recurrence to float-rounding tolerance everywhere,
+    while the naive weights are non-finite at the tail."""
+    import numpy as np
+
+    from us_equity_datalake_spark.plans import REGISTRY
+    from us_equity_datalake_spark.plans.quant import _EMA_LONG_N
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        REGISTRY["ema_daily_close_long"].fn(spark, sf)
+        .toPandas()
+        .sort_values(["security_id", "d"])
+        .reset_index(drop=True)
+    )
+    assert np.isfinite(got.ema_cents).all()
+    # naive closed-form weight at the series tail is not even representable
+    with np.errstate(over="ignore"):
+        assert np.isinf(np.float64(2.0) ** _EMA_LONG_N)
+
+    got["t"] = got.groupby("security_id").cumcount() + 1
+    got["cents"] = (
+        5000 + (got.security_id * 2654435761 + got.t * 40503) % 20000
+    ).astype(float)
+    want = got.groupby("security_id")["cents"].transform(
+        lambda s: s.ewm(alpha=0.5, adjust=False).mean()
+    )
+    rel = ((got.ema_cents - want).abs() / want.abs()).max()
+    assert rel < 1e-12, f"max relative error {rel}"
+    # one series spans ~47 blocks: every carry hand-off crossed a boundary
+    assert got.t.max() == _EMA_LONG_N
+
+
+def test_ema_short_form_guard_raises_past_exactness_bound(spark):
+    """ema_daily_close now FAILS LOUDLY outside its exactness regime
+    (ADVICE r8): a series long enough that cents*2^t >= 2^53 raises
+    instead of silently diverging from the oracle."""
+    import pandas as pd
+    import pytest
+
+    from us_equity_datalake_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    # fixture series (~27 rows/security, cents < 2^21) stays inside the bound
+    REGISTRY["ema_daily_close"].fn(spark, sf).collect()
+
+    # synthetic 60-row series at 6-digit cents crosses 2^53; the guard fires
+    import pyspark.sql.functions as F
+
+    from us_equity_datalake_spark.plans.quant import ema_q
+
+    long_events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1] * 60,
+                "event_id": range(60),
+                "ts": pd.date_range("2020-01-01", periods=60, freq="D"),
+                "value": [9999.99] * 60,
+            }
+        )
+    )
+    import us_equity_datalake_spark.plans.quant as quant
+
+    orig = quant._daily
+    try:
+        quant._daily = lambda spark, sf_dir: long_events.groupBy(
+            F.col("user_id").alias("security_id"), F.col("ts").cast("date").alias("d")
+        ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("close"))
+        with pytest.raises(Exception, match="exceeds 2\\^53"):
+            ema_q(spark, sf).collect()
+    finally:
+        quant._daily = orig
+
+
 def test_triangle_count_known_graphs(spark):
     """Triangle counting on hand-checkable graphs: a 4-clique (4 triangles,
     clustering 1.0), a star (0 triangles), and duplicate/reversed edge

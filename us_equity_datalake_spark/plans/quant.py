@@ -388,8 +388,19 @@ def ema_q(spark, sf_dir):
         "security_id", "d",
         F.floor(F.col("close") * 100 + F.lit(0.5)).cast("double").alias("cents"),
     ).withColumn("t", F.row_number().over(wo))
+    # Exactness guard (ADVICE r8): the closed form is exact only while every
+    # weighted term cents*2^t stays an exact double (< 2^53).  Outside that
+    # regime fail loudly instead of silently diverging from the oracle —
+    # long series belong to ema_daily_close_long's segmented scan.
+    w_raw = F.col("cents") * F.pow(F.lit(2.0), F.col("t"))
+    guarded_w = F.expr(
+        "CASE WHEN _w_raw < 9007199254740992.0D THEN _w_raw ELSE raise_error("
+        "'ema_daily_close: cents*2^t exceeds 2^53 — exactness bound violated; "
+        "use the segmented ema_daily_close_long form for long series') END"
+    )
     acc = (
-        seq.withColumn("w", F.col("cents") * F.pow(F.lit(2.0), F.col("t")))
+        seq.withColumn("_w_raw", w_raw)
+        .withColumn("w", guarded_w)
         .withColumn("s", F.sum("w").over(wc))
         .withColumn("x1", F.first("cents").over(wo))
         .withColumn("w1", F.first("w").over(wo))
@@ -399,3 +410,155 @@ def ema_q(spark, sf_dir):
         + F.lit(0.5) * F.pow(F.lit(2.0), -F.col("t")) * (F.col("s") - F.col("w1"))
     )
     return acc.select("security_id", "d", ema.alias("ema_cents"))
+
+
+# --- segmented EMA: the renormalized long-series form (VERDICT r8 #4) -------
+#
+# ema_daily_close's single prefix sum carries weights 2^t, so it is exact only
+# while t + log2(cents) < 53 and finite only while t < ~1020 — fixture-sized
+# series, not a 15-year daily history (~3,780 bars; reference CLAUDE.md:288).
+# The production form is the classic BLOCKED SCAN (Blelloch two-level scan):
+#   - split each per-security series into fixed blocks of L=32 rows; within a
+#     block the closed form carries weights <= 2^32, so with integer cents
+#     < 2^21 every in-block partial sum S_j = SUM x_i*2^(i-1) is an exact
+#     integer < 2^53 (order-independent across engines);
+#   - each block reduces to an affine map y_out = 2^-L * (y_in + S_L); the
+#     per-security block-level fold over n/32 block summaries runs as ONE
+#     sequential JVM fold (F.aggregate over the collected block array —
+#     ~118 elements for 15 years, KB-sized state), NOT a third prefix sum,
+#     because block-level weights 2^(32b) would overflow past b=31;
+#   - per-row ema = 2^-j * (carry_in + S_j): one rounded add, one exact
+#     exponent shift.  Both engines evaluate the same op sequence, so IEEE
+#     determinism makes the result bit-identical even where rounding occurs.
+# The oracle runs the identical fold as a recursive CTE — same anchor
+# 2^-L*(0.0+S_L), same step 2^-L*(carry+S_L), same final 2^-j*(carry+S_j).
+_EMA_LONG_N = 1500          # rows per security: past BOTH bounds of the naive form
+_EMA_LONG_BLOCK = 32        # in-block weights <= 2^32; cents < 2^15 by construction
+
+
+@register(
+    "ema_daily_close_long",
+    oracle=f"""
+    WITH RECURSIVE sec AS (
+      SELECT DISTINCT user_id AS security_id FROM events WHERE user_id <= 40
+    ),
+    seq AS (
+      SELECT s.security_id,
+             CAST(DATE '2010-01-04' + ((g.t - 1) * INTERVAL 1 DAY) AS DATE) AS d,
+             g.t,
+             CAST(5000 + ((s.security_id * 2654435761 + g.t * 40503) % 20000)
+                  AS DOUBLE) AS cents
+      FROM sec s
+      CROSS JOIN (SELECT unnest(generate_series(1, {_EMA_LONG_N})) AS t) g
+    ),
+    blk AS (
+      SELECT security_id, d, t, cents,
+             CAST((t - 1) // {_EMA_LONG_BLOCK} AS BIGINT) + 1 AS block,
+             CAST(((t - 1) % {_EMA_LONG_BLOCK}) + 1 AS BIGINT) AS j
+      FROM seq
+    ),
+    cum AS (
+      SELECT security_id, d, block, j,
+             SUM(cents * power(2.0, j - 1)
+                 * (CASE WHEN t = 1 THEN 2.0 ELSE 1.0 END)) OVER (
+               PARTITION BY security_id, block ORDER BY t
+               ROWS UNBOUNDED PRECEDING) AS s
+      FROM blk
+    ),
+    bs AS (
+      SELECT security_id, block, MAX(j) AS len, MAX_BY(s, j) AS s_end
+      FROM cum GROUP BY security_id, block
+    ),
+    fold AS (
+      SELECT security_id, block, CAST(0.0 AS DOUBLE) AS c_in,
+             power(2.0, -len) * (0.0 + s_end) AS c_out
+      FROM bs WHERE block = 1
+      UNION ALL
+      SELECT b.security_id, b.block, f.c_out AS c_in,
+             power(2.0, -b.len) * (f.c_out + b.s_end) AS c_out
+      FROM fold f
+      JOIN bs b ON b.security_id = f.security_id AND b.block = f.block + 1
+    )
+    SELECT c.security_id, c.d, power(2.0, -c.j) * (f.c_in + c.s) AS ema_cents
+    FROM cum c
+    JOIN fold f ON c.security_id = f.security_id AND c.block = f.block
+    """,
+    doc="Segmented (renormalized) EMA over a 1,500-row-per-security series — "
+    "the long-series regime where ema_daily_close's single prefix sum first "
+    "loses exactness (t+log2(cents) > 53) and then overflows outright "
+    "(2^t -> inf past t~1020).  Blocked scan: exact in-block integer prefix "
+    "sums under dyadic weights <= 2^32, then a per-security sequential JVM "
+    "fold (F.aggregate) over the ~n/32 block summaries, then one exact "
+    "exponent shift per row.  The DuckDB twin runs the identical fold as a "
+    "recursive CTE, so every rounded operation happens in the same order in "
+    "both engines — bit-identical without rounding the output.  The series "
+    "is derived deterministically from the events table's key space "
+    "(41 securities, modular-arithmetic cents < 2^15) so both engines "
+    "compute the same fixture.  Scale: all shuffles hash on security_id; "
+    "block fold state is KB per key (15y daily = 118 summaries); "
+    "reference anchor: technical_indicators ewm usage (reference "
+    "CLAUDE.md:288, 15-year daily series).",
+)
+def ema_long_q(spark, sf_dir):
+    L = _EMA_LONG_BLOCK
+    sec = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") <= 40)
+        .select(F.col("user_id").alias("security_id"))
+        .distinct()
+    )
+    seq = sec.select(
+        "security_id",
+        F.explode(F.sequence(F.lit(1), F.lit(_EMA_LONG_N))).alias("t"),
+    ).select(
+        "security_id",
+        F.date_add(F.lit("2010-01-04").cast("date"), F.col("t") - 1).alias("d"),
+        F.col("t").cast("long").alias("t"),
+        (
+            F.lit(5000)
+            + (F.col("security_id") * F.lit(2654435761) + F.col("t") * F.lit(40503))
+            % F.lit(20000)
+        ).cast("double").alias("cents"),
+    )
+    blk = seq.select(
+        "security_id", "d", "t", "cents",
+        (F.expr(f"(t - 1) DIV {L}") + 1).cast("long").alias("block"),
+        (((F.col("t") - 1) % L) + 1).cast("long").alias("j"),
+    )
+    wb = (
+        Window.partitionBy("security_id", "block")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = blk.select(
+        "security_id", "d", "block", "j",
+        F.sum(
+            F.col("cents")
+            * F.pow(F.lit(2.0), F.col("j") - 1)
+            * F.when(F.col("t") == 1, F.lit(2.0)).otherwise(F.lit(1.0))
+        ).over(wb).alias("s"),
+    )
+    bs = cum.groupBy("security_id", "block").agg(
+        F.max("j").alias("len"), F.max_by("s", "j").alias("s_end")
+    )
+    carr = bs.groupBy("security_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("block", "len", "s_end"))),
+            F.expr("array(CAST(0.0 AS DOUBLE))"),
+            lambda acc, x: F.array_append(
+                acc,
+                F.pow(F.lit(2.0), -x["len"]) * (F.element_at(acc, F.lit(-1)) + x["s_end"]),
+            ),
+        ).alias("carries")
+    )
+    # carries = [c_0=0, c_1, ..., c_B]; carry-IN of block b is element b (1-based)
+    c_in = carr.select(
+        "security_id",
+        F.posexplode(
+            F.slice(F.col("carries"), 1, F.size("carries") - 1)
+        ).alias("pos", "c_in"),
+    ).select("security_id", (F.col("pos") + 1).cast("long").alias("block"), "c_in")
+    return cum.join(c_in, ["security_id", "block"]).select(
+        "security_id", "d",
+        (F.pow(F.lit(2.0), -F.col("j")) * (F.col("c_in") + F.col("s"))).alias("ema_cents"),
+    )

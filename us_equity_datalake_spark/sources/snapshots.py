@@ -461,6 +461,21 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
                 _write_file_blooms(df.sparkSession, new_files, prev_bloom_cols)
             manifest["bloom_cols"] = prev_bloom_cols
         prev_schema = prev_manifest.get("schema")
+        if prev_schema is not None:
+            # Re-validate against the manifest we are ACTUALLY rebasing onto
+            # (ADVICE r8): after losing a publish race the winner may have
+            # evolved the schema; without this the {**prev, **new} union
+            # below would silently merge a drop/retype the pre-write check
+            # never saw.
+            dropped = {c for c in prev_schema if c not in new_schema}
+            retyped = {c for c in prev_schema
+                       if c in new_schema and new_schema[c] != prev_schema[c]}
+            if dropped or retyped:
+                raise SchemaEnforcementError(
+                    f"append to {path} rejected at publish (rebased onto "
+                    f"v{prev_v}): dropped columns {sorted(dropped)}, "
+                    f"retyped {sorted(retyped)}"
+                )
         manifest["schema"] = (
             new_schema if prev_schema is None else {**prev_schema, **new_schema}
         )
@@ -472,6 +487,112 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
             continue
     raise ConcurrentWriteError(
         f"append to {path} lost the publish race {max_retries} times"
+    ) from last_err
+
+
+def commit_rewrite_with_retry(
+    df: DataFrame,
+    path: str,
+    *,
+    replace,
+    max_retries: int = 5,
+) -> int:
+    """Copy-on-write partial rewrite that RECONCILES with concurrent
+    writers when the touched-file sets are DISJOINT — the Delta conflict
+    rule for rewrite/rewrite: two transactions may both land iff neither
+    removed a file the other read-and-removed (e.g. two compactions of
+    different partitions).
+
+    The dropped-file set is decided ONCE, against the snapshot this
+    transaction read (``replace(file_entry) -> bool`` over that manifest's
+    files); the replacement data is written once to a uniquely-named
+    commit directory.  On losing the publish race the commit rebases onto
+    the winner and re-checks, raising :class:`ConcurrentWriteError`
+    (no retry can fix a real conflict) when
+
+    - the winner already removed any file THIS rewrite drops (overlapping
+      rewrites — both rewrote the same region), or
+    - the winner added files matching ``replace`` that this transaction
+      never read (its replacement rows would silently swallow the
+      winner's new rows — a write-after-read conflict).
+
+    Otherwise the rebase is safe: winner's file list minus our dropped
+    files plus our new files.  Returns the new version."""
+    prev_v0 = latest_version(path)
+    if prev_v0 == 0:
+        raise ValueError(f"rewrite of {path}: table has no commits")
+    m0 = read_manifest(path, prev_v0)
+    dropped = {f for f in m0["files"] if replace(f)}
+    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
+    df.write.mode("error").parquet(commit_dir)
+    new_counts = _data_files(commit_dir)
+    new_files = list(new_counts)
+    new_stats: dict | None = None
+    last_err: ConcurrentWriteError | None = None
+    for _ in range(max_retries):
+        prev_v = latest_version(path)
+        prev_manifest = read_manifest(path, prev_v) if prev_v else {}
+        prev_files = prev_manifest.get("files", [])
+        overwritten = dropped - set(prev_files)
+        if overwritten:
+            raise ConcurrentWriteError(
+                f"rewrite of {path} conflicts with a concurrent commit: "
+                f"{len(overwritten)} of this rewrite's target files were "
+                "already removed (overlapping rewrite) — rerun the "
+                "transaction against the new snapshot"
+            )
+        unseen = [f for f in prev_files if f not in dropped and replace(f)]
+        if unseen:
+            raise ConcurrentWriteError(
+                f"rewrite of {path} conflicts with a concurrent commit: "
+                f"{len(unseen)} files matching the rewrite predicate were "
+                "added after this transaction's snapshot — rerun against "
+                "the new snapshot"
+            )
+        new_v = prev_v + 1
+        os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
+        files = sorted(f for f in prev_files if f not in dropped) + new_files
+        manifest = {"version": new_v, "mode": "replace", "files": files}
+        prev_rows = prev_manifest.get("rows", {})
+        manifest["rows"] = {
+            **{f: prev_rows[f] for f in files if f in prev_rows}, **new_counts
+        }
+        prev_stats = prev_manifest.get("stats", {})
+        if prev_stats:
+            if new_stats is None:
+                cols = sorted({c for st in prev_stats.values() for c in st})
+                new_stats = _file_stats(new_files, cols)
+            manifest["stats"] = {
+                **{f: prev_stats[f] for f in files if f in prev_stats},
+                **new_stats,
+            }
+        prev_bloom_cols = prev_manifest.get("bloom_cols")
+        if prev_bloom_cols:
+            if not os.path.exists(_bloom_sidecar(new_files[0])):
+                _write_file_blooms(df.sparkSession, new_files, prev_bloom_cols)
+            manifest["bloom_cols"] = prev_bloom_cols
+        prev_schema = prev_manifest.get("schema")
+        if prev_schema is not None:
+            dropped_cols = {c for c in prev_schema if c not in new_schema}
+            retyped = {c for c in prev_schema
+                       if c in new_schema and new_schema[c] != prev_schema[c]}
+            if dropped_cols or retyped:
+                raise SchemaEnforcementError(
+                    f"rewrite of {path} rejected: dropped columns "
+                    f"{sorted(dropped_cols)}, retyped {sorted(retyped)}"
+                )
+        manifest["schema"] = (
+            new_schema if prev_schema is None else {**prev_schema, **new_schema}
+        )
+        try:
+            _publish(path, new_v, manifest)
+            return new_v
+        except ConcurrentWriteError as e:
+            last_err = e
+            continue
+    raise ConcurrentWriteError(
+        f"rewrite of {path} lost the publish race {max_retries} times"
     ) from last_err
 
 
@@ -665,15 +786,35 @@ def rollback(path: str, to_version: int) -> int:
     return new_v
 
 
+def _clone_registrations(path: str) -> "list[dict]":
+    """Clone back-references registered against this table (one JSON file
+    per registration under ``_snapshots/`` — unique names, so registering
+    never races another writer)."""
+    d = os.path.join(path, _SNAP_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in sorted(os.listdir(d)):
+        if f.startswith("clone_") and f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
 def clone(src_path: str, dst_path: str, *, version: int | None = None) -> int:
     """Zero-copy SHALLOW CLONE (the Delta CLONE semantics): publish a v1
     manifest at ``dst_path`` that references the source version's files —
     no data copied, instant at any size.  Because data files are immutable
     and each table's log is independent, later commits to either table
-    never affect the other; the documented Delta caveat carries over too:
-    :func:`vacuum` on the SOURCE can reclaim files the clone still
-    references (a clone pins bytes logically, not physically — promote to a
-    deep copy before vacuuming if the clone must outlive source history)."""
+    never affect the other.
+
+    The clone also REGISTERS itself in the source's log (a back-reference
+    file carrying the pinned file list), which upgrades the documented
+    Delta caveat into a contract: :func:`vacuum` on the source keeps every
+    file a registered clone pins, so the clone stays readable after the
+    source expires its own history.  The registration is self-contained
+    (it embeds the pinned paths), so the pin survives even after the
+    pinned source MANIFEST is itself expired."""
     v = latest_version(src_path) if version is None else version
     src = read_manifest(src_path, v)
     if latest_version(dst_path) != 0:
@@ -689,6 +830,17 @@ def clone(src_path: str, dst_path: str, *, version: int | None = None) -> int:
         if carried in src:
             manifest[carried] = src[carried]
     _publish(dst_path, 1, manifest)
+    reg = {
+        "clone_path": os.path.realpath(dst_path),
+        "version": v,
+        "files": src["files"],
+        "registered_at": time.time(),
+    }
+    reg_path = os.path.join(
+        src_path, _SNAP_DIR, f"clone_{uuid.uuid4().hex[:12]}.json"
+    )
+    with open(reg_path, "w") as f:
+        json.dump(reg, f, sort_keys=True)
     return 1
 
 
@@ -697,7 +849,18 @@ def vacuum(path: str, *, keep_last: int = 1) -> list[str]:
     than the last ``keep_last`` versions, and drop those manifests.  Time
     travel beyond the horizon is gone after this — that is the point (the
     Delta VACUUM / Iceberg expire_snapshots trade: reclaim bytes, lose
-    history).  Returns the deleted file paths."""
+    history).  Returns the deleted file paths.
+
+    Two safety contracts (ADVICE/VERDICT r8):
+
+    - **Ownership**: only files physically located under ``path`` are ever
+      deleted.  A shallow clone's manifests reference the SOURCE table's
+      files; vacuuming a diverged clone must reclaim only the clone's own
+      bytes, never reach into the source.
+    - **Clone pins**: files pinned by a registered clone (see
+      :func:`clone`) are kept even when every manifest referencing them
+      falls outside the keep window — a clone pins bytes physically, not
+      just logically, until its registration file is removed."""
     last = latest_version(path)
     if last == 0:
         return []
@@ -706,13 +869,17 @@ def vacuum(path: str, *, keep_last: int = 1) -> list[str]:
     keep_files: set[str] = set()
     for v in keep_versions:
         keep_files.update(read_manifest(path, v)["files"])
+    for reg in _clone_registrations(path):
+        keep_files.update(reg.get("files", []))
+    root = os.path.realpath(path)
     removed: list[str] = []
     for v in range(1, last + 1):
         p = _snap_path(path, v)
         if v in keep_versions or not os.path.exists(p):
             continue
         for f in read_manifest(path, v)["files"]:
-            if f not in keep_files and os.path.exists(f):
+            owned = os.path.realpath(f).startswith(root + os.sep)
+            if f not in keep_files and owned and os.path.exists(f):
                 os.remove(f)
                 removed.append(f)
                 sc = _bloom_sidecar(f)

@@ -111,6 +111,12 @@ HEAVY = [
     "ema_daily_close",
     "graph_triangle_count",
     "lake_ivm_join_report",
+    # round 9: segmented EMA (fixed-size synthetic series per security — the
+    # ladder measures the per-security fold at 10x the security count) and
+    # the schema/clone/vacuum contract matrix (manifest-sized metadata ops;
+    # data cost is a handful of segment-slice commits)
+    "ema_daily_close_long",
+    "lake_schema_clone_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

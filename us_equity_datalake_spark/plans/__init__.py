@@ -53,9 +53,10 @@ _GRADING_PRIORITY = [
     "lake_ivm_join_report",          # delta-join view maintenance == rebuild
     # --- new in round 9 (zero gradings; inserted as built) ---
     "ema_daily_close_long",          # segmented/renormalized EMA, 1000+ rows/key
-    # TODO(r9): re-add as built: lake_schema_clone_report, doc_line_dedup_scrub_prod
+    "lake_schema_clone_report",      # schema-on-write + time travel + clone matrix
     # --- regression tail: paths round 9 touches ---
-    "doc_line_dedup_scrub",      # dedup.py line join (scale adjudication)
+    "doc_line_dedup_scrub",      # re-measured 1.65x per 10x isolated (r8 13.77x
+                                 # row was concurrent-load noise; BENCH_DETAIL sf1)
     "lake_roundtrip_report",     # snapshots.py family (vacuum/clone/retry fixes)
     "lake_time_travel_report",
     "lake_merge_upsert_report",
@@ -88,6 +89,7 @@ _GRADING_PRIORITY = [
     "near_dup_components",
     "doc_minhash_lsh_pairs",
     "master_universe_lifecycle",
+    "q4_operator_roundtrip",
 ]
 
 

@@ -1417,3 +1417,146 @@ def lake_ivm_join_q(spark, sf_dir):
         "direct",
     )
     return direct.unionByName(maintained)
+
+
+@register(
+    "lake_schema_clone_report",
+    oracle=f"""
+    WITH b AS (SELECT c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'),
+    m AS (SELECT c_acctbal FROM customer WHERE c_mktsegment = 'MACHINERY'),
+    fu AS (SELECT c_acctbal FROM customer WHERE c_mktsegment = 'FURNITURE'),
+    h AS (SELECT c_acctbal FROM customer WHERE c_mktsegment = 'HOUSEHOLD'),
+    bm AS (SELECT c_acctbal FROM b UNION ALL SELECT c_acctbal FROM m)
+    SELECT 'v1_build' AS arm, CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(2 AS BIGINT) AS n_cols,
+           {dec_sum_sql('c_acctbal')} AS acctbal_sum
+    FROM b
+    UNION ALL
+    SELECT 'schema_reject', 1, CAST(COUNT(*) AS BIGINT), 2,
+           {dec_sum_sql('c_acctbal')} FROM b
+    UNION ALL
+    SELECT 'v2_evolve', 2, CAST(COUNT(*) AS BIGINT), 3,
+           {dec_sum_sql('c_acctbal')} FROM bm
+    UNION ALL
+    SELECT 'asof_travel', 1, CAST(COUNT(*) AS BIGINT), 2,
+           {dec_sum_sql('c_acctbal')} FROM b
+    UNION ALL
+    SELECT 'cloneA_initial', 1, CAST(COUNT(*) AS BIGINT), 3,
+           {dec_sum_sql('c_acctbal')} FROM bm
+    UNION ALL
+    SELECT 'cloneB_diverged', 2, CAST(COUNT(*) AS BIGINT), 2,
+           {dec_sum_sql('c_acctbal')} FROM fu
+    UNION ALL
+    SELECT 'cloneB_vacuum_foreign', 0, 0, 0, CAST(0 AS DOUBLE)
+    UNION ALL
+    SELECT 'source_intact_after_clone_vacuum', 2, CAST(COUNT(*) AS BIGINT), 3,
+           {dec_sum_sql('c_acctbal')} FROM bm
+    UNION ALL
+    SELECT 'source_overwrite', 3, CAST(COUNT(*) AS BIGINT), 2,
+           {dec_sum_sql('c_acctbal')} FROM h
+    UNION ALL
+    SELECT 'source_vacuum_pinned', 0, 0, 0, CAST(0 AS DOUBLE)
+    UNION ALL
+    SELECT 'cloneA_after_source_vacuum', 1, CAST(COUNT(*) AS BIGINT), 3,
+           {dec_sum_sql('c_acctbal')} FROM bm
+    UNION ALL
+    SELECT 'cloneB_vacuum_owned', 0, 1, 0, CAST(0 AS DOUBLE)
+    """,
+    doc="Schema-on-write + timestamp time travel + shallow-clone contract "
+    "matrix, oracle-graded (promotes the round-8 pytest-only snapshot arms "
+    "per VERDICT r8 #6; reference anchor: the master's custom-metadata + "
+    "rebuild discipline, security_master.py:831-840).  One scratch source "
+    "table and two clones drive twelve graded arms: (1) v1 commit; (2) a "
+    "RETYPED append is rejected before any file lands (version must still "
+    "be 1); (3) an ADDITIVE append evolves the schema (3-column merged "
+    "read); (4) TIMESTAMP AS OF resolves to v1 at v1's commit stamp; "
+    "(5) zero-copy clone reads the source's files; (6) the clone diverges "
+    "by overwrite; (7) vacuuming the diverged clone removes ZERO files "
+    "(everything its expired manifest references is source-owned — the "
+    "ownership guard); (8) the source still reads intact afterwards; "
+    "(9) the source overwrites itself; (10) vacuuming the source removes "
+    "ZERO files (the registered clones pin v2's bytes); (11) the pinned "
+    "clone still reads the full pre-overwrite content; (12) a second "
+    "clone-side vacuum after further divergence reclaims exactly its ONE "
+    "owned file.  The oracle recomputes every count and exact decimal "
+    "acctbal sum from the base customer table.",
+)
+def lake_schema_clone_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_sc_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    dst_a = os.path.join(base, "cloneA")
+    dst_b = os.path.join(base, "cloneB")
+    cust = load_table(spark, "customer", sf_dir)
+    seg = lambda s: cust.where(F.col("c_mktsegment") == s)  # noqa: E731
+    two = lambda s: seg(s).select("c_custkey", "c_acctbal").coalesce(1)  # noqa: E731
+    three = lambda s: seg(s).select(  # noqa: E731
+        "c_custkey", "c_acctbal", F.col("c_nationkey").cast("long").alias("c_nationkey")
+    ).coalesce(1)
+
+    rows = []
+
+    def arm(name, version, df):
+        n_rows, s = df.agg(
+            F.count("*"), dec_sum(F.col("c_acctbal"))
+        ).collect()[0]
+        rows.append((name, version, n_rows, len(df.columns), s))
+
+    snapshots.commit(two("BUILDING"), src)                              # v1
+    t_v1 = snapshots.read_manifest(src, 1)["committed_at"]
+    arm("v1_build", 1, snapshots.read_version(spark, src, 1))
+
+    try:  # retyped column must be rejected BEFORE any file lands
+        snapshots.commit(
+            seg("AUTOMOBILE").select(
+                "c_custkey", F.col("c_acctbal").cast("string").alias("c_acctbal")
+            ).coalesce(1),
+            src,
+        )
+        rej_v = -1  # not rejected: poison the arm so the grade fails loudly
+    except snapshots.SchemaEnforcementError:
+        rej_v = snapshots.latest_version(src)
+    arm("schema_reject", rej_v, snapshots.read_version(spark, src))
+
+    snapshots.commit(three("MACHINERY"), src)                           # v2
+    arm("v2_evolve", 2, snapshots.read_version_merged(spark, src, 2))
+    arm(
+        "asof_travel",
+        snapshots.version_asof(src, t_v1),
+        snapshots.read_version_asof(spark, src, t_v1),
+    )
+
+    snapshots.clone(src, dst_a)          # pin test: never mutated again
+    arm("cloneA_initial", 1, snapshots.read_version_merged(spark, dst_a))
+
+    snapshots.clone(src, dst_b)          # ownership test: diverges now
+    snapshots.commit(two("FURNITURE"), dst_b, mode="overwrite")         # B v2
+    arm("cloneB_diverged", 2, snapshots.read_version(spark, dst_b))
+
+    removed_b = snapshots.vacuum(dst_b, keep_last=1)
+    rows.append(("cloneB_vacuum_foreign", 0, len(removed_b), 0, 0.0))
+    arm(
+        "source_intact_after_clone_vacuum", 2,
+        snapshots.read_version_merged(spark, src, 2),
+    )
+
+    snapshots.commit(two("HOUSEHOLD"), src, mode="overwrite")           # v3
+    arm("source_overwrite", 3, snapshots.read_version(spark, src, 3))
+
+    removed_s = snapshots.vacuum(src, keep_last=1)
+    rows.append(("source_vacuum_pinned", 0, len(removed_s), 0, 0.0))
+    arm("cloneA_after_source_vacuum", 1, snapshots.read_version_merged(spark, dst_a))
+
+    snapshots.commit(two("HOUSEHOLD"), dst_b, mode="overwrite")         # B v3
+    removed_owned = snapshots.vacuum(dst_b, keep_last=1)
+    rows.append(("cloneB_vacuum_owned", 0, len(removed_owned), 0, 0.0))
+
+    return spark.createDataFrame(
+        rows,
+        "arm string, version long, n_rows long, n_cols long, acctbal_sum double",
+    )

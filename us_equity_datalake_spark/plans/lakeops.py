@@ -1078,7 +1078,10 @@ def lake_manifest_prune_q(spark, sf_dir):
 @register(
     "lake_bloom_point_lookup_report",
     oracle="""
-    WITH t AS (SELECT MIN(o_custkey) AS ck FROM orders)
+    WITH t AS (
+      SELECT o_custkey AS ck FROM orders
+      GROUP BY o_custkey ORDER BY COUNT(*), o_custkey LIMIT 1
+    )
     SELECT o_orderkey, o_totalprice,
            CAST(8 AS BIGINT) AS files_total,
            CAST(1 AS BIGINT) AS pruned
@@ -1111,7 +1114,17 @@ def lake_bloom_point_lookup_q(spark, sf_dir):
     snapshots.commit(
         orders.repartitionByRange(8, "o_orderkey"), root, bloom_cols=["o_custkey"]
     )
-    ck = orders.agg(F.min("o_custkey")).collect()[0][0]
+    # Probe the FEWEST-orders customer (ties broken by custkey): with 1-2
+    # orders the key occupies at most 2 of the 8 orderkey-range files, so
+    # pruned=1 is guaranteed by the data rather than hoped from the fixture
+    # (ADVICE r8: MIN(o_custkey)'s orders could legitimately span all 8).
+    ck = (
+        orders.groupBy("o_custkey")
+        .count()
+        .orderBy("count", "o_custkey")
+        .limit(1)
+        .collect()[0]["o_custkey"]
+    )
     pruned, info = snapshots.read_version_point(spark, root, "o_custkey", ck)
     return (
         pruned.where(F.col("o_custkey") == ck)

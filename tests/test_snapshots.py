@@ -967,3 +967,34 @@ def test_commit_with_retry_rechecks_schema_after_race(spark, tmp_path):
             snapshots.commit_with_retry(
                 spark.range(5, 7).select("id", F.lit(2.0).alias("v")), path
             )
+
+
+def test_compact_files_partition_scoped(spark, tmp_path):
+    """compact_files (OPTIMIZE WHERE): compacting a file subset rewrites
+    only those files, maintains manifest stats for the new file, and keeps
+    content identical.  (The stale-snapshot conflict path is pinned in
+    test_rewrite_retry_overlapping_rewrites_conflict.)"""
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 80).repartitionByRange(8, "id"), path, stats_cols=["id"]
+    )
+    m1 = snapshots.read_manifest(path, 1)
+    assert len(m1["files"]) == 8
+    low = set(sorted(m1["files"], key=lambda f: m1["stats"][f]["id"][0])[:4])
+
+    st = snapshots.compact_files(spark, path, match_file=lambda f: f in low)
+    assert st["files_compacted"] == 4 and st["files_after"] == 5
+    assert _ids(snapshots.read_version(spark, path)) == list(range(80))
+    # stats maintained: the compacted file carries a fresh id range
+    m2 = snapshots.read_manifest(path, st["version"])
+    new_files = [f for f in m2["files"] if f not in m1["files"]]
+    assert len(new_files) == 1 and "id" in m2["stats"][new_files[0]]
+
+    # no-op selection returns the current version untouched; a re-compact
+    # of the already-compacted region selects nothing (the files are gone
+    # from the manifest) and is likewise a no-op, not a data loss
+    st2 = snapshots.compact_files(spark, path, match_file=lambda f: False)
+    assert st2 == {"version": st["version"], "files_compacted": 0, "files_after": 5}
+    st3 = snapshots.compact_files(spark, path, match_file=lambda f: f in low)
+    assert st3["files_compacted"] == 0
+    assert _ids(snapshots.read_version(spark, path)) == list(range(80))

@@ -117,6 +117,12 @@ HEAVY = [
     # data cost is a handful of segment-slice commits)
     "ema_daily_close_long",
     "lake_schema_clone_report",
+    # round 9: concurrent OPTIMIZE WHERE (two threaded half-table
+    # compactions), the history audit matrix (manifest-sized), and
+    # cluster-canonical dedup (components + one quality join + one argmax)
+    "lake_concurrent_compact_report",
+    "lake_history_report",
+    "dedup_keep_best_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -54,6 +54,9 @@ _GRADING_PRIORITY = [
     # --- new in round 9 (zero gradings; inserted as built) ---
     "ema_daily_close_long",          # segmented/renormalized EMA, 1000+ rows/key
     "lake_schema_clone_report",      # schema-on-write + time travel + clone matrix
+    "lake_concurrent_compact_report",  # threaded disjoint OPTIMIZE WHERE both land
+    "lake_history_report",           # DESCRIBE HISTORY matrix incl. clone/rollback
+    "dedup_keep_best_report",        # cluster-canonical selection by quality
     # --- regression tail: paths round 9 touches ---
     "doc_line_dedup_scrub",      # re-measured 1.65x per 10x isolated (r8 13.77x
                                  # row was concurrent-load noise; BENCH_DETAIL sf1)

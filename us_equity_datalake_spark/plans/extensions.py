@@ -826,6 +826,11 @@ def dq_drift_monitor(spark, sf_dir):
 # mirror plans.vectors: same hyperplanes => same candidate blocking
 from .vectors import _DUP_T, _N_PLANES, _PLANES  # noqa: E402
 
+# mirror plans.textops: same tokenizer + stopword list => same quality score
+from us_equity_datalake_spark.functions import text as _text_mod  # noqa: E402
+
+_SW_LIST_EXT = "['" + "','".join(sorted(_text_mod.EN_STOPWORDS)) + "']"
+
 
 @register(
     "near_dup_components",
@@ -872,6 +877,95 @@ def near_dup_components(spark, sf_dir):
     return cc.groupBy("component").agg(
         F.count("*").alias("cluster_size"),
         F.min("node").alias("canonical_id"),
+    )
+
+
+@register(
+    "dedup_keep_best_report",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT vec_id AS id, embedding AS v,
+             {lsh_bucket_sql('embedding', _PLANES)} AS bkt
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM t a JOIN t b ON a.bkt = b.bkt AND a.id < b.id
+      WHERE ROUND({cosine_sql('a.v', 'b.v')}, 6) >= {_DUP_T}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM edges),
+    reach AS (
+      SELECT n AS src, n AS dst FROM nodes
+      UNION
+      SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    cc AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src),
+    toks AS (
+      SELECT doc_id, text, {_text_mod.tokens_sql('text')} AS tk
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             ROUND(0.4 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (1.0 - (CASE WHEN length(text) > 0 THEN
+                     CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / length(text) ELSE 0.0 END))
+                 + 0.3 * least((CASE WHEN len(tk) > 0 THEN
+                     CAST(len(list_filter(tk, x -> list_contains({_SW_LIST_EXT}, x))) AS DOUBLE)
+                     / len(tk) ELSE 0.0 END) * 4, 1.0), 6) AS quality
+      FROM toks
+    ),
+    ranked AS (
+      SELECT cc.component, cc.node, q.quality,
+             ROW_NUMBER() OVER (
+               PARTITION BY cc.component
+               ORDER BY q.quality DESC, cc.node ASC) AS rn
+      FROM cc JOIN q ON q.doc_id = cc.node
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed,
+           CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS kept_id,
+           MAX(CASE WHEN rn = 1 THEN quality END) AS kept_quality
+    FROM ranked GROUP BY component
+    """,
+    doc="Canonical-representative selection — the step a curation pipeline "
+    "runs AFTER near-dup clustering: inside every near-dup component keep "
+    "the highest-QUALITY document (ties broken by lowest id), scrub the "
+    "rest.  Composes three existing operators without new shuffles beyond "
+    "theirs: LSH-blocked cosine pairs -> iterative min-label connected "
+    "components -> one broadcast-sized join to the quality scores -> one "
+    "max_by per component (argmax by (quality, -id) struct ordering, a "
+    "single partial-aggregating groupBy).  Quality is the graded "
+    "length/punct/stopword composite (doc_quality_scores), rounded to 6 "
+    "before comparison so the argmax is engine-deterministic.  At 100 TB "
+    "the only state beyond the component labels is one (id, quality) row "
+    "per clustered doc.",
+)
+def dedup_keep_best_q(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = cosine_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        threshold=_DUP_T, n_planes=_N_PLANES, seed=11, dim=64,
+    )
+    cc = components.connected_components(pairs, src="id_a", dst="id_b")
+    quality = docs.select(
+        F.col("doc_id").alias("node"),
+        _text_mod.quality_score(F.col("text")).alias("quality"),
+    )
+    scored = cc.join(quality, "node")
+    best = F.max(F.struct(F.col("quality"), (-F.col("node")).alias("neg_id")))
+    return scored.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        (F.count("*") - 1).cast("long").alias("n_removed"),
+        (-best.getField("neg_id")).cast("long").alias("kept_id"),
+        best.getField("quality").alias("kept_quality"),
     )
 
 

@@ -1573,3 +1573,141 @@ def lake_schema_clone_q(spark, sf_dir):
         rows,
         "arm string, version long, n_rows long, n_cols long, acctbal_sum double",
     )
+
+
+@register(
+    "lake_concurrent_compact_report",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS total_price,
+           CAST(8 AS BIGINT) AS files_before,
+           CAST(2 AS BIGINT) AS files_after,
+           CAST(3 AS BIGINT) AS n_versions
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="CONCURRENT partition-scoped compaction (OPTIMIZE WHERE under the "
+    "disjoint-rewrite protocol, round 9): the table lands as 8 "
+    "orderkey-range files with manifest stats; two THREADED compactions — "
+    "one over the low-key half, one over the high-key half, selected by "
+    "the manifest's per-file min/max — run through "
+    "commit_rewrite_with_retry simultaneously.  Their touched-file sets "
+    "are disjoint, so whichever loses the publish race rebases and lands: "
+    "the final manifest must show exactly 2 files across 3 versions, and "
+    "the per-status count + exact decimal sum must equal the base table "
+    "(content identity through both rewrites, whatever the interleaving).  "
+    "The conflict/overlap arm is pinned in tests/test_snapshots.py.",
+)
+def lake_concurrent_compact_q(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_ccmp_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snapshots.commit(
+        orders.repartitionByRange(8, "o_orderkey"), root,
+        stats_cols=["o_orderkey"],
+    )
+    m = snapshots.read_manifest(root, 1)
+    by_min = sorted(m["files"], key=lambda f: m["stats"][f]["o_orderkey"][0])
+    halves = [set(by_min[:4]), set(by_min[4:])]
+    with ThreadPoolExecutor(2) as ex:
+        futures = [
+            ex.submit(
+                snapshots.compact_files, spark, root,
+                match_file=lambda f, s=s: f in s,
+            )
+            for s in halves
+        ]
+        for fut in futures:
+            fut.result()  # surfaces a conflict as a query failure
+    v_final = snapshots.latest_version(root)
+    n_after = len(snapshots.read_manifest(root, v_final)["files"])
+    return (
+        snapshots.read_version(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "n_rows", "total_price",
+            F.lit(8).cast("long").alias("files_before"),
+            F.lit(n_after).cast("long").alias("files_after"),
+            F.lit(v_final).cast("long").alias("n_versions"),
+        )
+    )
+
+
+@register(
+    "lake_history_report",
+    oracle=f"""
+    WITH f AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'F'),
+    o AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'O'),
+    p AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'P')
+    SELECT 'src' AS tbl, CAST(1 AS BIGINT) AS version, 'append' AS mode,
+           CAST(1 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS extra_version,
+           CAST(f.n AS BIGINT) AS n_rows
+    FROM f
+    UNION ALL
+    SELECT 'src', 2, 'append', 2, 0, CAST(f.n + o.n AS BIGINT) FROM f, o
+    UNION ALL
+    SELECT 'src', 3, 'overwrite', 1, 0, CAST(p.n AS BIGINT) FROM p
+    UNION ALL
+    SELECT 'src', 4, 'rollback', 2, 2, CAST(f.n + o.n AS BIGINT) FROM f, o
+    UNION ALL
+    SELECT 'dst', 1, 'clone', 2, 4, CAST(f.n + o.n AS BIGINT) FROM f, o
+    """,
+    doc="DESCRIBE HISTORY as a graded query (promotes the r8 pytest-only "
+    "audit surface): a scratch table runs append / append / bad-overwrite "
+    "/ rollback(2), then a shallow clone pins it — and the full history of "
+    "BOTH logs is graded: version, mode, manifest file count, the "
+    "mode-specific back-pointer (rollback target / cloned-from version), "
+    "and the metadata-only row count (table_count: zero Spark jobs, "
+    "footer-captured counts folded at commit time).  The oracle recomputes "
+    "every row count from the base table; file counts are deterministic "
+    "via coalesce(1) commits.",
+)
+def lake_history_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_hist_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderstatus", "o_totalprice"
+    )
+    by = lambda s: orders.where(F.col("o_orderstatus") == s).coalesce(1)  # noqa: E731
+    snapshots.commit(by("F"), src)                     # v1
+    snapshots.commit(by("O"), src)                     # v2
+    snapshots.commit(by("P"), src, mode="overwrite")   # v3: bad deploy
+    snapshots.rollback(src, 2)                         # v4
+    snapshots.clone(src, dst)                          # dst v1 pins v4's list
+
+    rows = []
+    for tbl, path in (("src", src), ("dst", dst)):
+        for h in snapshots.history(path):
+            extra = h.get("rolled_back_to", 0)
+            if "cloned_from" in h:
+                extra = h["cloned_from"]["version"]
+            rows.append(
+                (
+                    tbl, h["version"], h["mode"], h["n_files"], extra,
+                    snapshots.table_count(path, h["version"]),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "tbl string, version long, mode string, n_files long, "
+        "extra_version long, n_rows long",
+    )

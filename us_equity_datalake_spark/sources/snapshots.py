@@ -1063,6 +1063,38 @@ def optimize(
     return {"version": v, "files_before": n_before, "files_after": n_after}
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    match_file,
+    target_files: int = 1,
+) -> dict:
+    """OPTIMIZE WHERE — partition-scoped compaction: rewrite ONLY the files
+    ``match_file(path) -> bool`` selects (evaluated once, against the
+    snapshot this transaction read) into ``target_files`` files, committed
+    through :func:`commit_rewrite_with_retry`.  Because the conflict check
+    is on touched-file sets, compactions of DISJOINT regions can run
+    concurrently and both land — the Delta ``OPTIMIZE WHERE`` concurrency
+    model — while two compactions of the same files conflict loudly.
+    Content is identical by construction; the old layout stays
+    time-travelable.  Returns {"version", "files_compacted",
+    "files_after"}."""
+    v0 = latest_version(path)
+    if v0 == 0:
+        raise ValueError(f"compact of {path}: table has no commits")
+    m0 = read_manifest(path, v0)
+    sel = sorted(f for f in m0["files"] if match_file(f))
+    if not sel:
+        return {"version": v0, "files_compacted": 0,
+                "files_after": len(m0["files"])}
+    df = spark.read.parquet(*sel).coalesce(target_files)
+    sel_set = set(sel)
+    v = commit_rewrite_with_retry(df, path, replace=lambda f: f in sel_set)
+    return {"version": v, "files_compacted": len(sel),
+            "files_after": len(read_manifest(path, v)["files"])}
+
+
 class ConstraintViolation(ValueError):
     """A commit was rejected because rows violate a table constraint."""
 

@@ -998,3 +998,201 @@ def test_compact_files_partition_scoped(spark, tmp_path):
     st3 = snapshots.compact_files(spark, path, match_file=lambda f: f in low)
     assert st3["files_compacted"] == 0
     assert _ids(snapshots.read_version(spark, path)) == list(range(80))
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read DELETE/UPDATE)
+# ---------------------------------------------------------------------------
+
+
+def _dv_table(spark, tmp_path, n=40, files=4):
+    path = str(tmp_path / "dvt")
+    df = spark.range(0, n).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"), (F.col("id") * 10).alias("val")
+    )
+    snapshots.commit(df.repartitionByRange(files, "id"), path, stats_cols=["id"])
+    return path
+
+
+def test_dv_delete_rewrites_nothing_and_hides_rows(spark, tmp_path):
+    path = _dv_table(spark, tmp_path)
+    files_v1 = set(snapshots.read_manifest(path, 1)["files"])
+    r = snapshots.delete_where_dv(spark, path, F.col("grp") == 2)
+    assert r["files_rewritten"] == 0 and r["rows_deleted"] == 8
+    m2 = snapshots.read_manifest(path, 2)
+    assert set(m2["files"]) == files_v1  # same bytes, new manifest
+    assert _ids(snapshots.read_version(spark, path)) == [
+        i for i in range(40) if i % 5 != 2
+    ]
+    # time travel to v1 ignores the vectors
+    assert _ids(snapshots.read_version(spark, path, 1)) == list(range(40))
+
+
+def test_dv_metadata_count_subtracts_vectors(spark, tmp_path):
+    path = _dv_table(spark, tmp_path)
+    snapshots.delete_where_dv(spark, path, F.col("id") < 7)
+    assert snapshots.table_count(path) == 33
+    assert snapshots.read_version(spark, path).count() == 33
+    assert snapshots.table_count(path, 1) == 40
+
+
+def test_dv_deletes_accumulate_and_are_idempotent(spark, tmp_path):
+    path = _dv_table(spark, tmp_path)
+    snapshots.delete_where_dv(spark, path, F.col("id") < 5)
+    again = snapshots.delete_where_dv(spark, path, F.col("id") < 5)
+    assert again["rows_deleted"] == 0
+    assert again["version"] == 2  # zero-hit delete is a no-op, no version burned
+    snapshots.delete_where_dv(spark, path, F.col("id") >= 35)
+    assert _ids(snapshots.read_version(spark, path)) == list(range(5, 35))
+
+
+def test_dv_null_predicate_rows_are_kept(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v int"
+    )
+    snapshots.commit(df, path)
+    snapshots.delete_where_dv(spark, path, F.col("v") > 15)
+    assert _ids(snapshots.read_version(spark, path)) == [1, 2]  # NULL kept
+
+
+def test_dv_append_after_delete_does_not_resurrect(spark, tmp_path):
+    path = _dv_table(spark, tmp_path)
+    snapshots.delete_where_dv(spark, path, F.col("id") % 2 == 0)
+    snapshots.commit(spark.range(100, 103).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"), (F.col("id") * 10).alias("val")
+    ), path)
+    got = _ids(snapshots.read_version(spark, path))
+    assert got == [i for i in range(40) if i % 2 == 1] + [100, 101, 102]
+
+
+def test_dv_update_is_one_atomic_version(spark, tmp_path):
+    path = _dv_table(spark, tmp_path)
+    v0 = snapshots.latest_version(path)
+    r = snapshots.update_where_dv(
+        spark, path, F.col("grp") == 1, {"val": F.col("val") + 1}
+    )
+    assert r["version"] == v0 + 1 and r["files_rewritten"] == 0
+    rows = {x["id"]: x["val"] for x in snapshots.read_version(spark, path).collect()}
+    assert len(rows) == 40  # no dup, no loss
+    for i in range(40):
+        assert rows[i] == i * 10 + (1 if i % 5 == 1 else 0)
+
+
+def test_dv_materialize_purges_and_clears(spark, tmp_path):
+    path = _dv_table(spark, tmp_path)
+    snapshots.delete_where_dv(spark, path, F.col("id").isin(3, 17, 33))
+    r = snapshots.materialize_dvs(spark, path)
+    assert r["rows_purged"] == 3 and r["files_rewritten"] >= 1
+    m = snapshots.read_manifest(path, snapshots.latest_version(path))
+    assert "dv" not in m
+    assert _ids(snapshots.read_version(spark, path)) == [
+        i for i in range(40) if i not in (3, 17, 33)
+    ]
+    # physical row counts now match the metadata count with no subtraction
+    assert snapshots.table_count(path) == 37
+
+
+def test_dv_compact_applies_vectors(spark, tmp_path):
+    path = _dv_table(spark, tmp_path)
+    snapshots.delete_where_dv(spark, path, F.col("id") < 10)
+    r = snapshots.compact_files(spark, path, match_file=lambda f: True, target_files=1)
+    m = snapshots.read_manifest(path, r["version"])
+    assert "dv" not in m or not m["dv"]
+    assert _ids(snapshots.read_version(spark, path)) == list(range(10, 40))
+
+
+def test_dv_pruned_and_merged_reads_respect_vectors(spark, tmp_path):
+    path = _dv_table(spark, tmp_path)
+    snapshots.delete_where_dv(spark, path, F.col("id").between(10, 19))
+    df, info = snapshots.read_version_pruned(spark, path, "id", lo=0, hi=25)
+    assert info["files_scanned"] < info["files_total"] or info["files_total"] == 1
+    assert sorted(r["id"] for r in df.collect() if r["id"] <= 25) == (
+        list(range(10)) + list(range(20, 26))
+    )
+    got = _ids(snapshots.read_version_merged(spark, path))
+    assert got == list(range(10)) + list(range(20, 40))
+
+
+def test_dv_rollback_restores_pre_delete_state(spark, tmp_path):
+    path = _dv_table(spark, tmp_path)
+    snapshots.delete_where_dv(spark, path, F.col("id") < 20)
+    snapshots.rollback(path, 1)
+    assert snapshots.table_count(path) == 40
+    assert _ids(snapshots.read_version(spark, path)) == list(range(40))
+
+
+def test_dv_merge_upsert_on_dv_table(spark, tmp_path):
+    path = _dv_table(spark, tmp_path)
+    snapshots.delete_where_dv(spark, path, F.col("id") < 10)
+    delta = spark.createDataFrame(
+        [(2, 99, 999), (15, 99, 999)], "id long, grp long, val long"
+    )
+    snapshots.merge_upsert(spark, path, delta, key="id")
+    rows = {r["id"]: r["val"] for r in snapshots.read_version(spark, path).collect()}
+    # id=2 was DV-deleted: the merge INSERTS it anew; ids 0,1,3..9 stay gone
+    assert rows[2] == 999 and rows[15] == 999
+    assert sorted(rows) == [2] + list(range(10, 40))
+
+
+def test_dv_change_feed_sees_dv_deletes(spark, tmp_path):
+    path = _dv_table(spark, tmp_path)
+    v = snapshots.delete_where_dv(spark, path, F.col("id").isin(5, 6))["version"]
+    feed = snapshots.change_feed(spark, path, 1, v, key="id").collect()
+    assert sorted((r["id"], r["change_type"]) for r in feed) == [
+        (5, "delete"), (6, "delete")
+    ]
+
+
+def test_dv_incremental_fast_path_refuses_dv_commits(spark, tmp_path):
+    import pytest
+
+    path = _dv_table(spark, tmp_path)
+    v = snapshots.delete_where_dv(spark, path, F.col("id") == 0)["version"]
+    with pytest.raises(ValueError, match="deletion vectors"):
+        snapshots.incremental_rows(spark, path, 1, v)
+
+
+def test_dv_vacuum_expires_sidecars_with_history(spark, tmp_path):
+    import os
+
+    path = _dv_table(spark, tmp_path)
+    snapshots.delete_where_dv(spark, path, F.col("id") < 4)          # v2
+    sc2 = [e["path"] for e in snapshots.read_manifest(path, 2)["dv"].values()]
+    snapshots.materialize_dvs(spark, path)                           # v3: purged
+    snapshots.commit(spark.range(200, 201).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"), (F.col("id") * 10).alias("val")
+    ), path)                                                         # v4
+    snapshots.vacuum(path, keep_last=2)
+    assert all(not os.path.exists(p) for p in sc2)  # v2's vectors expired
+    assert _ids(snapshots.read_version(spark, path)) == list(range(4, 40)) + [200]
+
+
+def test_dv_vacuum_keeps_sidecars_referenced_by_kept_versions(spark, tmp_path):
+    import os
+
+    path = _dv_table(spark, tmp_path)
+    snapshots.delete_where_dv(spark, path, F.col("id") < 4)          # v2
+    snapshots.commit(spark.range(300, 302).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"), (F.col("id") * 10).alias("val")
+    ), path)                                                         # v3 carries dv
+    snapshots.vacuum(path, keep_last=1)
+    m = snapshots.read_manifest(path, 3)
+    assert all(os.path.exists(e["path"]) for e in m["dv"].values())
+    assert _ids(snapshots.read_version(spark, path)) == (
+        list(range(4, 40)) + [300, 301]
+    )
+
+
+def test_dv_clone_pins_source_vectors_through_source_vacuum(spark, tmp_path):
+    path = _dv_table(spark, tmp_path)
+    snapshots.delete_where_dv(spark, path, F.col("id") < 6)          # v2
+    clone_path = str(tmp_path / "c")
+    snapshots.clone(path, clone_path)                                # pins v2 incl. dv
+    snapshots.materialize_dvs(spark, path)                           # v3
+    snapshots.commit(spark.range(400, 401).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"), (F.col("id") * 10).alias("val")
+    ), path)                                                         # v4
+    snapshots.vacuum(path, keep_last=1)
+    # the clone still reads the DV'd view of the source's files
+    assert _ids(snapshots.read_version(spark, clone_path)) == list(range(6, 40))

@@ -123,6 +123,12 @@ HEAVY = [
     "lake_concurrent_compact_report",
     "lake_history_report",
     "dedup_keep_best_report",
+    # round 9: deletion vectors — the DV write is hit-count-bounded sidecar
+    # IO (zero data rewrites); the DV read adds one broadcast anti-join to
+    # the scan; the streaming sink runs two foreachBatch DV commits
+    "lake_deletion_vector_report",
+    "lake_mor_update_report",
+    "streaming_dv_delete_sink",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

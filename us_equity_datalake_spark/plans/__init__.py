@@ -57,6 +57,9 @@ _GRADING_PRIORITY = [
     "lake_concurrent_compact_report",  # threaded disjoint OPTIMIZE WHERE both land
     "lake_history_report",           # DESCRIBE HISTORY matrix incl. clone/rollback
     "dedup_keep_best_report",        # cluster-canonical selection by quality
+    "lake_deletion_vector_report",   # merge-on-read DELETE: DV sidecars, 0 rewrites
+    "lake_mor_update_report",        # merge-on-read UPDATE: DV + append, 1 commit
+    "streaming_dv_delete_sink",      # redaction feed -> foreachBatch DV deletes
     # --- regression tail: paths round 9 touches ---
     "doc_line_dedup_scrub",      # re-measured 1.65x per 10x isolated (r8 13.77x
                                  # row was concurrent-load noise; BENCH_DETAIL sf1)

@@ -1711,3 +1711,188 @@ def lake_history_q(spark, sf_dir):
         "tbl string, version long, mode string, n_files long, "
         "extra_version long, n_rows long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors — merge-on-read DELETE / UPDATE (round 9)
+# ---------------------------------------------------------------------------
+
+_DV_P1 = "o_orderstatus = 'F' AND o_orderkey % 7 = 3"
+_DV_P2 = "o_orderkey % 11 = 5"
+
+
+@register(
+    "lake_deletion_vector_report",
+    oracle=f"""
+    WITH live1 AS (SELECT * FROM orders WHERE NOT ({_DV_P1})),
+    live2 AS (SELECT * FROM live1 WHERE NOT ({_DV_P2})),
+    app AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
+    final AS (SELECT o_totalprice FROM live2
+              UNION ALL SELECT o_totalprice FROM app)
+    SELECT 'v1_full' AS arm, CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS price_sum,
+           CAST(0 AS BIGINT) AS rewritten
+    FROM orders
+    UNION ALL
+    SELECT 'dv_delete', 2, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, 0 FROM live1
+    UNION ALL
+    SELECT 'meta_scan_agree', 2, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, 0 FROM live1
+    UNION ALL
+    SELECT 'time_travel_v1', 1, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, 0 FROM orders
+    UNION ALL
+    SELECT 'dv_accumulate', 3, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, 0 FROM live2
+    UNION ALL
+    SELECT 'purge', 4, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, 1 FROM live2
+    UNION ALL
+    SELECT 'append_no_resurrect', 5, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, 0 FROM final
+    """,
+    doc="DELETION VECTORS (merge-on-read DELETE — the Delta DV / Iceberg v2 "
+    "position-delete design; snapshots.delete_where_dv): deleting rows "
+    "flips positions in a KB sidecar instead of rewriting GB data files.  "
+    "Seven graded arms on a scratch orders table (8 orderkey-range files): "
+    "(1) v1 content; (2) DV-delete of F-status keys — files_rewritten "
+    "MUST be 0 and every reader hides the rows immediately; (3) COUNT(*) "
+    "stays METADATA-ONLY (the arm's n_rows comes from table_count, zero "
+    "jobs, vs the oracle's recount); (4) time travel to v1 ignores the "
+    "vectors; (5) a second delete ACCUMULATES (evaluated over live rows "
+    "only); (6) materialize_dvs purges copy-on-write and clears the dv "
+    "map; (7) an append after the purge resurrects nothing.  The oracle "
+    "recomputes every count and exact decimal price sum from the base "
+    "table; the 100 TB point is arm 2: row-level deletes with ZERO data "
+    "rewrite, visible at full scan speed minus one broadcast anti-join.",
+)
+def lake_deletion_vector_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_dv_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    snapshots.commit(
+        orders.repartitionByRange(8, "o_orderkey"), root, stats_cols=["o_orderkey"]
+    )
+
+    rows = []
+
+    def arm(name, version, df, n_rows=None, rewritten=0):
+        got_n, s = df.agg(F.count("*"), dec_sum(F.col("o_totalprice"))).collect()[0]
+        rows.append((name, version, got_n if n_rows is None else n_rows, s, rewritten))
+
+    arm("v1_full", 1, snapshots.read_version(spark, root, 1))
+
+    r1 = snapshots.delete_where_dv(spark, root, F.expr(_DV_P1))
+    arm("dv_delete", r1["version"], snapshots.read_version(spark, root),
+        rewritten=r1["files_rewritten"])
+    # n_rows from the MANIFEST (zero-job metadata count); sum from the scan —
+    # if the metadata answer drifted from the physical one, the oracle's
+    # single recount catches it
+    arm("meta_scan_agree", r1["version"], snapshots.read_version(spark, root),
+        n_rows=snapshots.table_count(root))
+    arm("time_travel_v1", 1, snapshots.read_version(spark, root, 1))
+
+    r2 = snapshots.delete_where_dv(spark, root, F.expr(_DV_P2))
+    arm("dv_accumulate", r2["version"], snapshots.read_version(spark, root),
+        rewritten=r2["files_rewritten"])
+
+    rp = snapshots.materialize_dvs(spark, root)
+    arm("purge", rp["version"], snapshots.read_version(spark, root),
+        rewritten=1 if rp["files_rewritten"] >= 1 else 0)
+
+    v5 = snapshots.commit(orders.where(F.col("o_orderkey") <= 1000), root)
+    arm("append_no_resurrect", v5, snapshots.read_version(spark, root))
+
+    return spark.createDataFrame(
+        rows,
+        "arm string, version long, n_rows long, price_sum double, rewritten long",
+    )
+
+
+@register(
+    "lake_mor_update_report",
+    oracle=f"""
+    WITH upd AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 100
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT 'pre' AS arm, CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS price_sum,
+           CAST(0 AS BIGINT) AS rewritten
+    FROM orders
+    UNION ALL
+    SELECT 'update', 2,
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'P'),
+           (SELECT {dec_sum_sql('o_totalprice')} FROM upd
+            WHERE o_orderstatus = 'P'), 0
+    UNION ALL
+    SELECT 'post', 2, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, 0 FROM upd
+    UNION ALL
+    SELECT 'meta_count', 2, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, 0 FROM upd
+    UNION ALL
+    SELECT 'travel_v1', 1, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, 0 FROM orders
+    """,
+    doc="Merge-on-read UPDATE (snapshots.update_where_dv — the Iceberg v2 "
+    "UPDATE shape): ONE atomic commit appends the updated row images and "
+    "deletion-vectors the old images out of their files — no existing "
+    "file rewritten.  Arms: (1) v1 content; (2) the update touches "
+    "exactly the P-status rows (version bumps ONCE to 2, files_rewritten "
+    "0, the arm's n_rows/price_sum aggregate the updated images); "
+    "(3) the post-update table has the same cardinality with the CASE-d "
+    "sum; (4) COUNT(*) stays metadata-only through the DV+append commit; "
+    "(5) time travel to v1 shows the pre-update prices.  Oracle: the "
+    "CASE-WHEN recomputation over the base table.",
+)
+def lake_mor_update_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_mor_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snapshots.commit(
+        orders.repartitionByRange(8, "o_orderkey"), root, stats_cols=["o_orderkey"]
+    )
+
+    rows = []
+
+    def arm(name, version, df, n_rows=None, rewritten=0):
+        got_n, s = df.agg(F.count("*"), dec_sum(F.col("o_totalprice"))).collect()[0]
+        rows.append((name, version, got_n if n_rows is None else n_rows, s, rewritten))
+
+    arm("pre", 1, snapshots.read_version(spark, root, 1))
+
+    ru = snapshots.update_where_dv(
+        spark, root, F.col("o_orderstatus") == "P",
+        {"o_totalprice": F.col("o_totalprice") + 100},
+    )
+    cur = snapshots.read_version(spark, root)
+    arm("update", ru["version"], cur.where(F.col("o_orderstatus") == "P"),
+        n_rows=ru["rows_updated"], rewritten=ru["files_rewritten"])
+    arm("post", ru["version"], cur)
+    arm("meta_count", ru["version"], cur, n_rows=snapshots.table_count(root))
+    arm("travel_v1", 1, snapshots.read_version(spark, root, 1))
+
+    return spark.createDataFrame(
+        rows,
+        "arm string, version long, n_rows long, price_sum double, rewritten long",
+    )

@@ -939,3 +939,91 @@ def streaming_cms_heavy_hitters_sink_q(spark, sf_dir):
         .where(F.col("n_seen") == F.col("__mx"))
         .select("shard", "user_id", "cms_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming redaction: a request feed drives merge-on-read DELETEs (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_dv_delete_sink",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS price_sum,
+           CAST(3 AS BIGINT) AS final_version,
+           CAST(0 AS BIGINT) AS files_rewritten
+    FROM orders
+    WHERE o_custkey % 97 NOT IN (1, 2)
+    GROUP BY o_orderstatus
+    """,
+    doc="Right-to-be-forgotten pipeline through the REAL streaming engine: "
+    "a parquet-source stream of redaction requests (two request files, "
+    "maxFilesPerTrigger=1 -> two deterministic micro-batches) drives "
+    "foreachBatch -> snapshots.delete_where_dv against a snapshot-lake "
+    "orders table.  Each micro-batch publishes ONE deletion-vector commit: "
+    "zero data files rewritten (the graded files_rewritten rider sums "
+    "both batches), the log advances v1->v3, and the final per-status "
+    "count + exact decimal sum must equal the base table minus every "
+    "requested customer.  Checkpoint + the lake's optimistic publish give "
+    "exactly-once per batch; a replayed batch re-deletes zero live rows "
+    "(DV deletes are idempotent).  Request batches are human-scale "
+    "(GDPR cadence), so the key set rides an isin literal; a bulk feed "
+    "would join keys against the lineage scan instead.",
+)
+def streaming_dv_delete_sink_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = _scratch(sf_dir, "dvdel")
+    lake, req_dir, ckpt = (
+        os.path.join(root, "lake"), os.path.join(root, "req"), os.path.join(root, "ckpt")
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    snapshots.commit(
+        orders.repartitionByRange(8, "o_orderkey"), lake, stats_cols=["o_orderkey"]
+    )
+    custs = orders.select((F.col("o_custkey") % 97).alias("m"), "o_custkey").distinct()
+    for i, m in enumerate((1, 2)):  # one request file per redaction wave
+        custs.where(F.col("m") == m).select("o_custkey").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(req_dir, f"wave{i}"))
+
+    rewritten = []
+
+    def redact(batch_df, _batch_id):
+        keys = [r["o_custkey"] for r in batch_df.select("o_custkey").distinct().collect()]
+        if keys:
+            r = snapshots.delete_where_dv(
+                spark, lake, F.col("o_custkey").isin(keys)
+            )
+            rewritten.append(r["files_rewritten"])
+
+    stream = (
+        spark.readStream.schema("o_custkey bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(req_dir, "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(redact)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        snapshots.read_version(spark, lake)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("price_sum"),
+        )
+        .select(
+            "o_orderstatus", "n_rows", "price_sum",
+            F.lit(snapshots.latest_version(lake)).cast("long").alias("final_version"),
+            F.lit(sum(rewritten)).cast("long").alias("files_rewritten"),
+        )
+    )

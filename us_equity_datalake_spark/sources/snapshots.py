@@ -252,6 +252,118 @@ def _write_file_blooms(spark: SparkSession, files: list[str], cols: list[str]) -
             json.dump(d, fh)
 
 
+# ---------------------------------------------------------------------------
+# Deletion vectors — merge-on-read DELETE/UPDATE (the Delta DV / Iceberg v2
+# position-delete design).  A DV commit deletes rows WITHOUT rewriting any
+# data file: it records the deleted ROW POSITIONS per file in a tiny sidecar
+# and publishes a new manifest whose ``dv`` map points files at their
+# sidecars.  Readers anti-join the (file, position) pairs at scan time; a
+# later ``materialize_dvs`` (or any copy-on-write rewrite of the file)
+# purges them physically.  At 100 TB this is the difference between flipping
+# KB of bitmap to delete one row and rewriting a GB data file for it.
+# ---------------------------------------------------------------------------
+
+
+def _dv_sidecar(path: str, version: int, data_file: str) -> str:
+    """Sidecar location for ``data_file``'s deletion vector as of
+    ``version``.  DVs are version-scoped (unlike bloom sidecars, which
+    describe immutable file CONTENT): two versions may hold different
+    vectors for the same file, so sidecars live under the log, keyed by
+    the version that introduced them plus a digest of the file path."""
+    import hashlib
+
+    h = hashlib.md5(data_file.encode()).hexdigest()[:16]
+    return os.path.join(path, _SNAP_DIR, "dv", f"v{version:06d}", f"{h}.json")
+
+
+def _write_dv_sidecar(path: str, version: int, data_file: str, positions) -> dict:
+    """Write a sorted uint64 position vector (base64-packed, the same
+    sidecar discipline as the bloom index) and return its manifest entry."""
+    import base64
+
+    import numpy as np
+
+    arr = np.array(sorted(int(p) for p in positions), dtype=np.uint64)
+    sc = _dv_sidecar(path, version, data_file)
+    os.makedirs(os.path.dirname(sc), exist_ok=True)
+    with open(sc, "w") as f:
+        json.dump(
+            {"file": data_file, "n": int(arr.size),
+             "positions": base64.b64encode(arr.tobytes()).decode()},
+            f,
+        )
+    return {"path": sc, "n": int(arr.size)}
+
+
+def _read_dv_positions(entry: dict) -> "list[int]":
+    import base64
+
+    import numpy as np
+
+    with open(entry["path"]) as f:
+        d = json.load(f)
+    arr = np.frombuffer(base64.b64decode(d["positions"]), dtype=np.uint64)
+    return [int(p) for p in arr]
+
+
+def _scan_files(
+    spark: SparkSession,
+    files: "list[str]",
+    manifest: dict,
+    *,
+    merge_schema: bool = False,
+    with_lineage: bool = False,
+) -> DataFrame:
+    """The ONE reader every version-pinned scan routes through: plain
+    ``spark.read.parquet`` when the manifest carries no deletion vectors
+    (the common case — zero overhead), else a two-branch plan that
+    anti-joins the DV'd files' rows against their (file, position) pairs.
+
+    The DV side is manifest-sized (positions of DELETED rows only) and
+    broadcast — the same shape Delta's scan takes when it pushes DVs to
+    readers.  Positions come from ``_metadata.row_index`` captured at the
+    scan leaves, so they survive any downstream shuffle (unlike
+    ``input_file_name()``); the file identity is the URL-decoded
+    ``_metadata.file_path``, matched against the manifest's plain paths.
+
+    ``with_lineage=True`` keeps ``__file`` (decoded path) and ``__pos``
+    (row position) on the output — the lineage the copy-on-write mutators
+    (merge/delete/update) need to name their touched files and positions.
+    """
+    from pyspark.sql import functions as F
+
+    dv = {f: e for f, e in (manifest.get("dv") or {}).items() if f in set(files)}
+    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+    # file_path may arrive as file:/p, file://p, or file:///p depending on
+    # the FS implementation — collapse scheme + slash run to one root slash
+    file_expr = F.url_decode(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    )
+
+    def with_cols(df):
+        return df.select(
+            "*", file_expr.alias("__file"), F.col("_metadata.row_index").alias("__pos")
+        )
+
+    if not dv:
+        if not with_lineage:
+            return reader.parquet(*files)
+        return with_cols(reader.parquet(*files))
+
+    clean = sorted(set(files) - set(dv))
+    dvd = sorted(dv)
+    dv_rows = [(f, p) for f in dvd for p in _read_dv_positions(dv[f])]
+    dv_df = spark.createDataFrame(dv_rows, "__file string, __pos long")
+    live = with_cols(reader.parquet(*dvd)).join(
+        F.broadcast(dv_df), ["__file", "__pos"], "left_anti"
+    )
+    if clean:
+        live = with_cols(reader.parquet(*clean)).unionByName(
+            live, allowMissingColumns=merge_schema
+        )
+    return live if with_lineage else live.drop("__file", "__pos")
+
+
 def _bloom_might_contain(data_file: str, col: str, value) -> bool:
     """Probe a data file's bloom sidecar for ``value`` (driver-side twin of
     the executor hash: md5 first-8-hex -> universal hash family).  True —
@@ -291,6 +403,8 @@ def commit(
     stats_cols: "list[str] | None" = None,
     bloom_cols: "list[str] | None" = None,
     allow_schema_change: bool = False,
+    _mode_label: "str | None" = None,
+    _dv_updates: "dict[str, list[int]] | None" = None,
 ) -> int:
     """Write ``df`` as a new immutable commit and a new manifest.
 
@@ -367,7 +481,21 @@ def commit(
             prev_files = [f for f in prev_files if not replace(f)]
         files = sorted(prev_files) + new_files
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
-    manifest = {"version": new_v, "mode": mode, "files": files}
+    manifest = {"version": new_v, "mode": _mode_label or mode, "files": files}
+    # deletion vectors ride the manifest: carried-over files keep theirs
+    # (dropping them would RESURRECT deleted rows on the next append);
+    # replaced/overwritten files shed theirs — the rewrite applied them.
+    prev_dv = {} if mode == "overwrite" else prev_manifest.get("dv", {})
+    dv = {f: prev_dv[f] for f in files if f in prev_dv}
+    for f, extra in (_dv_updates or {}).items():
+        if f not in set(files):
+            raise ValueError(f"dv update for file not in manifest: {f}")
+        merged = set(extra)
+        if f in dv:
+            merged.update(_read_dv_positions(dv[f]))
+        dv[f] = _write_dv_sidecar(path, new_v, f, merged)
+    if dv:
+        manifest["dv"] = dv
     manifest["schema"] = (
         new_schema
         if mode == "overwrite" or prev_schema is None
@@ -601,10 +729,10 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     latest).  Spark receives the explicit immutable file list, so later
     commits — appends, rewrites, compactions — cannot change this frame."""
     v = latest_version(path) if version is None else version
-    files = read_manifest(path, v)["files"]
-    if not files:
+    m = read_manifest(path, v)
+    if not m["files"]:
         raise ValueError(f"snapshot v{v} of {path} lists no files")
-    return spark.read.parquet(*files)
+    return _scan_files(spark, m["files"], m)
 
 
 def read_version_pruned(
@@ -641,7 +769,7 @@ def read_version_pruned(
     info = {"files_total": len(m["files"]), "files_scanned": len(kept)}
     if not kept:
         return read_version(spark, path, v).limit(0), info
-    return spark.read.parquet(*kept), info
+    return _scan_files(spark, kept, m), info
 
 
 def read_version_point(
@@ -667,7 +795,7 @@ def read_version_point(
     info = {"files_total": len(m["files"]), "files_scanned": len(kept)}
     if not kept:
         return read_version(spark, path, v).limit(0), info
-    return spark.read.parquet(*kept), info
+    return _scan_files(spark, kept, m), info
 
 
 def read_version_pruned_box(
@@ -705,7 +833,7 @@ def read_version_pruned_box(
     info = {"files_total": len(m["files"]), "files_scanned": len(kept)}
     if not kept:
         return read_version(spark, path, v).limit(0), info
-    return spark.read.parquet(*kept), info
+    return _scan_files(spark, kept, m), info
 
 
 def history(path: str) -> "list[dict]":
@@ -742,7 +870,11 @@ def table_count(path: str, version: int | None = None) -> "int | None":
     rows = m.get("rows", {})
     if any(f not in rows for f in m["files"]):
         return None
-    return sum(rows[f] for f in m["files"])
+    # deletion vectors subtract from the metadata answer: the manifest
+    # records both the file's physical row count and its DV cardinality,
+    # so merge-on-read deletes keep COUNT(*) a zero-job query
+    n_deleted = sum(e["n"] for e in m.get("dv", {}).values())
+    return sum(rows[f] for f in m["files"]) - n_deleted
 
 
 def version_asof(path: str, ts: float) -> int:
@@ -779,7 +911,7 @@ def rollback(path: str, to_version: int) -> int:
         "rolled_back_to": to_version,
         "files": target["files"],
     }
-    for carried in ("stats", "bloom_cols", "rows", "schema"):
+    for carried in ("stats", "bloom_cols", "rows", "schema", "dv"):
         if carried in target:
             manifest[carried] = target[carried]
     _publish(path, new_v, manifest)
@@ -826,7 +958,7 @@ def clone(src_path: str, dst_path: str, *, version: int | None = None) -> int:
         "cloned_from": {"path": src_path, "version": v},
         "files": src["files"],
     }
-    for carried in ("stats", "bloom_cols", "rows", "schema"):
+    for carried in ("stats", "bloom_cols", "rows", "schema", "dv"):
         if carried in src:
             manifest[carried] = src[carried]
     _publish(dst_path, 1, manifest)
@@ -834,6 +966,9 @@ def clone(src_path: str, dst_path: str, *, version: int | None = None) -> int:
         "clone_path": os.path.realpath(dst_path),
         "version": v,
         "files": src["files"],
+        # pin DV sidecars too: the clone's manifest references the SOURCE's
+        # deletion vectors by path, so the source's vacuum must keep them
+        "dv_files": sorted(e["path"] for e in src.get("dv", {}).values()),
         "registered_at": time.time(),
     }
     reg_path = os.path.join(
@@ -867,17 +1002,22 @@ def vacuum(path: str, *, keep_last: int = 1) -> list[str]:
     keep_versions = [v for v in range(max(1, last - keep_last + 1), last + 1)
                      if os.path.exists(_snap_path(path, v))]
     keep_files: set[str] = set()
+    keep_dv: set[str] = set()
     for v in keep_versions:
-        keep_files.update(read_manifest(path, v)["files"])
+        m = read_manifest(path, v)
+        keep_files.update(m["files"])
+        keep_dv.update(e["path"] for e in m.get("dv", {}).values())
     for reg in _clone_registrations(path):
         keep_files.update(reg.get("files", []))
+        keep_dv.update(reg.get("dv_files", []))
     root = os.path.realpath(path)
     removed: list[str] = []
     for v in range(1, last + 1):
         p = _snap_path(path, v)
         if v in keep_versions or not os.path.exists(p):
             continue
-        for f in read_manifest(path, v)["files"]:
+        m = read_manifest(path, v)
+        for f in m["files"]:
             owned = os.path.realpath(f).startswith(root + os.sep)
             if f not in keep_files and owned and os.path.exists(f):
                 os.remove(f)
@@ -885,6 +1025,15 @@ def vacuum(path: str, *, keep_last: int = 1) -> list[str]:
                 sc = _bloom_sidecar(f)
                 if os.path.exists(sc):
                     os.remove(sc)  # the index rides with its data file
+        # deletion-vector sidecars are version-scoped log artifacts: expire
+        # them with their manifest unless a kept version or a registered
+        # clone still references the same sidecar
+        for e in m.get("dv", {}).values():
+            dvp = e["path"]
+            owned = os.path.realpath(dvp).startswith(root + os.sep)
+            if dvp not in keep_dv and owned and os.path.exists(dvp):
+                os.remove(dvp)
+                removed.append(dvp)
         os.remove(p)
     return removed
 
@@ -895,8 +1044,8 @@ def read_version_merged(spark: SparkSession, path: str, version: int | None = No
     columns read as null) — the additive half of schema evolution, which is
     the only half immutable files can express without a rewrite."""
     v = latest_version(path) if version is None else version
-    files = read_manifest(path, v)["files"]
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    m = read_manifest(path, v)
+    return _scan_files(spark, m["files"], m, merge_schema=True)
 
 
 def merge_upsert(
@@ -922,17 +1071,17 @@ def merge_upsert(
     """
     from pyspark.sql import functions as F
 
-    current = read_version(spark, path).withColumn("__file", F.input_file_name())
+    m = read_manifest(path, latest_version(path))
+    # lineage-bearing scan: __file is the decoded manifest path captured at
+    # the leaves (safe across shuffles, DV-aware — deleted rows can neither
+    # match nor survive), replacing the old input_file_name() tagging
+    current = _scan_files(spark, m["files"], m, with_lineage=True)
     keys = delta.select(key).distinct()
-    touched = [
+    touched_set = {
         r["__file"]
         for r in current.join(keys, key, "left_semi").select("__file").distinct().collect()
-    ]
-    # input_file_name returns URL-encoded URIs; manifests store plain paths —
-    # decode (not just strip the scheme) and fail loudly if any decoded path
-    # is unknown to the manifest, rather than silently duplicating rows.
-    touched_set = {_local_path(t) for t in touched}
-    manifest_files = set(read_manifest(path, latest_version(path))["files"])
+    }
+    manifest_files = set(m["files"])
     unknown = touched_set - manifest_files
     if unknown:
         raise ValueError(
@@ -942,8 +1091,8 @@ def merge_upsert(
     n_total = len(manifest_files)
 
     survivors = (
-        current.where(F.col("__file").isin(touched))
-        .drop("__file")
+        current.where(F.col("__file").isin(list(touched_set)))
+        .drop("__file", "__pos")
         .join(keys, key, "left_anti")
     )
     new_rows = survivors.unionByName(delta)
@@ -963,13 +1112,13 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
     Returns {"version", "files_total", "files_rewritten"}."""
     from pyspark.sql import functions as F
 
-    current = read_version(spark, path).withColumn("__file", F.input_file_name())
-    touched = [
+    m = read_manifest(path, latest_version(path))
+    current = _scan_files(spark, m["files"], m, with_lineage=True)
+    touched_set = {
         r["__file"]
         for r in current.where(predicate).select("__file").distinct().collect()
-    ]
-    touched_set = {_local_path(t) for t in touched}
-    manifest_files = set(read_manifest(path, latest_version(path))["files"])
+    }
+    manifest_files = set(m["files"])
     unknown = touched_set - manifest_files
     if unknown:
         raise ValueError(
@@ -978,12 +1127,147 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
         )
     n_total = len(manifest_files)
     survivors = (
-        current.where(F.col("__file").isin(touched))
+        current.where(F.col("__file").isin(list(touched_set)))
         .where(~F.coalesce(predicate, F.lit(False)))
-        .drop("__file")
+        .drop("__file", "__pos")
     )
     v = commit(survivors, path, replace=lambda f: f in touched_set)
     return {"version": v, "files_total": n_total, "files_rewritten": len(touched_set)}
+
+
+def _collect_dv_updates(hits: DataFrame, manifest_files: "set[str]", op: str) -> "dict[str, list[int]]":
+    """(file, position) hits -> {file: positions}, validated against the
+    manifest.  One driver collect bounded by the DELETED row count — the
+    merge-on-read design point is that deletes are tiny relative to the
+    table (Delta materializes DVs the same way); bulk deletes belong on the
+    copy-on-write path (:func:`delete_where`)."""
+    from pyspark.sql import functions as F
+
+    rows = hits.groupBy("__file").agg(F.collect_list("__pos").alias("ps")).collect()
+    updates = {r["__file"]: [int(p) for p in r["ps"]] for r in rows}
+    unknown = set(updates) - manifest_files
+    if unknown:
+        raise ValueError(
+            f"{op}: {len(unknown)} touched file(s) not in the manifest "
+            f"(path decoding mismatch): {sorted(unknown)[:3]}"
+        )
+    return updates
+
+
+def delete_where_dv(spark: SparkSession, path: str, predicate) -> dict:
+    """DELETE FROM ... via DELETION VECTORS (merge-on-read): record the
+    matching rows' positions in per-file sidecars and publish a manifest
+    that points at them — ZERO data files rewritten, deletes visible to
+    every reader immediately, COUNT(*) still metadata-only.  The physical
+    purge is deferred to :func:`materialize_dvs`, OPTIMIZE, or any
+    copy-on-write rewrite that touches the file (all of which apply and
+    then shed the vectors).
+
+    Same NULL semantics as :func:`delete_where` (NULL predicate = keep).
+    The predicate is evaluated over LIVE rows only, so repeating a delete
+    is idempotent and vectors accumulate monotonically until a rewrite.
+    Returns {"version", "files_total", "files_with_dv", "rows_deleted",
+    "files_rewritten": 0}.
+    """
+    from pyspark.sql import functions as F
+
+    v0 = latest_version(path)
+    if v0 == 0:
+        raise ValueError(f"delete_where_dv of {path}: table has no commits")
+    m0 = read_manifest(path, v0)
+    live = _scan_files(spark, m0["files"], m0, with_lineage=True)
+    hits = live.where(F.coalesce(predicate, F.lit(False))).select("__file", "__pos")
+    updates = _collect_dv_updates(hits, set(m0["files"]), "delete_where_dv")
+    n_deleted = sum(len(v) for v in updates.values())
+    if n_deleted == 0:  # nothing matched: don't burn a version on a no-op
+        return {
+            "version": v0,
+            "files_total": len(m0["files"]),
+            "files_with_dv": len(m0.get("dv", {})),
+            "rows_deleted": 0,
+            "files_rewritten": 0,
+        }
+    new_v = v0 + 1
+    prev_dv = m0.get("dv", {})
+    dv = dict(prev_dv)
+    for f, pos in updates.items():
+        merged = set(pos)
+        if f in prev_dv:
+            merged.update(_read_dv_positions(prev_dv[f]))
+        dv[f] = _write_dv_sidecar(path, new_v, f, merged)
+    manifest = {k: m0[k] for k in ("files", "schema", "rows", "stats", "bloom_cols") if k in m0}
+    manifest.update({"version": new_v, "mode": "delete_dv", "dv": dv,
+                     "dv_rows_deleted": n_deleted})
+    _publish(path, new_v, manifest)
+    return {
+        "version": new_v,
+        "files_total": len(m0["files"]),
+        "files_with_dv": len(dv),
+        "rows_deleted": n_deleted,
+        "files_rewritten": 0,
+    }
+
+
+def update_where_dv(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: "dict[str, object]",
+) -> dict:
+    """UPDATE ... SET ... via deletion vectors (the Iceberg v2 merge-on-read
+    UPDATE): ONE atomic commit that (a) appends the updated row images as
+    new files and (b) DVs the old images out of their files — no existing
+    file rewritten, readers before the publish see the old rows, readers
+    after see exactly the new ones.  ``assignments`` maps column name ->
+    Column expression evaluated on the matched rows.  Returns {"version",
+    "rows_updated", "files_with_dv", "files_rewritten": 0}.
+    """
+    from pyspark.sql import functions as F
+
+    v0 = latest_version(path)
+    if v0 == 0:
+        raise ValueError(f"update_where_dv of {path}: table has no commits")
+    m0 = read_manifest(path, v0)
+    live = _scan_files(spark, m0["files"], m0, with_lineage=True)
+    matched = live.where(F.coalesce(predicate, F.lit(False)))
+    updates = _collect_dv_updates(
+        matched.select("__file", "__pos"), set(m0["files"]), "update_where_dv"
+    )
+    n_updated = sum(len(v) for v in updates.values())
+    new_images = matched.drop("__file", "__pos")
+    for col, expr in assignments.items():
+        new_images = new_images.withColumn(col, expr)
+    v = commit(
+        new_images, path, _mode_label="update_dv", _dv_updates=updates
+    )
+    return {
+        "version": v,
+        "rows_updated": n_updated,
+        "files_with_dv": len(read_manifest(path, v).get("dv", {})),
+        "files_rewritten": 0,
+    }
+
+
+def materialize_dvs(spark: SparkSession, path: str) -> dict:
+    """Purge deletion vectors physically: rewrite ONLY the files that carry
+    a vector (live rows survive, positions die), committed copy-on-write —
+    the ``REORG TABLE ... APPLY (PURGE)`` step that turns merge-on-read
+    debt back into clean immutable files.  Untouched files carry over by
+    reference.  Returns {"version", "files_rewritten", "rows_purged"}."""
+    v0 = latest_version(path)
+    m0 = read_manifest(path, v0) if v0 else {}
+    dv = m0.get("dv", {})
+    if not dv:
+        return {"version": v0, "files_rewritten": 0, "rows_purged": 0}
+    dvd = sorted(dv)
+    live = _scan_files(spark, dvd, m0)  # DV applied at scan
+    dvd_set = set(dvd)
+    v = commit(live, path, replace=lambda f: f in dvd_set, _mode_label="purge_dv")
+    return {
+        "version": v,
+        "files_rewritten": len(dvd),
+        "rows_purged": sum(e["n"] for e in dv.values()),
+    }
 
 
 def change_feed(
@@ -1088,7 +1372,9 @@ def compact_files(
     if not sel:
         return {"version": v0, "files_compacted": 0,
                 "files_after": len(m0["files"])}
-    df = spark.read.parquet(*sel).coalesce(target_files)
+    # DV-aware: compaction is a rewrite, so it MATERIALIZES the selected
+    # files' deletion vectors (commit drops dv entries for replaced files)
+    df = _scan_files(spark, sel, m0).coalesce(target_files)
     sel_set = set(sel)
     v = commit_rewrite_with_retry(df, path, replace=lambda f: f in sel_set)
     return {"version": v, "files_compacted": len(sel),
@@ -1276,14 +1562,23 @@ def incremental_rows(spark: SparkSession, path: str, v_from: int, v_to: int) -> 
     only the new files.  Raises if any ``v_from`` file was removed in
     between (a rewrite happened — use ``change_feed`` for row-level diffs
     through rewrites)."""
-    old = set(read_manifest(path, v_from)["files"])
-    new = read_manifest(path, v_to)["files"]
+    m_from, m_to = read_manifest(path, v_from), read_manifest(path, v_to)
+    old = set(m_from["files"])
+    new = m_to["files"]
     removed = old - set(new)
     if removed:
         raise ValueError(
             f"versions {v_from}..{v_to} of {path} rewrote {len(removed)} "
             "file(s); the append-only fast path does not apply — use "
             "change_feed for row-level diffs"
+        )
+    if m_from.get("dv", {}) != {
+        f: e for f, e in m_to.get("dv", {}).items() if f in old
+    }:
+        raise ValueError(
+            f"versions {v_from}..{v_to} of {path} changed deletion vectors "
+            "on carried-over files (row-level deletes); the append-only "
+            "fast path does not apply — use change_feed"
         )
     added = [f for f in new if f not in old]
     if not added:

@@ -129,6 +129,9 @@ HEAVY = [
     "lake_deletion_vector_report",
     "lake_mor_update_report",
     "streaming_dv_delete_sink",
+    # round 9: partition evolution — 11 one-file commits + 3 manifest-pruned
+    # reads; cost is the commit loop (file-count-bounded), not the data
+    "lake_partition_evolution_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -60,6 +60,7 @@ _GRADING_PRIORITY = [
     "lake_deletion_vector_report",   # merge-on-read DELETE: DV sidecars, 0 rewrites
     "lake_mor_update_report",        # merge-on-read UPDATE: DV + append, 1 commit
     "streaming_dv_delete_sink",      # redaction feed -> foreachBatch DV deletes
+    "lake_partition_evolution_report",  # spec change mid-table, stats-pruned reads
     # --- regression tail: paths round 9 touches ---
     "doc_line_dedup_scrub",      # re-measured 1.65x per 10x isolated (r8 13.77x
                                  # row was concurrent-load noise; BENCH_DETAIL sf1)

@@ -1896,3 +1896,108 @@ def lake_mor_update_q(spark, sf_dir):
         rows,
         "arm string, version long, n_rows long, price_sum double, rewritten long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition evolution — the partition SPEC changes mid-table (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lake_partition_evolution_report",
+    oracle=f"""
+    WITH mk AS (SELECT MAX(o_custkey) AS m FROM orders),
+    t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                 year(o_orderdate) AS o_year FROM orders
+          WHERE o_custkey IS NOT NULL)
+    SELECT 'full_after_evolution' AS arm,
+           CAST(11 AS BIGINT) AS files_total,
+           CAST(11 AS BIGINT) AS files_scanned,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS price_sum
+    FROM t
+    UNION ALL
+    SELECT 'prune_on_old_spec', 11, 5, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}
+    FROM t WHERE o_year = 1997
+    UNION ALL
+    SELECT 'prune_on_new_spec', 11, 8, CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}
+    FROM t, mk WHERE o_custkey <= m // 4
+    """,
+    doc="PARTITION EVOLUTION (the Iceberg hidden-partitioning contract: the "
+    "partition spec may change mid-table and readers never know): the first "
+    "seven commits cluster orders by YEAR (one file per year, 1995-2001), "
+    "then the spec evolves and four more commits cluster by CUSTKEY "
+    "quartile.  The spec change applies to NEWLY ARRIVING data (the first "
+    "orderkey half lands under the old spec, the second half under the "
+    "new one — no old file is rewritten, the Iceberg point).  Because "
+    "pruning is per-FILE manifest stats rather than directory layout, "
+    "scan planning handles both layouts in one read: a "
+    "year=1997 probe keeps exactly 1 old-spec file + the 4 new-spec files "
+    "(5 of 11 — every custkey file spans all years), and a custkey<=max/4 "
+    "probe keeps exactly 1 new-spec file + the 7 old-spec files (8 of 11). "
+    "Both pruned reads are also content-graded (the kept files still carry "
+    "non-matching rows; the row predicate applies after the file cut), and "
+    "the full read proves evolution lost nothing.  At 100 TB this is why "
+    "stats-based scan planning beats hive directory layouts: changing the "
+    "spec costs NOTHING retroactively — no rewrite of the old files.",
+)
+def lake_partition_evolution_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_pevo_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_custkey").isNotNull()
+    ).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    # the spec change applies to NEW data: first orderkey half arrives under
+    # spec 1 (year files), second half under spec 2 (custkey-quartile files)
+    cut = orders.agg(F.max("o_orderkey")).collect()[0][0] // 2
+    old_half = orders.where(F.col("o_orderkey") <= cut)
+    new_half = orders.where(F.col("o_orderkey") > cut)
+    # spec 1: partition by year — one commit per partition, one file each
+    for y in range(1995, 2002):
+        snapshots.commit(
+            old_half.where(F.col("o_year") == y).coalesce(1), root,
+            stats_cols=["o_year", "o_custkey"],
+        )
+    # spec 2: partition by custkey quartile (integer-division bounds the
+    # oracle replicates) — old files stay exactly as written
+    mk = orders.agg(F.max("o_custkey")).collect()[0][0]
+    bounds = [-1, mk // 4, mk // 2, (3 * mk) // 4, mk]  # custkey 0 exists
+    for lo, hi in zip(bounds, bounds[1:]):
+        snapshots.commit(
+            new_half.where((F.col("o_custkey") > lo) & (F.col("o_custkey") <= hi))
+            .coalesce(1),
+            root,
+        )
+    rows = []
+
+    def arm(name, df, info):
+        n, s = df.agg(F.count("*"), dec_sum(F.col("o_totalprice"))).collect()[0]
+        rows.append((name, info["files_total"], info["files_scanned"], n, s))
+
+    full = snapshots.read_version(spark, root)
+    n_files = len(snapshots.read_manifest(root, snapshots.latest_version(root))["files"])
+    arm("full_after_evolution", full,
+        {"files_total": n_files, "files_scanned": n_files})
+
+    pruned_y, info_y = snapshots.read_version_pruned(spark, root, "o_year", lo=1997, hi=1997)
+    arm("prune_on_old_spec", pruned_y.where(F.col("o_year") == 1997), info_y)
+
+    pruned_c, info_c = snapshots.read_version_pruned(
+        spark, root, "o_custkey", lo=0, hi=mk // 4
+    )
+    arm("prune_on_new_spec", pruned_c.where(F.col("o_custkey") <= mk // 4), info_c)
+
+    return spark.createDataFrame(
+        rows,
+        "arm string, files_total long, files_scanned long, n_rows long, price_sum double",
+    )

@@ -1196,3 +1196,27 @@ def test_dv_clone_pins_source_vectors_through_source_vacuum(spark, tmp_path):
     snapshots.vacuum(path, keep_last=1)
     # the clone still reads the DV'd view of the source's files
     assert _ids(snapshots.read_version(spark, clone_path)) == list(range(6, 40))
+
+
+def test_dv_streaming_feed_refuses_silent_deletes(spark, tmp_path):
+    import os
+
+    import pytest
+
+    path = _dv_table(spark, tmp_path)
+    staging = str(tmp_path / "staging")
+    state = str(tmp_path / "feed_state.json")
+    first = snapshots.stage_incremental_files(path, staging, state)
+    assert len(first) >= 1
+    snapshots.delete_where_dv(spark, path, F.col("id") < 5)
+    with pytest.raises(ValueError, match="ignore_deletes"):
+        snapshots.stage_incremental_files(path, staging, state)
+    # opting in advances the feed without retraction (Delta ignoreDeletes)
+    assert snapshots.stage_incremental_files(
+        path, staging, state, ignore_deletes=True
+    ) == []
+    snapshots.commit(spark.range(500, 502).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"), (F.col("id") * 10).alias("val")
+    ), path)
+    staged = snapshots.stage_incremental_files(path, staging, state)
+    assert len(staged) >= 1 and all(os.path.exists(p) for p in staged)

@@ -1414,7 +1414,9 @@ def commit_checked(
     return commit(df, path, mode=mode, replace=replace)
 
 
-def stage_incremental_files(path: str, staging_dir: str, state_path: str) -> list[str]:
+def stage_incremental_files(
+    path: str, staging_dir: str, state_path: str, *, ignore_deletes: bool = False
+) -> list[str]:
     """Advance the lake→stream FEED: hardlink every data file added between
     the last-fed version (tracked in a tiny JSON state file) and the current
     latest into ``staging_dir``, where a Structured-Streaming file source
@@ -1431,7 +1433,14 @@ def stage_incremental_files(path: str, staging_dir: str, state_path: str) -> lis
     the newly staged file paths; idempotent per version (re-running without
     new commits stages nothing), crash-safe (the state file is advanced
     atomically AFTER the links land; a crash in between re-links, and
-    ``os.link`` onto an existing name is skipped)."""
+    ``os.link`` onto an existing name is skipped).
+
+    Row-level deletes: a deletion-vector commit changes NO file list, so a
+    naive append-only feed would silently advance past it — the consumer
+    keeps rows the table deleted.  The Delta streaming-source contract
+    applies instead: a DV change across the fed range RAISES unless the
+    caller passes ``ignore_deletes=True`` (Delta's ``ignoreDeletes``),
+    explicitly accepting that already-fed rows are not retracted."""
     last_fed = 0
     if os.path.exists(state_path):
         with open(state_path) as f:
@@ -1439,14 +1448,25 @@ def stage_incremental_files(path: str, staging_dir: str, state_path: str) -> lis
     latest = latest_version(path)
     if latest <= last_fed:
         return []
-    old = set(read_manifest(path, last_fed)["files"]) if last_fed else set()
-    new = read_manifest(path, latest)["files"]
+    m_old = read_manifest(path, last_fed) if last_fed else {}
+    m_new = read_manifest(path, latest)
+    old = set(m_old.get("files", []))
+    new = m_new["files"]
     removed = old - set(new)
     if removed:
         raise ValueError(
             f"versions {last_fed}..{latest} of {path} rewrote {len(removed)} "
             "file(s); a streaming feed over rewrites needs change_feed "
             "semantics, not the append-only fast path"
+        )
+    if not ignore_deletes and last_fed and m_old.get("dv", {}) != {
+        f: e for f, e in m_new.get("dv", {}).items() if f in old
+    }:
+        raise ValueError(
+            f"versions {last_fed}..{latest} of {path} changed deletion "
+            "vectors on already-fed files; pass ignore_deletes=True to "
+            "stream past row-level deletes without retraction (the Delta "
+            "ignoreDeletes contract), or consume change_feed instead"
         )
     os.makedirs(staging_dir, exist_ok=True)
     staged: list[str] = []

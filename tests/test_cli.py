@@ -47,3 +47,78 @@ def test_parser_consolidate_flags():
         ["consolidate", "--lake", "/tmp/l", "--hot", "h", "--history", "hist", "--year", "2024"]
     )
     assert not args.force
+
+
+def test_parser_table_admin_flags():
+    p = _build_parser()
+    a = p.parse_args(["table", "delete", "--path", "/t", "--where", "x = 1"])
+    assert (a.cmd, a.table_cmd, a.rewrite) == ("table", "delete", False)
+    a = p.parse_args(["table", "update", "--path", "/t", "--where", "x=1",
+                      "--set", "y=y*2,z='a'"])
+    assert a.assignments == "y=y*2,z='a'"
+    a = p.parse_args(["table", "optimize", "--path", "/t", "--zorder-by", "a,b"])
+    assert a.zorder_by == "a,b"
+
+
+def test_parse_assignments_top_level_commas_only():
+    from us_equity_datalake_spark.cli import _parse_assignments
+
+    got = _parse_assignments("y = round(x, 2), z = 'a,b'")
+    assert sorted(got) == ["y", "z"]
+    import pytest
+
+    with pytest.raises(ValueError, match="missing"):
+        _parse_assignments("nonsense")
+
+
+def test_cli_table_admin_end_to_end(spark, tmp_path, capsys, monkeypatch):
+    """Drive the snapshot-admin verbs through main() against a scratch
+    table: delete (DV), update (MoR), count, purge, optimize, history,
+    rollback, vacuum, clone."""
+    import json as _json
+
+    import us_equity_datalake_spark.cli as cli
+    from us_equity_datalake_spark.sources import snapshots
+
+    # main() creates/stops its own session per invocation; reuse the test
+    # session and make stop a no-op so the suite's fixture survives
+    monkeypatch.setattr(
+        "us_equity_datalake_spark.session.get_spark", lambda name: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 100).selectExpr("id", "id % 7 AS grp", "id * 1.5 AS val"),
+        path,
+    )
+
+    def run(*argv):
+        assert cli.main(list(argv)) == 0
+        return [_json.loads(line) for line in capsys.readouterr().out.splitlines()]
+
+    out = run("table", "delete", "--path", path, "--where", "grp = 3")
+    assert out[0]["files_rewritten"] == 0 and out[0]["rows_deleted"] == 14
+    out = run("table", "count", "--path", path)
+    assert out[0]["count"] == 86
+    out = run("table", "update", "--path", path, "--where", "grp = 0",
+              "--set", "val = val + 100")
+    assert out[0]["rows_updated"] == 15 and out[0]["files_rewritten"] == 0
+    got = {r["id"]: r["val"] for r in snapshots.read_version(spark, path).collect()}
+    assert got[0] == 100.0 and got[7] == 110.5 and 3 not in got
+    out = run("table", "purge-dv", "--path", path)
+    assert out[0]["rows_purged"] >= 14
+    out = run("table", "optimize", "--path", path, "--target-files", "1")
+    assert out[0]["files_after"] == 1
+    hist = run("table", "history", "--path", path)
+    assert [h["mode"] for h in hist] == [
+        "append", "delete_dv", "update_dv", "purge_dv", "overwrite"
+    ]
+    out = run("table", "rollback", "--path", path, "--to-version", "4")
+    assert out[0]["version"] == 6
+    clone_dest = str(tmp_path / "c")
+    out = run("table", "clone", "--path", path, "--dest", clone_dest)
+    assert out[0]["clone_version"] == 1
+    out = run("table", "vacuum", "--path", path, "--keep-last", "1")
+    assert snapshots.read_version(spark, path).count() == 86
+    assert snapshots.read_version(spark, clone_dest).count() == 86

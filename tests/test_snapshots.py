@@ -1220,3 +1220,18 @@ def test_dv_streaming_feed_refuses_silent_deletes(spark, tmp_path):
     ), path)
     staged = snapshots.stage_incremental_files(path, staging, state)
     assert len(staged) >= 1 and all(os.path.exists(p) for p in staged)
+
+
+def test_dv_update_casts_assignment_to_existing_type(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10).selectExpr("id", "CAST(id * 1.5 AS DECIMAL(10,1)) AS val")
+    snapshots.commit(df, path)
+    # decimal(10,1) + 100 widens to decimal(11,1); the update must cast the
+    # image back so schema-on-write sees the SAME column type
+    snapshots.update_where_dv(
+        spark, path, F.col("id") < 3, {"val": F.col("val") + 100}
+    )
+    m = snapshots.read_manifest(path, snapshots.latest_version(path))
+    assert m["schema"]["val"] == "decimal(10,1)"
+    got = {r["id"]: float(r["val"]) for r in snapshots.read_version(spark, path).collect()}
+    assert got[0] == 100.0 and got[2] == 103.0 and got[5] == 7.5

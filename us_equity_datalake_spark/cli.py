@@ -64,6 +64,50 @@ def _build_parser() -> argparse.ArgumentParser:
     cy.add_argument("--year", required=True, type=int, help="year to consolidate (e.g., 2025)")
     cy.add_argument("--force", action="store_true", help="overwrite a year already in history")
 
+    # snapshot-table admin surface (sources/snapshots.py) — the Delta-style
+    # operational verbs an operator runs against a versioned table
+    tb = sub.add_parser("table", help="snapshot-table admin (history/delete/update/optimize/vacuum/...)")
+    tsub = tb.add_subparsers(dest="table_cmd", required=True)
+
+    th = tsub.add_parser("history", help="DESCRIBE HISTORY (one JSON row per version)")
+    th.add_argument("--path", required=True, help="snapshot table root")
+
+    tc = tsub.add_parser("count", help="metadata-only COUNT(*) (zero jobs)")
+    tc.add_argument("--path", required=True)
+    tc.add_argument("--version", type=int)
+
+    td = tsub.add_parser("delete", help="DELETE FROM ... WHERE (DV by default; --rewrite for copy-on-write)")
+    td.add_argument("--path", required=True)
+    td.add_argument("--where", required=True, help="SQL predicate, e.g. \"status = 'F'\"")
+    td.add_argument("--rewrite", action="store_true", help="copy-on-write instead of deletion vectors")
+
+    tu = tsub.add_parser("update", help="UPDATE ... SET ... WHERE (merge-on-read)")
+    tu.add_argument("--path", required=True)
+    tu.add_argument("--where", required=True, help="SQL predicate")
+    tu.add_argument("--set", required=True, dest="assignments",
+                    help="comma-separated col=SQL-expr, e.g. \"price=price*1.1,flag='Y'\"")
+
+    tp = tsub.add_parser("purge-dv", help="materialize deletion vectors (REORG APPLY PURGE)")
+    tp.add_argument("--path", required=True)
+
+    to = tsub.add_parser("optimize", help="OPTIMIZE: compact to N files, optional z-order")
+    to.add_argument("--path", required=True)
+    to.add_argument("--target-files", type=int, default=1)
+    to.add_argument("--zorder-by", help="comma-separated clustering columns")
+
+    tv = tsub.add_parser("vacuum", help="expire history (clone- and DV-pinning aware)")
+    tv.add_argument("--path", required=True)
+    tv.add_argument("--keep-last", type=int, default=1)
+
+    tr = tsub.add_parser("rollback", help="RESTORE to an older version (new manifest, no data move)")
+    tr.add_argument("--path", required=True)
+    tr.add_argument("--to-version", type=int, required=True)
+
+    tcl = tsub.add_parser("clone", help="zero-copy shallow clone (registers a vacuum pin)")
+    tcl.add_argument("--path", required=True, help="source table root")
+    tcl.add_argument("--dest", required=True, help="clone target root")
+    tcl.add_argument("--version", type=int, help="source version (default latest)")
+
     return p
 
 
@@ -98,6 +142,79 @@ def _run_update(spark, args, target_date: str) -> dict:
         lookback_days=args.lookback,
         calendar=_load(spark, args.calendar),
     )
+
+
+def _parse_assignments(spec: str) -> dict:
+    """``col=SQL-expr`` pairs (expr kept as its SQL string), split on
+    TOP-LEVEL commas (commas inside parens/quotes belong to the expr)."""
+    out, buf, depth, quote = {}, [], 0, None
+    parts = []
+    for ch in spec:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    for part in parts:
+        col, _, expr = part.partition("=")
+        if not _:
+            raise ValueError(f"--set entry missing '=': {part!r}")
+        out[col.strip()] = expr.strip()
+    return out
+
+
+def _run_table_cmd(spark, args) -> int:
+    from pyspark.sql import functions as F
+
+    from us_equity_datalake_spark.sources import snapshots as S
+
+    cmd = args.table_cmd
+    if cmd == "history":
+        for row in S.history(args.path):
+            print(json.dumps(row, default=str))
+    elif cmd == "count":
+        n = S.table_count(args.path, args.version)
+        if n is None:  # pre-rowcount table: fall back to a scan
+            n = S.read_version(spark, args.path, args.version).count()
+        print(json.dumps({"count": n}))
+    elif cmd == "delete":
+        fn = S.delete_where if args.rewrite else S.delete_where_dv
+        print(json.dumps(fn(spark, args.path, F.expr(args.where))))
+    elif cmd == "update":
+        try:
+            assignments = _parse_assignments(args.assignments)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps(S.update_where_dv(
+            spark, args.path, F.expr(args.where),
+            {c: F.expr(e) for c, e in assignments.items()})))
+    elif cmd == "purge-dv":
+        print(json.dumps(S.materialize_dvs(spark, args.path)))
+    elif cmd == "optimize":
+        zo = args.zorder_by.split(",") if args.zorder_by else None
+        print(json.dumps(S.optimize(
+            spark, args.path, target_files=args.target_files, zorder_by=zo)))
+    elif cmd == "vacuum":
+        removed = S.vacuum(args.path, keep_last=args.keep_last)
+        print(json.dumps({"removed": len(removed)}))
+    elif cmd == "rollback":
+        print(json.dumps({"version": S.rollback(args.path, args.to_version)}))
+    elif cmd == "clone":
+        v = S.clone(args.path, args.dest, version=args.version)
+        print(json.dumps({"clone_version": v, "dest": args.dest}))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -149,6 +266,10 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"error: {e}", file=sys.stderr)
                 return 2
             print(json.dumps({"year": args.year, **out}))
+        elif args.cmd == "table":
+            ret = _run_table_cmd(spark, args)
+            if ret:
+                return ret
     finally:
         spark.stop()
     return 0

@@ -1235,8 +1235,16 @@ def update_where_dv(
     )
     n_updated = sum(len(v) for v in updates.values())
     new_images = matched.drop("__file", "__pos")
+    existing = {f.name: f.dataType for f in new_images.schema.fields}
     for col, expr in assignments.items():
-        new_images = new_images.withColumn(col, expr)
+        # the Delta UPDATE contract: an assignment to an EXISTING column is
+        # cast back to that column's type (arithmetic widening — e.g.
+        # decimal(23,1)+100 -> decimal(24,1) — must not leak into a schema
+        # change); a NEW column keeps the expression's type (additive
+        # evolution, which schema-on-write already allows)
+        new_images = new_images.withColumn(
+            col, expr.cast(existing[col]) if col in existing else expr
+        )
     v = commit(
         new_images, path, _mode_label="update_dv", _dv_updates=updates
     )

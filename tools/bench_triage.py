@@ -104,6 +104,24 @@ WRITE_PATH = {
     "lake_ivm_join_report": "five snapshot commits across three tables (two bases + the "
     "materialized view and its delta-join maintenance commit) + the maintained-vs-direct "
     "identity aggregation; the oracle joins the base tables with zero writes",
+    # round 9
+    "lake_schema_clone_report": "a source table, two clones, five commits, two vacuums and "
+    "a rejected-append arm; the oracle recounts customer segments with zero writes",
+    "lake_concurrent_compact_report": "8-file commit + two THREADED OPTIMIZE WHERE "
+    "rewrites through the publish-race retry loop; oracle aggregates the base table",
+    "lake_history_report": "five commits (append/delete/rollback/clone chain) then the "
+    "manifest-sized audit; oracle is a literal matrix",
+    "lake_deletion_vector_report": "seven graded arms over a scratch 8-file lake: commit, "
+    "two DV deletes, the purge rewrite, and a post-purge append, plus five read-backs; "
+    "the oracle filters the base table with zero writes",
+    "lake_mor_update_report": "commit + one atomic DV+append UPDATE + three read-backs; "
+    "oracle is a CASE-WHEN recomputation with zero writes",
+    "lake_partition_evolution_report": "ELEVEN one-file commits (7 year files + 4 "
+    "custkey-quartile files) + three manifest-pruned read-backs; oracle filters the base "
+    "table with zero writes",
+    "streaming_dv_delete_sink": "REAL streaming engine: two foreachBatch micro-batches "
+    "each publishing a deletion-vector commit + checkpoint + the final lake read-back; "
+    "oracle anti-filters the base table with zero writes",
 }
 
 COMPUTE_NOTES_R7 = {
@@ -123,6 +141,11 @@ UDF_PATH = {
 }
 
 COMPUTE_NOTES = {
+    "ema_daily_close_long": "generates the 1500-row-per-security series in-plan, then the "
+    "blocked scan (two windows over ONE per-security exchange); the oracle's recursive CTE "
+    "is sequential per security — the ratio shrinks as series count grows",
+    "dedup_keep_best_report": "LSH bucket kernel (Arrow) + pair cosine + union-find + the "
+    "quality argmax; the oracle's recursive-CTE closure is the same work in one process",
     "doc_lsh_verified_jaccard": "minhash sigs + band join + set verify: 3 shuffles vs "
     "DuckDB's in-process hash joins; md5 per shingle on both sides — gap is shuffle I/O, linear at scale",
     "doc_ngram_jaccard_pairs": "inverted-index self-join, Σ df² candidates; same asymptotics both engines "

@@ -61,6 +61,8 @@ _GRADING_PRIORITY = [
     "lake_mor_update_report",        # merge-on-read UPDATE: DV + append, 1 commit
     "streaming_dv_delete_sink",      # redaction feed -> foreachBatch DV deletes
     "lake_partition_evolution_report",  # spec change mid-table, stats-pruned reads
+    "linear_interpolate_calendar",   # pandas interpolate('time') on the spine
+    "factor_rank_ic",                # per-day Spearman IC over exact integer ranks
     # --- regression tail: paths round 9 touches ---
     "doc_line_dedup_scrub",      # re-measured 1.65x per 10x isolated (r8 13.77x
                                  # row was concurrent-load noise; BENCH_DETAIL sf1)

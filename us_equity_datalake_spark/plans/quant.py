@@ -562,3 +562,157 @@ def ema_long_q(spark, sf_dir):
         "security_id", "d",
         (F.pow(F.lit(2.0), -F.col("j")) * (F.col("c_in") + F.col("s"))).alias("ema_cents"),
     )
+
+
+@register(
+    "linear_interpolate_calendar",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    span AS (
+      SELECT security_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY security_id
+    ),
+    spine AS (
+      SELECT security_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM span
+    ),
+    joined AS (
+      SELECT s.security_id, s.d, daily.close
+      FROM spine s LEFT JOIN daily ON s.security_id = daily.security_id AND s.d = daily.d
+    ),
+    br AS (
+      SELECT security_id, d, close,
+             LAST_VALUE(close IGNORE NULLS) OVER w_b AS prev_c,
+             LAST_VALUE(CASE WHEN close IS NOT NULL THEN d END IGNORE NULLS) OVER w_b AS prev_d,
+             FIRST_VALUE(close IGNORE NULLS) OVER w_f AS next_c,
+             FIRST_VALUE(CASE WHEN close IS NOT NULL THEN d END IGNORE NULLS) OVER w_f AS next_d
+      FROM joined
+      WINDOW w_b AS (PARTITION BY security_id ORDER BY d ROWS UNBOUNDED PRECEDING),
+             w_f AS (PARTITION BY security_id ORDER BY d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT security_id, d,
+           ROUND(CASE WHEN close IS NOT NULL THEN close
+                 ELSE prev_c + (next_c - prev_c)
+                      * (CAST(date_diff('day', prev_d, d) AS DOUBLE)
+                         / CAST(date_diff('day', prev_d, next_d) AS DOUBLE))
+                 END, 6) AS close_li,
+           CAST(close IS NULL AS BIGINT) AS interpolated
+    FROM br
+    """,
+    doc="LINEAR interpolation to the calendar grid (pandas "
+    "DataFrame.interpolate('time') — the other half of the reference's "
+    "reindex discipline, where LOCF is a step function): every gap day "
+    "takes prev + (next-prev) * elapsed/gap between its bracketing "
+    "observed bars.  Brackets come from two IGNORE-NULLS windows (last "
+    "preceding, first following) over the SAME per-security exchange the "
+    "LOCF query uses — interpolation adds no shuffle.  Endpoints are "
+    "always bracketed because the spine spans each security's observed "
+    "[min, max].  The fraction is evaluated (elapsed/gap) in BOTH engines "
+    "so the doubles agree bit-for-bit under round(6).",
+)
+def linear_interpolate_q(spark, sf_dir):
+    daily = _daily(spark, sf_dir)
+    span = daily.groupBy("security_id").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = span.select("security_id", F.explode(F.sequence("lo", "hi")).alias("d"))
+    joined = spine.join(daily, ["security_id", "d"], "left")
+    wb = Window.partitionBy("security_id").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("security_id").orderBy("d").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_d = F.when(F.col("close").isNotNull(), F.col("d"))
+    br = joined.select(
+        "security_id", "d", "close",
+        F.last("close", ignorenulls=True).over(wb).alias("prev_c"),
+        F.last(obs_d, ignorenulls=True).over(wb).alias("prev_d"),
+        F.first("close", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(obs_d, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    frac = (
+        F.datediff("d", "prev_d").cast("double")
+        / F.datediff("next_d", "prev_d").cast("double")
+    )
+    return br.select(
+        "security_id", "d",
+        F.round(
+            F.when(F.col("close").isNotNull(), F.col("close")).otherwise(
+                F.col("prev_c") + (F.col("next_c") - F.col("prev_c")) * frac
+            ), 6,
+        ).alias("close_li"),
+        F.col("close").isNull().cast("long").alias("interpolated"),
+    )
+
+
+@register(
+    "factor_rank_ic",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    rets0 AS (
+      SELECT security_id, d,
+             close / LAG(close) OVER (PARTITION BY security_id ORDER BY d) - 1 AS ret
+      FROM daily
+    ),
+    rets AS (
+      SELECT security_id, d, ret,
+             LEAD(ret) OVER (PARTITION BY security_id ORDER BY d) AS fwd_ret
+      FROM rets0
+    ),
+    obs AS (
+      SELECT d, security_id, ret AS factor, fwd_ret AS target
+      FROM rets WHERE ret IS NOT NULL AND fwd_ret IS NOT NULL
+    ),
+    ranked AS (
+      SELECT d,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d ORDER BY factor, security_id) AS BIGINT) AS rx,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d ORDER BY target, security_id) AS BIGINT) AS ry
+      FROM obs
+    ),
+    sums AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(rx * ry) AS sxy, SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+      FROM ranked GROUP BY d
+    )
+    SELECT d, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                        * CAST((n * syy - sy * sy) AS DOUBLE)), 6) AS rank_ic
+    FROM sums WHERE n >= 5
+    """,
+    doc="Per-day factor RANK IC (Spearman information coefficient) — the "
+    "factor-research staple: yesterday's return as the factor, tomorrow's "
+    "return as the target, Spearman = Pearson over cross-sectional ranks "
+    "each day.  Ranks are total-ordered (value, security_id) row_numbers, "
+    "so the moment sums are exact BIGINTs in both engines and the final "
+    "correlation is one deterministic double expression under round(6).  "
+    "One shuffle on security_id for the return windows, one on day for "
+    "the ranking + aggregation; at 100 TB both partitionings are the "
+    "natural ones (per-name history, per-day cross-section).",
+)
+def factor_rank_ic_q(spark, sf_dir):
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("security_id").orderBy("d")
+    rets = daily.select(
+        "security_id", "d",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).withColumn("fwd_ret", F.lead("ret").over(w))
+    obs = rets.where(F.col("ret").isNotNull() & F.col("fwd_ret").isNotNull())
+    rx = F.row_number().over(Window.partitionBy("d").orderBy("ret", "security_id"))
+    ry = F.row_number().over(Window.partitionBy("d").orderBy("fwd_ret", "security_id"))
+    ranked = obs.select("d", rx.cast("long").alias("rx"), ry.cast("long").alias("ry"))
+    sums = ranked.groupBy("d").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return sums.where(F.col("n") >= 5).select(
+        "d", "n", F.round(num / den, 6).alias("rank_ic")
+    )

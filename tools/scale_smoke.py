@@ -132,6 +132,10 @@ HEAVY = [
     # round 9: partition evolution — 11 one-file commits + 3 manifest-pruned
     # reads; cost is the commit loop (file-count-bounded), not the data
     "lake_partition_evolution_report",
+    # round 9: the spine interpolation shares LOCF's shape (10x users =
+    # 10x spine rows); rank IC adds one per-day exchange over the returns
+    "linear_interpolate_calendar",
+    "factor_rank_ic",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -1235,3 +1235,14 @@ def test_dv_update_casts_assignment_to_existing_type(spark, tmp_path):
     assert m["schema"]["val"] == "decimal(10,1)"
     got = {r["id"]: float(r["val"]) for r in snapshots.read_version(spark, path).collect()}
     assert got[0] == 100.0 and got[2] == 103.0 and got[5] == 7.5
+
+
+def test_dv_optimize_materializes_vectors(spark, tmp_path):
+    path = _dv_table(spark, tmp_path)
+    snapshots.delete_where_dv(spark, path, F.col("id").between(8, 15))
+    r = snapshots.optimize(spark, path, target_files=1)
+    m = snapshots.read_manifest(path, r["version"])
+    assert "dv" not in m and r["files_after"] == 1
+    assert _ids(snapshots.read_version(spark, path)) == (
+        list(range(8)) + list(range(16, 40))
+    )

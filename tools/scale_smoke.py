@@ -136,6 +136,7 @@ HEAVY = [
     # 10x spine rows); rank IC adds one per-day exchange over the returns
     "linear_interpolate_calendar",
     "factor_rank_ic",
+    "factor_backtest_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

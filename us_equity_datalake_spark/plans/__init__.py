@@ -63,6 +63,7 @@ _GRADING_PRIORITY = [
     "lake_partition_evolution_report",  # spec change mid-table, stats-pruned reads
     "linear_interpolate_calendar",   # pandas interpolate('time') on the spine
     "factor_rank_ic",                # per-day Spearman IC over exact integer ranks
+    "factor_backtest_report",        # top-quintile book: next-day return + turnover
     # --- regression tail: paths round 9 touches ---
     "doc_line_dedup_scrub",      # re-measured 1.65x per 10x isolated (r8 13.77x
                                  # row was concurrent-load noise; BENCH_DETAIL sf1)

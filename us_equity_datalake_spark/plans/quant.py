@@ -716,3 +716,136 @@ def factor_rank_ic_q(spark, sf_dir):
     return sums.where(F.col("n") >= 5).select(
         "d", "n", F.round(num / den, 6).alias("rank_ic")
     )
+
+
+@register(
+    "factor_backtest_report",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    rets0 AS (
+      SELECT security_id, d,
+             close / LAG(close) OVER (PARTITION BY security_id ORDER BY d) - 1 AS ret
+      FROM daily
+    ),
+    rets AS (
+      SELECT security_id, d, ret,
+             LEAD(ret) OVER (PARTITION BY security_id ORDER BY d) AS fwd_ret
+      FROM rets0
+    ),
+    obs AS (
+      SELECT d, security_id, ret AS factor, ROUND(fwd_ret, 6) AS target
+      FROM rets WHERE ret IS NOT NULL AND fwd_ret IS NOT NULL
+    ),
+    sized AS (
+      SELECT d, security_id, factor, target,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d ORDER BY factor DESC, security_id) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY d) AS BIGINT) AS n
+      FROM obs
+    ),
+    members AS (
+      SELECT d, security_id, target, n // 5 AS n_long FROM sized
+      WHERE n >= 10 AND rk <= n // 5
+    ),
+    days AS (
+      SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS day_seq
+      FROM (SELECT DISTINCT d FROM members)
+    ),
+    port AS (
+      SELECT m.d, dy.day_seq, m.n_long,
+             {dec_sum_sql('m.target')} AS ret_sum
+      FROM members m JOIN days dy ON m.d = dy.d
+      GROUP BY m.d, dy.day_seq, m.n_long
+    ),
+    churn AS (
+      SELECT t.d, CAST(COUNT(*) AS BIGINT) AS n_entered
+      FROM members t
+      JOIN days dt ON t.d = dt.d
+      LEFT JOIN days dp ON dp.day_seq = dt.day_seq - 1
+      LEFT JOIN members p ON p.d = dp.d AND p.security_id = t.security_id
+      WHERE dt.day_seq > 1 AND p.security_id IS NULL
+      GROUP BY t.d
+    )
+    SELECT port.d, port.n_long,
+           ROUND(port.ret_sum / port.n_long, 6) AS port_ret,
+           ROUND(CAST(COALESCE(churn.n_entered,
+                               CASE WHEN port.day_seq = 1 THEN NULL ELSE 0 END)
+                      AS DOUBLE) / port.n_long, 6) AS turnover
+    FROM port LEFT JOIN churn ON port.d = churn.d
+    """,
+    doc="End-to-end FACTOR BACKTEST (the step after factor_rank_ic in a "
+    "factor-research pipeline): each day go long the top quintile by "
+    "factor (yesterday's return, total-ordered by (factor DESC, "
+    "security_id)), hold for one day.  Graded per day: portfolio size "
+    "(n/5 with an n>=10 floor), equal-weight next-day return (targets "
+    "rounded to 6 THEN exact-decimal-summed, so the mean is one "
+    "deterministic double), and TURNOVER = fraction of today's book that "
+    "entered since yesterday's (NULL on the first day — no predecessor). "
+    "Three natural partitionings, each one exchange: per-security return "
+    "windows, per-day ranking, and the day-sequence self-join for churn "
+    "(members-sized, broadcast).  At 100 TB the members table is "
+    "portfolio-sized — thousands of rows per day — regardless of "
+    "universe size.",
+)
+def factor_backtest_q(spark, sf_dir):
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("security_id").orderBy("d")
+    rets = daily.select(
+        "security_id", "d",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("factor"),
+    ).withColumn("target", F.round(F.lead("factor").over(w), 6))
+    obs = rets.where(F.col("factor").isNotNull() & F.col("target").isNotNull())
+    rk = F.row_number().over(
+        Window.partitionBy("d").orderBy(F.col("factor").desc(), "security_id")
+    )
+    n = F.count("*").over(Window.partitionBy("d"))
+    sized = obs.select(
+        "d", "security_id", "target",
+        rk.cast("long").alias("rk"), n.cast("long").alias("n"),
+    )
+    # members is PORTFOLIO-sized (n/5 rows per day, whatever the universe);
+    # persist it — three consumers (returns, churn stream, churn probe) would
+    # otherwise each re-derive the full window chain from the bar table
+    members = sized.where(
+        (F.col("n") >= 10) & (F.col("rk") <= (F.col("n") / 5).cast("long"))
+    ).select(
+        "d", "security_id", "target", (F.col("n") / 5).cast("long").alias("n_long")
+    ).persist()
+    days = members.select("d").distinct().select(
+        "d", F.row_number().over(Window.orderBy("d")).cast("long").alias("day_seq")
+    ).persist()
+    port = (
+        members.join(days, "d")
+        .groupBy("d", "day_seq", "n_long")
+        .agg(dec_sum(F.col("target")).alias("ret_sum"))
+    )
+    prev = days.select(
+        F.col("day_seq").alias("prev_seq"), F.col("d").alias("prev_d")
+    )
+    t = members.join(days, "d").join(
+        prev, F.col("day_seq") - 1 == F.col("prev_seq"), "left"
+    )
+    p = members.select(F.col("d").alias("prev_d"), F.col("security_id").alias("sid"))
+    churn = (
+        t.where(F.col("day_seq") > 1)
+        .join(
+            p,
+            (t["prev_d"] == p["prev_d"]) & (t["security_id"] == p["sid"]),
+            "left_anti",
+        )
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("n_entered"))
+    )
+    first_day_null = F.when(F.col("day_seq") == 1, F.lit(None).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        port.join(churn, "d", "left")
+        .select(
+            "d", "n_long",
+            F.round(F.col("ret_sum") / F.col("n_long"), 6).alias("port_ret"),
+            F.round(
+                F.coalesce(F.col("n_entered"), first_day_null).cast("double")
+                / F.col("n_long"), 6,
+            ).alias("turnover"),
+        )
+    )

@@ -122,3 +122,29 @@ def test_cli_table_admin_end_to_end(spark, tmp_path, capsys, monkeypatch):
     out = run("table", "vacuum", "--path", path, "--keep-last", "1")
     assert snapshots.read_version(spark, path).count() == 86
     assert snapshots.read_version(spark, clone_dest).count() == 86
+
+
+def test_cli_zorder_by_strips_whitespace(spark, tmp_path, capsys, monkeypatch):
+    """--zorder-by "a, b" must cluster on (a, b), not (a, ' b')."""
+    import json as _json
+
+    import us_equity_datalake_spark.cli as cli
+    from us_equity_datalake_spark.sources import snapshots
+
+    monkeypatch.setattr(
+        "us_equity_datalake_spark.session.get_spark", lambda name: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 50).selectExpr("id", "id % 5 AS grp", "id * 1.5 AS val"),
+        path,
+    )
+    assert cli.main(
+        ["table", "optimize", "--path", path, "--target-files", "1",
+         "--zorder-by", "grp, id"]
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.splitlines()[0])
+    assert out["files_after"] == 1
+    assert snapshots.read_version(spark, path).count() == 50

@@ -1246,3 +1246,81 @@ def test_dv_optimize_materializes_vectors(spark, tmp_path):
     assert _ids(snapshots.read_version(spark, path)) == (
         list(range(8)) + list(range(16, 40))
     )
+
+
+# --- round-10 DV-guard regressions (ADVICE r9) --------------------------------
+
+
+def test_incremental_rows_applies_dv_on_added_files(spark, tmp_path):
+    """A file appended within (v_from, v_to] and then DV-deleted before v_to
+    must come back with its vector APPLIED — deleted rows never resurrect in
+    the incremental output (the r9 silent-leak hole)."""
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5), path)  # v1 (fed baseline)
+    snapshots.commit(spark.range(5, 10), path)  # v2 adds files
+    snapshots.delete_where_dv(spark, path, F.col("id").isin(6, 8))  # v3 DVs them
+    assert _ids(snapshots.incremental_rows(spark, path, 1, 3)) == [5, 7, 9]
+
+
+def test_incremental_rows_dv_on_carried_files_still_raises(spark, tmp_path):
+    """A DV landing on an ALREADY-DELIVERED file is a retraction — the
+    append-only fast path must refuse and point at change_feed."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5), path)  # v1
+    snapshots.delete_where_dv(spark, path, F.col("id") == 1)  # v2 DVs v1's file
+    with _pytest.raises(ValueError, match="change_feed"):
+        snapshots.incremental_rows(spark, path, 1, 2)
+
+
+def test_stage_incremental_files_initial_feed_with_dv_raises(spark, tmp_path):
+    """Initial feed (last_fed == 0) of a table already carrying DVs must NOT
+    hardlink the raw files — the parquet bytes still contain the deleted
+    rows (the r9 GDPR-leak hole #1)."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    staging, state = str(tmp_path / "stage"), str(tmp_path / "state.json")
+    snapshots.commit(spark.range(0, 10), path)
+    snapshots.delete_where_dv(spark, path, F.col("id") < 3)
+    with _pytest.raises(ValueError, match="ignore_deletes"):
+        snapshots.stage_incremental_files(path, staging, state)
+    # the opt-out is explicit and still works
+    assert snapshots.stage_incremental_files(
+        path, staging, state, ignore_deletes=True
+    )
+
+
+def test_stage_incremental_files_added_then_dv_raises(spark, tmp_path):
+    """A file ADDED within the fed range and DV-deleted before the feed
+    advances is staged-with-vector — must raise, not link raw (hole #2)."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    staging, state = str(tmp_path / "stage"), str(tmp_path / "state.json")
+    snapshots.commit(spark.range(0, 5), path)  # v1
+    assert snapshots.stage_incremental_files(path, staging, state)  # feed v1
+    snapshots.commit(spark.range(5, 10), path)  # v2 adds files
+    snapshots.delete_where_dv(spark, path, F.col("id") == 7)  # v3 DVs an added file
+    with _pytest.raises(ValueError, match="ignore_deletes"):
+        snapshots.stage_incremental_files(path, staging, state)
+
+
+def test_update_where_dv_zero_match_is_a_noop(spark, tmp_path):
+    """An UPDATE whose predicate matches nothing must not burn a version or
+    publish an empty commit (mirrors delete_where_dv's early return)."""
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 5).select("id", (F.col("id") * 1.0).alias("v")), path
+    )
+    r = snapshots.update_where_dv(
+        spark, path, F.col("id") > 100, {"v": F.lit(0.0)}
+    )
+    assert r == {
+        "version": 1,
+        "rows_updated": 0,
+        "files_with_dv": 0,
+        "files_rewritten": 0,
+    }
+    assert snapshots.latest_version(path) == 1

@@ -203,7 +203,11 @@ def _run_table_cmd(spark, args) -> int:
     elif cmd == "purge-dv":
         print(json.dumps(S.materialize_dvs(spark, args.path)))
     elif cmd == "optimize":
-        zo = args.zorder_by.split(",") if args.zorder_by else None
+        zo = (
+            [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+            if args.zorder_by
+            else None
+        )
         print(json.dumps(S.optimize(
             spark, args.path, target_files=args.target_files, zorder_by=zo)))
     elif cmd == "vacuum":

@@ -401,7 +401,7 @@ def cms_join_size_sql(
       FROM ga x JOIN gb y ON x.row_i = y.row_i AND x.bucket = y.bucket
       GROUP BY x.row_i
     ),
-    est AS (SELECT MIN(ip) AS est_join_size FROM ip),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
     fa AS (SELECT {key_expr} AS k, COUNT(*) AS ca FROM items_a GROUP BY 1),
     fb AS (SELECT {key_expr} AS k, COUNT(*) AS cb FROM items_b GROUP BY 1),
     exact AS (
@@ -409,7 +409,7 @@ def cms_join_size_sql(
       FROM fa JOIN fb USING (k)
     )
     SELECT {depth} AS depth, {width} AS width,
-           est_join_size, exact_join_size,
+           CAST(est_join_size AS BIGINT) AS est_join_size, exact_join_size,
            CAST(CASE WHEN exact_join_size > 0
                      THEN (CAST(est_join_size AS BIGINT) * 1000000)
                           // exact_join_size END

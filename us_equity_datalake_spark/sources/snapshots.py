@@ -306,6 +306,45 @@ def _read_dv_positions(entry: dict) -> "list[int]":
     return [int(p) for p in arr]
 
 
+# Above this many total deleted positions the scan stops materializing them
+# on the driver and reads the sidecars DISTRIBUTED (Spark JSON source +
+# executor-side numpy decode).  Below it, a driver-built broadcast frame is
+# cheaper than an extra Spark job per scan — the common small-DV case.
+DV_DRIVER_MAX_POSITIONS = 100_000
+# Above this many positions the anti-join side is too big to broadcast
+# (~8 MB/1M rows packed, but broadcast frames are row-expanded); fall back
+# to a shuffle anti-join, which AQE can still convert if stats allow.
+DV_BROADCAST_MAX_POSITIONS = 4_000_000
+
+
+def _dv_positions_df(spark: SparkSession, dv: dict) -> DataFrame:
+    """The (``__file``, ``__pos``) frame of DELETED positions, built WITHOUT
+    driver materialization: sidecar JSONs are read by the Spark JSON source
+    (one row per sidecar, distributed across executors) and the base64-packed
+    uint64 vector is decoded executor-side with numpy inside ``mapInPandas``
+    — the Delta shape, where the per-file bitmap ships to the scan, not to
+    the driver.  At 10⁸–10⁹ accumulated right-to-be-forgotten positions the
+    driver holds only the file list; each executor decodes its own sidecars.
+    """
+    paths = sorted(e["path"] for e in dv.values())
+    raw = spark.read.schema("file string, positions string").json(paths)
+
+    def decode(batches):
+        import base64 as _b64
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            for fname, b64 in zip(pdf["file"], pdf["positions"]):
+                arr = _np.frombuffer(_b64.b64decode(b64), dtype=_np.uint64)
+                yield _pd.DataFrame(
+                    {"__file": fname, "__pos": arr.astype(_np.int64)}
+                )
+
+    return raw.mapInPandas(decode, "__file string, __pos long")
+
+
 def _scan_files(
     spark: SparkSession,
     files: "list[str]",
@@ -352,10 +391,22 @@ def _scan_files(
 
     clean = sorted(set(files) - set(dv))
     dvd = sorted(dv)
-    dv_rows = [(f, p) for f in dvd for p in _read_dv_positions(dv[f])]
-    dv_df = spark.createDataFrame(dv_rows, "__file string, __pos long")
+    # Route by manifest-recorded DV cardinality (sum of per-file n): small
+    # vectors build the anti-join side on the driver (no extra Spark job),
+    # large ones decode sidecars executor-side; very large ones also give up
+    # the broadcast so the join shuffles instead of exploding the driver.
+    total_n = sum(int(dv[f].get("n", 0)) for f in dvd)
+    if total_n <= DV_DRIVER_MAX_POSITIONS:
+        dv_rows = [(f, p) for f in dvd for p in _read_dv_positions(dv[f])]
+        dv_df = F.broadcast(
+            spark.createDataFrame(dv_rows, "__file string, __pos long")
+        )
+    else:
+        dv_df = _dv_positions_df(spark, {f: dv[f] for f in dvd})
+        if total_n <= DV_BROADCAST_MAX_POSITIONS:
+            dv_df = F.broadcast(dv_df)
     live = with_cols(reader.parquet(*dvd)).join(
-        F.broadcast(dv_df), ["__file", "__pos"], "left_anti"
+        dv_df, ["__file", "__pos"], "left_anti"
     )
     if clean:
         live = with_cols(reader.parquet(*clean)).unionByName(
@@ -1234,6 +1285,13 @@ def update_where_dv(
         matched.select("__file", "__pos"), set(m0["files"]), "update_where_dv"
     )
     n_updated = sum(len(v) for v in updates.values())
+    if n_updated == 0:  # nothing matched: don't burn a version on a no-op
+        return {
+            "version": v0,
+            "rows_updated": 0,
+            "files_with_dv": len(m0.get("dv", {})),
+            "files_rewritten": 0,
+        }
     new_images = matched.drop("__file", "__pos")
     existing = {f.name: f.dataType for f in new_images.schema.fields}
     for col, expr in assignments.items():
@@ -1467,15 +1525,28 @@ def stage_incremental_files(
             "file(s); a streaming feed over rewrites needs change_feed "
             "semantics, not the append-only fast path"
         )
-    if not ignore_deletes and last_fed and m_old.get("dv", {}) != {
-        f: e for f, e in m_new.get("dv", {}).items() if f in old
-    }:
-        raise ValueError(
-            f"versions {last_fed}..{latest} of {path} changed deletion "
-            "vectors on already-fed files; pass ignore_deletes=True to "
-            "stream past row-level deletes without retraction (the Delta "
-            "ignoreDeletes contract), or consume change_feed instead"
-        )
+    if not ignore_deletes:
+        dv_new = m_new.get("dv", {})
+        # (a) a DV appeared/changed on an already-fed file — the consumer
+        #     holds rows the table has since deleted;
+        # (b) a file being staged THIS call carries a DV (added then
+        #     DV-deleted within the fed range, or the initial feed of a
+        #     table that already has vectors) — the raw parquet on disk
+        #     still contains the dead rows, so hardlinking it feeds them.
+        changed_fed = last_fed and m_old.get("dv", {}) != {
+            f: e for f, e in dv_new.items() if f in old
+        }
+        staged_with_dv = [f for f in new if f not in old and f in dv_new]
+        if changed_fed or staged_with_dv:
+            raise ValueError(
+                f"versions {last_fed}..{latest} of {path} carry deletion "
+                f"vectors across the feed ({len(staged_with_dv)} staged "
+                "file(s) vectored, "
+                f"fed-range change={bool(changed_fed)}); pass "
+                "ignore_deletes=True to stream past row-level deletes "
+                "without retraction (the Delta ignoreDeletes contract), "
+                "or consume change_feed instead"
+            )
     os.makedirs(staging_dir, exist_ok=True)
     staged: list[str] = []
     for f in new:
@@ -1589,7 +1660,11 @@ def incremental_rows(spark: SparkSession, path: str, v_from: int, v_to: int) -> 
     exactly the manifest difference (no join, no diff compute); Spark reads
     only the new files.  Raises if any ``v_from`` file was removed in
     between (a rewrite happened — use ``change_feed`` for row-level diffs
-    through rewrites)."""
+    through rewrites).  A file ADDED in the range and then DV-deleted
+    before ``v_to`` is read with its vector applied (``_scan_files``), so
+    deleted rows never resurrect in the incremental output; only a DV
+    change on carried-over files (a retraction of already-delivered rows)
+    falls back to ``change_feed``."""
     m_from, m_to = read_manifest(path, v_from), read_manifest(path, v_to)
     old = set(m_from["files"])
     new = m_to["files"]
@@ -1611,4 +1686,4 @@ def incremental_rows(spark: SparkSession, path: str, v_from: int, v_to: int) -> 
     added = [f for f in new if f not in old]
     if not added:
         return read_version(spark, path, v_to).limit(0)
-    return spark.read.parquet(*added)
+    return _scan_files(spark, added, m_to)

@@ -1324,3 +1324,31 @@ def test_update_where_dv_zero_match_is_a_noop(spark, tmp_path):
         "files_rewritten": 0,
     }
     assert snapshots.latest_version(path) == 1
+
+
+def test_scan_files_large_dv_distributed_path(spark, tmp_path):
+    """Above DV_DRIVER_MAX_POSITIONS the anti-join side is decoded
+    executor-side from the sidecars (no driver position list); results must
+    be identical to the small-vector broadcast path."""
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 200_000), path)
+    r = snapshots.delete_where_dv(spark, path, F.col("id") % 3 != 0)
+    assert r["rows_deleted"] == 133_333 > snapshots.DV_DRIVER_MAX_POSITIONS
+    got = snapshots.read_version(spark, path)
+    assert got.count() == 66_667
+    assert got.agg(F.min("id"), F.max("id")).first() == (0, 199_998)
+    # spot-check membership: only multiples of 3 survive
+    assert _ids(got.where(F.col("id") < 10)) == [0, 3, 6, 9]
+
+
+def test_scan_files_huge_dv_shuffle_antijoin(spark, tmp_path, monkeypatch):
+    """Above DV_BROADCAST_MAX_POSITIONS the broadcast hint is dropped
+    (shuffle anti-join) — same results, driver never holds positions."""
+    monkeypatch.setattr(snapshots, "DV_DRIVER_MAX_POSITIONS", 1_000)
+    monkeypatch.setattr(snapshots, "DV_BROADCAST_MAX_POSITIONS", 2_000)
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 10_000), path)
+    snapshots.delete_where_dv(spark, path, F.col("id") % 2 == 1)
+    got = snapshots.read_version(spark, path)
+    assert got.count() == 5_000
+    assert _ids(got.where(F.col("id") < 8)) == [0, 2, 4, 6]

@@ -96,6 +96,43 @@ def main() -> None:
         "files_rewritten": r["files_rewritten"],
     }
 
+    # ≥10⁶-position arm (round 10): past DV_BROADCAST_MAX_POSITIONS the scan
+    # decodes sidecars executor-side and shuffle-anti-joins — the driver must
+    # hold the FILE LIST only, never the positions.  ru_maxrss is measured
+    # across the read: materializing 5M (file, pos) tuples driver-side would
+    # cost ~400 MB; the distributed path should move it by ~0.
+    import resource
+
+    big_root = os.path.join(tempfile.gettempdir(), "quantlake_dvscale_big")
+    shutil.rmtree(big_root, ignore_errors=True)
+    big = spark.range(0, 8_000_000).select(
+        F.col("id"), (F.col("id") * 1.5).alias("v")
+    )
+    S.commit(big.repartitionByRange(8, "id"), big_root)
+    t0 = time.time()
+    r = S.delete_where_dv(spark, big_root, F.col("id") % 8 < 5)
+    out["dv_write_5m"] = {
+        "sec": round(time.time() - t0, 3),
+        "rows_deleted": r["rows_deleted"],
+        "files_rewritten": r["files_rewritten"],
+    }
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    t0 = time.time()
+    live = (
+        S.read_version(spark, big_root)
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .first()
+    )
+    out["dv_read_5m"] = {
+        "sec": round(time.time() - t0, 3),
+        "rows_live": int(live["n"]),
+        "distributed": r["rows_deleted"] > S.DV_BROADCAST_MAX_POSITIONS,
+        "driver_maxrss_delta_kb": resource.getrusage(
+            resource.RUSAGE_SELF
+        ).ru_maxrss - rss0,
+    }
+    shutil.rmtree(big_root, ignore_errors=True)
+
     spark.stop()
     detail_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_DETAIL.json")

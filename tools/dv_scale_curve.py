@@ -109,12 +109,18 @@ def main() -> None:
         F.col("id"), (F.col("id") * 1.5).alias("v")
     )
     S.commit(big.repartitionByRange(8, "id"), big_root)
+    rss_w0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     t0 = time.time()
     r = S.delete_where_dv(spark, big_root, F.col("id") % 8 < 5)
     out["dv_write_5m"] = {
         "sec": round(time.time() - t0, 3),
         "rows_deleted": r["rows_deleted"],
         "files_rewritten": r["files_rewritten"],
+        # r10: sidecars written executor-side past DV_DRIVER_MAX_POSITIONS —
+        # the driver never holds the position list on the write side either
+        "driver_maxrss_delta_kb": resource.getrusage(
+            resource.RUSAGE_SELF
+        ).ru_maxrss - rss_w0,
     }
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     t0 = time.time()

@@ -1197,10 +1197,13 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
 
 def _collect_dv_updates(hits: DataFrame, manifest_files: "set[str]", op: str) -> "dict[str, list[int]]":
     """(file, position) hits -> {file: positions}, validated against the
-    manifest.  One driver collect bounded by the DELETED row count — the
-    merge-on-read design point is that deletes are tiny relative to the
-    table (Delta materializes DVs the same way); bulk deletes belong on the
-    copy-on-write path (:func:`delete_where`)."""
+    manifest.  One driver collect bounded by the MATCHED row count.  Used by
+    :func:`update_where_dv`, whose matched rows are re-written as new data
+    files anyway (the post-images) — so the update's cost is bounded by the
+    rewrite, not this metadata, and a bulk update belongs on the
+    copy-on-write path regardless.  Bulk DELETES (position metadata only)
+    go through :func:`_stage_dv_sidecars`, which writes sidecars
+    executor-side past ``DV_DRIVER_MAX_POSITIONS``."""
     from pyspark.sql import functions as F
 
     rows = hits.groupBy("__file").agg(F.collect_list("__pos").alias("ps")).collect()

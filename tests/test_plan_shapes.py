@@ -63,3 +63,31 @@ def test_dq_drift_monitor_two_exchanges(spark):
     plan = _plan(spark, "dq_drift_monitor")
     assert _count(plan, "Exchange") <= 2
     assert _count(plan, "Scan parquet") == 1
+
+
+def test_transition_feed_dv_reads_only_vectored_files(spark, tmp_path):
+    """The O(Δ) dispatch contract, pinned at the plan level: a delete_dv
+    transition's feed must scan ONLY the newly-vectored files — an untouched
+    carried-over file appearing in the scan means the fast path silently
+    regressed to an O(table) read."""
+    from pyspark.sql import functions as F
+
+    from us_equity_datalake_spark.sources import snapshots
+
+    path = str(tmp_path / "t")
+    # file A: ids 0..9 (commit 1); file B: ids 100..109 (commit 2)
+    snapshots.commit(spark.range(0, 10).coalesce(1), path)
+    snapshots.commit(spark.range(100, 110).coalesce(1), path)
+    snapshots.delete_where_dv(spark, path, F.col("id") == 105)  # vectors file B only
+    feed, mode = snapshots._transition_feed(spark, path, 2, key="id", cols=[])
+    assert mode == "dv"
+    plan = feed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m2 = snapshots.read_manifest(path, 2)
+    m3 = snapshots.read_manifest(path, 3)
+    (file_b,) = [f for f in m3["dv"]]
+    (file_a,) = [f for f in m2["files"] if f != file_b]
+    assert os.path.basename(file_b) in plan
+    assert os.path.basename(file_a) not in plan
+    assert [r["id"] for r in feed.collect()] == [105]

@@ -137,6 +137,11 @@ HEAVY = [
     "linear_interpolate_calendar",
     "factor_rank_ic",
     "factor_backtest_report",
+    # round 10: the O(Δ) DV change feed (position-delta semi-joins over only
+    # the vectored files + one added-files scan) and the clone-pin vacuum
+    # matrix (manifest-sized metadata ops + one OPTIMIZE rewrite)
+    "lake_dv_change_feed_report",
+    "lake_clone_pin_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

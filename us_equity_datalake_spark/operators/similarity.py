@@ -1056,6 +1056,10 @@ def pq_topk(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
     )
+    # A packed embeddings file often arrives as a handful of input splits
+    # (sf1 reads as 2), which would serialize every kernel pass onto as many
+    # cores; spread the cached frame across the cluster once, up front.
+    pts = pts.repartition(spark.sparkContext.defaultParallelism)
     pts = _cache.track(pts.persist())
 
     # --- train: ALL subspaces in one exploded frame — each Lloyd iteration
@@ -1064,18 +1068,14 @@ def pq_topk(
     # collected per iteration are driver-trivial.  Per-subspace math is
     # identical to running kmeans on each slice separately (the oracle
     # replays it that way).
-    subs = pts.select(
-        "vec_id",
-        F.posexplode(F.array(*[F.slice("e", mi * sub + 1, sub) for mi in range(m)]))
-        .alias("m", "es"),
-    )
-    subs = _cache.track(subs.persist())
     # the book lives as a DRIVER dict across iterations (k_codes x m rows):
     # re-collecting it from Spark each round would cost an extra job for
-    # data that never left the driver
+    # data that never left the driver.  Initial codewords: the first k_codes
+    # vectors, sliced per subspace driver-side.
     book_rows = {
-        (r["m"], r["vec_id"]): list(r["es"])
-        for r in subs.filter(F.col("vec_id") < k_codes).collect()
+        (mi, r["vec_id"]): list(r["e"][mi * sub:(mi + 1) * sub])
+        for r in pts.filter(F.col("vec_id") < k_codes).collect()
+        for mi in range(m)
     }
 
     def _book_arr():
@@ -1095,37 +1095,41 @@ def pq_topk(
             acc = acc + sq[:, :, d]
         return acc
 
-    def _assign_fn(book_arr, emit_es):
+    def _codes_mat(pdf, book_arr):
+        """(B, m) argmin codes for a batch of WHOLE vectors — each subspace
+        sliced and assigned in numpy; np.argmin returns the FIRST minimum,
+        i.e. the lowest cid, matching F.min(struct(d2, cid)) tie-breaking."""
+        E = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["e"]])
+        cm = np.empty((len(E), m), dtype=np.int64)
+        for mi in range(m):
+            cm[:, mi] = np.argmin(
+                _d2_to_book(E[:, mi * sub:(mi + 1) * sub], book_arr[mi]), axis=1
+            )
+        return E, cm
+
+    def _assign_exploded_fn(book_arr):
+        # train-side: emit (m, cid, es) rows so the DECIMAL(30,12) centroid
+        # update stays in Spark SQL (the cross-engine portability anchor)
         def fn(batches):
             import pandas as pd
 
             for pdf in batches:
                 if not len(pdf):
                     continue
-                ms = pdf["m"].to_numpy()
-                es = np.stack(
-                    [np.asarray(x, dtype=np.float64) for x in pdf["es"]]
-                )
-                cid = np.empty(len(ms), dtype=np.int64)
-                for mi in np.unique(ms):
-                    sel = np.flatnonzero(ms == mi)
-                    # np.argmin returns the FIRST minimum — the lowest cid,
-                    # matching F.min(struct(d2, cid)) tie-breaking
-                    cid[sel] = np.argmin(
-                        _d2_to_book(es[sel], book_arr[mi]), axis=1
-                    )
-                if emit_es:
-                    yield pd.DataFrame({"m": ms, "cid": cid, "es": pdf["es"]})
-                else:
-                    yield pd.DataFrame(
-                        {"vec_id": pdf["vec_id"], "m": ms, "code": cid}
-                    )
+                E, cm = _codes_mat(pdf, book_arr)
+                # row order (vector-major, subspace-minor) for all three
+                # columns; reshape slices the contiguous m*sub layout in C
+                yield pd.DataFrame({
+                    "m": np.tile(np.arange(m, dtype=np.int64), len(E)),
+                    "cid": cm.reshape(-1),
+                    "es": list(E.reshape(-1, sub)),
+                })
 
         return fn
 
     for _ in range(iters):
-        assigned = subs.mapInPandas(
-            _assign_fn(_book_arr(), emit_es=True),
+        assigned = pts.mapInPandas(
+            _assign_exploded_fn(_book_arr()),
             "m long, cid long, es array<double>",
         )
         comp = (
@@ -1149,16 +1153,23 @@ def pq_topk(
             {(r["m"], r["cid"]): list(r["c"]) for r in updated.collect()}
         )
 
-    # --- encode: one kernel pass -> (vec_id, codes array<long> ordered by m) ---
+    # --- encode: one kernel pass over WHOLE vectors -> (vec_id, codes) with
+    # NO shuffle at all (the old form exploded to 4.8M subvector rows at sf1
+    # and re-grouped them; the codes matrix falls out of the same argmin) ---
     book_arr = _book_arr()
-    codes = (
-        subs.mapInPandas(
-            _assign_fn(book_arr, emit_es=False), "vec_id long, m long, code long"
-        )
-        .groupBy("vec_id")
-        .agg(F.transform(F.array_sort(F.collect_list(F.struct("m", "code"))),
-                         lambda s: s.code).alias("codes"))
-    )
+
+    def encode_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            _, cm = _codes_mat(pdf, book_arr)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(cm)}
+            )
+
+    codes = pts.mapInPandas(encode_fn, "vec_id long, codes array<long>")
 
     # --- ADC tables: per query, m x k_codes exact subspace distances,
     # computed DRIVER-side with the same fold (the book is already a driver

@@ -142,6 +142,9 @@ HEAVY = [
     # matrix (manifest-sized metadata ops + one OPTIMIZE rewrite)
     "lake_dv_change_feed_report",
     "lake_clone_pin_report",
+    # round 10: the streaming CDF consumer — per-transition O(Δ) folds, so
+    # sf1's cost grows with the commits' touched files, not the table
+    "streaming_cdf_apply_sink",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -1187,8 +1187,10 @@ def pq_topk(
         qt_arr[:, mi, :] = _d2_to_book(
             qmat[:, mi * sub:(mi + 1) * sub], book_arr[mi]
         )
-    qmap = spark.createDataFrame(
-        [(i, qid) for i, qid in enumerate(qids)], ["qidx", "query_id"]
+    import pandas as pd
+
+    qmap = spark.createDataFrame(  # pandas-backed: executes JVM-side
+        pd.DataFrame({"qidx": list(range(nq)), "query_id": qids})
     )
 
     # --- ADC scan: numpy gather over the distance tables per Arrow batch;

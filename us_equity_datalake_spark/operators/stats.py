@@ -91,7 +91,13 @@ def histogram_quantiles(
     )  # bins rows: the single-partition window is dimension-sized by contract
     # ONE cum table theta-joined with the literal quantile list (broadcast
     # 3-row side) — a per-q union would re-derive the histogram per quantile
-    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    import pandas as pd
+
+    # pandas/Arrow-backed local relation: executes JVM-side (a tuple-list
+    # frame pays a Python worker round-trip in every job that joins it)
+    qdf = df.sparkSession.createDataFrame(
+        pd.DataFrame({"q": [float(q) for q in qs]}), schema="q double"
+    )
     r = F.ceil(F.col("q") * F.col("n_rows")).cast("long")
     quants = (
         F.broadcast(qdf)

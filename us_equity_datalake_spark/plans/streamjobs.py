@@ -1027,3 +1027,173 @@ def streaming_dv_delete_sink_q(spark, sf_dir):
             F.lit(sum(rewritten)).cast("long").alias("files_rewritten"),
         )
     )
+
+
+_CDFS_UP = 50000.0  # the update_dv bump on o_totalprice
+
+
+@register(
+    "streaming_cdf_apply_sink",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    live2 AS (SELECT * FROM f WHERE o_orderkey % 7 <> 3),
+    v3 AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 1
+                  THEN o_totalprice + {_CDFS_UP} ELSE o_totalprice END AS price
+      FROM live2
+    ),
+    final AS (
+      SELECT * FROM v3
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice AS price
+      FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT arm, o_orderstatus, n_rows, total_price, applied_version FROM (
+      SELECT 'direct' AS arm, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {dec_sum_sql('price')} AS total_price,
+             CAST(4 AS BIGINT) AS applied_version
+      FROM final GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'maintained', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+             {dec_sum_sql('price')}, CAST(4 AS BIGINT)
+      FROM final GROUP BY o_orderstatus
+    )
+    """,
+    doc="Streaming CDF CONSUMER — the medallion bronze→silver incremental "
+    "loop closed through the REAL engine: a source lake advances append → "
+    "DV delete → DV update → append (v1..v4); after each publish a one-row "
+    "version POINTER lands in a staging dir a file-source stream tails "
+    "(two availableNow runs against one checkpoint; the v2 pointer is "
+    "deliberately delivered TWICE, and v2+v3 arrive in ONE micro-batch so "
+    "the fold applies them in order).  foreachBatch applies, per unseen "
+    "version, the "
+    "SIGNED row deltas of log_replay_deltas — which dispatches each "
+    "transition at O(Δ): the DV commits semi-join only the newly-vectored "
+    "files, the append scans only the added files, and the source table is "
+    "never rescanned — folding exact DECIMAL(30,6) sums into a downstream "
+    "per-status aggregate table (itself a snapshot lake, so every fold is "
+    "a versioned commit).  At-least-once pointer delivery lands exactly "
+    "once via the applied-through watermark.  The graded frame holds BOTH "
+    "the maintained table and a direct v4 recompute — the identity is what "
+    "the oracle hashes.",
+)
+def streaming_cdf_apply_sink_q(spark, sf_dir):
+    import json as _json
+
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = _scratch(sf_dir, "cdfapply")
+    src_lake = os.path.join(root, "src")
+    down_lake = os.path.join(root, "down")
+    staging = os.path.join(root, "pointers")
+    ckpt = os.path.join(root, "ckpt")
+    applied_path = os.path.join(root, "applied.json")
+    os.makedirs(staging, exist_ok=True)
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f_rows = orders.where(F.col("o_orderstatus") == "F")
+    snapshots.commit(f_rows.repartitionByRange(8, "o_orderkey"), src_lake)  # v1
+
+    def state_agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("total"),
+        )
+
+    # downstream seed: the v1 aggregate (decimal total — folds stay exact);
+    # status-sized, so every downstream commit is a single file
+    snapshots.commit(state_agg(f_rows).coalesce(1), down_lake)
+    with open(applied_path, "w") as fh:
+        _json.dump({"version": 1}, fh)
+
+    def apply_batch(batch_df, _batch_id):
+        vs = sorted({int(r["version"]) for r in batch_df.collect()})
+        with open(applied_path) as fh:
+            applied = _json.load(fh)["version"]
+        for v in vs:
+            if v <= applied:
+                continue  # re-delivered pointer: already folded in
+            d = snapshots.log_replay_deltas(spark, src_lake, v - 1, v, key="o_orderkey")
+            delta = d.groupBy("o_orderstatus").agg(
+                F.sum("__w").cast("long").alias("dn"),
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(30,6)") * F.col("__w")
+                ).alias("dt"),
+            )
+            cur = snapshots.read_version(spark, down_lake)
+            folded = (
+                cur.join(delta, "o_orderstatus", "full_outer")
+                .select(
+                    "o_orderstatus",
+                    (F.coalesce(F.col("n_rows"), F.lit(0))
+                     + F.coalesce(F.col("dn"), F.lit(0))).alias("n_rows"),
+                    (F.coalesce(F.col("total"), F.lit(0).cast("decimal(30,6)"))
+                     + F.coalesce(F.col("dt"), F.lit(0).cast("decimal(30,6)"))
+                     ).cast("decimal(30,6)").alias("total"),
+                )
+                .where(F.col("n_rows") > 0)
+            )
+            snapshots.commit(folded.coalesce(1), down_lake, mode="overwrite")
+            applied = v
+            tmp = f"{applied_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                _json.dump({"version": applied}, fh)
+            os.replace(tmp, applied_path)
+
+    def stage_pointer(v):
+        # spark.range keeps the one-row write JVM-native — a tuple-list
+        # createDataFrame routes through a Python RDD and costs seconds
+        spark.range(v, v + 1).select(F.col("id").alias("version")).coalesce(
+            1
+        ).write.mode("append").parquet(staging)
+
+    def run_once():
+        stream = spark.readStream.schema("version long").parquet(staging)
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # v2 (DV delete) + v3 (DV update): the v2 pointer is delivered TWICE
+    # (at-least-once) and both versions land in ONE micro-batch — the fold
+    # must apply them in order, once each
+    snapshots.delete_where_dv(spark, src_lake, F.col("o_orderkey") % 7 == 3)
+    stage_pointer(2)
+    stage_pointer(2)
+    snapshots.update_where_dv(
+        spark, src_lake, F.col("o_orderkey") % 5 == 1,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(_CDFS_UP)},
+    )
+    stage_pointer(3)
+    run_once()
+    # v4: plain append of the 'P' orders, applied by a SECOND engine run
+    # against the same checkpoint (cross-run resume)
+    snapshots.commit(orders.where(F.col("o_orderstatus") == "P"), src_lake)
+    stage_pointer(4)
+    run_once()
+
+    with open(applied_path) as fh:
+        applied = _json.load(fh)["version"]
+
+    def arm(name, df):
+        return df.select(
+            F.lit(name).alias("arm"),
+            "o_orderstatus",
+            "n_rows",
+            F.col("total").cast("double").alias("total_price"),
+            F.lit(applied).cast("long").alias("applied_version"),
+        )
+
+    maintained = arm("maintained", snapshots.read_version(spark, down_lake))
+    direct = arm("direct", state_agg(snapshots.read_version(spark, src_lake, 4)))
+    return direct.unionByName(maintained)

@@ -220,8 +220,11 @@ def _write_file_blooms(spark: SparkSession, files: list[str], cols: list[str]) -
         )
         m_by_uri = {r["__file"]: _bloom_m_for(r["nd"]) for r in nd_rows}
         m_by_file = {_local_path(u): m for u, m in m_by_uri.items()}
+        import pandas as pd
+
         m_map = spark.createDataFrame(
-            list(m_by_uri.items()), "__file string, __m long"
+            pd.DataFrame({"__file": list(m_by_uri), "__m": list(m_by_uri.values())}),
+            schema="__file string, __m long",
         )
         h = md5_long32(F.col(c).cast("string"))
         pos = F.array(
@@ -352,8 +355,22 @@ def _dv_pos_frame(spark: SparkSession, dv: dict) -> DataFrame:
     the distributed sidecar decode."""
     total = sum(int(e.get("n", 0)) for e in dv.values())
     if total <= DV_DRIVER_MAX_POSITIONS:
-        rows = [(f, p) for f, e in sorted(dv.items()) for p in _read_dv_positions(e)]
-        return spark.createDataFrame(rows, "__file string, __pos long")
+        import pandas as pd
+
+        # pandas/Arrow-backed: the local relation ships as Arrow batches and
+        # executes JVM-side — a tuple-list frame re-runs a Python worker
+        # round-trip in EVERY job that joins it
+        files: list = []
+        pos: list = []
+        for f, e in sorted(dv.items()):
+            ps = _read_dv_positions(e)
+            files.extend([f] * len(ps))
+            pos.extend(ps)
+        return spark.createDataFrame(
+            pd.DataFrame({"__file": pd.Series(files, dtype="object"),
+                          "__pos": pd.Series(pos, dtype="int64")}),
+            schema="__file string, __pos long",
+        )
     return _dv_positions_df(spark, dv)
 
 

@@ -1452,3 +1452,19 @@ def test_delete_where_dv_distributed_write_path(spark, tmp_path, monkeypatch):
     assert len(got) == 667 and all(i % 2 == 1 and i % 3 != 0 for i in got)
     m = snapshots.read_manifest(path, r3["version"])
     assert sum(e["n"] for e in m["dv"].values()) == 1_333
+
+
+def test_change_feed_deltas_dv_rollback_falls_back(spark, tmp_path):
+    """A rollback that only DROPS a vector on carried files (re-pointing past
+    a delete_dv, same file list) violates the monotone-growth invariant —
+    the transition must fall back to the join-based feed, resurfacing the
+    un-deleted rows as inserts."""
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 10).coalesce(1), path)  # v1
+    snapshots.delete_where_dv(spark, path, F.col("id") < 3)  # v2
+    snapshots.rollback(path, 1)  # v3: same files, vector gone
+    modes: list = []
+    feed = snapshots.change_feed_deltas(spark, path, 2, 3, key="id", modes_out=modes)
+    assert modes == ["rewrite"]  # the fallback label
+    got = sorted((r["id"], r["change_type"]) for r in feed.collect())
+    assert got == [(0, "insert"), (1, "insert"), (2, "insert")]

@@ -1468,3 +1468,91 @@ def test_change_feed_deltas_dv_rollback_falls_back(spark, tmp_path):
     assert modes == ["rewrite"]  # the fallback label
     got = sorted((r["id"], r["change_type"]) for r in feed.collect())
     assert got == [(0, "insert"), (1, "insert"), (2, "insert")]
+
+
+# --- round-10 column mapping (RENAME COLUMN, metadata-only) -------------------
+
+
+def test_rename_column_metadata_only_roundtrip(spark, tmp_path):
+    """Rename rewrites ZERO files; reads map physical->logical; appends
+    written AFTER the rename land under the physical name so all files
+    agree; time travel to the pre-rename version shows the old schema."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 10).select("id", (F.col("id") * 2.0).alias("v")), path
+    )  # v1
+    files_v1 = snapshots.read_manifest(path, 1)["files"]
+    snapshots.rename_column(path, "v", "val")  # v2, metadata only
+    m2 = snapshots.read_manifest(path, 2)
+    assert m2["files"] == files_v1 and m2["column_map"] == {"val": "v"}
+    got = snapshots.read_version(spark, path)
+    assert got.columns == ["id", "val"]
+    assert got.agg(F.sum("val")).first()[0] == 90.0
+    # time travel: pre-rename version keeps the OLD logical name
+    assert snapshots.read_version(spark, path, 1).columns == ["id", "v"]
+    # append with the NEW logical name: file lands under the PHYSICAL name
+    snapshots.commit(
+        spark.range(10, 15).select("id", (F.col("id") * 2.0).alias("val")), path
+    )  # v3
+    got = snapshots.read_version(spark, path)
+    assert got.count() == 15 and got.columns == ["id", "val"]
+    new_files = [f for f in snapshots.read_manifest(path, 3)["files"]
+                 if f not in files_v1]
+    raw = spark.read.parquet(*new_files)
+    assert raw.columns == ["id", "v"]  # physical name on disk
+    # appending with the OLD name is now a schema violation (missing 'val')
+    with _pytest.raises(snapshots.SchemaEnforcementError):
+        snapshots.commit(
+            spark.range(15, 16).select("id", (F.col("id") * 2.0).alias("v")),
+            path,
+        )
+    # guards
+    with _pytest.raises(ValueError, match="already exists"):
+        snapshots.rename_column(path, "val", "id")
+    with _pytest.raises(ValueError, match="no column"):
+        snapshots.rename_column(path, "nope", "x")
+
+
+def test_rename_column_keeps_stats_pruning_and_dv(spark, tmp_path):
+    """Stats recorded pre-rename keep pruning on the NEW logical name, and
+    deletion vectors ride through the rename untouched."""
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 100).select("id", (F.col("id") % 10).alias("g"))
+        .repartitionByRange(4, "id"),
+        path,
+        stats_cols=["id"],
+    )
+    snapshots.delete_where_dv(spark, path, F.col("id") % 10 == 3)
+    snapshots.rename_column(path, "id", "row_id")
+    pruned, info = snapshots.read_version_pruned(spark, path, "row_id", lo=0, hi=20)
+    assert info["files_scanned"] < info["files_total"]
+    got = sorted(r["row_id"] for r in pruned.where(F.col("row_id") <= 20).collect())
+    assert got == [i for i in range(21) if i % 10 != 3]
+    # renaming back re-points the map to the same physical name (identity)
+    snapshots.rename_column(path, "row_id", "id")
+    m = snapshots.read_manifest(path, snapshots.latest_version(path))
+    assert "column_map" not in m or m["column_map"] == {}
+    assert snapshots.read_version(spark, path).columns == ["id", "g"]
+
+
+def test_rename_column_cow_and_mor_interplay(spark, tmp_path):
+    """DV update and CoW delete on the RENAMED logical column; a rename
+    transition is a zero-row change feed."""
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 20).select("id", (F.col("id") * 1.0).alias("v")), path
+    )  # v1
+    snapshots.rename_column(path, "v", "price")  # v2
+    snapshots.update_where_dv(  # v3: assignment on the NEW name
+        spark, path, F.col("id") < 5, {"price": F.col("price") + 100.0}
+    )
+    got = {r["id"]: r["price"] for r in snapshots.read_version(spark, path).collect()}
+    assert got[0] == 100.0 and got[10] == 10.0
+    snapshots.delete_where(spark, path, F.col("price") >= 103.0)  # v4 CoW
+    assert snapshots.read_version(spark, path).count() == 18
+    modes: list = []
+    feed = snapshots.change_feed_deltas(spark, path, 1, 2, key="id", modes_out=modes)
+    assert feed.count() == 0 and modes == ["append"]

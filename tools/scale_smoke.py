@@ -145,6 +145,8 @@ HEAVY = [
     # round 10: the streaming CDF consumer — per-transition O(Δ) folds, so
     # sf1's cost grows with the commits' touched files, not the table
     "streaming_cdf_apply_sink",
+    # round 10: metadata-only rename — cost is the commits, not the data
+    "lake_column_rename_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -2183,3 +2183,94 @@ def lake_clone_pin_q(spark, sf_dir):
         "clone_after_vacuum", snapshots.read_version(spark, clone_root), 0
     )
     return before.unionByName(after_src).unionByName(after_clone)
+
+
+@register(
+    "lake_column_rename_report",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    ),
+    p AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+    ),
+    cur AS (
+      SELECT * FROM (SELECT * FROM f UNION ALL SELECT * FROM p)
+      WHERE o_orderkey % 9 <> 2
+    ),
+    cut AS (SELECT MAX(o_totalprice) / 2 AS c FROM f)
+    SELECT 'v1_pre_rename' AS arm, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS price_sum
+    FROM f
+    UNION ALL
+    SELECT 'latest_renamed', CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}
+    FROM cur
+    UNION ALL
+    SELECT 'pruned_on_renamed', CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}
+    FROM cur, cut WHERE o_totalprice <= cut.c
+    """,
+    doc="RENAME COLUMN via column mapping (round 10; Delta/Iceberg name "
+    "mode): v1 commits the 'F' orders range-clustered by o_totalprice with "
+    "manifest stats on it; v2 renames o_totalprice -> price_usd as a "
+    "METADATA-ONLY commit (zero files rewritten — pinned in pytest); v3 "
+    "appends the 'P' orders under the NEW logical name (the file lands "
+    "with the PHYSICAL name, so all files agree); v4 DV-deletes every "
+    "ninth key across both generations.  Graded arms: the pre-rename "
+    "snapshot still reads o_totalprice (schema history is part of the "
+    "log), the latest snapshot reads price_usd across both file "
+    "generations with vectors applied, and a manifest-PRUNED range read "
+    "on the RENAMED name — the stats index is keyed by physical names, so "
+    "pruning survives the rename (the query RAISES if no file was cut).  "
+    "Reference anchor: the in-place parquet mutation that would force a "
+    "full rewrite for a rename, update/app.py:296-445.",
+)
+def lake_column_rename_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_rename_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f_rows = orders.where(F.col("o_orderstatus") == "F").drop("o_orderstatus")
+    snapshots.commit(  # v1: clustered + indexed on the soon-renamed column
+        f_rows.repartitionByRange(4, "o_totalprice"),
+        root,
+        stats_cols=["o_totalprice"],
+    )
+    cut = f_rows.agg((F.max("o_totalprice") / 2)).collect()[0][0]
+    snapshots.rename_column(root, "o_totalprice", "price_usd")  # v2
+    snapshots.commit(  # v3: append under the NEW logical name
+        orders.where(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", F.col("o_totalprice").alias("price_usd"))
+        .coalesce(1),
+        root,
+    )
+    snapshots.delete_where_dv(spark, root, F.col("o_orderkey") % 9 == 2)  # v4
+
+    def arm(name, df, col):
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col(col)).alias("price_sum"),
+        ).select(F.lit(name).alias("arm"), "n_rows", "price_sum")
+
+    pre = arm("v1_pre_rename", snapshots.read_version(spark, root, 1),
+              "o_totalprice")
+    latest = arm("latest_renamed", snapshots.read_version(spark, root),
+                 "price_usd")
+    pruned, info = snapshots.read_version_pruned(
+        spark, root, "price_usd", hi=cut
+    )
+    if not info["files_scanned"] < info["files_total"]:
+        raise AssertionError(
+            f"rename broke stats pruning: {info} (no file cut on price_usd)"
+        )
+    pruned_arm = arm(
+        "pruned_on_renamed", pruned.where(F.col("price_usd") <= cut), "price_usd"
+    )
+    return pre.unionByName(latest).unionByName(pruned_arm)

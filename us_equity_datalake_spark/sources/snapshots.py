@@ -374,6 +374,43 @@ def _dv_pos_frame(spark: SparkSession, dv: dict) -> DataFrame:
     return _dv_positions_df(spark, dv)
 
 
+def _apply_col_map(df: DataFrame, col_map: dict) -> DataFrame:
+    """PHYSICAL -> LOGICAL renames on a scan (the read half of Delta/Iceberg
+    column mapping: parquet files keep their original — physical — column
+    names forever; the manifest's ``column_map`` {logical: physical} renames
+    them at scan time).  Two-phase via temp names so chained renames
+    (a->b then c->a) can never collide mid-way."""
+    ren = {p: l for l, p in (col_map or {}).items() if p != l and p in df.columns}
+    if not ren:
+        return df
+    tmp = {p: f"__cmap_{i}" for i, p in enumerate(sorted(ren))}
+    for p, t in tmp.items():
+        df = df.withColumnRenamed(p, t)
+    for p, l in ren.items():
+        df = df.withColumnRenamed(tmp[p], l)
+    return df
+
+
+def _unapply_col_map(df: DataFrame, col_map: dict) -> DataFrame:
+    """LOGICAL -> PHYSICAL renames before a write (the write half of column
+    mapping): every data file — before or after any rename — carries the
+    same physical names, so scans never need per-file schemas."""
+    ren = {l: p for l, p in (col_map or {}).items() if p != l and l in df.columns}
+    if not ren:
+        return df
+    tmp = {l: f"__cmap_{i}" for i, l in enumerate(sorted(ren))}
+    for l, t in tmp.items():
+        df = df.withColumnRenamed(l, t)
+    for l, p in ren.items():
+        df = df.withColumnRenamed(tmp[l], p)
+    return df
+
+
+def _physical_col(manifest: dict, col: str) -> str:
+    """The physical (in-file) name behind a logical column."""
+    return (manifest.get("column_map") or {}).get(col, col)
+
+
 def _lineage_cols(df: DataFrame) -> DataFrame:
     """Append ``__file`` (URL-decoded path, matching manifest entries) and
     ``__pos`` (parquet row index, shuffle-stable) to a parquet scan."""
@@ -415,11 +452,12 @@ def _scan_files(
 
     dv = {f: e for f, e in (manifest.get("dv") or {}).items() if f in set(files)}
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+    cmap = manifest.get("column_map") or {}
 
     if not dv:
         if not with_lineage:
-            return reader.parquet(*files)
-        return _lineage_cols(reader.parquet(*files))
+            return _apply_col_map(reader.parquet(*files), cmap)
+        return _apply_col_map(_lineage_cols(reader.parquet(*files)), cmap)
 
     clean = sorted(set(files) - set(dv))
     dvd = sorted(dv)
@@ -438,6 +476,7 @@ def _scan_files(
         live = _lineage_cols(reader.parquet(*clean)).unionByName(
             live, allowMissingColumns=merge_schema
         )
+    live = _apply_col_map(live, cmap)
     return live if with_lineage else live.drop("__file", "__pos")
 
 
@@ -546,8 +585,13 @@ def commit(
                 f"dropped columns {sorted(dropped)}, retyped {retyped}; "
                 "pass allow_schema_change=True (or overwrite) if intended"
             )
+    # column mapping (rename support): incoming frames carry LOGICAL names;
+    # files are always written with the PHYSICAL names so every file in the
+    # table agrees regardless of rename history.  Overwrite replaces the
+    # schema wholesale, so the map resets to identity.
+    col_map = {} if mode == "overwrite" else dict(prev_manifest.get("column_map", {}))
     commit_dir = os.path.join(path, f"commit_v{new_v:06d}")
-    df.write.mode("error").parquet(commit_dir)
+    _unapply_col_map(df, col_map).write.mode("error").parquet(commit_dir)
     new_counts = _data_files(commit_dir)
     new_files = list(new_counts)
     if mode == "overwrite":
@@ -583,7 +627,11 @@ def commit(
         **{f: prev_rows[f] for f in files if f in prev_rows}, **new_counts
     }
     prev_stats = prev_manifest.get("stats", {})
-    if stats_cols is None and prev_stats:
+    if stats_cols is not None:
+        # caller passes LOGICAL names; footers and the stats index are
+        # keyed by the PHYSICAL names that live in the files
+        stats_cols = [col_map.get(c, c) for c in stats_cols]
+    elif prev_stats:
         # maintain the existing skipping index: re-collect the same columns
         stats_cols = sorted({c for st in prev_stats.values() for c in st})
     if stats_cols or prev_stats:
@@ -592,11 +640,15 @@ def commit(
             stats.update(_file_stats(new_files, stats_cols))
         manifest["stats"] = stats
     prev_bloom_cols = prev_manifest.get("bloom_cols")
-    if bloom_cols is None and prev_bloom_cols:
+    if bloom_cols is not None:
+        bloom_cols = [col_map.get(c, c) for c in bloom_cols]
+    elif prev_bloom_cols:
         bloom_cols = prev_bloom_cols  # maintain the point-lookup index
     if bloom_cols:
         _write_file_blooms(df.sparkSession, new_files, bloom_cols)
         manifest["bloom_cols"] = sorted(bloom_cols)
+    if col_map:
+        manifest["column_map"] = col_map
     _publish(path, new_v, manifest)
     return new_v
 
@@ -620,7 +672,9 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
     """
     new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     latest0 = latest_version(path)
-    prev_schema0 = read_manifest(path, latest0).get("schema") if latest0 else None
+    m_latest0 = read_manifest(path, latest0) if latest0 else {}
+    prev_schema0 = m_latest0.get("schema")
+    col_map = dict(m_latest0.get("column_map", {}))
     if prev_schema0 is not None:
         dropped = {c for c in prev_schema0 if c not in new_schema}
         retyped = {c for c in prev_schema0
@@ -631,7 +685,7 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
                 f"dropped columns {sorted(dropped)}, retyped {sorted(retyped)}"
             )
     commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
-    df.write.mode("error").parquet(commit_dir)
+    _unapply_col_map(df, col_map).write.mode("error").parquet(commit_dir)
     new_counts = _data_files(commit_dir)
     new_files = list(new_counts)
     new_stats: dict | None = None
@@ -684,6 +738,15 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
         manifest["schema"] = (
             new_schema if prev_schema is None else {**prev_schema, **new_schema}
         )
+        if dict(prev_manifest.get("column_map", {})) != col_map:
+            raise ConcurrentWriteError(
+                f"append to {path}: column mapping changed concurrently "
+                "(a rename landed between write and publish); the files "
+                "were written under the old physical mapping — retry the "
+                "whole commit"
+            )
+        if col_map:
+            manifest["column_map"] = col_map
         try:
             _publish(path, new_v, manifest)
             return new_v
@@ -729,8 +792,9 @@ def commit_rewrite_with_retry(
     m0 = read_manifest(path, prev_v0)
     dropped = {f for f in m0["files"] if replace(f)}
     new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    col_map = dict(m0.get("column_map", {}))
     commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
-    df.write.mode("error").parquet(commit_dir)
+    _unapply_col_map(df, col_map).write.mode("error").parquet(commit_dir)
     new_counts = _data_files(commit_dir)
     new_files = list(new_counts)
     new_stats: dict | None = None
@@ -790,6 +854,14 @@ def commit_rewrite_with_retry(
         manifest["schema"] = (
             new_schema if prev_schema is None else {**prev_schema, **new_schema}
         )
+        if dict(prev_manifest.get("column_map", {})) != col_map:
+            raise ConcurrentWriteError(
+                f"rewrite of {path}: column mapping changed concurrently "
+                "(a rename landed between write and publish) — rerun the "
+                "transaction against the new snapshot"
+            )
+        if col_map:
+            manifest["column_map"] = col_map
         try:
             _publish(path, new_v, manifest)
             return new_v
@@ -810,6 +882,53 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     if not m["files"]:
         raise ValueError(f"snapshot v{v} of {path} lists no files")
     return _scan_files(spark, m["files"], m)
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """RENAME COLUMN as a metadata-only commit (Delta/Iceberg column
+    mapping, name mode): data files are immutable and keep their original —
+    physical — column names forever; the new manifest updates the logical
+    schema and records ``column_map`` {logical: physical}.  Every reader
+    applies the map at scan time (:func:`_apply_col_map`) and every writer
+    un-applies it before the file lands, so old and new files always agree
+    physically and no byte is rewritten.  Stats and bloom indexes — keyed
+    by physical names — survive the rename, so manifest pruning on the NEW
+    logical name keeps cutting files.  Time travel to a pre-rename version
+    reads the OLD logical name: schema history is part of the log.
+
+    The reference mutates parquet in place and would rewrite the table for
+    a rename (update/app.py's single-file discipline); at 100 TB a rename
+    must be O(manifest).  Returns the new version."""
+    v0 = latest_version(path)
+    if v0 == 0:
+        raise ValueError(f"rename_column on {path}: table has no commits")
+    m0 = read_manifest(path, v0)
+    schema = dict(m0.get("schema") or {})
+    if old not in schema:
+        raise ValueError(f"rename_column: no column {old!r} in {sorted(schema)}")
+    if new in schema:
+        raise ValueError(f"rename_column: column {new!r} already exists")
+    cmap = dict(m0.get("column_map", {}))
+    physical = cmap.pop(old, old)
+    if new != physical:
+        cmap[new] = physical
+    schema[new] = schema.pop(old)
+    new_v = v0 + 1
+    manifest = {
+        k: m0[k]
+        for k in ("files", "rows", "stats", "bloom_cols", "dv")
+        if k in m0
+    }
+    manifest.update({
+        "version": new_v,
+        "mode": "rename",
+        "schema": schema,
+        "renamed": {"from": old, "to": new},
+    })
+    if cmap:
+        manifest["column_map"] = cmap
+    _publish(path, new_v, manifest)
+    return new_v
 
 
 def read_version_pruned(
@@ -835,6 +954,7 @@ def read_version_pruned(
     v = latest_version(path) if version is None else version
     m = read_manifest(path, v)
     stats = m.get("stats", {})
+    col = _physical_col(m, col)  # the stats index is keyed physically
     kept = []
     for f in m["files"]:
         s = stats.get(f, {}).get(col)
@@ -868,6 +988,7 @@ def read_version_point(
     (frame, {"files_total", "files_scanned"})."""
     v = latest_version(path) if version is None else version
     m = read_manifest(path, v)
+    col = _physical_col(m, col)  # bloom sidecars are keyed physically
     kept = [f for f in m["files"] if _bloom_might_contain(f, col, value)]
     info = {"files_total": len(m["files"]), "files_scanned": len(kept)}
     if not kept:
@@ -893,6 +1014,7 @@ def read_version_pruned_box(
     v = latest_version(path) if version is None else version
     m = read_manifest(path, v)
     stats = m.get("stats", {})
+    ranges = {_physical_col(m, c): b for c, b in ranges.items()}
     kept = []
     for f in m["files"]:
         fstats = stats.get(f, {})
@@ -929,7 +1051,7 @@ def history(path: str) -> "list[dict]":
             "committed_at": m.get("committed_at"),
             "n_files": len(m.get("files", [])),
         }
-        for extra in ("rolled_back_to", "cloned_from"):
+        for extra in ("rolled_back_to", "cloned_from", "renamed"):
             if extra in m:
                 row[extra] = m[extra]
         rows.append(row)
@@ -988,7 +1110,7 @@ def rollback(path: str, to_version: int) -> int:
         "rolled_back_to": to_version,
         "files": target["files"],
     }
-    for carried in ("stats", "bloom_cols", "rows", "schema", "dv"):
+    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map"):
         if carried in target:
             manifest[carried] = target[carried]
     _publish(path, new_v, manifest)
@@ -1035,7 +1157,7 @@ def clone(src_path: str, dst_path: str, *, version: int | None = None) -> int:
         "cloned_from": {"path": src_path, "version": v},
         "files": src["files"],
     }
-    for carried in ("stats", "bloom_cols", "rows", "schema", "dv"):
+    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map"):
         if carried in src:
             manifest[carried] = src[carried]
     _publish(dst_path, 1, manifest)
@@ -1368,7 +1490,7 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> dict:
             "files_rewritten": 0,
         }
     dv = {**prev_dv, **entries}
-    manifest = {k: m0[k] for k in ("files", "schema", "rows", "stats", "bloom_cols") if k in m0}
+    manifest = {k: m0[k] for k in ("files", "schema", "rows", "stats", "bloom_cols", "column_map") if k in m0}
     manifest.update({"version": new_v, "mode": "delete_dv", "dv": dv,
                      "dv_rows_deleted": n_deleted})
     _publish(path, new_v, manifest)
@@ -1584,7 +1706,9 @@ def _transition_feed(
             )
         )
     if not parts:
-        empty = read_version(spark, path, v + 1).limit(0)
+        # metadata-only transition (e.g. a column rename): zero change rows,
+        # with the PRE-transition schema so the caller's cols still resolve
+        empty = read_version(spark, path, v).limit(0)
         parts.append(
             empty.select(key, F.lit("insert").alias("change_type"), *cols)
         )

@@ -108,6 +108,14 @@ def _build_parser() -> argparse.ArgumentParser:
     tcl.add_argument("--dest", required=True, help="clone target root")
     tcl.add_argument("--version", type=int, help="source version (default latest)")
 
+    trn = tsub.add_parser(
+        "rename-column",
+        help="RENAME COLUMN via column mapping (metadata-only, zero rewrites)",
+    )
+    trn.add_argument("--path", required=True)
+    trn.add_argument("--old", required=True, help="current logical column name")
+    trn.add_argument("--new", required=True, help="new logical column name")
+
     return p
 
 
@@ -218,6 +226,9 @@ def _run_table_cmd(spark, args) -> int:
     elif cmd == "clone":
         v = S.clone(args.path, args.dest, version=args.version)
         print(json.dumps({"clone_version": v, "dest": args.dest}))
+    elif cmd == "rename-column":
+        v = S.rename_column(args.path, args.old, args.new)
+        print(json.dumps({"version": v, "renamed": {"from": args.old, "to": args.new}}))
     return 0
 
 

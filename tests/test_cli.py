@@ -170,3 +170,25 @@ def test_cli_rename_column(spark, tmp_path, capsys, monkeypatch):
     out = _json.loads(capsys.readouterr().out.splitlines()[0])
     assert out == {"version": 2, "renamed": {"from": "val", "to": "price"}}
     assert snapshots.read_version(spark, path).columns == ["id", "price"]
+
+
+def test_cli_drop_column(spark, tmp_path, capsys, monkeypatch):
+    import json as _json
+
+    import us_equity_datalake_spark.cli as cli
+    from us_equity_datalake_spark.sources import snapshots
+
+    monkeypatch.setattr(
+        "us_equity_datalake_spark.session.get_spark", lambda name: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 10).selectExpr("id", "id * 1.5 AS val", "id % 2 AS g"), path
+    )
+    assert cli.main(
+        ["table", "drop-column", "--path", path, "--column", "g"]
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.splitlines()[0])
+    assert out == {"version": 2, "dropped": "g"}
+    assert snapshots.read_version(spark, path).columns == ["id", "val"]

@@ -1556,3 +1556,58 @@ def test_rename_column_cow_and_mor_interplay(spark, tmp_path):
     modes: list = []
     feed = snapshots.change_feed_deltas(spark, path, 1, 2, key="id", modes_out=modes)
     assert feed.count() == 0 and modes == ["append"]
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    """Drop rewrites zero files; current scans project the slot out; old
+    versions still read it; the slot may not be reused; OVERWRITE
+    rebaselines and clears the restriction."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 10).selectExpr("id", "id * 1.5 AS v", "id % 3 AS g"), path
+    )  # v1
+    files_v1 = snapshots.read_manifest(path, 1)["files"]
+    snapshots.drop_column(path, "g")  # v2
+    m2 = snapshots.read_manifest(path, 2)
+    assert m2["files"] == files_v1 and m2["dropped_physical"] == ["g"]
+    assert snapshots.read_version(spark, path).columns == ["id", "v"]
+    assert snapshots.read_version(spark, path, 1).columns == ["id", "v", "g"]
+    # appends without the dropped column pass enforcement now
+    snapshots.commit(spark.range(10, 12).selectExpr("id", "id * 1.5 AS v"), path)
+    assert snapshots.read_version(spark, path).count() == 12
+    # the dropped slot may NOT be reused by a new column
+    with _pytest.raises(snapshots.SchemaEnforcementError, match="DROPPED"):
+        snapshots.commit(
+            spark.range(12, 13).selectExpr("id", "id * 1.5 AS v", "id AS g"), path
+        )
+    # rename TO a dropped slot's name is fine: it maps to the OLD physical
+    snapshots.rename_column(path, "v", "g2")
+    assert snapshots.read_version(spark, path).columns == ["id", "g2"]
+    # OVERWRITE rebaselines: dropped list clears, the name is free again
+    snapshots.commit(
+        spark.range(0, 5).selectExpr("id", "id AS g"), path, mode="overwrite"
+    )
+    m = snapshots.read_manifest(path, snapshots.latest_version(path))
+    assert "dropped_physical" not in m
+    assert snapshots.read_version(spark, path).columns == ["id", "g"]
+
+
+def test_drop_then_rename_then_dv_interplay(spark, tmp_path):
+    """Drop + rename + DV delete compose: the scan projects the dead slot,
+    maps the renamed one, and anti-joins the vectors, all in one read."""
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 20).selectExpr("id", "id * 1.0 AS a", "id * 2.0 AS b"),
+        path,
+    )
+    snapshots.drop_column(path, "a")
+    snapshots.rename_column(path, "b", "bb")
+    snapshots.delete_where_dv(spark, path, F.col("id") % 4 == 1)
+    got = snapshots.read_version(spark, path)
+    assert got.columns == ["id", "bb"]
+    assert got.count() == 15
+    assert got.agg(F.sum("bb")).first()[0] == sum(
+        i * 2.0 for i in range(20) if i % 4 != 1
+    )

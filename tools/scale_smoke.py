@@ -147,6 +147,7 @@ HEAVY = [
     "streaming_cdf_apply_sink",
     # round 10: metadata-only rename — cost is the commits, not the data
     "lake_column_rename_report",
+    "lake_column_drop_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

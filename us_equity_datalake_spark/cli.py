@@ -116,6 +116,13 @@ def _build_parser() -> argparse.ArgumentParser:
     trn.add_argument("--old", required=True, help="current logical column name")
     trn.add_argument("--new", required=True, help="new logical column name")
 
+    tdc = tsub.add_parser(
+        "drop-column",
+        help="DROP COLUMN via column mapping (metadata-only, zero rewrites)",
+    )
+    tdc.add_argument("--path", required=True)
+    tdc.add_argument("--column", required=True, help="logical column to drop")
+
     return p
 
 
@@ -229,6 +236,9 @@ def _run_table_cmd(spark, args) -> int:
     elif cmd == "rename-column":
         v = S.rename_column(args.path, args.old, args.new)
         print(json.dumps({"version": v, "renamed": {"from": args.old, "to": args.new}}))
+    elif cmd == "drop-column":
+        v = S.drop_column(args.path, args.column)
+        print(json.dumps({"version": v, "dropped": args.column}))
     return 0
 
 

@@ -43,6 +43,7 @@ _GRADING_PRIORITY = [
     "lake_clone_pin_report",       # clone pins survive source vacuum
     "streaming_cdf_apply_sink",    # streaming CDF consumer: bronze→silver fold
     "lake_column_rename_report",   # metadata-only RENAME via column mapping
+    "lake_column_drop_report",     # metadata-only DROP, slot-reuse guarded
     # --- code paths rewritten this round ---
     "lake_log_replay_agg",         # log_replay_deltas now dispatches 'dv'
     "streaming_from_snapshot_sink",  # stage_incremental_files DV guard changed

@@ -2274,3 +2274,75 @@ def lake_column_rename_q(spark, sf_dir):
         "pruned_on_renamed", pruned.where(F.col("price_usd") <= cut), "price_usd"
     )
     return pre.unionByName(latest).unionByName(pruned_arm)
+
+
+@register(
+    "lake_column_drop_report",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    ),
+    p AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+    ),
+    cur AS (
+      SELECT * FROM (SELECT * FROM f UNION ALL SELECT * FROM p)
+      WHERE o_orderkey % 6 <> 1
+    )
+    SELECT 'v1_with_status' AS arm, CAST(3 AS BIGINT) AS n_cols,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS price_sum
+    FROM f
+    UNION ALL
+    SELECT 'latest_dropped_renamed', CAST(2 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), {dec_sum_sql('o_totalprice')}
+    FROM cur
+    """,
+    doc="DROP COLUMN via column mapping (round 10, the drop half of the "
+    "rename feature): v1 commits the 'F' orders WITH o_orderstatus; v2 "
+    "drops it metadata-only (zero rewrites — the bytes stay in the files "
+    "and v1 still reads them: the graded n_cols is 3 at v1, 2 at latest); "
+    "v3 appends the 'P' orders without the column; v4 renames "
+    "o_totalprice -> price; v5 DV-deletes every sixth key.  One scan at "
+    "the end projects the dead slot out, maps the renamed column, and "
+    "anti-joins the vectors.  Reusing the dropped slot for a new column "
+    "is a SchemaEnforcementError (pytest-pinned) because the stale bytes "
+    "would resurrect.",
+)
+def lake_column_drop_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_drop_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f_rows = orders.where(F.col("o_orderstatus") == "F")
+    snapshots.commit(f_rows.repartitionByRange(4, "o_orderkey"), root)  # v1
+    snapshots.drop_column(root, "o_orderstatus")  # v2
+    snapshots.commit(  # v3
+        orders.where(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_totalprice").coalesce(1),
+        root,
+    )
+    snapshots.rename_column(root, "o_totalprice", "price")  # v4
+    snapshots.delete_where_dv(spark, root, F.col("o_orderkey") % 6 == 1)  # v5
+
+    def arm(name, df, col):
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col(col)).alias("price_sum"),
+        ).select(
+            F.lit(name).alias("arm"),
+            F.lit(len(df.columns)).cast("long").alias("n_cols"),
+            "n_rows", "price_sum",
+        )
+
+    v1 = snapshots.read_version(spark, root, 1)
+    latest = snapshots.read_version(spark, root)
+    return arm("v1_with_status", v1, "o_totalprice").unionByName(
+        arm("latest_dropped_renamed", latest, "price")
+    )

@@ -411,6 +411,14 @@ def _physical_col(manifest: dict, col: str) -> str:
     return (manifest.get("column_map") or {}).get(col, col)
 
 
+def _drop_dead_cols(df: DataFrame, manifest: dict) -> DataFrame:
+    """Project out physical columns that were logically DROPPED: the bytes
+    stay in the immutable files (old versions still read them), but no
+    current-version scan may surface them."""
+    dead = [c for c in manifest.get("dropped_physical", []) if c in df.columns]
+    return df.drop(*dead) if dead else df
+
+
 def _lineage_cols(df: DataFrame) -> DataFrame:
     """Append ``__file`` (URL-decoded path, matching manifest entries) and
     ``__pos`` (parquet row index, shuffle-stable) to a parquet scan."""
@@ -455,9 +463,10 @@ def _scan_files(
     cmap = manifest.get("column_map") or {}
 
     if not dv:
+        base = _drop_dead_cols(reader.parquet(*files), manifest)
         if not with_lineage:
-            return _apply_col_map(reader.parquet(*files), cmap)
-        return _apply_col_map(_lineage_cols(reader.parquet(*files)), cmap)
+            return _apply_col_map(base, cmap)
+        return _apply_col_map(_lineage_cols(base), cmap)
 
     clean = sorted(set(files) - set(dv))
     dvd = sorted(dv)
@@ -469,13 +478,13 @@ def _scan_files(
     dv_df = _dv_pos_frame(spark, dv)
     if total_n <= DV_BROADCAST_MAX_POSITIONS:
         dv_df = F.broadcast(dv_df)
-    live = _lineage_cols(reader.parquet(*dvd)).join(
+    live = _lineage_cols(_drop_dead_cols(reader.parquet(*dvd), manifest)).join(
         dv_df, ["__file", "__pos"], "left_anti"
     )
     if clean:
-        live = _lineage_cols(reader.parquet(*clean)).unionByName(
-            live, allowMissingColumns=merge_schema
-        )
+        live = _lineage_cols(
+            _drop_dead_cols(reader.parquet(*clean), manifest)
+        ).unionByName(live, allowMissingColumns=merge_schema)
     live = _apply_col_map(live, cmap)
     return live if with_lineage else live.drop("__file", "__pos")
 
@@ -585,11 +594,28 @@ def commit(
                 f"dropped columns {sorted(dropped)}, retyped {retyped}; "
                 "pass allow_schema_change=True (or overwrite) if intended"
             )
-    # column mapping (rename support): incoming frames carry LOGICAL names;
-    # files are always written with the PHYSICAL names so every file in the
-    # table agrees regardless of rename history.  Overwrite replaces the
-    # schema wholesale, so the map resets to identity.
+    # column mapping (rename/drop support): incoming frames carry LOGICAL
+    # names; files are always written with the PHYSICAL names so every file
+    # in the table agrees regardless of rename history.  Overwrite replaces
+    # the schema wholesale, so the map and the dropped list reset.
     col_map = {} if mode == "overwrite" else dict(prev_manifest.get("column_map", {}))
+    dropped_phys = (
+        set() if mode == "overwrite"
+        else set(prev_manifest.get("dropped_physical", []))
+    )
+    # a NEW logical column may not reuse a dropped physical slot: old files
+    # still hold stale bytes under that name, and the scan-side projection
+    # would resurrect them into the new column
+    revived = {
+        c for c in new_schema
+        if c not in (prev_schema or {}) and col_map.get(c, c) in dropped_phys
+    }
+    if revived:
+        raise SchemaEnforcementError(
+            f"append to {path} rejected: column(s) {sorted(revived)} reuse a "
+            "DROPPED column's physical slot — pick a different name (old "
+            "files still carry the dropped bytes under it)"
+        )
     commit_dir = os.path.join(path, f"commit_v{new_v:06d}")
     _unapply_col_map(df, col_map).write.mode("error").parquet(commit_dir)
     new_counts = _data_files(commit_dir)
@@ -649,6 +675,8 @@ def commit(
         manifest["bloom_cols"] = sorted(bloom_cols)
     if col_map:
         manifest["column_map"] = col_map
+    if dropped_phys:
+        manifest["dropped_physical"] = sorted(dropped_phys)
     _publish(path, new_v, manifest)
     return new_v
 
@@ -675,6 +703,14 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
     m_latest0 = read_manifest(path, latest0) if latest0 else {}
     prev_schema0 = m_latest0.get("schema")
     col_map = dict(m_latest0.get("column_map", {}))
+    dropped_phys = set(m_latest0.get("dropped_physical", []))
+    revived = {c for c in new_schema
+               if c not in (prev_schema0 or {}) and col_map.get(c, c) in dropped_phys}
+    if revived:
+        raise SchemaEnforcementError(
+            f"append to {path} rejected: column(s) {sorted(revived)} reuse a "
+            "DROPPED column's physical slot"
+        )
     if prev_schema0 is not None:
         dropped = {c for c in prev_schema0 if c not in new_schema}
         retyped = {c for c in prev_schema0
@@ -738,15 +774,18 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
         manifest["schema"] = (
             new_schema if prev_schema is None else {**prev_schema, **new_schema}
         )
-        if dict(prev_manifest.get("column_map", {})) != col_map:
+        if (dict(prev_manifest.get("column_map", {})) != col_map
+                or set(prev_manifest.get("dropped_physical", [])) != dropped_phys):
             raise ConcurrentWriteError(
                 f"append to {path}: column mapping changed concurrently "
-                "(a rename landed between write and publish); the files "
-                "were written under the old physical mapping — retry the "
-                "whole commit"
+                "(a rename/drop landed between write and publish); the "
+                "files were written under the old physical mapping — retry "
+                "the whole commit"
             )
         if col_map:
             manifest["column_map"] = col_map
+        if dropped_phys:
+            manifest["dropped_physical"] = sorted(dropped_phys)
         try:
             _publish(path, new_v, manifest)
             return new_v
@@ -793,6 +832,7 @@ def commit_rewrite_with_retry(
     dropped = {f for f in m0["files"] if replace(f)}
     new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     col_map = dict(m0.get("column_map", {}))
+    dropped_phys = set(m0.get("dropped_physical", []))
     commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
     _unapply_col_map(df, col_map).write.mode("error").parquet(commit_dir)
     new_counts = _data_files(commit_dir)
@@ -854,14 +894,17 @@ def commit_rewrite_with_retry(
         manifest["schema"] = (
             new_schema if prev_schema is None else {**prev_schema, **new_schema}
         )
-        if dict(prev_manifest.get("column_map", {})) != col_map:
+        if (dict(prev_manifest.get("column_map", {})) != col_map
+                or set(prev_manifest.get("dropped_physical", [])) != dropped_phys):
             raise ConcurrentWriteError(
                 f"rewrite of {path}: column mapping changed concurrently "
-                "(a rename landed between write and publish) — rerun the "
-                "transaction against the new snapshot"
+                "(a rename/drop landed between write and publish) — rerun "
+                "the transaction against the new snapshot"
             )
         if col_map:
             manifest["column_map"] = col_map
+        if dropped_phys:
+            manifest["dropped_physical"] = sorted(dropped_phys)
         try:
             _publish(path, new_v, manifest)
             return new_v
@@ -916,7 +959,7 @@ def rename_column(path: str, old: str, new: str) -> int:
     new_v = v0 + 1
     manifest = {
         k: m0[k]
-        for k in ("files", "rows", "stats", "bloom_cols", "dv")
+        for k in ("files", "rows", "stats", "bloom_cols", "dv", "dropped_physical")
         if k in m0
     }
     manifest.update({
@@ -924,6 +967,48 @@ def rename_column(path: str, old: str, new: str) -> int:
         "mode": "rename",
         "schema": schema,
         "renamed": {"from": old, "to": new},
+    })
+    if cmap:
+        manifest["column_map"] = cmap
+    _publish(path, new_v, manifest)
+    return new_v
+
+
+def drop_column(path: str, col: str) -> int:
+    """DROP COLUMN as a metadata-only commit (the drop half of column
+    mapping): the bytes stay in the immutable files — old versions still
+    read them — but the logical schema loses the column and every
+    current-version scan projects its physical slot out
+    (:func:`_drop_dead_cols`).  A later commit may NOT introduce a new
+    column reusing the dropped physical slot (the stale bytes would
+    resurrect into it) — that is a :class:`SchemaEnforcementError`; an
+    OVERWRITE or OPTIMIZE rewrite rebaselines the table physically and
+    clears the restriction.  Returns the new version."""
+    v0 = latest_version(path)
+    if v0 == 0:
+        raise ValueError(f"drop_column on {path}: table has no commits")
+    m0 = read_manifest(path, v0)
+    schema = dict(m0.get("schema") or {})
+    if col not in schema:
+        raise ValueError(f"drop_column: no column {col!r} in {sorted(schema)}")
+    if len(schema) == 1:
+        raise ValueError("drop_column: cannot drop the only column")
+    cmap = dict(m0.get("column_map", {}))
+    physical = cmap.pop(col, col)
+    schema.pop(col)
+    dropped = sorted(set(m0.get("dropped_physical", [])) | {physical})
+    new_v = v0 + 1
+    manifest = {
+        k: m0[k]
+        for k in ("files", "rows", "stats", "bloom_cols", "dv")
+        if k in m0
+    }
+    manifest.update({
+        "version": new_v,
+        "mode": "drop",
+        "schema": schema,
+        "dropped": {"column": col},
+        "dropped_physical": dropped,
     })
     if cmap:
         manifest["column_map"] = cmap
@@ -1051,7 +1136,7 @@ def history(path: str) -> "list[dict]":
             "committed_at": m.get("committed_at"),
             "n_files": len(m.get("files", [])),
         }
-        for extra in ("rolled_back_to", "cloned_from", "renamed"):
+        for extra in ("rolled_back_to", "cloned_from", "renamed", "dropped"):
             if extra in m:
                 row[extra] = m[extra]
         rows.append(row)
@@ -1110,7 +1195,7 @@ def rollback(path: str, to_version: int) -> int:
         "rolled_back_to": to_version,
         "files": target["files"],
     }
-    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map"):
+    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map", "dropped_physical"):
         if carried in target:
             manifest[carried] = target[carried]
     _publish(path, new_v, manifest)
@@ -1157,7 +1242,7 @@ def clone(src_path: str, dst_path: str, *, version: int | None = None) -> int:
         "cloned_from": {"path": src_path, "version": v},
         "files": src["files"],
     }
-    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map"):
+    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map", "dropped_physical"):
         if carried in src:
             manifest[carried] = src[carried]
     _publish(dst_path, 1, manifest)
@@ -1490,7 +1575,7 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> dict:
             "files_rewritten": 0,
         }
     dv = {**prev_dv, **entries}
-    manifest = {k: m0[k] for k in ("files", "schema", "rows", "stats", "bloom_cols", "column_map") if k in m0}
+    manifest = {k: m0[k] for k in ("files", "schema", "rows", "stats", "bloom_cols", "column_map", "dropped_physical") if k in m0}
     manifest.update({"version": new_v, "mode": "delete_dv", "dv": dv,
                      "dv_rows_deleted": n_deleted})
     _publish(path, new_v, manifest)

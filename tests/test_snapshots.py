@@ -1566,7 +1566,7 @@ def test_drop_column_metadata_only(spark, tmp_path):
 
     path = str(tmp_path / "t")
     snapshots.commit(
-        spark.range(0, 10).selectExpr("id", "id * 1.5 AS v", "id % 3 AS g"), path
+        spark.range(0, 10).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS v", "id % 3 AS g"), path
     )  # v1
     files_v1 = snapshots.read_manifest(path, 1)["files"]
     snapshots.drop_column(path, "g")  # v2
@@ -1575,12 +1575,12 @@ def test_drop_column_metadata_only(spark, tmp_path):
     assert snapshots.read_version(spark, path).columns == ["id", "v"]
     assert snapshots.read_version(spark, path, 1).columns == ["id", "v", "g"]
     # appends without the dropped column pass enforcement now
-    snapshots.commit(spark.range(10, 12).selectExpr("id", "id * 1.5 AS v"), path)
+    snapshots.commit(spark.range(10, 12).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS v"), path)
     assert snapshots.read_version(spark, path).count() == 12
     # the dropped slot may NOT be reused by a new column
     with _pytest.raises(snapshots.SchemaEnforcementError, match="DROPPED"):
         snapshots.commit(
-            spark.range(12, 13).selectExpr("id", "id * 1.5 AS v", "id AS g"), path
+            spark.range(12, 13).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS v", "id AS g"), path
         )
     # rename TO a dropped slot's name is fine: it maps to the OLD physical
     snapshots.rename_column(path, "v", "g2")
@@ -1611,3 +1611,68 @@ def test_drop_then_rename_then_dv_interplay(spark, tmp_path):
     assert got.agg(F.sum("bb")).first()[0] == sum(
         i * 2.0 for i in range(20) if i % 4 != 1
     )
+
+
+# --- round-10 table-level CHECK constraints -----------------------------------
+
+
+def test_table_constraint_lifecycle(spark, tmp_path):
+    """ADD CONSTRAINT validates existing data, then EVERY later commit is
+    enforced and rejected atomically; DROP CONSTRAINT lifts it; renaming or
+    dropping a referenced column is rejected."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 10).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS v"), path
+    )  # v1
+    # adding a constraint existing data violates is rejected, no version burnt
+    with _pytest.raises(snapshots.ConstraintViolation, match="existing"):
+        snapshots.add_table_constraint(spark, path, "v_big", "v >= 5.0")
+    assert snapshots.latest_version(path) == 1
+    assert snapshots.add_table_constraint(spark, path, "v_nonneg", "v >= 0.0") == 2
+    # violating append is rejected atomically by plain commit()
+    with _pytest.raises(snapshots.ConstraintViolation, match="v_nonneg"):
+        snapshots.commit(
+            spark.range(10, 12).selectExpr("id", "CAST(-1.0 AS DOUBLE) AS v"),
+            path,
+        )
+    assert snapshots.latest_version(path) == 2
+    assert snapshots.read_version(spark, path).count() == 10
+    # MoR UPDATE post-images are enforced too (they go through commit)
+    with _pytest.raises(snapshots.ConstraintViolation):
+        snapshots.update_where_dv(
+            spark, path, F.col("id") < 3, {"v": F.col("v") - 1000.0}
+        )
+    # a conforming append passes and the constraint travels with the log
+    snapshots.commit(spark.range(10, 12).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS v"), path)
+    m = snapshots.read_manifest(path, snapshots.latest_version(path))
+    assert m["constraints"] == {"v_nonneg": "v >= 0.0"}
+    # schema ops on a referenced column are rejected until the drop
+    with _pytest.raises(ValueError, match="reference"):
+        snapshots.rename_column(path, "v", "val")
+    with _pytest.raises(ValueError, match="reference"):
+        snapshots.drop_column(path, "v")
+    snapshots.drop_table_constraint(path, "v_nonneg")
+    snapshots.rename_column(path, "v", "val")
+    snapshots.commit(
+        spark.range(12, 13).selectExpr("id", "CAST(-1.0 AS DOUBLE) AS val"), path
+    )  # allowed again after the drop
+    assert snapshots.read_version(spark, path).count() == 13
+    modes = [h["mode"] for h in snapshots.history(path)]
+    assert "add_constraint" in modes and "drop_constraint" in modes
+
+
+def test_table_constraint_enforced_in_retry_writers(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5).selectExpr("id", "CAST(id * 1.0 AS DOUBLE) AS v"), path)
+    snapshots.add_table_constraint(spark, path, "v_nonneg", "v >= 0.0")
+    with _pytest.raises(snapshots.ConstraintViolation):
+        snapshots.commit_with_retry(
+            spark.range(5, 6).selectExpr("id", "CAST(-1.0 AS DOUBLE) AS v"), path
+        )
+    assert snapshots.commit_with_retry(
+        spark.range(5, 6).selectExpr("id", "CAST(id * 1.0 AS DOUBLE) AS v"), path
+    ) == 3

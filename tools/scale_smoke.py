@@ -148,6 +148,7 @@ HEAVY = [
     # round 10: metadata-only rename — cost is the commits, not the data
     "lake_column_rename_report",
     "lake_column_drop_report",
+    "lake_constraint_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

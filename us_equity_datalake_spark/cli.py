@@ -123,6 +123,18 @@ def _build_parser() -> argparse.ArgumentParser:
     tdc.add_argument("--path", required=True)
     tdc.add_argument("--column", required=True, help="logical column to drop")
 
+    tac = tsub.add_parser(
+        "add-constraint",
+        help="ALTER TABLE ADD CONSTRAINT (validates existing data first)",
+    )
+    tac.add_argument("--path", required=True)
+    tac.add_argument("--name", required=True)
+    tac.add_argument("--check", required=True, help="SQL predicate, e.g. \"price >= 0\"")
+
+    tdcn = tsub.add_parser("drop-constraint", help="ALTER TABLE DROP CONSTRAINT")
+    tdcn.add_argument("--path", required=True)
+    tdcn.add_argument("--name", required=True)
+
     return p
 
 
@@ -239,6 +251,12 @@ def _run_table_cmd(spark, args) -> int:
     elif cmd == "drop-column":
         v = S.drop_column(args.path, args.column)
         print(json.dumps({"version": v, "dropped": args.column}))
+    elif cmd == "add-constraint":
+        v = S.add_table_constraint(spark, args.path, args.name, args.check)
+        print(json.dumps({"version": v, "constraint": args.name}))
+    elif cmd == "drop-constraint":
+        v = S.drop_table_constraint(args.path, args.name)
+        print(json.dumps({"version": v, "dropped_constraint": args.name}))
     return 0
 
 

@@ -44,6 +44,7 @@ _GRADING_PRIORITY = [
     "streaming_cdf_apply_sink",    # streaming CDF consumer: bronze→silver fold
     "lake_column_rename_report",   # metadata-only RENAME via column mapping
     "lake_column_drop_report",     # metadata-only DROP, slot-reuse guarded
+    "lake_constraint_report",      # durable CHECK constraint, atomic reject
     # --- code paths rewritten this round ---
     "lake_log_replay_agg",         # log_replay_deltas now dispatches 'dv'
     "streaming_from_snapshot_sink",  # stage_incremental_files DV guard changed

@@ -2346,3 +2346,81 @@ def lake_column_drop_q(spark, sf_dir):
     return arm("v1_with_status", v1, "o_totalprice").unionByName(
         arm("latest_dropped_renamed", latest, "price")
     )
+
+
+@register(
+    "lake_constraint_report",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    ),
+    p AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+    ),
+    final AS (SELECT * FROM f UNION ALL SELECT * FROM p)
+    SELECT 'after_reject' AS arm, CAST(2 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS price_sum
+    FROM f
+    UNION ALL
+    SELECT 'final', CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}
+    FROM final
+    """,
+    doc="TABLE-LEVEL CHECK CONSTRAINTS (round 10; Delta ALTER TABLE ADD "
+    "CONSTRAINT): v1 commits the 'F' orders; v2 registers "
+    "price_nonneg (o_totalprice >= 0) after a full validation scan; a "
+    "commit of NEGATED 'P' prices is then rejected ATOMICALLY by plain "
+    "commit() — the graded 'after_reject' arm pins that the version is "
+    "still 2 and the content is exactly v1's; the conforming 'P' append "
+    "lands as v3 ('final' arm).  The constraint is a durable table "
+    "property carried by every manifest, enforced on every write path "
+    "(append, retry writers, MoR update post-images, streaming merges).",
+)
+def lake_constraint_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_cons_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f_rows = orders.where(F.col("o_orderstatus") == "F").drop("o_orderstatus")
+    p_rows = orders.where(F.col("o_orderstatus") == "P").drop("o_orderstatus")
+    snapshots.commit(f_rows.repartitionByRange(4, "o_orderkey"), root)  # v1
+    snapshots.add_table_constraint(  # v2
+        spark, root, "price_nonneg", "o_totalprice >= 0"
+    )
+    try:
+        snapshots.commit(
+            p_rows.withColumn("o_totalprice", -F.col("o_totalprice")), root
+        )
+        raise AssertionError("violating commit was not rejected")
+    except snapshots.ConstraintViolation:
+        pass  # the graded path: rejected atomically
+
+    def arm(name, df, version):
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("o_totalprice")).alias("price_sum"),
+        ).select(
+            F.lit(name).alias("arm"),
+            F.lit(version).cast("long").alias("version"),
+            "n_rows", "price_sum",
+        )
+
+    after_reject = arm(
+        "after_reject", snapshots.read_version(spark, root),
+        snapshots.latest_version(root),
+    )
+    # force materialization BEFORE v3 lands (latest_version is read eagerly,
+    # but the frame itself is lazy — cache pins the rejected-state read)
+    after_reject = after_reject.cache()
+    after_reject.count()
+    snapshots.commit(p_rows.coalesce(1), root)  # v3: conforming append
+    final = arm("final", snapshots.read_version(spark, root),
+                snapshots.latest_version(root))
+    return after_reject.unionByName(final)

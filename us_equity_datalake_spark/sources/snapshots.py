@@ -616,6 +616,8 @@ def commit(
             "DROPPED column's physical slot — pick a different name (old "
             "files still carry the dropped bytes under it)"
         )
+    table_cons = dict(prev_manifest.get("constraints", {}))
+    _check_table_constraints(df, table_cons, path)
     commit_dir = os.path.join(path, f"commit_v{new_v:06d}")
     _unapply_col_map(df, col_map).write.mode("error").parquet(commit_dir)
     new_counts = _data_files(commit_dir)
@@ -677,6 +679,8 @@ def commit(
         manifest["column_map"] = col_map
     if dropped_phys:
         manifest["dropped_physical"] = sorted(dropped_phys)
+    if table_cons:
+        manifest["constraints"] = table_cons
     _publish(path, new_v, manifest)
     return new_v
 
@@ -704,6 +708,8 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
     prev_schema0 = m_latest0.get("schema")
     col_map = dict(m_latest0.get("column_map", {}))
     dropped_phys = set(m_latest0.get("dropped_physical", []))
+    table_cons = dict(m_latest0.get("constraints", {}))
+    _check_table_constraints(df, table_cons, path)
     revived = {c for c in new_schema
                if c not in (prev_schema0 or {}) and col_map.get(c, c) in dropped_phys}
     if revived:
@@ -786,6 +792,8 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
             manifest["column_map"] = col_map
         if dropped_phys:
             manifest["dropped_physical"] = sorted(dropped_phys)
+        if table_cons:
+            manifest["constraints"] = table_cons
         try:
             _publish(path, new_v, manifest)
             return new_v
@@ -833,6 +841,8 @@ def commit_rewrite_with_retry(
     new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     col_map = dict(m0.get("column_map", {}))
     dropped_phys = set(m0.get("dropped_physical", []))
+    table_cons = dict(m0.get("constraints", {}))
+    _check_table_constraints(df, table_cons, path)
     commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
     _unapply_col_map(df, col_map).write.mode("error").parquet(commit_dir)
     new_counts = _data_files(commit_dir)
@@ -905,6 +915,8 @@ def commit_rewrite_with_retry(
             manifest["column_map"] = col_map
         if dropped_phys:
             manifest["dropped_physical"] = sorted(dropped_phys)
+        if table_cons:
+            manifest["constraints"] = table_cons
         try:
             _publish(path, new_v, manifest)
             return new_v
@@ -951,6 +963,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         raise ValueError(f"rename_column: no column {old!r} in {sorted(schema)}")
     if new in schema:
         raise ValueError(f"rename_column: column {new!r} already exists")
+    _guard_constrained_column(m0, old, "rename_column")
     cmap = dict(m0.get("column_map", {}))
     physical = cmap.pop(old, old)
     if new != physical:
@@ -959,7 +972,8 @@ def rename_column(path: str, old: str, new: str) -> int:
     new_v = v0 + 1
     manifest = {
         k: m0[k]
-        for k in ("files", "rows", "stats", "bloom_cols", "dv", "dropped_physical")
+        for k in ("files", "rows", "stats", "bloom_cols", "dv",
+                  "dropped_physical", "constraints")
         if k in m0
     }
     manifest.update({
@@ -972,6 +986,24 @@ def rename_column(path: str, old: str, new: str) -> int:
         manifest["column_map"] = cmap
     _publish(path, new_v, manifest)
     return new_v
+
+
+def _guard_constrained_column(manifest: dict, col: str, op: str) -> None:
+    """A table constraint's SQL references LOGICAL column names; renaming or
+    dropping a referenced column would silently break enforcement — the
+    Delta rule is to reject until the constraint is dropped."""
+    import re as _re
+
+    hits = {
+        name: sql
+        for name, sql in manifest.get("constraints", {}).items()
+        if _re.search(rf"\b{_re.escape(col)}\b", sql)
+    }
+    if hits:
+        raise ValueError(
+            f"{op}({col!r}) rejected: table constraint(s) reference the "
+            f"column — drop them first: {hits}"
+        )
 
 
 def drop_column(path: str, col: str) -> int:
@@ -993,6 +1025,7 @@ def drop_column(path: str, col: str) -> int:
         raise ValueError(f"drop_column: no column {col!r} in {sorted(schema)}")
     if len(schema) == 1:
         raise ValueError("drop_column: cannot drop the only column")
+    _guard_constrained_column(m0, col, "drop_column")
     cmap = dict(m0.get("column_map", {}))
     physical = cmap.pop(col, col)
     schema.pop(col)
@@ -1000,7 +1033,7 @@ def drop_column(path: str, col: str) -> int:
     new_v = v0 + 1
     manifest = {
         k: m0[k]
-        for k in ("files", "rows", "stats", "bloom_cols", "dv")
+        for k in ("files", "rows", "stats", "bloom_cols", "dv", "constraints")
         if k in m0
     }
     manifest.update({
@@ -1195,7 +1228,7 @@ def rollback(path: str, to_version: int) -> int:
         "rolled_back_to": to_version,
         "files": target["files"],
     }
-    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map", "dropped_physical"):
+    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map", "dropped_physical", "constraints"):
         if carried in target:
             manifest[carried] = target[carried]
     _publish(path, new_v, manifest)
@@ -1242,7 +1275,7 @@ def clone(src_path: str, dst_path: str, *, version: int | None = None) -> int:
         "cloned_from": {"path": src_path, "version": v},
         "files": src["files"],
     }
-    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map", "dropped_physical"):
+    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map", "dropped_physical", "constraints"):
         if carried in src:
             manifest[carried] = src[carried]
     _publish(dst_path, 1, manifest)
@@ -1575,7 +1608,7 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> dict:
             "files_rewritten": 0,
         }
     dv = {**prev_dv, **entries}
-    manifest = {k: m0[k] for k in ("files", "schema", "rows", "stats", "bloom_cols", "column_map", "dropped_physical") if k in m0}
+    manifest = {k: m0[k] for k in ("files", "schema", "rows", "stats", "bloom_cols", "column_map", "dropped_physical", "constraints") if k in m0}
     manifest.update({"version": new_v, "mode": "delete_dv", "dv": dv,
                      "dv_rows_deleted": n_deleted})
     _publish(path, new_v, manifest)
@@ -1923,6 +1956,110 @@ def commit_checked(
             f"commit to {path} rejected: constraint violations {failed}"
         )
     return commit(df, path, mode=mode, replace=replace)
+
+
+def _check_table_constraints(df: DataFrame, constraints: dict, path: str) -> None:
+    """Reject ``df`` if any row violates any registered table constraint
+    (name -> SQL predicate).  One aggregate pass; NULL predicate counts as a
+    violation (the CHECK contract)."""
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        return
+    checks = df.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(~F.coalesce(F.expr(sql), F.lit(False)), 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias(name)
+            for name, sql in sorted(constraints.items())
+        ]
+    ).collect()[0]
+    failed = {name: int(checks[name]) for name in constraints if checks[name]}
+    if failed:
+        raise ConstraintViolation(
+            f"commit to {path} rejected: table-constraint violations {failed} "
+            f"(constraints: { {n: constraints[n] for n in failed} })"
+        )
+
+
+def add_table_constraint(
+    spark: SparkSession, path: str, name: str, predicate_sql: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (the Delta CHECK-constraint table
+    property): validate that EVERY existing live row satisfies
+    ``predicate_sql`` (the full scan Delta performs), then publish a
+    metadata-only commit carrying the constraint in the manifest.  From
+    that version on, EVERY write path — append, merge, CoW rewrite,
+    merge-on-read UPDATE post-images, streaming foreachBatch merges —
+    validates against it inside :func:`commit` and rejects atomically on
+    any violating row.  Unlike :func:`commit_checked` (per-call
+    constraints), this is a durable table property that travels with the
+    log.  Returns the new version."""
+    from pyspark.sql import functions as F
+
+    v0 = latest_version(path)
+    if v0 == 0:
+        raise ValueError(f"add_table_constraint on {path}: table has no commits")
+    m0 = read_manifest(path, v0)
+    cons = dict(m0.get("constraints", {}))
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists on {path}")
+    live = _scan_files(spark, m0["files"], m0)
+    n_bad = live.where(
+        ~F.coalesce(F.expr(predicate_sql), F.lit(False))
+    ).count()
+    if n_bad:
+        raise ConstraintViolation(
+            f"add_table_constraint({name!r}) rejected: {n_bad} existing "
+            f"row(s) violate {predicate_sql!r}"
+        )
+    cons[name] = predicate_sql
+    new_v = v0 + 1
+    manifest = {
+        k: m0[k]
+        for k in ("files", "rows", "stats", "bloom_cols", "dv", "schema",
+                  "column_map", "dropped_physical")
+        if k in m0
+    }
+    manifest.update({
+        "version": new_v,
+        "mode": "add_constraint",
+        "constraints": cons,
+        "constraint": {"name": name, "sql": predicate_sql},
+    })
+    _publish(path, new_v, manifest)
+    return new_v
+
+
+def drop_table_constraint(path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only removal."""
+    v0 = latest_version(path)
+    if v0 == 0:
+        raise ValueError(f"drop_table_constraint on {path}: table has no commits")
+    m0 = read_manifest(path, v0)
+    cons = dict(m0.get("constraints", {}))
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} on {path}")
+    cons.pop(name)
+    new_v = v0 + 1
+    manifest = {
+        k: m0[k]
+        for k in ("files", "rows", "stats", "bloom_cols", "dv", "schema",
+                  "column_map", "dropped_physical")
+        if k in m0
+    }
+    manifest.update({
+        "version": new_v,
+        "mode": "drop_constraint",
+        "constraint": {"name": name},
+    })
+    if cons:
+        manifest["constraints"] = cons
+    _publish(path, new_v, manifest)
+    return new_v
 
 
 def stage_incremental_files(

@@ -1676,3 +1676,36 @@ def test_table_constraint_enforced_in_retry_writers(spark, tmp_path):
     assert snapshots.commit_with_retry(
         spark.range(5, 6).selectExpr("id", "CAST(id * 1.0 AS DOUBLE) AS v"), path
     ) == 3
+
+
+def test_clone_carries_column_map_and_constraints(spark, tmp_path):
+    """A shallow clone of a renamed + constrained table reads with the
+    logical schema and keeps enforcing the constraint on ITS OWN commits."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshots.commit(
+        spark.range(0, 10).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS v"), src
+    )
+    snapshots.rename_column(src, "v", "price")
+    snapshots.add_table_constraint(spark, src, "p_nonneg", "price >= 0.0")
+    snapshots.clone(src, dst)
+    got = snapshots.read_version(spark, dst)
+    assert got.columns == ["id", "price"]
+    assert got.count() == 10
+    with _pytest.raises(snapshots.ConstraintViolation):
+        snapshots.commit(
+            spark.range(10, 11).selectExpr(
+                "id", "CAST(-1.0 AS DOUBLE) AS price"
+            ),
+            dst,
+        )
+    # a conforming append to the clone writes under the PHYSICAL name
+    snapshots.commit(
+        spark.range(10, 12).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS price"),
+        dst,
+    )
+    assert snapshots.read_version(spark, dst).count() == 12
+    m = snapshots.read_manifest(dst, snapshots.latest_version(dst))
+    assert m["column_map"] == {"price": "v"}

@@ -122,6 +122,22 @@ WRITE_PATH = {
     "streaming_dv_delete_sink": "REAL streaming engine: two foreachBatch micro-batches "
     "each publishing a deletion-vector commit + checkpoint + the final lake read-back; "
     "oracle anti-filters the base table with zero writes",
+    # round 10
+    "lake_dv_change_feed_report": "four commits (append/DV delete/DV update/append) + "
+    "three O(Δ)-dispatched per-transition feeds; oracle reconstructs every change row "
+    "from the base table with zero writes",
+    "lake_clone_pin_report": "commit + DV delete + clone registration + append + "
+    "OPTIMIZE rewrite + vacuum + four read-backs; oracle aggregates the base table",
+    "streaming_cdf_apply_sink": "REAL streaming engine: four source-lake commits, two "
+    "availableNow runs whose foreachBatch folds signed O(Δ) deltas into a downstream "
+    "snapshot lake (three more commits); oracle recomputes the final aggregate once",
+    "lake_column_rename_report": "commit + metadata rename + append + DV delete + "
+    "three read-backs incl. a manifest-pruned range read; oracle filters the base table",
+    "lake_column_drop_report": "commit + metadata drop + append + metadata rename + "
+    "DV delete + two read-backs; oracle filters the base table",
+    "lake_constraint_report": "commit + full-scan constraint registration + a REJECTED "
+    "violating commit (the graded behavior) + the conforming append + two read-backs; "
+    "oracle aggregates the base table",
 }
 
 COMPUTE_NOTES_R7 = {

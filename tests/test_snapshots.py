@@ -1709,3 +1709,30 @@ def test_clone_carries_column_map_and_constraints(spark, tmp_path):
     assert snapshots.read_version(spark, dst).count() == 12
     m = snapshots.read_manifest(dst, snapshots.latest_version(dst))
     assert m["column_map"] == {"price": "v"}
+
+
+def test_new_column_may_not_shadow_renamed_physical_slot(spark, tmp_path):
+    """Adding a column literally named like a renamed column's PHYSICAL slot
+    would write two physical columns with one name — rejected up front."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 5).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS v"), path
+    )
+    snapshots.rename_column(path, "v", "price")
+    with _pytest.raises(snapshots.SchemaEnforcementError, match="shadow"):
+        snapshots.commit(
+            spark.range(5, 6).selectExpr(
+                "id", "CAST(id * 1.5 AS DOUBLE) AS price", "id AS v"
+            ),
+            path,
+        )
+    # a differently-named new column is plain additive evolution
+    snapshots.commit(
+        spark.range(5, 6).selectExpr(
+            "id", "CAST(id * 1.5 AS DOUBLE) AS price", "id AS w"
+        ),
+        path,
+    )
+    assert snapshots.read_version_merged(spark, path).count() == 6

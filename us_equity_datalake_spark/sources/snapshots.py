@@ -616,6 +616,19 @@ def commit(
             "DROPPED column's physical slot — pick a different name (old "
             "files still carry the dropped bytes under it)"
         )
+    # a NEW logical column also may not take a name another logical column
+    # occupies PHYSICALLY (e.g. adding 'v' after a v->price rename): the
+    # write-side un-map would produce two physical 'v' columns
+    occupied = {p for l, p in col_map.items() if p != l}
+    shadowed = {
+        c for c in new_schema
+        if c not in (prev_schema or {}) and c in occupied
+    }
+    if shadowed:
+        raise SchemaEnforcementError(
+            f"append to {path} rejected: column(s) {sorted(shadowed)} shadow "
+            "a renamed column's physical slot — pick a different name"
+        )
     table_cons = dict(prev_manifest.get("constraints", {}))
     _check_table_constraints(df, table_cons, path)
     commit_dir = os.path.join(path, f"commit_v{new_v:06d}")
@@ -716,6 +729,14 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
         raise SchemaEnforcementError(
             f"append to {path} rejected: column(s) {sorted(revived)} reuse a "
             "DROPPED column's physical slot"
+        )
+    occupied = {p for l, p in col_map.items() if p != l}
+    shadowed = {c for c in new_schema
+                if c not in (prev_schema0 or {}) and c in occupied}
+    if shadowed:
+        raise SchemaEnforcementError(
+            f"append to {path} rejected: column(s) {sorted(shadowed)} shadow "
+            "a renamed column's physical slot"
         )
     if prev_schema0 is not None:
         dropped = {c for c in prev_schema0 if c not in new_schema}

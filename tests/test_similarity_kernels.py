@@ -546,3 +546,24 @@ def test_kmeans_arrow_hof_assignment_parity(spark):
     h = {(r["vec_id"], r["cluster_id"])
          for r in S.kmeans_assign(emb, k=6, iters=2, kernel="hof").collect()}
     assert a == h and len(a) == 60
+
+
+def test_pq_topk_empty_query_frame_degrades_gracefully(spark):
+    """ADVICE r10 (low): an empty query frame must yield an empty result
+    with the contract schema (the old 1-D np.array([]) crashed the 2-D
+    subspace slice with IndexError)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng.rand(12, 8))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter("vec_id < 0").selectExpr("vec_id AS query_id", "embedding")
+    out = S.pq_topk(emb, queries, dim=8, m=2, k_codes=3, iters=1,
+                    n_candidates=4, k=2)
+    assert out.columns == ["query_id", "neighbor_id", "adc_d2", "cosine", "rank"]
+    assert out.count() == 0
+    from us_equity_datalake_spark.operators import _cache
+
+    _cache.release_caches()

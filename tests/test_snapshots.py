@@ -1736,3 +1736,189 @@ def test_new_column_may_not_shadow_renamed_physical_slot(spark, tmp_path):
         path,
     )
     assert snapshots.read_version_merged(spark, path).count() == 6
+
+
+# --- round-11: ADVICE fixes + schema-evolution x feed guards ------------------
+
+
+def test_change_feed_deltas_dv_after_rename(spark, tmp_path):
+    """ADVICE r10 (high): a delete_dv transition on a column-mapped table
+    must read its pre-images through the column map — the raw parquet scan
+    resolved only PHYSICAL names, so the feed threw UNRESOLVED_COLUMN after
+    any rename."""
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 12).selectExpr("id", "CAST(id * 2.0 AS DOUBLE) AS v"),
+        path,
+    )  # v1
+    snapshots.rename_column(path, "v", "price")  # v2 (metadata-only)
+    snapshots.delete_where_dv(spark, path, F.col("price") < 6.0)  # v3
+    modes: list = []
+    feed = snapshots.change_feed_deltas(spark, path, 2, 3, key="id", modes_out=modes)
+    assert modes == ["dv"]  # the fast path, not the rewrite fallback
+    got = sorted((r["id"], r["change_type"], r["price"]) for r in feed.collect())
+    assert got == [(0, "delete", 0.0), (1, "delete", 2.0), (2, "delete", 4.0)]
+    # and the signed-delta dispatcher rides the same fixed path
+    d = snapshots.log_replay_deltas(spark, path, 2, 3, key="id")
+    assert d.agg(F.sum("__w")).first()[0] == -3
+
+
+def test_change_feed_dv_preimages_after_swap_rename(spark, tmp_path):
+    """The silent-wrong-values arm: after a swap-style rename (a->tmp,
+    b->a, tmp->b) logical and physical names CROSS, so an unmapped
+    pre-image read would bind each logical column to the OTHER column's
+    bytes.  The feed must report the swapped (logical) values."""
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 6).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS a", "CAST(id * 100 AS DOUBLE) AS b"
+        ),
+        path,
+    )  # v1: physical a=id, b=100*id
+    snapshots.rename_column(path, "a", "tmp")  # v2
+    snapshots.rename_column(path, "b", "a")    # v3: logical a -> physical b
+    snapshots.rename_column(path, "tmp", "b")  # v4: logical b -> physical a
+    snapshots.delete_where_dv(spark, path, F.col("id") == 2)  # v5
+    feed = snapshots.change_feed_deltas(spark, path, 4, 5, key="id")
+    row = feed.collect()[0]
+    # logical a carries the OLD b bytes (200.0); logical b the old a (2.0)
+    assert (row["change_type"], row["a"], row["b"]) == ("delete", 200.0, 2.0)
+
+
+def test_retry_writers_detect_concurrent_constraint_change(spark, tmp_path):
+    """ADVICE r10 (medium): a constraint added between a retry writer's
+    data write and its publish must surface as ConcurrentWriteError — a
+    silent carry-forward would both skip validating the new rows and DROP
+    the winner's constraint from the published manifest."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 5).selectExpr("id", "CAST(id * 1.0 AS DOUBLE) AS v"), path
+    )
+    orig_publish = snapshots._publish
+    state = {"raced": False}
+
+    def racing_publish(p, v, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            # the race winner: a constraint lands first at this version
+            snapshots.add_table_constraint(spark, path, "v_nonneg", "v >= 0.0")
+            raise snapshots.ConcurrentWriteError("lost the publish race")
+        return orig_publish(p, v, manifest)
+
+    try:
+        snapshots._publish = racing_publish
+        with _pytest.raises(
+            snapshots.ConcurrentWriteError, match="constraints changed"
+        ):
+            snapshots.commit_with_retry(
+                spark.range(5, 6).selectExpr("id", "CAST(-9.0 AS DOUBLE) AS v"),
+                path,
+            )
+    finally:
+        snapshots._publish = orig_publish
+    # the winner's constraint survived and still validates a plain retry
+    m = snapshots.read_manifest(path, snapshots.latest_version(path))
+    assert "v_nonneg" in m.get("constraints", {})
+    with _pytest.raises(snapshots.ConstraintViolation):
+        snapshots.commit_with_retry(
+            spark.range(6, 7).selectExpr("id", "CAST(-9.0 AS DOUBLE) AS v"), path
+        )
+
+
+def test_constraint_reject_is_atomic_and_post_write(spark, tmp_path):
+    """ADVICE r10 (low): constraints validate the WRITTEN files (single
+    pass over df — Delta enforces during the write); a rejected commit
+    leaves no directory behind and the next good commit takes the same
+    version number."""
+    import os as _os
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 5).selectExpr("id", "CAST(id * 1.0 AS DOUBLE) AS v"), path
+    )
+    snapshots.add_table_constraint(spark, path, "v_nonneg", "v >= 0.0")  # v2
+    before = set(_os.listdir(path))
+    with _pytest.raises(snapshots.ConstraintViolation):
+        snapshots.commit(
+            spark.range(5, 7).selectExpr("id", "CAST(-1.0 AS DOUBLE) AS v"), path
+        )
+    assert set(_os.listdir(path)) == before  # commit dir cleaned up
+    assert snapshots.latest_version(path) == 2
+    assert snapshots.commit(
+        spark.range(5, 7).selectExpr("id", "CAST(id * 1.0 AS DOUBLE) AS v"), path
+    ) == 3
+    # renaming a constrained column is rejected up front (the Delta rule:
+    # the constraint SQL references the logical name)
+    with _pytest.raises(ValueError, match="constraint"):
+        snapshots.rename_column(path, "v", "price")
+
+
+def test_stage_incremental_files_refuses_rename_across_feed(spark, tmp_path):
+    """VERDICT r10 #7: a RENAME/DROP inside the fed range means the
+    hardlinked raw files carry physical names the consumer's logical schema
+    no longer matches — refuse loudly (mirrors the DV guard)."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    staging = str(tmp_path / "staging")
+    state = str(tmp_path / "feed_state.json")
+    snapshots.commit(
+        spark.range(0, 4).selectExpr("id", "CAST(id * 1.0 AS DOUBLE) AS v"), path
+    )
+    assert len(snapshots.stage_incremental_files(path, staging, state)) >= 1
+    snapshots.rename_column(path, "v", "price")
+    snapshots.commit(
+        spark.range(4, 8).selectExpr("id", "CAST(id * 1.0 AS DOUBLE) AS price"),
+        path,
+    )
+    with _pytest.raises(ValueError, match="column mapping"):
+        snapshots.stage_incremental_files(path, staging, state)
+    # initial feed of an already-mapped table refuses for the same reason
+    with _pytest.raises(ValueError, match="column mapping"):
+        snapshots.stage_incremental_files(
+            path, str(tmp_path / "s2"), str(tmp_path / "st2.json")
+        )
+
+
+def test_incremental_rows_refuses_rename_across_range(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 4).selectExpr("id", "CAST(id * 1.0 AS DOUBLE) AS v"), path
+    )  # v1
+    snapshots.rename_column(path, "v", "price")  # v2
+    snapshots.commit(
+        spark.range(4, 8).selectExpr("id", "CAST(id * 1.0 AS DOUBLE) AS price"),
+        path,
+    )  # v3
+    with _pytest.raises(ValueError, match="column mapping"):
+        snapshots.incremental_rows(spark, path, 1, 3)
+    # post-rename ranges stay on the fast path
+    assert snapshots.incremental_rows(spark, path, 2, 3).count() == 4
+
+
+def test_change_feed_deltas_bounded_plan_depth(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #6: a long-horizon feed (many commits between consumer
+    runs) folds through localCheckpoint every _FEED_FOLD_EVERY transitions,
+    so the analyzer never sees an O(versions)-leg union; results equal the
+    endpoint join feed."""
+    monkeypatch.setattr(snapshots, "_FEED_FOLD_EVERY", 8)
+    path = str(tmp_path / "t")
+    import pandas as pd
+
+    for i in range(40):
+        snapshots.commit(
+            spark.createDataFrame(pd.DataFrame({"id": [i], "v": [float(i)]})),
+            path,
+        )
+    modes: list = []
+    feed = snapshots.change_feed_deltas(spark, path, 1, 40, key="id", modes_out=modes)
+    assert modes == ["append"] * 39
+    assert feed.count() == 39
+    assert feed.agg(F.sum("v")).first()[0] == float(sum(range(1, 40)))
+    assert {r["change_type"] for r in feed.select("change_type").distinct().collect()} == {"insert"}

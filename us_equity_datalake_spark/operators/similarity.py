@@ -1181,12 +1181,25 @@ def pq_topk(
     q_rows = q.collect()
     qids = [r["query_id"] for r in q_rows]
     nq = len(qids)
-    qmat = np.array([r["qe"] for r in q_rows], dtype=np.float64)
+    if nq == 0:
+        # degrade gracefully (the HOF form's behavior): an empty query frame
+        # yields an empty result with the contract schema — the 1-D
+        # np.array([]) below would otherwise IndexError on the 2-D slice
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, adc_d2 double, "
+            "cosine double, rank long",
+        )
+    qmat = np.array([r["qe"] for r in q_rows], dtype=np.float64).reshape(nq, dim)
     qt_arr = np.empty((nq, m, k_codes), dtype=np.float64)
     for mi in range(m):
         qt_arr[:, mi, :] = _d2_to_book(
             qmat[:, mi * sub:(mi + 1) * sub], book_arr[mi]
         )
+    # ship the nq x m x k_codes distance tables ONCE per executor as a Spark
+    # broadcast — captured in the task closure they would re-serialize with
+    # EVERY task of the ADC scan
+    bq = spark.sparkContext.broadcast(qt_arr)
     import pandas as pd
 
     qmap = spark.createDataFrame(  # pandas-backed: executes JVM-side
@@ -1204,6 +1217,7 @@ def pq_topk(
     def adc_fn(batches):
         import pandas as pd
 
+        qt = bq.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1211,9 +1225,9 @@ def pq_topk(
                 [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
             )
             vid = pdf["vec_id"].to_numpy()
-            acc = qt_arr[:, 0, :][:, cm[:, 0]]
+            acc = qt[:, 0, :][:, cm[:, 0]]
             for mi in range(1, m):
-                acc = acc + qt_arr[:, mi, :][:, cm[:, mi]]
+                acc = acc + qt[:, mi, :][:, cm[:, mi]]
             r6 = np.floor(acc * 1e6 + 0.5).astype(np.int64)
             keep = min(keep_local, len(vid))
             out = []

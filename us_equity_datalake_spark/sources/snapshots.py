@@ -318,6 +318,9 @@ DV_DRIVER_MAX_POSITIONS = 100_000
 # (~8 MB/1M rows packed, but broadcast frames are row-expanded); fall back
 # to a shuffle anti-join, which AQE can still convert if stats allow.
 DV_BROADCAST_MAX_POSITIONS = 4_000_000
+# change_feed_deltas folds its per-transition union through localCheckpoint
+# every this many legs, bounding analyzer plan depth on long version ranges.
+_FEED_FOLD_EVERY = 32
 
 
 def _dv_positions_df(spark: SparkSession, dv: dict) -> DataFrame:
@@ -630,9 +633,8 @@ def commit(
             "a renamed column's physical slot — pick a different name"
         )
     table_cons = dict(prev_manifest.get("constraints", {}))
-    _check_table_constraints(df, table_cons, path)
     commit_dir = os.path.join(path, f"commit_v{new_v:06d}")
-    _unapply_col_map(df, col_map).write.mode("error").parquet(commit_dir)
+    _write_commit_checked(df, commit_dir, col_map, table_cons, path)
     new_counts = _data_files(commit_dir)
     new_files = list(new_counts)
     if mode == "overwrite":
@@ -722,7 +724,6 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
     col_map = dict(m_latest0.get("column_map", {}))
     dropped_phys = set(m_latest0.get("dropped_physical", []))
     table_cons = dict(m_latest0.get("constraints", {}))
-    _check_table_constraints(df, table_cons, path)
     revived = {c for c in new_schema
                if c not in (prev_schema0 or {}) and col_map.get(c, c) in dropped_phys}
     if revived:
@@ -748,7 +749,7 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
                 f"dropped columns {sorted(dropped)}, retyped {sorted(retyped)}"
             )
     commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
-    _unapply_col_map(df, col_map).write.mode("error").parquet(commit_dir)
+    _write_commit_checked(df, commit_dir, col_map, table_cons, path)
     new_counts = _data_files(commit_dir)
     new_files = list(new_counts)
     new_stats: dict | None = None
@@ -813,6 +814,17 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
             manifest["column_map"] = col_map
         if dropped_phys:
             manifest["dropped_physical"] = sorted(dropped_phys)
+        if dict(prev_manifest.get("constraints", {})) != table_cons:
+            # a concurrent add/drop_table_constraint landed between write
+            # and publish: these rows were validated against the OLD set,
+            # and a silent carry-forward of table_cons would also DROP the
+            # winner's new constraint from the published manifest
+            raise ConcurrentWriteError(
+                f"append to {path}: table constraints changed concurrently "
+                "(a constraint was added/dropped between write and publish); "
+                "the rows were validated against the old set — retry the "
+                "whole commit"
+            )
         if table_cons:
             manifest["constraints"] = table_cons
         try:
@@ -863,9 +875,8 @@ def commit_rewrite_with_retry(
     col_map = dict(m0.get("column_map", {}))
     dropped_phys = set(m0.get("dropped_physical", []))
     table_cons = dict(m0.get("constraints", {}))
-    _check_table_constraints(df, table_cons, path)
     commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
-    _unapply_col_map(df, col_map).write.mode("error").parquet(commit_dir)
+    _write_commit_checked(df, commit_dir, col_map, table_cons, path)
     new_counts = _data_files(commit_dir)
     new_files = list(new_counts)
     new_stats: dict | None = None
@@ -936,6 +947,12 @@ def commit_rewrite_with_retry(
             manifest["column_map"] = col_map
         if dropped_phys:
             manifest["dropped_physical"] = sorted(dropped_phys)
+        if dict(prev_manifest.get("constraints", {})) != table_cons:
+            raise ConcurrentWriteError(
+                f"rewrite of {path}: table constraints changed concurrently "
+                "(a constraint was added/dropped between write and publish) "
+                "— rerun the transaction against the new snapshot"
+            )
         if table_cons:
             manifest["constraints"] = table_cons
         try:
@@ -1831,9 +1848,14 @@ def _transition_feed(
             )
         if sum(int(e.get("n", 0)) for e in delta.values()) <= DV_BROADCAST_MAX_POSITIONS:
             pos = F.broadcast(pos)
-        pre = _lineage_cols(spark.read.parquet(*sorted(delta))).join(
-            pos, ["__file", "__pos"], "left_semi"
-        )
+        # Pre-images resolve through the SAME physical->logical pipeline as
+        # _scan_files: project out dropped physical slots, then apply the
+        # column map — a raw read would fail (or, after a swap-rename,
+        # silently mis-bind) on any column-mapped table.
+        pre = _apply_col_map(
+            _lineage_cols(_drop_dead_cols(spark.read.parquet(*sorted(delta)), m1)),
+            m1.get("column_map") or {},
+        ).join(pos, ["__file", "__pos"], "left_semi")
         parts.append(
             pre.select(key, F.lit(dead_type).alias("change_type"), *cols)
         )
@@ -1868,14 +1890,25 @@ def change_feed_deltas(
     untouched file — and intermediate churn (a row inserted then deleted
     within the range) is reported per transition, the Delta CDF contract.
     ``modes_out`` (if a list) receives 'append'/'dv'/'rewrite' per
-    transition, the dispatch decision itself."""
+    transition, the dispatch decision itself.
+
+    Plan depth is BOUNDED: the per-transition union folds through
+    ``localCheckpoint`` every ``_FEED_FOLD_EVERY`` transitions, so a
+    long-horizon feed (a consumer catching up over hundreds of commits)
+    materializes fixed-size segments instead of handing the analyzer an
+    O(versions)-leg union tree."""
     cols = [c for c in read_version(spark, path, v_from).columns if c != key]
     out = None
+    legs = 0
     for v in range(v_from, v_to):
         d, mode = _transition_feed(spark, path, v, key=key, cols=cols)
         if modes_out is not None:
             modes_out.append(mode)
         out = d if out is None else out.unionByName(d)
+        legs += 1
+        if legs >= _FEED_FOLD_EVERY:
+            out = out.localCheckpoint(eager=True)
+            legs = 0
     return out
 
 
@@ -1977,6 +2010,31 @@ def commit_checked(
             f"commit to {path} rejected: constraint violations {failed}"
         )
     return commit(df, path, mode=mode, replace=replace)
+
+
+def _write_commit_checked(
+    df: DataFrame, commit_dir: str, col_map: dict, constraints: dict, path: str
+) -> None:
+    """Write ``df`` (physical names) to ``commit_dir``, then validate the
+    WRITTEN files against the table constraints — single pass over ``df``
+    (Delta enforces during the write itself; a pre-write action would
+    compute the frame twice, and a nondeterministic frame could pass
+    validation yet land violating rows).  On violation the commit directory
+    is deleted before raising, keeping the reject atomic: nothing is
+    published, nothing is left on disk."""
+    _unapply_col_map(df, col_map).write.mode("error").parquet(commit_dir)
+    if not constraints:
+        return
+    try:
+        written = _apply_col_map(
+            df.sparkSession.read.parquet(commit_dir), col_map
+        )
+        _check_table_constraints(written, constraints, path)
+    except ConstraintViolation:
+        import shutil
+
+        shutil.rmtree(commit_dir, ignore_errors=True)
+        raise
 
 
 def _check_table_constraints(df: DataFrame, constraints: dict, path: str) -> None:
@@ -2150,6 +2208,26 @@ def stage_incremental_files(
                 "without retraction (the Delta ignoreDeletes contract), "
                 "or consume change_feed instead"
             )
+    # Schema evolution guard (mirrors the DV guard): a RENAME/DROP commit is
+    # metadata-only, so the on-disk files this call would hardlink carry
+    # PHYSICAL column names the consumer's logical schema no longer matches
+    # — a hardlink cannot apply the mapping, so refuse loudly instead of
+    # feeding stale/misnamed columns.  Fires on (a) a column_map or
+    # dropped_physical change across the fed range and (b) an initial feed
+    # of a table that already carries a mapping (raw physical names would
+    # never have matched the logical schema).
+    cm_old = dict(m_old.get("column_map", {})) if last_fed else {}
+    dp_old = set(m_old.get("dropped_physical", [])) if last_fed else set()
+    if dict(m_new.get("column_map", {})) != cm_old or set(
+        m_new.get("dropped_physical", [])
+    ) != dp_old:
+        raise ValueError(
+            f"versions {last_fed}..{latest} of {path} changed the column "
+            "mapping (a RENAME/DROP COLUMN landed); staged raw files carry "
+            "physical column names the feed's logical schema does not match "
+            "— restart the stream from a post-rename checkpoint or consume "
+            "change_feed instead"
+        )
     os.makedirs(staging_dir, exist_ok=True)
     staged: list[str] = []
     for f in new:
@@ -2278,6 +2356,15 @@ def incremental_rows(spark: SparkSession, path: str, v_from: int, v_to: int) -> 
             f"versions {v_from}..{v_to} of {path} changed deletion vectors "
             "on carried-over files (row-level deletes); the append-only "
             "fast path does not apply — use change_feed"
+        )
+    if dict(m_from.get("column_map", {})) != dict(m_to.get("column_map", {})) or set(
+        m_from.get("dropped_physical", [])
+    ) != set(m_to.get("dropped_physical", [])):
+        raise ValueError(
+            f"versions {v_from}..{v_to} of {path} changed the column mapping "
+            "(RENAME/DROP COLUMN); incremental rows would surface logical "
+            "names the v_from consumer never saw — re-baseline the consumer "
+            "or use change_feed across the rename"
         )
     added = [f for f in new if f not in old]
     if not added:

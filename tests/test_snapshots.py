@@ -1922,3 +1922,236 @@ def test_change_feed_deltas_bounded_plan_depth(spark, tmp_path, monkeypatch):
     assert feed.count() == 39
     assert feed.agg(F.sum("v")).first()[0] == float(sum(range(1, 40)))
     assert {r["change_type"] for r in feed.select("change_type").distinct().collect()} == {"insert"}
+
+
+# --- round-11: concurrent DV-writer reconciliation (VERDICT r10 #4) -----------
+
+
+def _pin_first_latest_version(monkeypatch, pin_v, n_threads=2):
+    """Monkeypatch latest_version so each thread's FIRST call returns
+    ``pin_v`` (both transactions snapshot the same base version — the race)
+    and every later call reads the real log (the rebase)."""
+    import threading
+
+    real = snapshots.latest_version
+    local = threading.local()
+    barrier = threading.Barrier(n_threads)
+
+    def pinned(p):
+        if not getattr(local, "pinned", False):
+            local.pinned = True
+            barrier.wait(timeout=60)
+            return pin_v
+        return real(p)
+
+    monkeypatch.setattr(snapshots, "latest_version", pinned)
+    return real
+
+
+def test_concurrent_dv_deleters_disjoint_files_both_land(spark, tmp_path, monkeypatch):
+    """Two THREADED delete_where_dv transactions vectoring DISJOINT files
+    from the same base snapshot: the publish-race loser rebases and merges
+    — both land (the benign DV/DV case Delta auto-resolves)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5).coalesce(1), path)    # v1: file A
+    snapshots.commit(spark.range(5, 10).coalesce(1), path)   # v2: file B
+    _pin_first_latest_version(monkeypatch, 2)
+    preds = [F.col("id").isin(0, 1), F.col("id").isin(7, 8)]
+    with ThreadPoolExecutor(2) as ex:
+        results = list(
+            ex.map(lambda pr: snapshots.delete_where_dv(spark, path, pr), preds)
+        )
+    monkeypatch.undo()
+    assert sorted(r["version"] for r in results) == [3, 4]
+    assert sorted(r["rows_deleted"] for r in results) == [2, 2]
+    assert _ids(snapshots.read_version(spark, path)) == [2, 3, 4, 5, 6, 9]
+    m = snapshots.read_manifest(path, 4)
+    assert len(m["dv"]) == 2 and sum(e["n"] for e in m["dv"].values()) == 4
+
+
+def test_concurrent_dv_deleters_same_file_disjoint_positions_union(
+    spark, tmp_path, monkeypatch
+):
+    """Both racers grew the SAME file's vector with non-overlapping
+    positions: the rebase unions them (no conflict, no lost delete)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5).coalesce(1), path)  # v1: one file
+    _pin_first_latest_version(monkeypatch, 1)
+    preds = [F.col("id") == 0, F.col("id") == 4]
+    with ThreadPoolExecutor(2) as ex:
+        results = list(
+            ex.map(lambda pr: snapshots.delete_where_dv(spark, path, pr), preds)
+        )
+    monkeypatch.undo()
+    assert sorted(r["version"] for r in results) == [2, 3]
+    assert _ids(snapshots.read_version(spark, path)) == [1, 2, 3]
+    m = snapshots.read_manifest(path, 3)
+    (entry,) = m["dv"].values()
+    assert entry["n"] == 2  # the union vector
+
+
+def test_concurrent_dv_deleters_overlapping_positions_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """Both racers vectored the SAME row: exactly one lands, the loser
+    raises (overlapping row-level writes are never auto-merged)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5).coalesce(1), path)
+    _pin_first_latest_version(monkeypatch, 1)
+
+    def run(pred):
+        try:
+            return ("ok", snapshots.delete_where_dv(spark, path, pred))
+        except snapshots.ConcurrentWriteError:
+            return ("conflict", None)
+
+    preds = [F.col("id") < 2, F.col("id") < 1]  # both vector row 0
+    with ThreadPoolExecutor(2) as ex:
+        results = list(ex.map(run, preds))
+    monkeypatch.undo()
+    assert sorted(r[0] for r in results) == ["conflict", "ok"]
+    got = _ids(snapshots.read_version(spark, path))
+    assert got in ([2, 3, 4], [1, 2, 3, 4])  # exactly the winner's delete
+
+
+def test_concurrent_update_dv_and_delete_dv_disjoint_rebase(
+    spark, tmp_path, monkeypatch
+):
+    """A merge-on-read UPDATE racing a DV delete on DISJOINT files: the
+    update's post-image files and the delete's vector both survive the
+    rebase, whichever side loses the race."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10).selectExpr("id", "CAST(id * 1.0 AS DOUBLE) AS v")
+    snapshots.commit(df.where("id < 5").coalesce(1), path)   # v1: file A
+    snapshots.commit(df.where("id >= 5").coalesce(1), path)  # v2: file B
+    _pin_first_latest_version(monkeypatch, 2)
+
+    def upd():
+        return snapshots.update_where_dv(
+            spark, path, F.col("id") <= 1, {"v": F.col("v") + 100.0}
+        )
+
+    def dele():
+        return snapshots.delete_where_dv(spark, path, F.col("id").isin(7, 8))
+
+    with ThreadPoolExecutor(2) as ex:
+        fu, fd = ex.submit(upd), ex.submit(dele)
+        ru, rd = fu.result(), fd.result()
+    monkeypatch.undo()
+    assert ru["rows_updated"] == 2 and rd["rows_deleted"] == 2
+    assert sorted([ru["version"], rd["version"]]) == [3, 4]
+    got = {r["id"]: r["v"] for r in snapshots.read_version(spark, path).collect()}
+    assert got == {0: 100.0, 1: 101.0, 2: 2.0, 3: 3.0, 4: 4.0,
+                   5: 5.0, 6: 6.0, 9: 9.0}
+
+
+def test_concurrent_dv_updates_same_row_conflict(spark, tmp_path, monkeypatch):
+    """Two merge-on-read UPDATEs of the SAME row: one lands, the other
+    raises — the lost-update case must never auto-merge."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 5).selectExpr("id", "CAST(id * 1.0 AS DOUBLE) AS v")
+        .coalesce(1),
+        path,
+    )
+    _pin_first_latest_version(monkeypatch, 1)
+
+    def run(delta):
+        try:
+            return ("ok", snapshots.update_where_dv(
+                spark, path, F.col("id") == 0, {"v": F.col("v") + delta}
+            ))
+        except snapshots.ConcurrentWriteError:
+            return ("conflict", None)
+
+    with ThreadPoolExecutor(2) as ex:
+        results = list(ex.map(run, [100.0, 200.0]))
+    monkeypatch.undo()
+    assert sorted(r[0] for r in results) == ["conflict", "ok"]
+    got = {r["id"]: r["v"] for r in snapshots.read_version(spark, path).collect()}
+    assert got[0] in (100.0, 200.0)  # exactly one update applied
+    assert len(got) == 5
+
+
+def test_dv_rebase_refuses_rewritten_file_and_metadata_drift(spark, tmp_path):
+    """A DV commit racing (a) a compaction that rewrote its target file or
+    (b) a metadata commit (constraint) must surface ConcurrentWriteError —
+    positions name rows of a dead file / predicate resolved under stale
+    metadata."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 6).selectExpr("id", "CAST(id * 1.0 AS DOUBLE) AS v"), path
+    )
+    orig_publish = snapshots._publish
+    state = {"raced": False}
+
+    def race_with_optimize(p, v, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            snapshots.optimize(spark, path, target_files=1)  # rewrites all
+            raise snapshots.ConcurrentWriteError("lost the race")
+        return orig_publish(p, v, manifest)
+
+    try:
+        snapshots._publish = race_with_optimize
+        with _pytest.raises(snapshots.ConcurrentWriteError, match="rewritten"):
+            snapshots.delete_where_dv(spark, path, F.col("id") == 0)
+    finally:
+        snapshots._publish = orig_publish
+
+    state = {"raced": False}
+
+    def race_with_constraint(p, v, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            snapshots.add_table_constraint(spark, path, "v_nonneg", "v >= 0.0")
+            raise snapshots.ConcurrentWriteError("lost the race")
+        return orig_publish(p, v, manifest)
+
+    try:
+        snapshots._publish = race_with_constraint
+        with _pytest.raises(snapshots.ConcurrentWriteError, match="metadata"):
+            snapshots.delete_where_dv(spark, path, F.col("id") == 1)
+    finally:
+        snapshots._publish = orig_publish
+    # the table is intact and a plain retry (fresh snapshot) succeeds
+    r = snapshots.delete_where_dv(spark, path, F.col("id") == 1)
+    assert r["rows_deleted"] == 1
+    assert _ids(snapshots.read_version(spark, path)) == [0, 2, 3, 4, 5]
+
+
+def test_vacuum_sweeps_orphaned_dv_staging(spark, tmp_path, monkeypatch):
+    """Sidecars staged by a publish-race loser under a version directory
+    (never referenced by any manifest) are reclaimed when that version
+    leaves the keep window."""
+    import os as _os
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 5).coalesce(1), path)  # v1
+    _pin_first_latest_version(monkeypatch, 1)
+    preds = [F.col("id") == 0, F.col("id") == 4]
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(lambda pr: snapshots.delete_where_dv(spark, path, pr), preds))
+    monkeypatch.undo()
+    # both racers staged under dv/v000002; only the winner's sidecar (and
+    # the rebased union under v000003) are referenced
+    dvdir2 = _os.path.join(path, "_snapshots", "dv", "v000002")
+    assert len(_os.listdir(dvdir2)) == 2  # winner's + loser's orphan
+    snapshots.materialize_dvs(spark, path)  # v4: vectors purged
+    snapshots.vacuum(path, keep_last=1)
+    assert not _os.path.isdir(dvdir2) or _os.listdir(dvdir2) == []
+    assert _ids(snapshots.read_version(spark, path)) == [1, 2, 3]

@@ -267,34 +267,43 @@ def _write_file_blooms(spark: SparkSession, files: list[str], cols: list[str]) -
 # ---------------------------------------------------------------------------
 
 
-def _dv_sidecar(path: str, version: int, data_file: str) -> str:
+def _dv_sidecar(path: str, version: int, data_file: str, token: str = "") -> str:
     """Sidecar location for ``data_file``'s deletion vector as of
     ``version``.  DVs are version-scoped (unlike bloom sidecars, which
     describe immutable file CONTENT): two versions may hold different
     vectors for the same file, so sidecars live under the log, keyed by
-    the version that introduced them plus a digest of the file path."""
+    the version that introduced them plus a digest of the file path.
+    ``token`` (a per-write uuid) keeps RACING writers — two DV commits
+    staging the same (version, file) before one loses the publish race and
+    rebases — from clobbering each other's staging; every reader resolves
+    sidecars through the manifest entry's explicit ``path``, never by
+    reconstructing this name."""
     import hashlib
 
     h = hashlib.md5(data_file.encode()).hexdigest()[:16]
-    return os.path.join(path, _SNAP_DIR, "dv", f"v{version:06d}", f"{h}.json")
+    name = f"{h}.{token}.json" if token else f"{h}.json"
+    return os.path.join(path, _SNAP_DIR, "dv", f"v{version:06d}", name)
 
 
 def _write_dv_sidecar(path: str, version: int, data_file: str, positions) -> dict:
     """Write a sorted uint64 position vector (base64-packed, the same
-    sidecar discipline as the bloom index) and return its manifest entry."""
+    sidecar discipline as the bloom index) atomically under a unique name
+    and return its manifest entry."""
     import base64
 
     import numpy as np
 
     arr = np.array(sorted(int(p) for p in positions), dtype=np.uint64)
-    sc = _dv_sidecar(path, version, data_file)
+    sc = _dv_sidecar(path, version, data_file, token=uuid.uuid4().hex[:8])
     os.makedirs(os.path.dirname(sc), exist_ok=True)
-    with open(sc, "w") as f:
+    tmp = f"{sc}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(
             {"file": data_file, "n": int(arr.size),
              "positions": base64.b64encode(arr.tobytes()).decode()},
             f,
         )
+    os.replace(tmp, sc)
     return {"path": sc, "n": int(arr.size)}
 
 
@@ -1389,6 +1398,17 @@ def vacuum(path: str, *, keep_last: int = 1) -> list[str]:
             if dvp not in keep_dv and owned and os.path.exists(dvp):
                 os.remove(dvp)
                 removed.append(dvp)
+        # sweep ORPHANED sidecars staged under this version but never
+        # published (a DV writer that lost its publish race and rebased, or
+        # a retried executor task): no manifest references them, so the
+        # per-entry pass above cannot see them
+        dvdir = os.path.join(path, _SNAP_DIR, "dv", f"v{v:06d}")
+        if os.path.isdir(dvdir):
+            for name in os.listdir(dvdir):
+                dvp = os.path.join(dvdir, name)
+                if dvp not in keep_dv and os.path.isfile(dvp):
+                    os.remove(dvp)
+                    removed.append(dvp)
         os.remove(p)
     return removed
 
@@ -1584,7 +1604,9 @@ def _stage_dv_sidecars(
                     )
                 )
             arr = np.array(sorted(pos), dtype=np.uint64)
-            sc = _dv_sidecar(path, version, f)
+            # unique per-write name (racing DV commits must not clobber each
+            # other's staging); the driver learns the path from the result
+            sc = _dv_sidecar(path, version, f, token=_uuid.uuid4().hex[:8])
             os.makedirs(os.path.dirname(sc), exist_ok=True)
             tmp = f"{sc}.tmp.{_uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as fh:
@@ -1594,22 +1616,104 @@ def _stage_dv_sidecars(
                     fh,
                 )
             os.replace(tmp, sc)
-            return pd.DataFrame({"file": [f], "n": [int(arr.size)]})
+            return pd.DataFrame(
+                {"file": [f], "n": [int(arr.size)], "sc": [sc]}
+            )
 
         meta = hits.groupBy("__file").applyInPandas(
-            write_group, "file string, n long"
+            write_group, "file string, n long, sc string"
         ).collect()
         entries = {
-            r["file"]: {"path": _dv_sidecar(path, version, r["file"]),
-                        "n": int(r["n"])}
-            for r in meta
+            r["file"]: {"path": r["sc"], "n": int(r["n"])} for r in meta
         }
         return entries, n_new
     finally:
         hits.unpersist()
 
 
-def delete_where_dv(spark: SparkSession, path: str, predicate) -> dict:
+def _dv_positions_arr(entry: "dict | None"):
+    """A DV manifest entry's positions as a uint64 numpy array ([] for
+    None) — the rebase path's working representation."""
+    import numpy as np
+
+    if not entry:
+        return np.array([], dtype=np.uint64)
+    return np.array(_read_dv_positions(entry), dtype=np.uint64)
+
+
+def _rebase_dv_entries(
+    path: str,
+    new_v: int,
+    base_dv: dict,
+    cur_dv: dict,
+    ours_new_by_file: "dict[str, object]",
+    cur_files: "set[str]",
+    op: str,
+) -> dict:
+    """Merge OUR new deletion-vector positions onto the CURRENT manifest's
+    vectors after losing a publish race — the benign DV/DV concurrency case
+    Delta auto-resolves (two writers vectoring DISJOINT rows both land).
+
+    For each file we touched: if the race winner(s) did not grow that
+    file's vector, our positions simply merge over the current vector; if
+    they DID, the winners' new positions (current minus the base we read)
+    must be disjoint from ours — an overlap means both transactions
+    vectored the same physical row (for an UPDATE, a lost update; for a
+    DELETE, a double-delete we surface rather than silently absorb, the
+    conservative Delta rule) and raises :class:`ConcurrentWriteError`.
+    A file the winner REWROTE (gone from the current manifest) can never
+    rebase: our positions name rows of a dead file.
+
+    Driver-side by design: conflicts are rare, and the arrays involved are
+    bounded by the conflicting files' vector sizes.  Returns the merged
+    {file: sidecar entry} for OUR touched files, written under ``new_v``."""
+    import numpy as np
+
+    out: dict = {}
+    for f, ours in sorted(ours_new_by_file.items()):
+        if f not in cur_files:
+            raise ConcurrentWriteError(
+                f"{op} of {path}: file {f} was rewritten by a concurrent "
+                "commit; its positions no longer exist — rerun the "
+                "transaction against the new snapshot"
+            )
+        ours_arr = np.array(sorted(int(p) for p in ours), dtype=np.uint64)
+        base_arr = _dv_positions_arr(base_dv.get(f))
+        cur_e = cur_dv.get(f)
+        if cur_e is None or cur_e == base_dv.get(f):
+            merged = np.union1d(ours_arr, base_arr)
+        else:
+            cur_arr = _dv_positions_arr(cur_e)
+            winner_new = np.setdiff1d(cur_arr, base_arr, assume_unique=True)
+            clash = np.intersect1d(ours_arr, winner_new, assume_unique=True)
+            if clash.size:
+                raise ConcurrentWriteError(
+                    f"{op} of {path}: a concurrent commit vectored "
+                    f"{int(clash.size)} of the same row position(s) in {f} "
+                    "— overlapping row-level writes cannot be auto-merged; "
+                    "rerun the transaction against the new snapshot"
+                )
+            merged = np.union1d(cur_arr, ours_arr)
+        out[f] = _write_dv_sidecar(path, new_v, f, merged)
+    return out
+
+
+def _dv_metadata_drift(m_base: dict, m_cur: dict) -> bool:
+    """True when a metadata commit (rename/drop/constraint) landed between
+    ``m_base`` and ``m_cur`` — a DV rebase across those is refused: the
+    transaction's predicate and post-images were resolved under the base
+    metadata (the Delta rule: metadata changes conflict with everything)."""
+    return (
+        dict(m_base.get("column_map", {})) != dict(m_cur.get("column_map", {}))
+        or set(m_base.get("dropped_physical", []))
+        != set(m_cur.get("dropped_physical", []))
+        or dict(m_base.get("constraints", {})) != dict(m_cur.get("constraints", {}))
+    )
+
+
+def delete_where_dv(
+    spark: SparkSession, path: str, predicate, *, max_retries: int = 5
+) -> dict:
     """DELETE FROM ... via DELETION VECTORS (merge-on-read): record the
     matching rows' positions in per-file sidecars and publish a manifest
     that points at them — ZERO data files rewritten, deletes visible to
@@ -1649,14 +1753,170 @@ def delete_where_dv(spark: SparkSession, path: str, predicate) -> dict:
     manifest = {k: m0[k] for k in ("files", "schema", "rows", "stats", "bloom_cols", "column_map", "dropped_physical", "constraints") if k in m0}
     manifest.update({"version": new_v, "mode": "delete_dv", "dv": dv,
                      "dv_rows_deleted": n_deleted})
-    _publish(path, new_v, manifest)
-    return {
-        "version": new_v,
-        "files_total": len(m0["files"]),
-        "files_with_dv": len(dv),
-        "rows_deleted": n_deleted,
-        "files_rewritten": 0,
+
+    def _result(v, files_total, n_dv):
+        return {
+            "version": v,
+            "files_total": files_total,
+            "files_with_dv": n_dv,
+            "rows_deleted": n_deleted,
+            "files_rewritten": 0,
+        }
+
+    try:
+        _publish(path, new_v, manifest)
+        return _result(new_v, len(m0["files"]), len(dv))
+    except ConcurrentWriteError:
+        pass
+    # Lost the publish race: rebase onto the winner(s) — the benign DV/DV
+    # concurrency Delta auto-resolves.  Our NEW positions per file are the
+    # staged vector minus the base vector we merged in.
+    import numpy as np
+
+    ours_new = {
+        f: np.setdiff1d(
+            _dv_positions_arr(e), _dv_positions_arr(prev_dv.get(f)),
+            assume_unique=True,
+        )
+        for f, e in entries.items()
     }
+    last_err: ConcurrentWriteError | None = None
+    for _ in range(max_retries):
+        v_cur = latest_version(path)
+        m_cur = read_manifest(path, v_cur)
+        if _dv_metadata_drift(m0, m_cur):
+            raise ConcurrentWriteError(
+                f"delete_where_dv of {path}: table metadata changed "
+                "concurrently (rename/drop/constraint) — rerun the "
+                "transaction against the new snapshot"
+            )
+        new_v = v_cur + 1
+        merged = _rebase_dv_entries(
+            path, new_v, prev_dv, m_cur.get("dv", {}), ours_new,
+            set(m_cur["files"]), "delete_where_dv",
+        )
+        dv = {**m_cur.get("dv", {}), **merged}
+        manifest = {k: m_cur[k] for k in ("files", "schema", "rows", "stats", "bloom_cols", "column_map", "dropped_physical", "constraints") if k in m_cur}
+        manifest.update({"version": new_v, "mode": "delete_dv", "dv": dv,
+                         "dv_rows_deleted": n_deleted})
+        try:
+            _publish(path, new_v, manifest)
+            return _result(new_v, len(m_cur["files"]), len(dv))
+        except ConcurrentWriteError as e:
+            last_err = e
+            continue
+    raise ConcurrentWriteError(
+        f"delete_where_dv of {path} lost the publish race {max_retries} times"
+    ) from last_err
+
+
+def _commit_update_dv_with_retry(
+    df: DataFrame,
+    path: str,
+    m_base: dict,
+    updates: "dict[str, list[int]]",
+    *,
+    max_retries: int = 5,
+) -> int:
+    """The merge-on-read UPDATE's atomic commit, RECONCILING with concurrent
+    writers: post-image files are written ONCE to a uniquely-named commit
+    directory; the publish loop rebases onto any race winner — carrying the
+    winner's files/stats/vectors forward and merging OUR position deltas
+    via :func:`_rebase_dv_entries` (disjoint-row DV commits both land;
+    overlapping rows or a rewrite of a touched file raise, the Delta
+    conflict rules).  Metadata drift (rename/drop/constraint) across the
+    race refuses the rebase outright."""
+    spark = df.sparkSession
+    col_map = dict(m_base.get("column_map", {}))
+    dropped_phys = set(m_base.get("dropped_physical", []))
+    table_cons = dict(m_base.get("constraints", {}))
+    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    base_schema = m_base.get("schema")
+    revived = {c for c in new_schema
+               if c not in (base_schema or {}) and col_map.get(c, c) in dropped_phys}
+    if revived:
+        raise SchemaEnforcementError(
+            f"update_where_dv of {path} rejected: column(s) {sorted(revived)} "
+            "reuse a DROPPED column's physical slot"
+        )
+    occupied = {p for l, p in col_map.items() if p != l}
+    shadowed = {c for c in new_schema
+                if c not in (base_schema or {}) and c in occupied}
+    if shadowed:
+        raise SchemaEnforcementError(
+            f"update_where_dv of {path} rejected: column(s) {sorted(shadowed)} "
+            "shadow a renamed column's physical slot"
+        )
+    commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
+    _write_commit_checked(df, commit_dir, col_map, table_cons, path)
+    new_counts = _data_files(commit_dir)
+    new_files = list(new_counts)
+    new_stats: dict | None = None
+    last_err: ConcurrentWriteError | None = None
+    for _ in range(max_retries):
+        prev_v = latest_version(path)
+        prev_manifest = read_manifest(path, prev_v)
+        if _dv_metadata_drift(m_base, prev_manifest):
+            raise ConcurrentWriteError(
+                f"update_where_dv of {path}: table metadata changed "
+                "concurrently (rename/drop/constraint) — rerun the "
+                "transaction against the new snapshot"
+            )
+        prev_files = prev_manifest.get("files", [])
+        new_v = prev_v + 1
+        merged = _rebase_dv_entries(
+            path, new_v, m_base.get("dv", {}), prev_manifest.get("dv", {}),
+            updates, set(prev_files), "update_where_dv",
+        )
+        dv = {**prev_manifest.get("dv", {}), **merged}
+        files = sorted(prev_files) + new_files
+        manifest = {"version": new_v, "mode": "update_dv", "files": files,
+                    "dv": dv}
+        prev_rows = prev_manifest.get("rows", {})
+        manifest["rows"] = {
+            **{f: prev_rows[f] for f in prev_files if f in prev_rows},
+            **new_counts,
+        }
+        prev_stats = prev_manifest.get("stats", {})
+        if prev_stats:
+            if new_stats is None:
+                cols = sorted({c for st in prev_stats.values() for c in st})
+                new_stats = _file_stats(new_files, cols)
+            manifest["stats"] = {**prev_stats, **new_stats}
+        prev_bloom_cols = prev_manifest.get("bloom_cols")
+        if prev_bloom_cols:
+            if not os.path.exists(_bloom_sidecar(new_files[0])):
+                _write_file_blooms(spark, new_files, prev_bloom_cols)
+            manifest["bloom_cols"] = prev_bloom_cols
+        prev_schema = prev_manifest.get("schema")
+        if prev_schema is not None:
+            dropped = {c for c in prev_schema if c not in new_schema}
+            retyped = {c for c in prev_schema
+                       if c in new_schema and new_schema[c] != prev_schema[c]}
+            if dropped or retyped:
+                raise SchemaEnforcementError(
+                    f"update_where_dv of {path} rejected at publish (rebased "
+                    f"onto v{prev_v}): dropped columns {sorted(dropped)}, "
+                    f"retyped {sorted(retyped)}"
+                )
+        manifest["schema"] = (
+            new_schema if prev_schema is None else {**prev_schema, **new_schema}
+        )
+        if col_map:
+            manifest["column_map"] = col_map
+        if dropped_phys:
+            manifest["dropped_physical"] = sorted(dropped_phys)
+        if table_cons:
+            manifest["constraints"] = table_cons
+        try:
+            _publish(path, new_v, manifest)
+            return new_v
+        except ConcurrentWriteError as e:
+            last_err = e
+            continue
+    raise ConcurrentWriteError(
+        f"update_where_dv of {path} lost the publish race {max_retries} times"
+    ) from last_err
 
 
 def update_where_dv(
@@ -1703,9 +1963,7 @@ def update_where_dv(
         new_images = new_images.withColumn(
             col, expr.cast(existing[col]) if col in existing else expr
         )
-    v = commit(
-        new_images, path, _mode_label="update_dv", _dv_updates=updates
-    )
+    v = _commit_update_dv_with_retry(new_images, path, m0, updates)
     return {
         "version": v,
         "rows_updated": n_updated,

@@ -2155,3 +2155,52 @@ def test_vacuum_sweeps_orphaned_dv_staging(spark, tmp_path, monkeypatch):
     snapshots.vacuum(path, keep_last=1)
     assert not _os.path.isdir(dvdir2) or _os.listdir(dvdir2) == []
     assert _ids(snapshots.read_version(spark, path)) == [1, 2, 3]
+
+
+def test_stage_change_feed_files_feeds_retractions(spark, tmp_path):
+    """VERDICT r10 #3 (library half): the change-feed staging writes
+    per-transition change ROWS — a DV delete becomes retraction rows in the
+    staging dir instead of a raise — stamped with _change_type and
+    _commit_version; the state advances atomically and re-advancing with no
+    new commits stages nothing."""
+    path = str(tmp_path / "t")
+    staging = str(tmp_path / "staging")
+    state = str(tmp_path / "state.json")
+    df = spark.range(0, 10).selectExpr("id", "CAST(id * 2.0 AS DOUBLE) AS v")
+    snapshots.commit(df.coalesce(2), path)  # v1
+    r1 = snapshots.stage_change_feed_files(spark, path, staging, state, key="id")
+    assert (r1["from"], r1["to"], r1["rows"]) == (0, 1, 10)  # initial inserts
+    snapshots.delete_where_dv(spark, path, F.col("id") < 3)  # v2
+    snapshots.update_where_dv(
+        spark, path, F.col("id") >= 8, {"v": F.col("v") + 100.0}
+    )  # v3
+    r2 = snapshots.stage_change_feed_files(spark, path, staging, state, key="id")
+    assert (r2["from"], r2["to"], r2["rows"]) == (1, 3, 7)  # 3 del + 2 pre + 2 post
+    got = spark.read.parquet(staging)
+    assert set(got.columns) == {"id", "v", "_change_type", "_commit_version"}
+    by = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in got.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert by == {
+        (1, "insert"): 10,
+        (2, "delete"): 3,
+        (3, "update_preimage"): 2,
+        (3, "update_postimage"): 2,
+    }
+    # signed fold of the staged rows reproduces the live table exactly
+    w = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    folded = (
+        got.withColumn("__w", w).groupBy("id", "v")
+        .agg(F.sum("__w").alias("n")).where(F.col("n") > 0)
+    )
+    live = snapshots.read_version(spark, path)
+    assert sorted(tuple(r) for r in folded.select("id", "v").collect()) == sorted(
+        tuple(r) for r in live.select("id", "v").collect()
+    )
+    # no new commits -> nothing staged
+    r3 = snapshots.stage_change_feed_files(spark, path, staging, state, key="id")
+    assert r3["rows"] == 0 and r3["from"] == 3

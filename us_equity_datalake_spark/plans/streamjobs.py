@@ -1197,3 +1197,197 @@ def streaming_cdf_apply_sink_q(spark, sf_dir):
     maintained = arm("maintained", snapshots.read_version(spark, down_lake))
     direct = arm("direct", state_agg(snapshots.read_version(spark, src_lake, 4)))
     return direct.unionByName(maintained)
+
+
+_CFS_UP = 25000.0  # the update_dv bump on o_totalprice (change-feed source arm)
+
+
+@register(
+    "streaming_change_feed_source_sink",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    live2 AS (SELECT * FROM f WHERE o_orderkey % 7 <> 3),
+    v3 AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 1
+                  THEN o_totalprice + {_CFS_UP} ELSE o_totalprice END AS price
+      FROM live2
+    ),
+    final AS (
+      SELECT * FROM v3
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice AS price
+      FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT arm, o_orderstatus, n_rows, total_price, fed_version FROM (
+      SELECT 'direct' AS arm, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {dec_sum_sql('price')} AS total_price,
+             CAST(4 AS BIGINT) AS fed_version
+      FROM final GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'maintained', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+             {dec_sum_sql('price')}, CAST(4 AS BIGINT)
+      FROM final GROUP BY o_orderstatus
+    )
+    """,
+    doc="CDF as a streaming SOURCE with RETRACTIONS — the 16th sink, closing "
+    "VERDICT r10 #3: stage_change_feed_files writes each transition's change "
+    "ROWS (insert / delete / update_preimage / update_postimage, stamped "
+    "_change_type + _commit_version, the Delta readChangeFeed shape) into a "
+    "staging dir a real file-source stream ingests DIRECTLY — a DV delete "
+    "feeds the stream retraction rows instead of raising (the old "
+    "stage_incremental_files contract) or needing the pointer-file side "
+    "channel (streaming_cdf_apply_sink): the consumer never re-opens the "
+    "source lake.  The source advances append(v1) → DV delete(v2) → DV "
+    "update(v3) → append(v4); FOUR availableNow runs share ONE engine "
+    "checkpoint.  foreachBatch folds the signed rows into a downstream "
+    "snapshot-lake aggregate with exact DECIMAL sums; at-least-once staging "
+    "is landed exactly once by TWO guards, both exercised: a crash-replay "
+    "re-stage of v2+v3 duplicates rows INSIDE one batch (deduped by the "
+    "(version, change_type, key) uniqueness a correct feed guarantees) and "
+    "a re-stage of v4 arrives in a LATER batch (skipped by the "
+    "applied-through version watermark).  Reference anchor: the "
+    "read-check-append incremental semantics of update/app.py:877-958 "
+    "(SURVEY I4).  The graded frame holds BOTH the maintained table and a "
+    "direct v4 recompute — the identity is what the oracle hashes.",
+)
+def streaming_change_feed_source_sink_q(spark, sf_dir):
+    import json as _json
+
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = _scratch(sf_dir, "cfsource")
+    src_lake = os.path.join(root, "src")
+    down_lake = os.path.join(root, "down")
+    staging = os.path.join(root, "cdf")
+    feed_state = os.path.join(root, "feed_state.json")
+    ckpt = os.path.join(root, "ckpt")
+    applied_path = os.path.join(root, "applied.json")
+    os.makedirs(root, exist_ok=True)
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f_rows = orders.where(F.col("o_orderstatus") == "F")
+    snapshots.commit(f_rows.repartitionByRange(8, "o_orderkey"), src_lake)  # v1
+
+    def state_agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("total"),
+        )
+
+    # downstream seed: EMPTY state — unlike the pointer sink, the feed
+    # itself delivers v1 as insert rows, so the consumer starts from zero
+    snapshots.commit(state_agg(f_rows.limit(0)).coalesce(1), down_lake)
+    with open(applied_path, "w") as fh:
+        _json.dump({"version": 0}, fh)
+
+    def stage():
+        return snapshots.stage_change_feed_files(
+            spark, src_lake, staging, feed_state, key="o_orderkey"
+        )
+
+    def rewind_feed(v):
+        # simulate the staging crash window: rows landed, state did not
+        with open(feed_state, "w") as fh:
+            _json.dump({"version": v}, fh)
+
+    stage()  # v1 inserts
+    cdf_schema = spark.read.parquet(staging).schema
+
+    def apply_batch(batch_df, _batch_id):
+        with open(applied_path) as fh:
+            applied = _json.load(fh)["version"]
+        pend = batch_df.where(F.col("_commit_version") > applied)
+        # a correct feed emits each (version, change_type, key) at most
+        # once; duplicates are file-level redelivery — drop them exactly
+        pend = pend.dropDuplicates(
+            ["_commit_version", "_change_type", "o_orderkey"]
+        )
+        hi = pend.agg(F.max("_commit_version")).first()[0]
+        if hi is None:
+            return  # everything in this batch already folded in
+        w = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = pend.withColumn("__w", w).groupBy("o_orderstatus").agg(
+            F.sum("__w").cast("long").alias("dn"),
+            F.sum(
+                F.col("o_totalprice").cast("decimal(30,6)") * F.col("__w")
+            ).alias("dt"),
+        )
+        cur = snapshots.read_version(spark, down_lake)
+        folded = (
+            cur.join(delta, "o_orderstatus", "full_outer")
+            .select(
+                "o_orderstatus",
+                (F.coalesce(F.col("n_rows"), F.lit(0))
+                 + F.coalesce(F.col("dn"), F.lit(0))).cast("long").alias("n_rows"),
+                (F.coalesce(F.col("total"), F.lit(0).cast("decimal(30,6)"))
+                 + F.coalesce(F.col("dt"), F.lit(0).cast("decimal(30,6)"))
+                 ).cast("decimal(30,6)").alias("total"),
+            )
+            .where(F.col("n_rows") > 0)
+        )
+        snapshots.commit(folded.coalesce(1), down_lake, mode="overwrite")
+        tmp = f"{applied_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump({"version": int(hi)}, fh)
+        os.replace(tmp, applied_path)
+
+    def run_once():
+        stream = spark.readStream.schema(cdf_schema).parquet(staging)
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # applies v1 (all inserts)
+
+    # v2 (DV delete) + v3 (DV update), staged in ONE advance — then the
+    # advance crash-replays (state rewound before anyone ran), duplicating
+    # both transitions' rows INSIDE the next batch: the uniqueness dedup
+    # must land them once
+    snapshots.delete_where_dv(spark, src_lake, F.col("o_orderkey") % 7 == 3)
+    snapshots.update_where_dv(
+        spark, src_lake, F.col("o_orderkey") % 5 == 1,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(_CFS_UP)},
+    )
+    stage()
+    rewind_feed(1)
+    stage()  # the crash-replay duplicate
+    run_once()
+
+    # v4: plain append, applied by a later run on the same checkpoint; then
+    # a re-staged v4 arrives in a FINAL batch and the applied-through
+    # watermark must skip it
+    snapshots.commit(orders.where(F.col("o_orderstatus") == "P"), src_lake)
+    stage()
+    run_once()
+    rewind_feed(3)
+    stage()  # across-batch redelivery of v4
+    run_once()
+
+    with open(feed_state) as fh:
+        fed = _json.load(fh)["version"]
+
+    def arm(name, df):
+        return df.select(
+            F.lit(name).alias("arm"),
+            "o_orderstatus",
+            "n_rows",
+            F.col("total").cast("double").alias("total_price"),
+            F.lit(fed).cast("long").alias("fed_version"),
+        )
+
+    maintained = arm("maintained", snapshots.read_version(spark, down_lake))
+    direct = arm("direct", state_agg(snapshots.read_version(spark, src_lake, 4)))
+    return direct.unionByName(maintained)

@@ -2504,6 +2504,96 @@ def stage_incremental_files(
     return staged
 
 
+def stage_change_feed_files(
+    spark: SparkSession,
+    path: str,
+    staging_dir: str,
+    state_path: str,
+    *,
+    key: str,
+) -> dict:
+    """Advance the lake→stream CHANGE FEED (the Delta ``readChangeFeed``
+    streaming-source shape): for every version committed since the last fed
+    one, write that transition's change ROWS — ``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage``, stamped with
+    ``_change_type`` and ``_commit_version`` (the Delta CDF metadata
+    columns) — as parquet under ``staging_dir``, where a
+    Structured-Streaming file source ingests them directly.
+
+    This is what :func:`stage_incremental_files` cannot express: a
+    deletion-vector DELETE feeds the stream a RETRACTION row instead of
+    raising (or being silently skipped under ``ignoreDeletes``), and a
+    merge-on-read UPDATE feeds a pre+post pair — so a downstream consumer
+    maintains signed state from the rows alone, never re-opening the source
+    table (the pointer-file side channel the medallion loop previously
+    needed).  Per-transition cost is O(Δ) via :func:`_transition_feed`:
+    appends scan only added files, DV commits semi-join only newly-vectored
+    files, and only a CoW rewrite pays a join.  The initial advance feeds
+    version 1's rows as inserts (Delta's ``startingVersion=0`` contract).
+
+    Delivery is AT-LEAST-ONCE across a staging crash (rows land, then the
+    state file advances atomically; a crash between re-stages the same
+    transitions as new files), and every advance is ONE spark write, so
+    consumers dedupe with an applied-through version watermark — the same
+    discipline the snapshot-log pointer feed established.  All transitions
+    of one advance are stamped before the write; the union folds through
+    ``localCheckpoint`` every ``_FEED_FOLD_EVERY`` legs (bounded plan depth
+    on long catch-ups).
+
+    Returns {"from", "to", "rows"} (rows staged this advance).
+    """
+    from pyspark.sql import functions as F
+
+    last_fed = 0
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            last_fed = json.load(f)["version"]
+    latest = latest_version(path)
+    if latest <= last_fed:
+        return {"from": last_fed, "to": last_fed, "rows": 0}
+    base_v = max(last_fed, 1)
+    cols = [c for c in read_version(spark, path, base_v).columns if c != key]
+
+    def stamped(df, change_col, v):
+        return df.select(
+            key, *cols,
+            change_col.alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+        )
+
+    parts = []
+    v0 = last_fed
+    if v0 == 0:
+        m1 = read_manifest(path, 1)
+        parts.append(
+            stamped(_scan_files(spark, m1["files"], m1), F.lit("insert"), 1)
+        )
+        v0 = 1
+    legs = len(parts)
+    out = parts[0] if parts else None
+    for v in range(v0, latest):
+        d, _mode = _transition_feed(spark, path, v, key=key, cols=cols)
+        d = stamped(d, F.col("change_type"), v + 1)
+        out = d if out is None else out.unionByName(d)
+        legs += 1
+        if legs >= _FEED_FOLD_EVERY:
+            out = out.localCheckpoint(eager=True)
+            legs = 0
+    os.makedirs(staging_dir, exist_ok=True)
+    out = out.persist()
+    try:
+        n = out.count()
+        if n:
+            out.write.mode("append").parquet(staging_dir)
+    finally:
+        out.unpersist()
+    tmp = f"{state_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": latest}, f)
+    os.replace(tmp, state_path)
+    return {"from": last_fed, "to": latest, "rows": int(n)}
+
+
 def log_replay_deltas(
     spark: SparkSession,
     path: str,

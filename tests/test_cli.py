@@ -192,3 +192,35 @@ def test_cli_drop_column(spark, tmp_path, capsys, monkeypatch):
     out = _json.loads(capsys.readouterr().out.splitlines()[0])
     assert out == {"version": 2, "dropped": "g"}
     assert snapshots.read_version(spark, path).columns == ["id", "val"]
+
+
+def test_cli_change_feed(spark, tmp_path, capsys, monkeypatch):
+    """`table change-feed --from --to --key` streams one JSON line per
+    change row, riding the O(Δ) per-transition dispatch (a DV delete emits
+    'delete' rows without a snapshot join)."""
+    import json as _json
+
+    import us_equity_datalake_spark.cli as cli
+    from us_equity_datalake_spark.sources import snapshots
+
+    monkeypatch.setattr(
+        "us_equity_datalake_spark.session.get_spark", lambda name: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 10).selectExpr("id", "id * 1.5 AS val"), path
+    )  # v1
+    snapshots.delete_where_dv(spark, path, __import__("pyspark.sql.functions", fromlist=["col"]).col("id") < 3)  # v2
+    snapshots.commit(
+        spark.range(20, 22).selectExpr("id", "id * 1.5 AS val"), path
+    )  # v3
+    assert cli.main(
+        ["table", "change-feed", "--path", path, "--from", "1", "--to", "3",
+         "--key", "id"]
+    ) == 0
+    rows = [_json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    by = {}
+    for r in rows:
+        by.setdefault(r["change_type"], set()).add(r["id"])
+    assert by == {"delete": {0, 1, 2}, "insert": {20, 21}}

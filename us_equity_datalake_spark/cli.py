@@ -135,6 +135,16 @@ def _build_parser() -> argparse.ArgumentParser:
     tdcn.add_argument("--path", required=True)
     tdcn.add_argument("--name", required=True)
 
+    tcf = tsub.add_parser(
+        "change-feed",
+        help="row-level change feed between versions (O(Δ) dispatch; one "
+        "JSON line per change row)",
+    )
+    tcf.add_argument("--path", required=True)
+    tcf.add_argument("--from", required=True, type=int, dest="v_from")
+    tcf.add_argument("--to", required=True, type=int, dest="v_to")
+    tcf.add_argument("--key", required=True, help="row-identity column")
+
     return p
 
 
@@ -257,6 +267,14 @@ def _run_table_cmd(spark, args) -> int:
     elif cmd == "drop-constraint":
         v = S.drop_table_constraint(args.path, args.name)
         print(json.dumps({"version": v, "dropped_constraint": args.name}))
+    elif cmd == "change-feed":
+        feed = S.change_feed_deltas(
+            spark, args.path, args.v_from, args.v_to, key=args.key
+        )
+        # toLocalIterator streams partitions one at a time — the feed of a
+        # long range never materializes wholesale on the driver
+        for line in feed.toJSON().toLocalIterator():
+            print(line)
     return 0
 
 

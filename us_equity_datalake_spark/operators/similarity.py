@@ -728,7 +728,17 @@ def cosine_near_dup_pairs(
                     }))
                 yield pd.concat(frames, ignore_index=True)
 
-        t = corpus.select(id_col, vec_col).mapInPandas(bkern, bkt_schema)
+        # A packed embeddings file reads as a handful of input splits (sf1:
+        # 2), and the broadcast self-join below PRESERVES the stream side's
+        # partitioning — so the bucket kernel, the candidate explosion, AND
+        # the exact-cosine kernel would all run on those few cores while the
+        # rest idle (measured: the cosine pass over 3.3M sf1 candidates took
+        # 25 s on 2 partitions, 1.6 s join).  One corpus-sized repartition up
+        # front spreads every downstream stage; same fix as pq_topk's.
+        src = corpus.select(id_col, vec_col).repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism
+        )
+        t = src.mapInPandas(bkern, bkt_schema)
         # both self-join sides consume the bucket kernel; AQE broadcasts one
         # side and a BroadcastExchange is never reused against a shuffle, so
         # without materialization the matmul-over-corpus runs ONCE PER SIDE

@@ -149,6 +149,11 @@ HEAVY = [
     "lake_column_rename_report",
     "lake_column_drop_report",
     "lake_constraint_report",
+    # round 11: the change-feed streaming SOURCE — staging cost is the
+    # per-transition O(Δ) change rows (deletes/updates are hit-bounded,
+    # the initial insert feed is one table scan), the engine side is the
+    # same file-source fold as the pointer consumer
+    "streaming_change_feed_source_sink",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

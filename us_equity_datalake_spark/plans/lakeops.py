@@ -2424,3 +2424,68 @@ def lake_constraint_q(spark, sf_dir):
     final = arm("final", snapshots.read_version(spark, root),
                 snapshots.latest_version(root))
     return after_reject.unionByName(final)
+
+
+@register(
+    "lake_concurrent_dv_report",
+    oracle=f"""
+    WITH live AS (SELECT * FROM orders WHERE o_orderkey % 7 NOT IN (3, 5)),
+    d AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 7 IN (3, 5))
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS total_price,
+           CAST(3 AS BIGINT) AS n_versions,
+           CAST(d.n AS BIGINT) AS rows_deleted_total,
+           CAST(0 AS BIGINT) AS files_rewritten
+    FROM live, d GROUP BY o_orderstatus, d.n
+    """,
+    doc="CONCURRENT deletion-vector writers under the round-11 rebase "
+    "protocol (the benign DV/DV race Delta auto-resolves): two THREADED "
+    "delete_where_dv transactions with row-disjoint predicates "
+    "(o_orderkey % 7 = 3 vs = 5) run simultaneously against the same "
+    "snapshot of an 8-file range-partitioned table.  Both touch the SAME "
+    "files, so whichever loses the publish race rebases and UNIONS its "
+    "per-file position vectors with the winner's (same-file disjoint "
+    "positions — the mergeable case; overlapping rows would raise, pinned "
+    "in tests/test_snapshots.py).  The graded identity: whatever the "
+    "interleaving, exactly 3 versions exist, zero files were rewritten, "
+    "and the per-status live counts + exact decimal sums equal the base "
+    "minus BOTH deletes — no lost delete, no double count.",
+)
+def lake_concurrent_dv_q(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_cdv_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snapshots.commit(orders.repartitionByRange(8, "o_orderkey"), root)  # v1
+    with ThreadPoolExecutor(2) as ex:
+        futures = [
+            ex.submit(snapshots.delete_where_dv, spark, root,
+                      F.col("o_orderkey") % 7 == k)
+            for k in (3, 5)
+        ]
+        results = [f.result() for f in futures]  # a conflict fails the query
+    v_final = snapshots.latest_version(root)
+    n_deleted = sum(r["rows_deleted"] for r in results)
+    n_rewritten = sum(r["files_rewritten"] for r in results)
+    return (
+        snapshots.read_version(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "n_rows", "total_price",
+            F.lit(v_final).cast("long").alias("n_versions"),
+            F.lit(n_deleted).cast("long").alias("rows_deleted_total"),
+            F.lit(n_rewritten).cast("long").alias("files_rewritten"),
+        )
+    )

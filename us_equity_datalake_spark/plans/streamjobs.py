@@ -1243,14 +1243,15 @@ _CFS_UP = 25000.0  # the update_dv bump on o_totalprice (change-feed source arm)
     "stage_incremental_files contract) or needing the pointer-file side "
     "channel (streaming_cdf_apply_sink): the consumer never re-opens the "
     "source lake.  The source advances append(v1) → DV delete(v2) → DV "
-    "update(v3) → append(v4); FOUR availableNow runs share ONE engine "
+    "update(v3) → append(v4); THREE availableNow runs share ONE engine "
     "checkpoint.  foreachBatch folds the signed rows into a downstream "
     "snapshot-lake aggregate with exact DECIMAL sums; at-least-once staging "
     "is landed exactly once by TWO guards, both exercised: a crash-replay "
     "re-stage of v2+v3 duplicates rows INSIDE one batch (deduped by the "
     "(version, change_type, key) uniqueness a correct feed guarantees) and "
-    "a re-stage of v4 arrives in a LATER batch (skipped by the "
-    "applied-through version watermark).  Reference anchor: the "
+    "a re-stage of v3 arrives in a LATER batch than its apply (skipped by "
+    "the applied-through version watermark while v4 lands from the same "
+    "batch).  Reference anchor: the "
     "read-check-append incremental semantics of update/app.py:877-958 "
     "(SURVEY I4).  The graded frame holds BOTH the maintained table and a "
     "direct v4 recompute — the identity is what the oracle hashes.",
@@ -1366,14 +1367,14 @@ def streaming_change_feed_source_sink_q(spark, sf_dir):
     stage()  # the crash-replay duplicate
     run_once()
 
-    # v4: plain append, applied by a later run on the same checkpoint; then
-    # a re-staged v4 arrives in a FINAL batch and the applied-through
-    # watermark must skip it
+    # v4: plain append, applied by a later run on the same checkpoint — and
+    # that SAME batch carries an across-batch redelivery of the
+    # already-applied v3 (state rewound again), which the applied-through
+    # watermark must skip while v4 lands
+    rewind_feed(2)
+    stage()  # re-stages v3 alone — arrives in a LATER batch than its apply
     snapshots.commit(orders.where(F.col("o_orderstatus") == "P"), src_lake)
     stage()
-    run_once()
-    rewind_feed(3)
-    stage()  # across-batch redelivery of v4
     run_once()
 
     with open(feed_state) as fh:

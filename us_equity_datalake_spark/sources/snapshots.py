@@ -2580,13 +2580,27 @@ def stage_change_feed_files(
             out = out.localCheckpoint(eager=True)
             legs = 0
     os.makedirs(staging_dir, exist_ok=True)
-    out = out.persist()
-    try:
-        n = out.count()
-        if n:
-            out.write.mode("append").parquet(staging_dir)
-    finally:
-        out.unpersist()
+    # ONE job: write to a scratch dir, count from the parquet footers
+    # (driver metadata read, no second action), then move the data files
+    # into the staging dir — the file source sees each complete file
+    # atomically, and zero-row advances stage nothing
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    scratch = f"{staging_dir}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    out.write.mode("error").parquet(scratch)
+    n = 0
+    for name in sorted(os.listdir(scratch)):
+        if not name.endswith(".parquet") or name.startswith((".", "_")):
+            continue
+        src = os.path.join(scratch, name)
+        rows = pq.ParquetFile(src).metadata.num_rows
+        if rows == 0:
+            continue  # empty task outputs carry nothing the stream needs
+        n += rows
+        os.replace(src, os.path.join(staging_dir, name))
+    shutil.rmtree(scratch, ignore_errors=True)
     tmp = f"{state_path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump({"version": latest}, f)

@@ -138,6 +138,15 @@ WRITE_PATH = {
     "lake_constraint_report": "commit + full-scan constraint registration + a REJECTED "
     "violating commit (the graded behavior) + the conforming append + two read-backs; "
     "oracle aggregates the base table",
+    # round 11
+    "streaming_change_feed_source_sink": "REAL streaming engine: four source-lake "
+    "commits, FIVE O(Δ) change-feed stage advances (incl. two deliberate "
+    "crash-replay re-stages — the dedup arms ARE the graded behavior) and three "
+    "availableNow runs folding retraction rows into a downstream snapshot lake; "
+    "oracle recomputes the final aggregate once with zero writes",
+    "lake_concurrent_dv_report": "8-file commit + two THREADED deletion-vector "
+    "commits through the publish-race rebase loop (the loser re-reads the log and "
+    "unions per-file vectors); oracle filters the base table with zero writes",
 }
 
 COMPUTE_NOTES_R7 = {

@@ -154,6 +154,13 @@ HEAVY = [
     # the initial insert feed is one table scan), the engine side is the
     # same file-source fold as the pointer consumer
     "streaming_change_feed_source_sink",
+    # round 11: the CDC row-level replica — per-batch cost is one keyed
+    # argmax over the batch's change rows + one anti-join rewrite of the
+    # replica (replica-sized, key-clustered)
+    "streaming_cdc_replica_sink",
+    # round 11: two threaded DV deleters through the rebase loop — cost is
+    # the two predicate scans + hit-bounded sidecar writes
+    "lake_concurrent_dv_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -43,6 +43,7 @@ from . import quant  # noqa: E402,F401
 _GRADING_PRIORITY = [
     # --- new in round 11 (zero gradings) ---
     "streaming_change_feed_source_sink",
+    "streaming_cdc_replica_sink",
     "lake_concurrent_dv_report",
     # --- second gradings for the once-graded round-10 queries ---
     "lake_dv_change_feed_report",
@@ -95,7 +96,6 @@ _GRADING_PRIORITY = [
     "keep_first_dedup",
     "pivot_long_to_wide",
     "unpivot_wide_to_long",
-    "topk_by_avg_value",
 ]
 
 

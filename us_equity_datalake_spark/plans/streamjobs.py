@@ -1392,3 +1392,151 @@ def streaming_change_feed_source_sink_q(spark, sf_dir):
     maintained = arm("maintained", snapshots.read_version(spark, down_lake))
     direct = arm("direct", state_agg(snapshots.read_version(spark, src_lake, 4)))
     return direct.unionByName(maintained)
+
+
+_CRS_UP = 10000.0  # the update_dv bump on o_totalprice (replica arm)
+
+
+@register(
+    "streaming_cdc_replica_sink",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    live2 AS (SELECT * FROM f WHERE o_orderkey % 7 <> 3),
+    v3 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 1
+                  THEN o_totalprice + {_CRS_UP} ELSE o_totalprice END
+             AS o_totalprice
+      FROM live2
+    )
+    SELECT * FROM v3
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="Streaming CDC REPLICATION — the 17th sink and the canonical "
+    "readChangeFeed consumer: a downstream REPLICA table (not an "
+    "aggregate) maintained row-by-row from the change-feed stream alone. "
+    "The source advances append(v1) → DV delete(v2) → DV update(v3) → "
+    "append(v4); stage_change_feed_files feeds the change rows and TWO "
+    "availableNow runs share one checkpoint, each batch spanning TWO "
+    "versions — so the apply must resolve per-key outcomes ACROSS versions "
+    "inside a batch (a row inserted at v1 and deleted at v2 in the same "
+    "batch must never reach the replica): per key, argmax by "
+    "(_commit_version, postimage-over-preimage), then delete-or-upsert "
+    "against the replica lake in one anti-join + union commit.  The "
+    "applied-through watermark stays mandatory even though upserts look "
+    "idempotent: a REDELIVERED v1 insert file applied after v2's delete "
+    "would resurrect the row.  Graded at ROW level: the replica's full "
+    "content must hash-equal a direct read of source v4 — stronger than "
+    "the aggregate consumers' identities.  Reference anchor: "
+    "update/app.py:877-958 read-check-append (SURVEY I4).",
+)
+def streaming_cdc_replica_sink_q(spark, sf_dir):
+    import json as _json
+
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = _scratch(sf_dir, "cdcreplica")
+    src_lake = os.path.join(root, "src")
+    replica = os.path.join(root, "replica")
+    staging = os.path.join(root, "cdf")
+    feed_state = os.path.join(root, "feed_state.json")
+    ckpt = os.path.join(root, "ckpt")
+    applied_path = os.path.join(root, "applied.json")
+    os.makedirs(root, exist_ok=True)
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f_rows = orders.where(F.col("o_orderstatus") == "F")
+    snapshots.commit(f_rows.repartitionByRange(8, "o_orderkey"), src_lake)  # v1
+    snapshots.commit(f_rows.limit(0).coalesce(1), replica)  # empty seed
+    with open(applied_path, "w") as fh:
+        _json.dump({"version": 0}, fh)
+
+    def stage():
+        return snapshots.stage_change_feed_files(
+            spark, src_lake, staging, feed_state, key="o_orderkey"
+        )
+
+    def apply_batch(batch_df, _batch_id):
+        with open(applied_path) as fh:
+            applied = _json.load(fh)["version"]
+        pend = batch_df.where(F.col("_commit_version") > applied).dropDuplicates(
+            ["_commit_version", "_change_type", "o_orderkey"]
+        )
+        hi = pend.agg(F.max("_commit_version")).first()[0]
+        if hi is None:
+            return
+        # per-key outcome across every version in the batch: the HIGHEST
+        # (version, postimage-over-preimage) row wins; 'delete' wins its
+        # version alone (a key cannot be both deleted and updated in one
+        # commit), preimages always lose to their postimage twin
+        rank = F.when(F.col("_change_type") == "update_preimage", F.lit(0)).otherwise(F.lit(1))
+        win = pend.groupBy("o_orderkey").agg(
+            F.max(
+                F.struct(
+                    F.col("_commit_version"), rank.alias("__r"),
+                    F.col("_change_type"), F.col("o_orderstatus"),
+                    F.col("o_totalprice"),
+                )
+            ).alias("w")
+        ).select(
+            "o_orderkey",
+            F.col("w._change_type").alias("_change_type"),
+            F.col("w.o_orderstatus").alias("o_orderstatus"),
+            F.col("w.o_totalprice").alias("o_totalprice"),
+        )
+        win = win.persist()
+        try:
+            ups = win.where(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+            cur = snapshots.read_version(spark, replica)
+            merged = cur.join(
+                win.select("o_orderkey"), "o_orderkey", "left_anti"
+            ).unionByName(ups)
+            snapshots.commit(
+                merged.repartitionByRange(4, "o_orderkey"), replica,
+                mode="overwrite",
+            )
+        finally:
+            win.unpersist()
+        tmp = f"{applied_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump({"version": int(hi)}, fh)
+        os.replace(tmp, applied_path)
+
+    def run_once(schema):
+        stream = spark.readStream.schema(schema).parquet(staging)
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # v2 lands BEFORE the first engine run, so batch 1 spans v1+v2: the
+    # cross-version in-batch resolution is exercised (insert-then-delete
+    # keys never reach the replica)
+    snapshots.delete_where_dv(spark, src_lake, F.col("o_orderkey") % 7 == 3)
+    stage()
+    cdf_schema = spark.read.parquet(staging).schema
+    run_once(cdf_schema)
+    # v3 (DV update) + v4 (append) in batch 2, same checkpoint
+    snapshots.update_where_dv(
+        spark, src_lake, F.col("o_orderkey") % 5 == 1,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(_CRS_UP)},
+    )
+    snapshots.commit(orders.where(F.col("o_orderstatus") == "P"), src_lake)
+    stage()
+    run_once(cdf_schema)
+
+    return snapshots.read_version(spark, replica).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

@@ -2176,7 +2176,15 @@ def test_stage_change_feed_files_feeds_retractions(spark, tmp_path):
     )  # v3
     r2 = snapshots.stage_change_feed_files(spark, path, staging, state, key="id")
     assert (r2["from"], r2["to"], r2["rows"]) == (1, 3, 7)  # 3 del + 2 pre + 2 post
-    got = spark.read.parquet(staging)
+    # exactly-once staging: a crash-replayed advance (state rewound to the
+    # pre-advance value) re-stages ZERO rows — the range dir already exists
+    import json as _json
+
+    with open(state, "w") as fh:
+        _json.dump({"version": 1}, fh)
+    r2b = snapshots.stage_change_feed_files(spark, path, staging, state, key="id")
+    assert (r2b["from"], r2b["to"], r2b["rows"]) == (1, 3, 0)
+    got = spark.read.option("recursiveFileLookup", "true").parquet(staging)
     assert set(got.columns) == {"id", "v", "_change_type", "_commit_version"}
     by = {
         (r["_commit_version"], r["_change_type"]): r["n"]

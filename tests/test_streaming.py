@@ -448,3 +448,75 @@ def test_snapshot_feed_cross_commit_resume(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert final == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_change_feed_source_multi_batch_file_granularity(spark, tmp_path):
+    """The change-feed STREAM under maxFilesPerTrigger=1: one availableNow
+    run splits the staged change files into several micro-batches (the
+    continuous-trigger shape at 100 TB), and the consumer's
+    applied-through-version watermark + signed fold must still land the
+    exact final state — per-version rows never split across batches because
+    each stage advance writes whole files, and the file source delivers
+    staged-earlier files first (mtime order)."""
+    import json as _json
+
+    import os
+    import time
+
+    from us_equity_datalake_spark.sources import snapshots
+
+    src = str(tmp_path / "src")
+    staging = str(tmp_path / "cdf")
+    state = str(tmp_path / "feed.json")
+    ckpt = str(tmp_path / "ckpt")
+    applied_path = str(tmp_path / "applied.json")
+
+    df = spark.range(0, 40).selectExpr("id", "CAST(id * 2.0 AS DOUBLE) AS v")
+    snapshots.commit(df.coalesce(1), src)  # v1
+    snapshots.stage_change_feed_files(spark, src, staging, state, key="id")
+    time.sleep(0.05)  # distinct mtimes across advances
+    snapshots.delete_where_dv(spark, src, F.col("id") < 10)  # v2
+    snapshots.stage_change_feed_files(spark, src, staging, state, key="id")
+    time.sleep(0.05)
+    snapshots.update_where_dv(spark, src, F.col("id") >= 35,
+                              {"v": F.col("v") + 1000.0})  # v3
+    snapshots.commit(
+        spark.range(100, 105).selectExpr("id", "CAST(id * 2.0 AS DOUBLE) AS v"),
+        src,
+    )  # v4
+    snapshots.stage_change_feed_files(spark, src, staging, state, key="id")
+
+    # exactly-once staging + the engine's per-file checkpoint tracking mean
+    # EVERY change row arrives exactly once whatever the batch granularity,
+    # so the additive fold needs NO version watermark and NO dedup — even
+    # when maxFilesPerTrigger=1 splits one version's rows across batches
+    state_box = {"n": 0, "sum": 0.0, "batches": 0}
+
+    def apply_batch(batch_df, _bid):
+        state_box["batches"] += 1
+        w = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        row = batch_df.agg(
+            F.sum(w).alias("dn"), F.sum(F.col("v") * w).alias("dv")
+        ).first()
+        state_box["n"] += int(row["dn"] or 0)
+        state_box["sum"] += float(row["dv"] or 0.0)
+
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(staging).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(staging)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state_box["batches"] >= 3  # genuinely split into per-file batches
+    live = snapshots.read_version(spark, src)
+    expect = live.agg(F.count("*"), F.sum("v")).first()
+    assert state_box["n"] == expect[0]
+    assert abs(state_box["sum"] - float(expect[1])) < 1e-6

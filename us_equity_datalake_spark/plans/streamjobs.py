@@ -1222,15 +1222,17 @@ _CFS_UP = 25000.0  # the update_dv bump on o_totalprice (change-feed source arm)
       SELECT o_orderstatus, o_totalprice AS price
       FROM orders WHERE o_orderstatus = 'P'
     )
-    SELECT arm, o_orderstatus, n_rows, total_price, fed_version FROM (
+    SELECT arm, o_orderstatus, n_rows, total_price, fed_version, replay_rows
+    FROM (
       SELECT 'direct' AS arm, o_orderstatus,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
              {dec_sum_sql('price')} AS total_price,
-             CAST(4 AS BIGINT) AS fed_version
+             CAST(4 AS BIGINT) AS fed_version,
+             CAST(0 AS BIGINT) AS replay_rows
       FROM final GROUP BY o_orderstatus
       UNION ALL
       SELECT 'maintained', o_orderstatus, CAST(COUNT(*) AS BIGINT),
-             {dec_sum_sql('price')}, CAST(4 AS BIGINT)
+             {dec_sum_sql('price')}, CAST(4 AS BIGINT), CAST(0 AS BIGINT)
       FROM final GROUP BY o_orderstatus
     )
     """,
@@ -1245,16 +1247,16 @@ _CFS_UP = 25000.0  # the update_dv bump on o_totalprice (change-feed source arm)
     "source lake.  The source advances append(v1) → DV delete(v2) → DV "
     "update(v3) → append(v4); THREE availableNow runs share ONE engine "
     "checkpoint.  foreachBatch folds the signed rows into a downstream "
-    "snapshot-lake aggregate with exact DECIMAL sums; at-least-once staging "
-    "is landed exactly once by TWO guards, both exercised: a crash-replay "
-    "re-stage of v2+v3 duplicates rows INSIDE one batch (deduped by the "
-    "(version, change_type, key) uniqueness a correct feed guarantees) and "
-    "a re-stage of v3 arrives in a LATER batch than its apply (skipped by "
-    "the applied-through version watermark while v4 lands from the same "
-    "batch).  Reference anchor: the "
-    "read-check-append incremental semantics of update/app.py:877-958 "
-    "(SURVEY I4).  The graded frame holds BOTH the maintained table and a "
-    "direct v4 recompute — the identity is what the oracle hashes.",
+    "snapshot-lake aggregate with exact DECIMAL sums.  Staging is "
+    "EXACTLY-ONCE (atomic range-directory rename): the v2+v3 advance is "
+    "deliberately CRASH-REPLAYED (state rewound to its pre-advance value) "
+    "and must re-stage ZERO rows — graded as the `replay_rows` column — "
+    "while the consumer keeps (version, change_type, key) dedup and an "
+    "applied-through version watermark as defense-in-depth.  Reference "
+    "anchor: the read-check-append incremental semantics of "
+    "update/app.py:877-958 (SURVEY I4).  The graded frame holds BOTH the "
+    "maintained table and a direct v4 recompute — the identity is what the "
+    "oracle hashes.",
 )
 def streaming_change_feed_source_sink_q(spark, sf_dir):
     import json as _json
@@ -1299,7 +1301,9 @@ def streaming_change_feed_source_sink_q(spark, sf_dir):
             _json.dump({"version": v}, fh)
 
     stage()  # v1 inserts
-    cdf_schema = spark.read.parquet(staging).schema
+    cdf_schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(staging).schema
+    )
 
     def apply_batch(batch_df, _batch_id):
         with open(applied_path) as fh:
@@ -1342,7 +1346,11 @@ def streaming_change_feed_source_sink_q(spark, sf_dir):
         os.replace(tmp, applied_path)
 
     def run_once():
-        stream = spark.readStream.schema(cdf_schema).parquet(staging)
+        stream = (
+            spark.readStream.schema(cdf_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(staging)
+        )
         q = (
             stream.writeStream.foreachBatch(apply_batch)
             .option("checkpointLocation", ckpt)
@@ -1354,9 +1362,9 @@ def streaming_change_feed_source_sink_q(spark, sf_dir):
     run_once()  # applies v1 (all inserts)
 
     # v2 (DV delete) + v3 (DV update), staged in ONE advance — then the
-    # advance crash-replays (state rewound before anyone ran), duplicating
-    # both transitions' rows INSIDE the next batch: the uniqueness dedup
-    # must land them once
+    # advance CRASH-REPLAYS (state rewound to the pre-advance value before
+    # anyone ran): exactly-once staging must re-stage ZERO rows (the range
+    # directory already exists) — the graded `replay_rows` column pins it
     snapshots.delete_where_dv(spark, src_lake, F.col("o_orderkey") % 7 == 3)
     snapshots.update_where_dv(
         spark, src_lake, F.col("o_orderkey") % 5 == 1,
@@ -1364,15 +1372,10 @@ def streaming_change_feed_source_sink_q(spark, sf_dir):
     )
     stage()
     rewind_feed(1)
-    stage()  # the crash-replay duplicate
+    replay_rows = stage()["rows"]  # crash-replayed advance: must stage 0
     run_once()
 
-    # v4: plain append, applied by a later run on the same checkpoint — and
-    # that SAME batch carries an across-batch redelivery of the
-    # already-applied v3 (state rewound again), which the applied-through
-    # watermark must skip while v4 lands
-    rewind_feed(2)
-    stage()  # re-stages v3 alone — arrives in a LATER batch than its apply
+    # v4: plain append, applied by a later run on the same checkpoint
     snapshots.commit(orders.where(F.col("o_orderstatus") == "P"), src_lake)
     stage()
     run_once()
@@ -1387,6 +1390,7 @@ def streaming_change_feed_source_sink_q(spark, sf_dir):
             "n_rows",
             F.col("total").cast("double").alias("total_price"),
             F.lit(fed).cast("long").alias("fed_version"),
+            F.lit(replay_rows).cast("long").alias("replay_rows"),
         )
 
     maintained = arm("maintained", snapshots.read_version(spark, down_lake))
@@ -1512,7 +1516,11 @@ def streaming_cdc_replica_sink_q(spark, sf_dir):
         os.replace(tmp, applied_path)
 
     def run_once(schema):
-        stream = spark.readStream.schema(schema).parquet(staging)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(staging)
+        )
         q = (
             stream.writeStream.foreachBatch(apply_batch)
             .option("checkpointLocation", ckpt)
@@ -1526,7 +1534,9 @@ def streaming_cdc_replica_sink_q(spark, sf_dir):
     # keys never reach the replica)
     snapshots.delete_where_dv(spark, src_lake, F.col("o_orderkey") % 7 == 3)
     stage()
-    cdf_schema = spark.read.parquet(staging).schema
+    cdf_schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(staging).schema
+    )
     run_once(cdf_schema)
     # v3 (DV update) + v4 (append) in batch 2, same checkpoint
     snapshots.update_where_dv(

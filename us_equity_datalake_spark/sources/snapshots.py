@@ -2531,16 +2531,27 @@ def stage_change_feed_files(
     files, and only a CoW rewrite pays a join.  The initial advance feeds
     version 1's rows as inserts (Delta's ``startingVersion=0`` contract).
 
-    Delivery is AT-LEAST-ONCE across a staging crash (rows land, then the
-    state file advances atomically; a crash between re-stages the same
-    transitions as new files), and every advance is ONE spark write, so
-    consumers dedupe with an applied-through version watermark — the same
-    discipline the snapshot-log pointer feed established.  All transitions
-    of one advance are stamped before the write; the union folds through
-    ``localCheckpoint`` every ``_FEED_FOLD_EVERY`` legs (bounded plan depth
-    on long catch-ups).
+    Staging is EXACTLY-ONCE: each advance writes to a hidden scratch dir
+    and atomically renames it to a range-named directory
+    (``v{from}_v{to}``) under ``staging_dir`` — if the range directory
+    already exists, a crash-replayed advance stages ZERO new rows and only
+    re-advances the state file.  Combined with the engine's per-file
+    checkpoint tracking, every change row reaches the stream exactly once,
+    so an ADDITIVE consumer (signed fold) is correct under ANY micro-batch
+    granularity — including ``maxFilesPerTrigger=1`` splitting one
+    version's rows across batches.  (A version-watermark consumer remains
+    valid defense-in-depth but must only be trusted when whole advances
+    arrive per batch.)  Consumers read the nested layout with
+    ``option("recursiveFileLookup", "true")``.  The state file is owned by
+    this function; editing it to a version that does not match a staged
+    range boundary re-stages overlapping rows.
 
-    Returns {"from", "to", "rows"} (rows staged this advance).
+    All transitions of one advance are stamped before the ONE write; the
+    union folds through ``localCheckpoint`` every ``_FEED_FOLD_EVERY`` legs
+    (bounded plan depth on long catch-ups).
+
+    Returns {"from", "to", "rows"} (rows staged this advance; 0 on a
+    replayed or empty advance).
     """
     from pyspark.sql import functions as F
 
@@ -2580,27 +2591,36 @@ def stage_change_feed_files(
             out = out.localCheckpoint(eager=True)
             legs = 0
     os.makedirs(staging_dir, exist_ok=True)
-    # ONE job: write to a scratch dir, count from the parquet footers
-    # (driver metadata read, no second action), then move the data files
-    # into the staging dir — the file source sees each complete file
-    # atomically, and zero-row advances stage nothing
     import shutil
 
     import pyarrow.parquet as pq
 
-    scratch = f"{staging_dir}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    out.write.mode("error").parquet(scratch)
+    range_dir = os.path.join(staging_dir, f"v{last_fed:06d}_v{latest:06d}")
     n = 0
-    for name in sorted(os.listdir(scratch)):
-        if not name.endswith(".parquet") or name.startswith((".", "_")):
-            continue
-        src = os.path.join(scratch, name)
-        rows = pq.ParquetFile(src).metadata.num_rows
-        if rows == 0:
-            continue  # empty task outputs carry nothing the stream needs
-        n += rows
-        os.replace(src, os.path.join(staging_dir, name))
-    shutil.rmtree(scratch, ignore_errors=True)
+    if not os.path.exists(range_dir):
+        # ONE job into a HIDDEN scratch dir (dot-prefixed: invisible to the
+        # file source), rows counted from the parquet footers (driver
+        # metadata read, no second action), zero-row task outputs dropped,
+        # then ONE atomic directory rename publishes the whole advance
+        scratch = os.path.join(
+            staging_dir, f".stage.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        )
+        out.write.mode("error").parquet(scratch)
+        for name in sorted(os.listdir(scratch)):
+            p = os.path.join(scratch, name)
+            if not name.endswith(".parquet") or name.startswith((".", "_")):
+                if os.path.isfile(p):
+                    os.remove(p)  # _SUCCESS etc — keep the staged dir clean
+                continue
+            rows = pq.ParquetFile(p).metadata.num_rows
+            if rows == 0:
+                os.remove(p)
+                continue
+            n += rows
+        if n:
+            os.rename(scratch, range_dir)
+        else:
+            shutil.rmtree(scratch, ignore_errors=True)
     tmp = f"{state_path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump({"version": latest}, f)

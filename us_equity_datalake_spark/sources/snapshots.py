@@ -2653,6 +2653,7 @@ def log_replay_deltas(
 
     cols = [c for c in read_version(spark, path, v_from).columns if c != key]
     out = None
+    legs = 0
     for v in range(v_from, v_to):
         feed, mode = _transition_feed(spark, path, v, key=key, cols=cols)
         d = feed.select(
@@ -2664,6 +2665,13 @@ def log_replay_deltas(
         if modes_out is not None:
             modes_out.append(mode)
         out = d if out is None else out.unionByName(d)
+        legs += 1
+        if legs >= _FEED_FOLD_EVERY:
+            # same bounded-plan-depth discipline as change_feed_deltas: a
+            # consumer catching up over hundreds of commits must not hand
+            # the analyzer an O(versions)-leg union tree
+            out = out.localCheckpoint(eager=True)
+            legs = 0
     return out
 
 

@@ -2618,7 +2618,14 @@ def stage_change_feed_files(
                 continue
             n += rows
         if n:
-            os.rename(scratch, range_dir)
+            try:
+                os.rename(scratch, range_dir)
+            except OSError:
+                # a concurrent stager published this range first: its rows
+                # are identical by construction (same manifests, same
+                # transitions) — drop ours, count nothing
+                shutil.rmtree(scratch, ignore_errors=True)
+                n = 0
         else:
             shutil.rmtree(scratch, ignore_errors=True)
     tmp = f"{state_path}.tmp.{os.getpid()}"

@@ -2212,3 +2212,74 @@ def test_stage_change_feed_files_feeds_retractions(spark, tmp_path):
     # no new commits -> nothing staged
     r3 = snapshots.stage_change_feed_files(spark, path, staging, state, key="id")
     assert r3["rows"] == 0 and r3["from"] == 3
+
+
+def test_retry_append_carries_deletion_vectors(spark, tmp_path):
+    """commit_with_retry on a table with deletion vectors must carry the
+    dv map into the manifest it publishes — publishing without it would
+    RESURRECT every DV-deleted row on the very next append (r11 fix)."""
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 10), path)
+    snapshots.delete_where_dv(spark, path, F.col("id") < 3)
+    v = snapshots.commit_with_retry(spark.range(100, 103), path)
+    assert _ids(snapshots.read_version(spark, path, v)) == (
+        list(range(3, 10)) + [100, 101, 102]
+    )
+    assert snapshots.read_manifest(path, v).get("dv")
+
+
+def test_retry_rewrite_carries_dvs_on_untouched_files(spark, tmp_path):
+    """commit_rewrite_with_retry keeps carried-over files' deletion
+    vectors; only the files it rewrites shed theirs (the rewrite applied
+    them).  Without the carry, a compaction of file B resurrects the rows
+    a DV delete removed from file A."""
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 10).coalesce(1), path)            # file A
+    snapshots.commit(spark.range(10, 20).coalesce(1), path)           # file B
+    snapshots.delete_where_dv(spark, path, F.col("id") < 3)           # vectors A
+    v = snapshots.commit_rewrite_with_retry(
+        spark.range(10, 20).coalesce(1), path,
+        replace=lambda f: "commit_v000002" in f,                      # rewrite B
+    )
+    assert _ids(snapshots.read_version(spark, path, v)) == list(range(3, 20))
+    m = snapshots.read_manifest(path, v)
+    assert any("commit_v000001" in f for f in m.get("dv", {}))
+
+
+def test_retry_rewrite_conflicts_with_concurrent_dv_delete_on_target(
+    spark, tmp_path, monkeypatch
+):
+    """A DV delete landing on a file THIS rewrite drops, between the
+    rewrite's snapshot read and its publish, is a write-after-read
+    conflict (Delta's rewrite-vs-delete rule): the replacement rows were
+    derived from the old vector, so the rebase must refuse instead of
+    silently dropping the delete."""
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 10).coalesce(1), path)
+
+    orig_publish = snapshots._publish
+    state = {"fired": False}
+
+    def inject(p, v, man):
+        if p == path and not state["fired"] and man.get("mode") == "replace":
+            state["fired"] = True
+            monkeypatch.setattr(snapshots, "_publish", orig_publish)
+            snapshots.delete_where_dv(spark, path, F.col("id") < 2)
+            monkeypatch.setattr(snapshots, "_publish", inject)
+            raise snapshots.ConcurrentWriteError("lost race (injected)")
+        return orig_publish(p, v, man)
+
+    monkeypatch.setattr(snapshots, "_publish", inject)
+    try:
+        import pytest
+
+        with pytest.raises(
+            snapshots.ConcurrentWriteError, match="deletion vectors changed"
+        ):
+            snapshots.commit_rewrite_with_retry(
+                spark.range(0, 10).coalesce(1), path, replace=lambda f: True
+            )
+    finally:
+        monkeypatch.setattr(snapshots, "_publish", orig_publish)
+    # the concurrent delete survived; the rewrite did not land
+    assert _ids(snapshots.read_version(spark, path)) == list(range(2, 10))

@@ -42,6 +42,7 @@ from . import quant  # noqa: E402,F401
 # last graded r1-r4).
 _GRADING_PRIORITY = [
     # --- new in round 11 (zero gradings) ---
+    "lake_dv_retry_append_report",
     "streaming_change_feed_source_sink",
     "streaming_cdc_replica_sink",
     "lake_concurrent_dv_report",

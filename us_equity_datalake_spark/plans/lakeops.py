@@ -2489,3 +2489,71 @@ def lake_concurrent_dv_q(spark, sf_dir):
             F.lit(n_rewritten).cast("long").alias("files_rewritten"),
         )
     )
+
+
+@register(
+    "lake_dv_retry_append_report",
+    oracle=f"""
+    SELECT arm, version, o_orderstatus, n_rows, total_price FROM (
+      SELECT 'after_retry_append' AS arm, CAST(3 AS BIGINT) AS version,
+             o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {dec_sum_sql('o_totalprice')} AS total_price
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'after_disjoint_rewrite', CAST(4 AS BIGINT), o_orderstatus,
+             CAST(COUNT(*) AS BIGINT), {dec_sum_sql('o_totalprice')}
+      FROM orders GROUP BY o_orderstatus
+    )
+    """,
+    doc="Deletion vectors must survive the RETRY WRITERS (r11 fix; the "
+    "reference's read-check-append incremental job, update/app.py:877-958, "
+    "composed with MoR deletes): v1 commits orders range-partitioned, v2 "
+    "delete_where_dv removes the o_orderkey %% 5 = 0 slice, v3 re-inserts "
+    "exactly that slice through commit_with_retry (the reconciling append "
+    "path), v4 compacts ONLY v3's files through commit_rewrite_with_retry. "
+    "Graded identity: after each step the live table equals the base "
+    "orders table per status (delete + re-insert cancel) — a retry writer "
+    "publishing a manifest WITHOUT the dv map would resurrect the deleted "
+    "rows alongside the re-inserted ones (2x the slice) and fail the "
+    "count; the disjoint rewrite must keep v1's vectors on the files it "
+    "did not touch.  Conflict arms (vector drift on a rewrite's own "
+    "target) are pinned in tests/test_snapshots.py.",
+)
+def lake_dv_retry_append_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_dvra_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    slice_pred = F.col("o_orderkey") % 5 == 0
+    snapshots.commit(orders.repartitionByRange(4, "o_orderkey"), root)   # v1
+    snapshots.delete_where_dv(spark, root, slice_pred)                   # v2
+    snapshots.commit_with_retry(orders.where(slice_pred), root)          # v3
+
+    def arm(name, version):
+        return (
+            snapshots.read_version(spark, root, version)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                dec_sum(F.col("o_totalprice")).alias("total_price"),
+            )
+            .select(
+                F.lit(name).alias("arm"),
+                F.lit(version).cast("long").alias("version"),
+                "o_orderstatus", "n_rows", "total_price",
+            )
+        )
+
+    a1 = arm("after_retry_append", 3).cache()
+    a1.count()  # pin before v4 lands
+    snapshots.commit_rewrite_with_retry(                                 # v4
+        orders.where(slice_pred).coalesce(1), root,
+        replace=lambda f: "commit_" in f and "commit_v0000" not in f,
+    )
+    return a1.unionByName(arm("after_disjoint_rewrite", 4))

@@ -779,6 +779,14 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
             **{f: prev_rows[f] for f in prev_files if f in prev_rows},
             **new_counts,
         }
+        # deletion vectors ride the manifest (same contract as plain
+        # :func:`commit`): an append removes nothing, so every carried-over
+        # file keeps its vector — publishing without them would RESURRECT
+        # the rows a concurrent (or prior) delete_where_dv removed.
+        prev_dv = prev_manifest.get("dv", {})
+        dv = {f: prev_dv[f] for f in prev_files if f in prev_dv}
+        if dv:
+            manifest["dv"] = dv
         prev_stats = prev_manifest.get("stats", {})
         if prev_stats:
             # maintain the skipping index across the reconciled append
@@ -880,6 +888,7 @@ def commit_rewrite_with_retry(
         raise ValueError(f"rewrite of {path}: table has no commits")
     m0 = read_manifest(path, prev_v0)
     dropped = {f for f in m0["files"] if replace(f)}
+    m0_dv = dict(m0.get("dv", {}))
     new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     col_map = dict(m0.get("column_map", {}))
     dropped_phys = set(m0.get("dropped_physical", []))
@@ -918,6 +927,26 @@ def commit_rewrite_with_retry(
         manifest["rows"] = {
             **{f: prev_rows[f] for f in files if f in prev_rows}, **new_counts
         }
+        # Deletion vectors: carried-over files keep their LATEST vectors (a
+        # concurrent delete on an untouched file survives this rebase);
+        # dropped files shed theirs — the rewrite's replacement rows applied
+        # them.  But a vector that CHANGED on a dropped file since this
+        # transaction's snapshot is a real write-after-read conflict (the
+        # Delta rewrite-vs-delete rule): the replacement rows were derived
+        # from the OLD vector, so carrying on would resurrect that writer's
+        # deletes inside our rewritten files.
+        prev_dv = prev_manifest.get("dv", {})
+        dv_drift = [f for f in sorted(dropped) if prev_dv.get(f) != m0_dv.get(f)]
+        if dv_drift:
+            raise ConcurrentWriteError(
+                f"rewrite of {path} conflicts with a concurrent commit: "
+                f"deletion vectors changed on {len(dv_drift)} of this "
+                "rewrite's target files after this transaction's snapshot "
+                "— rerun against the new snapshot"
+            )
+        dv = {f: prev_dv[f] for f in files if f in prev_dv}
+        if dv:
+            manifest["dv"] = dv
         prev_stats = prev_manifest.get("stats", {})
         if prev_stats:
             if new_stats is None:

@@ -224,3 +224,26 @@ def test_cli_change_feed(spark, tmp_path, capsys, monkeypatch):
     for r in rows:
         by.setdefault(r["change_type"], set()).add(r["id"])
     assert by == {"delete": {0, 1, 2}, "insert": {20, 21}}
+
+
+def test_cli_enable_row_tracking(spark, tmp_path, capsys, monkeypatch):
+    import json as _json
+
+    import us_equity_datalake_spark.cli as cli
+    from us_equity_datalake_spark.sources import snapshots
+
+    monkeypatch.setattr(
+        "us_equity_datalake_spark.session.get_spark", lambda name: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    path = str(tmp_path / "t")
+    snapshots.commit(
+        spark.range(0, 12).repartition(1).sortWithinPartitions("id"), path
+    )
+    assert cli.main(["table", "enable-row-tracking", "--path", path]) == 0
+    out = _json.loads(capsys.readouterr().out.splitlines()[0])
+    assert out == {"version": 2, "row_id_watermark": 12}
+    ids = sorted(
+        r._row_id for r in snapshots.read_version_row_ids(spark, path).collect()
+    )
+    assert ids == list(range(12))

@@ -2283,3 +2283,163 @@ def test_retry_rewrite_conflicts_with_concurrent_dv_delete_on_target(
         monkeypatch.setattr(snapshots, "_publish", orig_publish)
     # the concurrent delete survived; the rewrite did not land
     assert _ids(snapshots.read_version(spark, path)) == list(range(2, 10))
+
+
+def _sorted1(df, key="id"):
+    return df.repartition(1).sortWithinPartitions(key)
+
+
+def test_row_tracking_assignment_and_plain_read_hides_ids(spark, tmp_path):
+    """enable_row_tracking backfills base ids metadata-only (sorted-file
+    order); appends take fresh monotonic ids; plain read_version never
+    surfaces the hidden column."""
+    path = str(tmp_path / "t")
+    snapshots.commit(_sorted1(spark.range(0, 10)), path)        # v1
+    v = snapshots.enable_row_tracking(path)                     # v2
+    assert v == 2 and snapshots.read_manifest(path, 2)["row_id_watermark"] == 10
+    snapshots.commit(_sorted1(spark.range(100, 105)), path)     # v3
+    got = sorted(
+        (r.id, r._row_id)
+        for r in snapshots.read_version_row_ids(spark, path).collect()
+    )
+    assert got == [(i, i) for i in range(10)] + [(100 + i, 10 + i) for i in range(5)]
+    assert "_row_id" not in snapshots.read_version(spark, path).columns
+
+
+def test_row_tracking_survives_dv_delete_optimize_and_purge(spark, tmp_path):
+    """The headline contract: ids are STABLE across DV deletes, z-ordered
+    OPTIMIZE (full rewrite, ids materialize into the new files' physical
+    column) and REORG PURGE — and the watermark never reuses an id."""
+    path = str(tmp_path / "t")
+    snapshots.commit(_sorted1(spark.range(0, 20)), path)
+    snapshots.enable_row_tracking(path)
+    snapshots.delete_where_dv(spark, path, F.col("id") % 3 == 0)
+    before = sorted(
+        (r.id, r._row_id)
+        for r in snapshots.read_version_row_ids(spark, path).collect()
+    )
+    snapshots.optimize(spark, path, target_files=2, zorder_by=["id"])
+    after_opt = sorted(
+        (r.id, r._row_id)
+        for r in snapshots.read_version_row_ids(spark, path).collect()
+    )
+    assert after_opt == before
+    m = snapshots.read_manifest(path, snapshots.latest_version(path))
+    assert m.get("row_id_materialized") and not m.get("base_row_ids")
+    assert "_row_id" not in snapshots.read_version(spark, path).columns
+    # fresh ids continue past the deleted ids' range: nothing reused
+    snapshots.commit(_sorted1(spark.range(100, 102)), path)
+    got = dict(
+        (r.id, r._row_id)
+        for r in snapshots.read_version_row_ids(spark, path).collect()
+    )
+    assert got[100] == 20 and got[101] == 21
+    # purge on a table with DVs (re-delete first to create a vector over
+    # the materialized files)
+    snapshots.delete_where_dv(spark, path, F.col("id") == 4)
+    pre_purge = {k: v for k, v in got.items() if k != 4}
+    snapshots.materialize_dvs(spark, path)
+    post = dict(
+        (r.id, r._row_id)
+        for r in snapshots.read_version_row_ids(spark, path).collect()
+    )
+    assert post == pre_purge
+
+
+def test_row_tracking_compact_subset_preserves_ids(spark, tmp_path):
+    """Partition-scoped compaction (commit_rewrite_with_retry path)
+    materializes ids only for the files it rewrites; untouched files stay
+    position-derived."""
+    path = str(tmp_path / "t")
+    snapshots.commit(_sorted1(spark.range(0, 10)), path)
+    snapshots.commit(_sorted1(spark.range(10, 20)), path)
+    snapshots.enable_row_tracking(path)
+    before = sorted(
+        (r.id, r._row_id)
+        for r in snapshots.read_version_row_ids(spark, path).collect()
+    )
+    st = snapshots.compact_files(
+        path=path, spark=spark,
+        match_file=lambda f: "commit_v000001" in f, target_files=1,
+    )
+    assert st["files_compacted"] == 1
+    after = sorted(
+        (r.id, r._row_id)
+        for r in snapshots.read_version_row_ids(spark, path).collect()
+    )
+    assert after == before
+    m = snapshots.read_manifest(path, snapshots.latest_version(path))
+    assert len(m["row_id_materialized"]) == 1 and len(m["base_row_ids"]) == 1
+
+
+def test_row_tracking_concurrent_appends_get_disjoint_ranges(spark, tmp_path):
+    """Two racing retry-appenders rebase their base ids onto the winner's
+    watermark: every id unique, both ranges land."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    snapshots.commit(_sorted1(spark.range(0, 4)), path)
+    snapshots.enable_row_tracking(path)
+    frames = [_sorted1(spark.range(10, 15)), _sorted1(spark.range(20, 27))]
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(lambda d: snapshots.commit_with_retry(d, path), frames))
+    rows = snapshots.read_version_row_ids(spark, path).collect()
+    ids = sorted(r._row_id for r in rows)
+    assert ids == list(range(16))  # 4 + 5 + 7, contiguous, no collision
+    m = snapshots.read_manifest(path, snapshots.latest_version(path))
+    assert m["row_id_watermark"] == 16
+
+
+def test_row_tracking_clone_rollback_and_time_travel_carry_state(spark, tmp_path):
+    """Clones, rollbacks and metadata verbs carry the tracking state; time
+    travel reads the ids as of the pinned version."""
+    path, dst = str(tmp_path / "t"), str(tmp_path / "c")
+    snapshots.commit(_sorted1(spark.range(0, 6)), path)
+    snapshots.enable_row_tracking(path)
+    snapshots.commit(_sorted1(spark.range(10, 13)), path)       # v3
+    snapshots.clone(path, dst)
+    got = sorted(
+        (r.id, r._row_id)
+        for r in snapshots.read_version_row_ids(spark, dst).collect()
+    )
+    assert got == [(i, i) for i in range(6)] + [(10 + i, 6 + i) for i in range(3)]
+    snapshots.rollback(path, 2)                                  # v4 == v2 state
+    got4 = sorted(
+        (r.id, r._row_id)
+        for r in snapshots.read_version_row_ids(spark, path).collect()
+    )
+    assert got4 == [(i, i) for i in range(6)]
+    # watermark monotonic even after rollback: new append does not reuse 6-8
+    snapshots.commit(_sorted1(spark.range(50, 52)), path)
+    got5 = dict(
+        (r.id, r._row_id)
+        for r in snapshots.read_version_row_ids(spark, path).collect()
+    )
+    assert got5[50] == 9 and got5[51] == 10
+
+
+def test_row_tracking_reserved_name_and_feed_guard(spark, tmp_path):
+    """The `_row_id` name is reserved (commit and rename reject it) and the
+    raw-file stream feed refuses to stage materialized files."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="row tracking is not enabled"):
+        snapshots.commit(
+            spark.range(3).withColumn("_row_id", F.col("id")), str(tmp_path / "u")
+        )
+    snapshots.commit(_sorted1(spark.range(0, 4)), path)
+    snapshots.enable_row_tracking(path)
+    with pytest.raises(ValueError, match="reserved"):
+        snapshots.rename_column(path, "id", "_row_id")
+    # a user-threaded _row_id append materializes; the feed must refuse it
+    snapshots.commit(
+        _sorted1(spark.range(100, 103)).withColumn(
+            "_row_id", (F.col("id") - 100 + 4).cast("long")
+        ),
+        path,
+    )
+    staging = str(tmp_path / "stage")
+    state = str(tmp_path / "state.json")
+    with pytest.raises(ValueError, match="materialized _row_id"):
+        snapshots.stage_incremental_files(path, staging, state)

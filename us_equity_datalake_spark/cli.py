@@ -135,6 +135,12 @@ def _build_parser() -> argparse.ArgumentParser:
     tdcn.add_argument("--path", required=True)
     tdcn.add_argument("--name", required=True)
 
+    trt = tsub.add_parser(
+        "enable-row-tracking",
+        help="assign stable row ids (metadata-only backfill, zero rewrites)",
+    )
+    trt.add_argument("--path", required=True)
+
     tcf = tsub.add_parser(
         "change-feed",
         help="row-level change feed between versions (O(Δ) dispatch; one "
@@ -267,6 +273,12 @@ def _run_table_cmd(spark, args) -> int:
     elif cmd == "drop-constraint":
         v = S.drop_table_constraint(args.path, args.name)
         print(json.dumps({"version": v, "dropped_constraint": args.name}))
+    elif cmd == "enable-row-tracking":
+        v = S.enable_row_tracking(args.path)
+        m = S.read_manifest(args.path, v)
+        print(json.dumps({
+            "version": v, "row_id_watermark": m.get("row_id_watermark", 0),
+        }))
     elif cmd == "change-feed":
         feed = S.change_feed_deltas(
             spark, args.path, args.v_from, args.v_to, key=args.key

@@ -42,7 +42,10 @@ from . import quant  # noqa: E402,F401
 # last graded r1-r4).
 _GRADING_PRIORITY = [
     # --- new in round 11 (zero gradings) ---
+    "lake_row_tracking_report",
     "lake_dv_retry_append_report",
+    "xsec_zscore_report",
+    "pairwise_corr_matrix",
     "streaming_change_feed_source_sink",
     "streaming_cdc_replica_sink",
     "lake_concurrent_dv_report",

@@ -2557,3 +2557,102 @@ def lake_dv_retry_append_q(spark, sf_dir):
         replace=lambda f: "commit_" in f and "commit_v0000" not in f,
     )
     return a1.unionByName(arm("after_disjoint_rewrite", 4))
+
+
+@register(
+    "lake_row_tracking_report",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_orderstatus,
+                      ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+               FROM orders WHERE o_orderkey % 3 = 0),
+    b AS (SELECT o_orderkey, o_orderstatus,
+                 (SELECT COUNT(*) FROM a)
+                 + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+          FROM orders WHERE o_orderkey % 3 = 1),
+    ab AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+    live AS (SELECT * FROM ab WHERE o_orderkey % 5 <> 0),
+    c AS (SELECT o_orderkey, o_orderstatus,
+                 (SELECT COUNT(*) FROM ab)
+                 + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+          FROM orders WHERE o_orderkey % 3 = 2),
+    v6 AS (SELECT * FROM live UNION ALL SELECT * FROM c)
+    SELECT arm, version, o_orderstatus, n_rows, id_sum, pair_sum FROM (
+      SELECT 'after_dv_delete' AS arm, CAST(4 AS BIGINT) AS version,
+             o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(rid) AS BIGINT) AS id_sum,
+             CAST(SUM(rid * (o_orderkey % 97)) AS BIGINT) AS pair_sum
+      FROM live GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'after_optimize', CAST(5 AS BIGINT), o_orderstatus,
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(rid) AS BIGINT),
+             CAST(SUM(rid * (o_orderkey % 97)) AS BIGINT)
+      FROM live GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'after_append', CAST(6 AS BIGINT), o_orderstatus,
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(rid) AS BIGINT),
+             CAST(SUM(rid * (o_orderkey % 97)) AS BIGINT)
+      FROM v6 GROUP BY o_orderstatus
+    )
+    """,
+    doc="ROW TRACKING (r11; Delta row tracking / Iceberg row lineage): "
+    "enable_row_tracking assigns every row a stable 64-bit _row_id with a "
+    "METADATA-ONLY backfill (base id per file + parquet row position — "
+    "zero bytes rewritten at any table size), appends mint monotonically "
+    "from a manifest watermark, and id-preserving rewrites (OPTIMIZE, "
+    "compaction, REORG PURGE) thread ids through as a physical column in "
+    "the rewritten files.  The graded identity PINS THE PAIRING, not just "
+    "the id set: per-status SUM(_row_id) and SUM(_row_id * (o_orderkey % "
+    "97)) must match the oracle's deterministic assignment (single sorted "
+    "file per commit -> rid = rank by o_orderkey) after (1) a DV delete, "
+    "(2) a z-ordered OPTIMIZE that rewrites every file — layout changes, "
+    "identity must not — and (3) a fresh append whose ids start at the "
+    "watermark (deleted ids never reused).  Concurrency, clone/rollback "
+    "carry, and the feed guard are pinned in tests/test_snapshots.py.",
+)
+def lake_row_tracking_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_rt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+    def slice_sorted(k):
+        return (
+            orders.where(F.col("o_orderkey") % 3 == k)
+            .repartition(1).sortWithinPartitions("o_orderkey")
+        )
+
+    snapshots.commit(slice_sorted(0), root)                      # v1
+    snapshots.enable_row_tracking(root)                          # v2
+    snapshots.commit(slice_sorted(1), root)                      # v3
+    snapshots.delete_where_dv(spark, root, F.col("o_orderkey") % 5 == 0)  # v4
+
+    def arm(name, version):
+        return (
+            snapshots.read_version_row_ids(spark, root, version)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("_row_id").cast("long").alias("id_sum"),
+                F.sum(F.col("_row_id") * (F.col("o_orderkey") % 97))
+                .cast("long").alias("pair_sum"),
+            )
+            .select(
+                F.lit(name).alias("arm"),
+                F.lit(version).cast("long").alias("version"),
+                "o_orderstatus", "n_rows", "id_sum", "pair_sum",
+            )
+        )
+
+    # no cache pins needed: each arm reads an explicit pinned version whose
+    # manifest and files are immutable under later commits
+    a4 = arm("after_dv_delete", 4)
+    snapshots.optimize(spark, root, target_files=2, zorder_by=["o_orderkey"])  # v5
+    a5 = arm("after_optimize", 5)
+    snapshots.commit(slice_sorted(2), root)                      # v6
+    return a4.unionByName(a5).unionByName(arm("after_append", 6))

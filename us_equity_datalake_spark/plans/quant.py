@@ -849,3 +849,170 @@ def factor_backtest_q(spark, sf_dir):
             ).alias("turnover"),
         )
     )
+
+
+@register(
+    "xsec_zscore_report",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    rets AS (
+      SELECT security_id, d,
+             close / LAG(close) OVER (
+               PARTITION BY security_id ORDER BY d) - 1 AS r
+      FROM daily
+    ),
+    valid AS (SELECT * FROM rets WHERE r IS NOT NULL),
+    mom AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+             {dec_sum_sql('r', 12)} AS sx, {dec_sum_sql('r * r', 12)} AS sxx
+      FROM valid GROUP BY d
+    ),
+    z AS (
+      SELECT v.security_id, v.d,
+             ROUND((v.r - m.sx / m.n)
+                   / sqrt((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)), 6) AS z,
+             ROUND(CAST(ROW_NUMBER() OVER (
+                     PARTITION BY v.d ORDER BY v.r, v.security_id) - 1 AS DOUBLE)
+                   / (m.n - 1), 6) AS pr
+      FROM valid v JOIN mom m ON v.d = m.d
+      WHERE m.n >= 2 AND (m.sxx - m.sx * m.sx / m.n) > 0
+    )
+    SELECT security_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+           {dec_sum_sql('z')} AS z_sum, {dec_sum_sql('pr')} AS pr_sum
+    FROM z GROUP BY security_id
+    """,
+    doc="CROSS-SECTIONAL NEUTRALIZATION — the factor-model preprocessing "
+    "step (z-score + percentile rank within each date): daily returns per "
+    "security, per-DATE moment sums (n, Σr, Σr² as exact decimals — the "
+    "date frame is date-cardinality-sized and broadcast back), per-row "
+    "z = (r - μ)/σ (sample σ from the closed form, engine-identical), and "
+    "a deterministic percentile rank ((row_number-1)/(n-1), ties broken by "
+    "security_id).  Graded per security as decimal sums of the ROUNDED "
+    "per-row scores, so accumulation order cannot skew the comparison.  "
+    "Two shuffles (security for the lag, date for the moments); the "
+    "join back is a broadcast at any corpus size since dates are bounded.",
+)
+def xsec_zscore_q(spark, sf_dir):
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("security_id").orderBy("d")
+    rets = daily.select(
+        "security_id", "d",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    dec12 = lambda c: F.sum(c.cast("decimal(30,12)")).cast("double")  # noqa: E731
+    mom = rets.groupBy("d").agg(
+        F.count("*").cast("long").alias("n"),
+        dec12(F.col("r")).alias("sx"),
+        dec12(F.col("r") * F.col("r")).alias("sxx"),
+    )
+    n, sx, sxx, r = F.col("n"), F.col("sx"), F.col("sxx"), F.col("r")
+    var_num = sxx - sx * sx / n
+    wd = Window.partitionBy("d").orderBy("r", "security_id")
+    z = (
+        rets.join(F.broadcast(mom), "d")
+        .filter((n >= 2) & (var_num > 0))
+        .select(
+            "security_id",
+            F.round(
+                (r - sx / n) / F.sqrt(var_num / (n - 1)), 6
+            ).alias("z"),
+            F.round(
+                (F.row_number().over(wd) - 1).cast("double") / (n - 1), 6
+            ).alias("pr"),
+        )
+    )
+    return z.groupBy("security_id").agg(
+        F.count("*").cast("long").alias("n_days"),
+        dec_sum(F.col("z")).alias("z_sum"),
+        dec_sum(F.col("pr")).alias("pr_sum"),
+    )
+
+
+@register(
+    "pairwise_corr_matrix",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    rets AS (
+      SELECT security_id, d,
+             close / LAG(close) OVER (
+               PARTITION BY security_id ORDER BY d) - 1 AS r
+      FROM daily
+    ),
+    valid AS (SELECT * FROM rets WHERE r IS NOT NULL),
+    top10 AS (
+      SELECT security_id FROM valid GROUP BY security_id
+      ORDER BY COUNT(*) DESC, security_id LIMIT 10
+    ),
+    sel AS (SELECT v.* FROM valid v JOIN top10 USING (security_id)),
+    pairs AS (
+      SELECT a.security_id AS sec_a, b.security_id AS sec_b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {dec_sum_sql('a.r', 12)} AS sa, {dec_sum_sql('b.r', 12)} AS sb,
+             {dec_sum_sql('a.r * b.r', 12)} AS sab,
+             {dec_sum_sql('a.r * a.r', 12)} AS saa,
+             {dec_sum_sql('b.r * b.r', 12)} AS sbb
+      FROM sel a JOIN sel b ON a.d = b.d AND a.security_id < b.security_id
+      GROUP BY a.security_id, b.security_id
+    )
+    SELECT sec_a, sec_b, n,
+           ROUND((n * sab - sa * sb)
+                 / NULLIF(sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 0),
+                 6) AS corr
+    FROM pairs WHERE n >= 2
+    """,
+    doc="PAIRWISE CORRELATION MATRIX over the k most-active securities "
+    "(the risk-model building block): top-10 by bar count (deterministic "
+    "tiebreak), returns self-joined on date with sec_a < sec_b (45 pairs), "
+    "correlation from exact decimal moment sums — one pass, "
+    "order-independent, engine-identical.  Scale story: k is a policy "
+    "bound, so the matrix side of the join is k-bounded and BROADCAST; "
+    "the date-aligned self-join never shuffles the full bar table twice — "
+    "at 100 TB you bound k (or block the matrix) rather than cross every "
+    "security, and each block reuses the same one-shuffle shape.",
+)
+def pairwise_corr_q(spark, sf_dir):
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("security_id").orderBy("d")
+    rets = daily.select(
+        "security_id", "d",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    top10 = (
+        rets.groupBy("security_id").count()
+        .orderBy(F.desc("count"), "security_id").limit(10)
+        .select("security_id")
+    )
+    sel = rets.join(F.broadcast(top10), "security_id")
+    a = sel.select(
+        F.col("security_id").alias("sec_a"), "d", F.col("r").alias("ra")
+    )
+    b = sel.select(
+        F.col("security_id").alias("sec_b"), "d", F.col("r").alias("rb")
+    )
+    dec12 = lambda c: F.sum(c.cast("decimal(30,12)")).cast("double")  # noqa: E731
+    pairs = (
+        a.join(F.broadcast(b), "d")
+        .filter(F.col("sec_a") < F.col("sec_b"))
+        .groupBy("sec_a", "sec_b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dec12(F.col("ra")).alias("sa"),
+            dec12(F.col("rb")).alias("sb"),
+            dec12(F.col("ra") * F.col("rb")).alias("sab"),
+            dec12(F.col("ra") * F.col("ra")).alias("saa"),
+            dec12(F.col("rb") * F.col("rb")).alias("sbb"),
+        )
+    )
+    n = F.col("n")
+    sa, sb = F.col("sa"), F.col("sb")
+    sab, saa, sbb = F.col("sab"), F.col("saa"), F.col("sbb")
+    return pairs.filter(n >= 2).select(
+        "sec_a", "sec_b", "n",
+        F.round(
+            safe_div(
+                n * sab - sa * sb,
+                F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+            ),
+            6,
+        ).alias("corr"),
+    )

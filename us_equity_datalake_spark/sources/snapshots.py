@@ -423,6 +423,62 @@ def _physical_col(manifest: dict, col: str) -> str:
     return (manifest.get("column_map") or {}).get(col, col)
 
 
+# Manifest keys that carry the row-tracking state (Delta row tracking /
+# Iceberg row lineage analog): `row_tracking` (feature flag),
+# `row_id_watermark` (next unassigned id — monotonic, never reused),
+# `base_row_ids` (file -> first id; ids are base + row position for files
+# written WITHOUT a physical id column), `row_id_materialized` (files whose
+# `_row_id` column is physical — written by id-preserving rewrites such as
+# OPTIMIZE/compaction/REORG PURGE, where positions change but ids must not).
+_RT_KEYS = ("row_tracking", "row_id_watermark", "base_row_ids", "row_id_materialized")
+# Reserved physical column name for materialized row ids.
+_ROW_ID = "_row_id"
+
+
+def _carry_row_tracking(
+    manifest: dict,
+    prev_manifest: dict,
+    files: "list[str]",
+    new_counts: "dict[str, int]",
+    has_row_id: bool,
+) -> None:
+    """Thread the row-tracking state through a DATA commit (mutates
+    ``manifest``): carried-over files keep their id source; NEW files either
+    materialize the ids the writer threaded in ``_row_id`` (an id-preserving
+    rewrite) or take fresh base ids from the watermark in sorted-file order.
+    Called inside the retry loops so a rebase re-reads the WINNER's
+    watermark — two racing appends get disjoint id ranges."""
+    if not prev_manifest.get("row_tracking"):
+        if has_row_id:
+            raise ValueError(
+                f"frame carries reserved column {_ROW_ID!r} but row tracking "
+                "is not enabled on the table (enable_row_tracking first)"
+            )
+        return
+    wm = int(prev_manifest.get("row_id_watermark", 0))
+    prev_base = prev_manifest.get("base_row_ids", {})
+    prev_mat = set(prev_manifest.get("row_id_materialized", []))
+    base = {f: prev_base[f] for f in files if f in prev_base}
+    mat = [f for f in files if f in prev_mat]
+    fresh = [f for f in files if f not in prev_base and f not in prev_mat]
+    if has_row_id:
+        mat += fresh  # the writer supplied the ids; they ride the files
+    else:
+        for f in sorted(fresh):
+            base[f] = wm
+            wm += int(new_counts.get(f, 0))
+    manifest["row_tracking"] = True
+    manifest["row_id_watermark"] = wm
+    if base:
+        manifest["base_row_ids"] = base
+    if mat:
+        manifest["row_id_materialized"] = sorted(mat)
+
+
+def _strip_row_id(df: DataFrame) -> DataFrame:
+    return df.drop(_ROW_ID) if _ROW_ID in df.columns else df
+
+
 def _drop_dead_cols(df: DataFrame, manifest: dict) -> DataFrame:
     """Project out physical columns that were logically DROPPED: the bytes
     stay in the immutable files (old versions still read them), but no
@@ -451,6 +507,7 @@ def _scan_files(
     *,
     merge_schema: bool = False,
     with_lineage: bool = False,
+    keep_row_id: bool = False,
 ) -> DataFrame:
     """The ONE reader every version-pinned scan routes through: plain
     ``spark.read.parquet`` when the manifest carries no deletion vectors
@@ -476,6 +533,8 @@ def _scan_files(
 
     if not dv:
         base = _drop_dead_cols(reader.parquet(*files), manifest)
+        if not keep_row_id:
+            base = _strip_row_id(base)
         if not with_lineage:
             return _apply_col_map(base, cmap)
         return _apply_col_map(_lineage_cols(base), cmap)
@@ -490,13 +549,18 @@ def _scan_files(
     dv_df = _dv_pos_frame(spark, dv)
     if total_n <= DV_BROADCAST_MAX_POSITIONS:
         dv_df = F.broadcast(dv_df)
-    live = _lineage_cols(_drop_dead_cols(reader.parquet(*dvd), manifest)).join(
-        dv_df, ["__file", "__pos"], "left_anti"
-    )
+    def _leaf(file_list):
+        # per-leaf _row_id strip: the two branches could otherwise disagree
+        # on the hidden column's presence (mixed materialized/fresh files)
+        # and fail the union
+        scan = _drop_dead_cols(reader.parquet(*file_list), manifest)
+        if not keep_row_id:
+            scan = _strip_row_id(scan)
+        return _lineage_cols(scan)
+
+    live = _leaf(dvd).join(dv_df, ["__file", "__pos"], "left_anti")
     if clean:
-        live = _lineage_cols(
-            _drop_dead_cols(reader.parquet(*clean), manifest)
-        ).unionByName(live, allowMissingColumns=merge_schema)
+        live = _leaf(clean).unionByName(live, allowMissingColumns=merge_schema)
     live = _apply_col_map(live, cmap)
     return live if with_lineage else live.drop("__file", "__pos")
 
@@ -587,7 +651,12 @@ def commit(
     prev_v = latest_version(path)
     new_v = prev_v + 1
     prev_manifest = read_manifest(path, prev_v) if prev_v else {}
-    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    has_row_id = _ROW_ID in df.columns
+    new_schema = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name != _ROW_ID  # hidden physical column, never in the schema
+    }
     prev_schema = prev_manifest.get("schema")
     if (
         mode != "overwrite"
@@ -669,6 +738,7 @@ def commit(
         dv[f] = _write_dv_sidecar(path, new_v, f, merged)
     if dv:
         manifest["dv"] = dv
+    _carry_row_tracking(manifest, prev_manifest, files, new_counts, has_row_id)
     manifest["schema"] = (
         new_schema
         if mode == "overwrite" or prev_schema is None
@@ -726,7 +796,9 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
 
     Returns the new version number.
     """
-    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    has_row_id = _ROW_ID in df.columns
+    new_schema = {f.name: f.dataType.simpleString()
+                  for f in df.schema.fields if f.name != _ROW_ID}
     latest0 = latest_version(path)
     m_latest0 = read_manifest(path, latest0) if latest0 else {}
     prev_schema0 = m_latest0.get("schema")
@@ -787,6 +859,9 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
         dv = {f: prev_dv[f] for f in prev_files if f in prev_dv}
         if dv:
             manifest["dv"] = dv
+        _carry_row_tracking(
+            manifest, prev_manifest, manifest["files"], new_counts, has_row_id
+        )
         prev_stats = prev_manifest.get("stats", {})
         if prev_stats:
             # maintain the skipping index across the reconciled append
@@ -889,7 +964,9 @@ def commit_rewrite_with_retry(
     m0 = read_manifest(path, prev_v0)
     dropped = {f for f in m0["files"] if replace(f)}
     m0_dv = dict(m0.get("dv", {}))
-    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    has_row_id = _ROW_ID in df.columns
+    new_schema = {f.name: f.dataType.simpleString()
+                  for f in df.schema.fields if f.name != _ROW_ID}
     col_map = dict(m0.get("column_map", {}))
     dropped_phys = set(m0.get("dropped_physical", []))
     table_cons = dict(m0.get("constraints", {}))
@@ -947,6 +1024,7 @@ def commit_rewrite_with_retry(
         dv = {f: prev_dv[f] for f in files if f in prev_dv}
         if dv:
             manifest["dv"] = dv
+        _carry_row_tracking(manifest, prev_manifest, files, new_counts, has_row_id)
         prev_stats = prev_manifest.get("stats", {})
         if prev_stats:
             if new_stats is None:
@@ -1015,6 +1093,112 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     return _scan_files(spark, m["files"], m)
 
 
+def enable_row_tracking(path: str) -> int:
+    """Turn on ROW TRACKING (the Delta row-tracking / Iceberg row-lineage
+    feature) with a METADATA-ONLY commit: every existing file is assigned a
+    ``base_row_id`` from the manifest's row counts in sorted-file order —
+    zero data rewritten, instant at any table size.  From then on every row
+    has a stable 64-bit ``_row_id`` (base + position for as-written files; a
+    physical column for files produced by id-preserving rewrites), ids are
+    NEVER reused (the watermark is monotonic across deletes and rollbacks),
+    and :func:`optimize` / :func:`compact_files` / :func:`materialize_dvs`
+    preserve ids across layout changes.  Copy-on-write row mutations
+    (merge_upsert / delete_where) assign fresh ids to rewritten files — the
+    Delta default without the `preserved` feature bit; DV deletes and
+    updates keep untouched rows' ids by construction."""
+    v0 = latest_version(path)
+    if v0 == 0:
+        raise ValueError(f"enable_row_tracking of {path}: table has no commits")
+    m0 = read_manifest(path, v0)
+    if m0.get("row_tracking"):
+        return v0
+    if _ROW_ID in m0.get("schema", {}):
+        raise ValueError(
+            f"enable_row_tracking of {path}: the table schema already has a "
+            f"column named {_ROW_ID!r} — the name is reserved for tracking"
+        )
+    rows = m0.get("rows", {})
+    missing = [f for f in m0["files"] if f not in rows]
+    if missing:
+        raise ValueError(
+            f"enable_row_tracking of {path}: {len(missing)} files lack row "
+            "counts in the manifest — recommit or compact first"
+        )
+    wm = 0
+    base: "dict[str, int]" = {}
+    for f in sorted(m0["files"]):
+        base[f] = wm
+        wm += int(rows[f])
+    new_v = v0 + 1
+    manifest = {
+        k: m0[k]
+        for k in ("files", "rows", "stats", "bloom_cols", "dv", "schema",
+                  "column_map", "dropped_physical", "constraints")
+        if k in m0
+    }
+    manifest.update({
+        "version": new_v,
+        "mode": "enable_row_tracking",
+        "row_tracking": True,
+        "row_id_watermark": wm,
+        "base_row_ids": base,
+    })
+    _publish(path, new_v, manifest)
+    return new_v
+
+
+def _attach_row_ids(spark: SparkSession, files: "list[str]", manifest: dict) -> DataFrame:
+    """Scan ``files`` with the stable ``_row_id`` attached: position-derived
+    files compute base + row position (the base map is manifest-sized and
+    broadcast); materialized files read their physical column.  DVs and the
+    column map apply through :func:`_scan_files` as on any other read."""
+    from pyspark.sql import functions as F
+
+    if not manifest.get("row_tracking"):
+        raise ValueError("row tracking is not enabled on this table")
+    mat = set(manifest.get("row_id_materialized", []))
+    base = manifest.get("base_row_ids", {})
+    derived = [f for f in files if f not in mat]
+    missing = [f for f in derived if f not in base]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} files have neither a base row id nor a "
+            "materialized id column — manifest corrupt"
+        )
+    frames = []
+    if derived:
+        df = _scan_files(spark, derived, manifest, with_lineage=True)
+        bdf = spark.createDataFrame(
+            [(f, int(base[f])) for f in derived], "__file string, __base long"
+        )
+        frames.append(
+            df.join(F.broadcast(bdf), "__file")
+            .withColumn(_ROW_ID, (F.col("__base") + F.col("__pos")).cast("long"))
+            .drop("__file", "__pos", "__base")
+        )
+    mat_files = sorted(mat & set(files))
+    if mat_files:
+        frames.append(_scan_files(spark, mat_files, manifest, keep_row_id=True))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def read_version_row_ids(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read WITH the stable row id: every logical column plus
+    ``_row_id``.  The id is the join key that survives OPTIMIZE /
+    compaction / REORG PURGE — the handle an incremental consumer or audit
+    trail can hold across layout changes (Delta row tracking)."""
+    v = latest_version(path) if version is None else version
+    m = read_manifest(path, v)
+    if not m["files"]:
+        raise ValueError(f"snapshot v{v} of {path} lists no files")
+    return _attach_row_ids(spark, m["files"], m)
+
+
 def rename_column(path: str, old: str, new: str) -> int:
     """RENAME COLUMN as a metadata-only commit (Delta/Iceberg column
     mapping, name mode): data files are immutable and keep their original —
@@ -1039,6 +1223,10 @@ def rename_column(path: str, old: str, new: str) -> int:
         raise ValueError(f"rename_column: no column {old!r} in {sorted(schema)}")
     if new in schema:
         raise ValueError(f"rename_column: column {new!r} already exists")
+    if new == _ROW_ID:
+        raise ValueError(
+            f"rename_column: {_ROW_ID!r} is reserved for row tracking"
+        )
     _guard_constrained_column(m0, old, "rename_column")
     cmap = dict(m0.get("column_map", {}))
     physical = cmap.pop(old, old)
@@ -1049,7 +1237,7 @@ def rename_column(path: str, old: str, new: str) -> int:
     manifest = {
         k: m0[k]
         for k in ("files", "rows", "stats", "bloom_cols", "dv",
-                  "dropped_physical", "constraints")
+                  "dropped_physical", "constraints", *_RT_KEYS)
         if k in m0
     }
     manifest.update({
@@ -1109,7 +1297,8 @@ def drop_column(path: str, col: str) -> int:
     new_v = v0 + 1
     manifest = {
         k: m0[k]
-        for k in ("files", "rows", "stats", "bloom_cols", "dv", "constraints")
+        for k in ("files", "rows", "stats", "bloom_cols", "dv", "constraints",
+                  *_RT_KEYS)
         if k in m0
     }
     manifest.update({
@@ -1297,16 +1486,39 @@ def rollback(path: str, to_version: int) -> int:
     version's — no data movement, and the bad versions stay readable for
     forensics (the Delta RESTORE semantics)."""
     target = read_manifest(path, to_version)
-    new_v = latest_version(path) + 1
+    cur_v = latest_version(path)
+    m_cur = read_manifest(path, cur_v)
+    new_v = cur_v + 1
     manifest = {
         "version": new_v,
         "mode": "rollback",
         "rolled_back_to": to_version,
         "files": target["files"],
     }
-    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map", "dropped_physical", "constraints"):
+    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map", "dropped_physical", "constraints", *_RT_KEYS):
         if carried in target:
             manifest[carried] = target[carried]
+    if manifest.get("row_tracking") or m_cur.get("row_tracking"):
+        # row ids are NEVER reused: the watermark stays at the table's
+        # all-time high even though the rolled-back rows' ids leave the
+        # live set — a post-rollback append must not re-mint them
+        manifest["row_tracking"] = True
+        wm = max(
+            int(target.get("row_id_watermark", 0)),
+            int(m_cur.get("row_id_watermark", 0)),
+        )
+        if not target.get("row_tracking"):
+            # rolled back PAST the enable commit: re-derive base ids for
+            # the target's files from FRESH watermark ranges (their
+            # pre-enable ids are unknowable; uniqueness is the contract)
+            base: "dict[str, int]" = {}
+            rows = target.get("rows", {})
+            for f in sorted(target["files"]):
+                base[f] = wm
+                wm += int(rows.get(f, 0))
+            manifest["base_row_ids"] = base
+            manifest.pop("row_id_materialized", None)
+        manifest["row_id_watermark"] = wm
     _publish(path, new_v, manifest)
     return new_v
 
@@ -1351,7 +1563,7 @@ def clone(src_path: str, dst_path: str, *, version: int | None = None) -> int:
         "cloned_from": {"path": src_path, "version": v},
         "files": src["files"],
     }
-    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map", "dropped_physical", "constraints"):
+    for carried in ("stats", "bloom_cols", "rows", "schema", "dv", "column_map", "dropped_physical", "constraints", *_RT_KEYS):
         if carried in src:
             manifest[carried] = src[carried]
     _publish(dst_path, 1, manifest)
@@ -1779,7 +1991,7 @@ def delete_where_dv(
             "files_rewritten": 0,
         }
     dv = {**prev_dv, **entries}
-    manifest = {k: m0[k] for k in ("files", "schema", "rows", "stats", "bloom_cols", "column_map", "dropped_physical", "constraints") if k in m0}
+    manifest = {k: m0[k] for k in ("files", "schema", "rows", "stats", "bloom_cols", "column_map", "dropped_physical", "constraints", *_RT_KEYS) if k in m0}
     manifest.update({"version": new_v, "mode": "delete_dv", "dv": dv,
                      "dv_rows_deleted": n_deleted})
 
@@ -1825,7 +2037,7 @@ def delete_where_dv(
             set(m_cur["files"]), "delete_where_dv",
         )
         dv = {**m_cur.get("dv", {}), **merged}
-        manifest = {k: m_cur[k] for k in ("files", "schema", "rows", "stats", "bloom_cols", "column_map", "dropped_physical", "constraints") if k in m_cur}
+        manifest = {k: m_cur[k] for k in ("files", "schema", "rows", "stats", "bloom_cols", "column_map", "dropped_physical", "constraints", *_RT_KEYS) if k in m_cur}
         manifest.update({"version": new_v, "mode": "delete_dv", "dv": dv,
                          "dv_rows_deleted": n_deleted})
         try:
@@ -1859,7 +2071,9 @@ def _commit_update_dv_with_retry(
     col_map = dict(m_base.get("column_map", {}))
     dropped_phys = set(m_base.get("dropped_physical", []))
     table_cons = dict(m_base.get("constraints", {}))
-    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    has_row_id = _ROW_ID in df.columns
+    new_schema = {f.name: f.dataType.simpleString()
+                  for f in df.schema.fields if f.name != _ROW_ID}
     base_schema = m_base.get("schema")
     revived = {c for c in new_schema
                if c not in (base_schema or {}) and col_map.get(c, c) in dropped_phys}
@@ -1901,6 +2115,7 @@ def _commit_update_dv_with_retry(
         files = sorted(prev_files) + new_files
         manifest = {"version": new_v, "mode": "update_dv", "files": files,
                     "dv": dv}
+        _carry_row_tracking(manifest, prev_manifest, files, new_counts, has_row_id)
         prev_rows = prev_manifest.get("rows", {})
         manifest["rows"] = {
             **{f: prev_rows[f] for f in prev_files if f in prev_rows},
@@ -2013,7 +2228,12 @@ def materialize_dvs(spark: SparkSession, path: str) -> dict:
     if not dv:
         return {"version": v0, "files_rewritten": 0, "rows_purged": 0}
     dvd = sorted(dv)
-    live = _scan_files(spark, dvd, m0)  # DV applied at scan
+    # DV applied at scan; REORG PURGE preserves row ids (the Delta contract)
+    live = (
+        _attach_row_ids(spark, dvd, m0)
+        if m0.get("row_tracking")
+        else _scan_files(spark, dvd, m0)
+    )
     dvd_set = set(dvd)
     v = commit(live, path, replace=lambda f: f in dvd_set, _mode_label="purge_dv")
     return {
@@ -2214,8 +2434,16 @@ def optimize(
     passes.  Returns {"version", "files_before", "files_after"}."""
     from us_equity_datalake_spark.operators import zorder as _z
 
-    cur = read_version(spark, path)
-    n_before = len(read_manifest(path, latest_version(path))["files"])
+    m_cur = read_manifest(path, latest_version(path))
+    # row tracking: the rewrite THREADS the stable ids through (_row_id
+    # rides the shuffle and lands as a physical column in the new files) —
+    # OPTIMIZE changes layout, never identity
+    cur = (
+        read_version_row_ids(spark, path)
+        if m_cur.get("row_tracking")
+        else read_version(spark, path)
+    )
+    n_before = len(m_cur["files"])
     if zorder_by:
         from pyspark.sql import functions as F
 
@@ -2258,8 +2486,14 @@ def compact_files(
         return {"version": v0, "files_compacted": 0,
                 "files_after": len(m0["files"])}
     # DV-aware: compaction is a rewrite, so it MATERIALIZES the selected
-    # files' deletion vectors (commit drops dv entries for replaced files)
-    df = _scan_files(spark, sel, m0).coalesce(target_files)
+    # files' deletion vectors (commit drops dv entries for replaced files).
+    # Row-tracking-aware: ids thread through as a physical column.
+    src = (
+        _attach_row_ids(spark, sel, m0)
+        if m0.get("row_tracking")
+        else _scan_files(spark, sel, m0)
+    )
+    df = src.coalesce(target_files)
     sel_set = set(sel)
     v = commit_rewrite_with_retry(df, path, replace=lambda f: f in sel_set)
     return {"version": v, "files_compacted": len(sel),
@@ -2387,7 +2621,7 @@ def add_table_constraint(
     manifest = {
         k: m0[k]
         for k in ("files", "rows", "stats", "bloom_cols", "dv", "schema",
-                  "column_map", "dropped_physical")
+                  "column_map", "dropped_physical", *_RT_KEYS)
         if k in m0
     }
     manifest.update({
@@ -2414,7 +2648,7 @@ def drop_table_constraint(path: str, name: str) -> int:
     manifest = {
         k: m0[k]
         for k in ("files", "rows", "stats", "bloom_cols", "dv", "schema",
-                  "column_map", "dropped_physical")
+                  "column_map", "dropped_physical", *_RT_KEYS)
         if k in m0
     }
     manifest.update({
@@ -2495,6 +2729,18 @@ def stage_incremental_files(
                 "without retraction (the Delta ignoreDeletes contract), "
                 "or consume change_feed instead"
             )
+    # Row-tracking guard (mirrors the DV guard): a file written by an
+    # id-preserving rewrite carries a PHYSICAL `_row_id` column the
+    # consumer's schema does not have; a hardlink cannot project it out.
+    mat_new = set(m_new.get("row_id_materialized", []))
+    staged_mat = [f for f in new if f not in old and f in mat_new]
+    if staged_mat:
+        raise ValueError(
+            f"versions {last_fed}..{latest} of {path} stage "
+            f"{len(staged_mat)} file(s) carrying a materialized _row_id "
+            "column; the raw-file feed cannot project it out — consume "
+            "change_feed (or read_version_row_ids) instead"
+        )
     # Schema evolution guard (mirrors the DV guard): a RENAME/DROP commit is
     # metadata-only, so the on-disk files this call would hardlink carry
     # PHYSICAL column names the consumer's logical schema no longer matches

@@ -247,3 +247,38 @@ def test_cli_enable_row_tracking(spark, tmp_path, capsys, monkeypatch):
         r._row_id for r in snapshots.read_version_row_ids(spark, path).collect()
     )
     assert ids == list(range(12))
+
+
+def test_cli_recover_txns(spark, tmp_path, capsys, monkeypatch):
+    import json as _json
+
+    import us_equity_datalake_spark.cli as cli
+    from us_equity_datalake_spark.sources import snapshots
+
+    monkeypatch.setattr(
+        "us_equity_datalake_spark.session.get_spark", lambda name: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshots.commit(spark.range(0, 4), a)
+    snapshots.commit(spark.range(0, 2), b)
+    orig = snapshots._publish_txn_table
+    calls = {"n": 0}
+
+    def crash_second(sp, entry, txn_id, status_path, max_retries):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise snapshots.ConcurrentWriteError("injected")
+        return orig(sp, entry, txn_id, status_path, max_retries)
+
+    monkeypatch.setattr(snapshots, "_publish_txn_table", crash_second)
+    try:
+        snapshots.commit_transaction([(spark.range(10, 12), a),
+                                      (spark.range(10, 11), b)])
+    except snapshots.ConcurrentWriteError:
+        pass
+    monkeypatch.setattr(snapshots, "_publish_txn_table", orig)
+    assert cli.main(["table", "recover-txns", "--path", a]) == 0
+    out = _json.loads(capsys.readouterr().out.splitlines()[0])
+    assert list(out["recovered"].values()) == ["committed"]
+    assert snapshots.read_version_committed(spark, b).count() == 3

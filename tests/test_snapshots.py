@@ -2,6 +2,8 @@
 manifest-pinned time travel, copy-on-write partial rewrite, isolation of old
 versions from later commits."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from us_equity_datalake_spark.sources import snapshots
@@ -2443,3 +2445,131 @@ def test_row_tracking_reserved_name_and_feed_guard(spark, tmp_path):
     state = str(tmp_path / "state.json")
     with pytest.raises(ValueError, match="materialized _row_id"):
         snapshots.stage_incremental_files(path, staging, state)
+
+
+def test_merge_schema_evolution_both_directions(spark, tmp_path):
+    """merge_upsert(allow_schema_evolution=True): a delta with a NEW column
+    widens additively (old rows read NULL via read_version_merged); a delta
+    MISSING a column fills its own rows with NULL; without the flag both
+    raise before any file lands."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS val")
+    snapshots.commit(base.repartitionByRange(2, "id"), path)
+    wide = spark.range(5, 8).selectExpr(
+        "id", "CAST(id * 10 AS DOUBLE) AS val", "'m' AS src"
+    )
+    with pytest.raises(Exception):
+        snapshots.merge_upsert(spark, path, wide, key="id")
+    assert snapshots.latest_version(path) == 1  # nothing landed
+    st = snapshots.merge_upsert(
+        spark, path, wide, key="id", allow_schema_evolution=True
+    )
+    got = {
+        r.id: (r.val, r.src)
+        for r in snapshots.read_version_merged(spark, path, st["version"]).collect()
+    }
+    assert got[5] == (50.0, "m") and got[0] == (0.0, None)
+    # narrower delta: missing 'src' fills NULL on its own rows only
+    narrow = spark.range(5, 6).selectExpr("id", "CAST(id * 100 AS DOUBLE) AS val")
+    with pytest.raises(Exception):
+        snapshots.merge_upsert(spark, path, narrow, key="id")
+    st2 = snapshots.merge_upsert(
+        spark, path, narrow, key="id", allow_schema_evolution=True
+    )
+    got2 = {
+        r.id: (r.val, r.src)
+        for r in snapshots.read_version_merged(spark, path, st2["version"]).collect()
+    }
+    assert got2[5] == (500.0, None) and got2[6] == (60.0, "m")
+
+
+def test_txn_all_or_nothing_and_roll_forward(spark, tmp_path, monkeypatch):
+    """Multi-table transaction: a crash between the two publishes leaves the
+    log repairable — committed reads of BOTH tables stay at the pre-txn cut
+    (the status file is the single commit point), recover_transactions
+    rolls forward, and both tables advance together."""
+    import pytest
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshots.commit(spark.range(0, 5), a)
+    snapshots.commit(spark.range(0, 3), b)
+    r = snapshots.commit_transaction(
+        [(spark.range(10, 13), a), (spark.range(10, 12), b)]
+    )
+    assert r["versions"] == {a: 2, b: 2}
+    orig = snapshots._publish_txn_table
+    calls = {"n": 0}
+
+    def crash_second(sp, entry, txn_id, status_path, max_retries):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise snapshots.ConcurrentWriteError("injected")
+        return orig(sp, entry, txn_id, status_path, max_retries)
+
+    monkeypatch.setattr(snapshots, "_publish_txn_table", crash_second)
+    with pytest.raises(snapshots.ConcurrentWriteError):
+        snapshots.commit_transaction(
+            [(spark.range(20, 24), a), (spark.range(20, 22), b)]
+        )
+    monkeypatch.setattr(snapshots, "_publish_txn_table", orig)
+    # a's latest is a pending-txn version; the committed cut excludes it
+    assert snapshots.latest_version(a) == 3
+    assert snapshots.latest_committed_version(a) == 2
+    assert snapshots.read_version_committed(spark, a).count() == 8
+    assert snapshots.read_version_committed(spark, b).count() == 5
+    out = snapshots.recover_transactions(spark, a)
+    assert list(out.values()) == ["committed"]
+    assert snapshots.read_version_committed(spark, a).count() == 12
+    assert snapshots.read_version_committed(spark, b).count() == 7
+    # recovery is idempotent
+    assert snapshots.recover_transactions(spark, a) == {}
+
+
+def test_txn_aborts_cleanly_when_nothing_published(spark, tmp_path, monkeypatch):
+    """If the FIRST table's publish never lands, the transaction aborts:
+    staged dirs deleted, status 'aborted', no version anywhere."""
+    import pytest
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshots.commit(spark.range(0, 5), a)
+    snapshots.commit(spark.range(0, 3), b)
+
+    def fail_all(sp, entry, txn_id, status_path, max_retries):
+        raise snapshots.ConcurrentWriteError("injected: lost every race")
+
+    monkeypatch.setattr(snapshots, "_publish_txn_table", fail_all)
+    with pytest.raises(snapshots.ConcurrentWriteError):
+        snapshots.commit_transaction(
+            [(spark.range(10, 13), a), (spark.range(10, 12), b)]
+        )
+    assert snapshots.latest_version(a) == 1 and snapshots.latest_version(b) == 1
+    # staged commit dirs swept
+    stray = [d for d in os.listdir(a) if d.startswith("commit_") and
+             not d.startswith("commit_v")]
+    assert stray == []
+    assert snapshots.recover_transactions(spark, a) == {}  # nothing pending
+
+
+def test_txn_crash_before_any_publish_recovery_aborts(spark, tmp_path, monkeypatch):
+    """A hard crash AFTER the intent landed but BEFORE any publish: recovery
+    finds zero published tables and aborts — staged dirs deleted."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshots.commit(spark.range(0, 5), a)
+    snapshots.commit(spark.range(0, 3), b)
+
+    def hard_crash(sp, entry, txn_id, status_path, max_retries):
+        raise KeyboardInterrupt  # a kill -9 stand-in: no cleanup runs
+
+    monkeypatch.setattr(snapshots, "_publish_txn_table", hard_crash)
+    try:
+        snapshots.commit_transaction(
+            [(spark.range(10, 13), a), (spark.range(10, 12), b)]
+        )
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.undo()
+    out = snapshots.recover_transactions(spark, a)
+    assert list(out.values()) == ["aborted"]
+    assert snapshots.latest_version(a) == 1 and snapshots.latest_version(b) == 1

@@ -135,6 +135,12 @@ def _build_parser() -> argparse.ArgumentParser:
     tdcn.add_argument("--path", required=True)
     tdcn.add_argument("--name", required=True)
 
+    trx = tsub.add_parser(
+        "recover-txns",
+        help="repair crashed multi-table transactions (roll forward or abort)",
+    )
+    trx.add_argument("--path", required=True, help="coordinator table root")
+
     trt = tsub.add_parser(
         "enable-row-tracking",
         help="assign stable row ids (metadata-only backfill, zero rewrites)",
@@ -273,6 +279,9 @@ def _run_table_cmd(spark, args) -> int:
     elif cmd == "drop-constraint":
         v = S.drop_table_constraint(args.path, args.name)
         print(json.dumps({"version": v, "dropped_constraint": args.name}))
+    elif cmd == "recover-txns":
+        out = S.recover_transactions(spark, args.path)
+        print(json.dumps({"recovered": out}))
     elif cmd == "enable-row-tracking":
         v = S.enable_row_tracking(args.path)
         m = S.read_manifest(args.path, v)

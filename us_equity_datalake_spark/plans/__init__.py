@@ -46,6 +46,8 @@ _GRADING_PRIORITY = [
     "lake_dv_retry_append_report",
     "xsec_zscore_report",
     "pairwise_corr_matrix",
+    "lake_merge_evolve_report",
+    "lake_txn_report",
     "streaming_change_feed_source_sink",
     "streaming_cdc_replica_sink",
     "lake_concurrent_dv_report",

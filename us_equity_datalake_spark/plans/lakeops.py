@@ -2656,3 +2656,208 @@ def lake_row_tracking_q(spark, sf_dir):
     a5 = arm("after_optimize", 5)
     snapshots.commit(slice_sorted(2), root)                      # v6
     return a4.unionByName(a5).unionByName(arm("after_append", 6))
+
+
+@register(
+    "lake_merge_evolve_report",
+    oracle=f"""
+    SELECT src, n_rows, price_sum, files_rewritten FROM (
+      SELECT 'm' AS src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {dec_sum_sql('o_totalprice * 2')} AS price_sum,
+             CAST(4 AS BIGINT) AS files_rewritten
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT NULL, CAST(COUNT(*) AS BIGINT), {dec_sum_sql('o_totalprice')},
+             CAST(4 AS BIGINT)
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    """,
+    doc="MERGE WITH SCHEMA EVOLUTION (r11; Delta withSchemaEvolution): a "
+    "delta carrying a NEW column (src) upserts the o_orderkey %% 7 = 0 "
+    "slice at doubled price; the table schema widens ADDITIVELY in the "
+    "same copy-on-write commit — surviving rows of rewritten files and "
+    "all carried-over rows read src as NULL through read_version_merged. "
+    "The same merge WITHOUT the flag must raise before any file lands "
+    "(silent widening forks a 100 TB schema), asserted in the query body. "
+    "Graded per src group: counts + exact decimal price sums + the pruned "
+    "rewrite's file count.",
+)
+def lake_merge_evolve_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_mev_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    snapshots.commit(orders.repartitionByRange(4, "o_orderkey"), root)  # v1
+    delta = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("src", F.lit("m"))
+    )
+    try:
+        snapshots.merge_upsert(spark, root, delta, key="o_orderkey")
+        raise AssertionError("schema-widening merge landed without the flag")
+    except Exception as e:  # noqa: BLE001 — Spark raises AnalysisException here
+        if "allowMissingColumns" not in str(e) and "UNION" not in str(e).upper():
+            raise
+    st = snapshots.merge_upsert(
+        spark, root, delta, key="o_orderkey", allow_schema_evolution=True
+    )
+    return (
+        snapshots.read_version_merged(spark, root, st["version"])
+        .groupBy("src")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("o_totalprice")).alias("price_sum"),
+        )
+        .select(
+            "src", "n_rows", "price_sum",
+            F.lit(st["files_rewritten"]).cast("long").alias("files_rewritten"),
+        )
+    )
+
+
+@register(
+    "lake_txn_report",
+    oracle=f"""
+    WITH b0 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+    b1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+    b2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 2),
+    c01 AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+    call AS (SELECT * FROM c01 UNION ALL SELECT * FROM b2)
+    SELECT arm, version, n_rows, price_sum FROM (
+      SELECT 'pre_recover_facts_committed' AS arm, CAST(2 AS BIGINT) AS version,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {dec_sum_sql('o_totalprice')} AS price_sum
+      FROM c01
+      UNION ALL
+      SELECT 'pre_recover_facts_latest_dirty', CAST(3 AS BIGINT),
+             CAST(COUNT(*) AS BIGINT), {dec_sum_sql('o_totalprice')}
+      FROM call
+      UNION ALL
+      SELECT 'pre_recover_derived_committed', CAST(2 AS BIGINT),
+             CAST(2 AS BIGINT), {dec_sum_sql('o_totalprice')}
+      FROM c01
+      UNION ALL
+      SELECT 'post_recover_facts_committed', CAST(3 AS BIGINT),
+             CAST(COUNT(*) AS BIGINT), {dec_sum_sql('o_totalprice')}
+      FROM call
+      UNION ALL
+      SELECT 'post_recover_derived_committed', CAST(3 AS BIGINT),
+             CAST(3 AS BIGINT), {dec_sum_sql('o_totalprice')}
+      FROM call
+    )
+    """,
+    doc="MULTI-TABLE ATOMIC TRANSACTION (r11 — the medallion consistency "
+    "primitive per-table Delta/Iceberg lack): commit_transaction stages "
+    "every table's files, records ONE intent/status file (the commit "
+    "point), publishes each table through the reconciling append rebase "
+    "stamped with the txn id, then flips the status atomically.  The "
+    "graded scenario: txn1 lands a facts batch + its derived per-batch "
+    "summary on two tables; txn2 CRASHES between the two publishes "
+    "(injected).  Graded identities: committed reads of BOTH tables stay "
+    "at the txn1 cut (facts' pending v3 is skipped — while the plain "
+    "latest read shows it, the documented read-uncommitted arm); "
+    "recover_transactions rolls the log FORWARD from the already-durable "
+    "staged files, after which both tables advance together.  Abort and "
+    "hard-crash recovery arms are pinned in tests/test_snapshots.py.",
+)
+def lake_txn_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    facts_p = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_txf_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    der_p = facts_p.replace("_txf_", "_txd_")
+    shutil.rmtree(facts_p, ignore_errors=True)
+    shutil.rmtree(der_p, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def batch(k):
+        return orders.where(F.col("o_orderkey") % 3 == k)
+
+    def derived(k):
+        return batch(k).agg(
+            F.lit(k).alias("batch"),
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("o_totalprice")).alias("total_price"),
+        ).select("batch", "n_rows", "total_price")
+
+    snapshots.commit(batch(0), facts_p)                              # v1
+    snapshots.commit(derived(0), der_p)                              # v1
+    snapshots.commit_transaction(                                    # v2 + v2
+        [(batch(1), facts_p), (derived(1), der_p)]
+    )
+    orig = snapshots._publish_txn_table
+    calls = {"n": 0}
+
+    def crash_second(sp, entry, txn_id, status_path, max_retries):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise snapshots.ConcurrentWriteError("injected crash")
+        return orig(sp, entry, txn_id, status_path, max_retries)
+
+    snapshots._publish_txn_table = crash_second
+    try:
+        snapshots.commit_transaction(
+            [(batch(2), facts_p), (derived(2), der_p)]
+        )
+        raise AssertionError("txn2 landed despite the injected crash")
+    except snapshots.ConcurrentWriteError:
+        pass
+    finally:
+        snapshots._publish_txn_table = orig
+
+    def facts_arm(name, df, version):
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("o_totalprice")).alias("price_sum"),
+        ).select(
+            F.lit(name).alias("arm"),
+            F.lit(version).cast("long").alias("version"),
+            "n_rows", "price_sum",
+        )
+
+    def derived_arm(name, df, version):
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("total_price"), 6).alias("price_sum"),
+        ).select(
+            F.lit(name).alias("arm"),
+            F.lit(version).cast("long").alias("version"),
+            "n_rows", "price_sum",
+        )
+
+    pre = (
+        facts_arm("pre_recover_facts_committed",
+                  snapshots.read_version_committed(spark, facts_p),
+                  snapshots.latest_committed_version(facts_p))
+        .unionByName(facts_arm(
+            "pre_recover_facts_latest_dirty",
+            snapshots.read_version(spark, facts_p),
+            snapshots.latest_version(facts_p)))
+        .unionByName(derived_arm(
+            "pre_recover_derived_committed",
+            snapshots.read_version_committed(spark, der_p),
+            snapshots.latest_committed_version(der_p)))
+    ).cache()
+    pre.count()  # pin the pending-state reads before recovery mutates the log
+    snapshots.recover_transactions(spark, facts_p)
+    post = facts_arm(
+        "post_recover_facts_committed",
+        snapshots.read_version_committed(spark, facts_p),
+        snapshots.latest_committed_version(facts_p),
+    ).unionByName(derived_arm(
+        "post_recover_derived_committed",
+        snapshots.read_version_committed(spark, der_p),
+        snapshots.latest_committed_version(der_p),
+    ))
+    return pre.unionByName(post)

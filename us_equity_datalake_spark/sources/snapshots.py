@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from urllib.parse import unquote, urlparse
@@ -799,6 +800,37 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
     has_row_id = _ROW_ID in df.columns
     new_schema = {f.name: f.dataType.simpleString()
                   for f in df.schema.fields if f.name != _ROW_ID}
+    col_map, dropped_phys, table_cons = _append_precheck(path, new_schema)
+    commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
+    _write_commit_checked(df, commit_dir, col_map, table_cons, path)
+    new_counts = _data_files(commit_dir)
+    stats_cache: dict = {}
+    last_err: ConcurrentWriteError | None = None
+    for _ in range(max_retries):
+        new_v, manifest = _rebase_append_manifest(
+            df.sparkSession, path,
+            new_counts=new_counts, new_schema=new_schema,
+            has_row_id=has_row_id, col_map=col_map,
+            dropped_phys=dropped_phys, table_cons=table_cons,
+            stats_cache=stats_cache,
+        )
+        try:
+            _publish(path, new_v, manifest)
+            return new_v
+        except ConcurrentWriteError as e:
+            last_err = e
+            continue
+    raise ConcurrentWriteError(
+        f"append to {path} lost the publish race {max_retries} times"
+    ) from last_err
+
+
+def _append_precheck(path: str, new_schema: dict) -> tuple:
+    """Pre-write guards shared by every reconciling append writer: reject a
+    revived dropped slot, a shadowed renamed slot, or a drop/retype against
+    the CURRENT latest schema — all before any file lands.  Returns the
+    latest (col_map, dropped_phys, table_cons) the data must be written
+    under."""
     latest0 = latest_version(path)
     m_latest0 = read_manifest(path, latest0) if latest0 else {}
     prev_schema0 = m_latest0.get("schema")
@@ -829,105 +861,102 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
                 f"append to {path} rejected before any file landed: "
                 f"dropped columns {sorted(dropped)}, retyped {sorted(retyped)}"
             )
-    commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
-    _write_commit_checked(df, commit_dir, col_map, table_cons, path)
-    new_counts = _data_files(commit_dir)
+    return col_map, dropped_phys, table_cons
+
+
+def _rebase_append_manifest(
+    spark: SparkSession,
+    path: str,
+    *,
+    new_counts: "dict[str, int]",
+    new_schema: dict,
+    has_row_id: bool,
+    col_map: dict,
+    dropped_phys: set,
+    table_cons: dict,
+    stats_cache: dict,
+) -> "tuple[int, dict]":
+    """ONE rebase attempt of an append whose data files are already staged:
+    build the manifest against the CURRENT latest version — files, rows,
+    deletion vectors (an append removes nothing, so every carried-over file
+    keeps its vector; publishing without them would RESURRECT deleted
+    rows), row-tracking watermark, maintained stats/bloom indexes, additive
+    schema union (re-validated against the manifest actually rebased onto —
+    ADVICE r8), and the column-map / constraint drift guards.  Returns
+    ``(new_v, manifest)`` ready for :func:`_publish`; ``stats_cache``
+    memoizes footer stats across retries."""
     new_files = list(new_counts)
-    new_stats: dict | None = None
-    last_err: ConcurrentWriteError | None = None
-    for _ in range(max_retries):
-        prev_v = latest_version(path)
-        prev_manifest = read_manifest(path, prev_v) if prev_v else {}
-        prev_files = prev_manifest.get("files", [])
-        new_v = prev_v + 1
-        os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
-        manifest = {
-            "version": new_v,
-            "mode": "append",
-            "files": sorted(prev_files) + new_files,
-        }
-        prev_rows = prev_manifest.get("rows", {})
-        manifest["rows"] = {
-            **{f: prev_rows[f] for f in prev_files if f in prev_rows},
-            **new_counts,
-        }
-        # deletion vectors ride the manifest (same contract as plain
-        # :func:`commit`): an append removes nothing, so every carried-over
-        # file keeps its vector — publishing without them would RESURRECT
-        # the rows a concurrent (or prior) delete_where_dv removed.
-        prev_dv = prev_manifest.get("dv", {})
-        dv = {f: prev_dv[f] for f in prev_files if f in prev_dv}
-        if dv:
-            manifest["dv"] = dv
-        _carry_row_tracking(
-            manifest, prev_manifest, manifest["files"], new_counts, has_row_id
-        )
-        prev_stats = prev_manifest.get("stats", {})
-        if prev_stats:
-            # maintain the skipping index across the reconciled append
-            # (footer reads once, reused on retry)
-            if new_stats is None:
-                cols = sorted({c for st in prev_stats.values() for c in st})
-                new_stats = _file_stats(new_files, cols)
-            manifest["stats"] = {**prev_stats, **new_stats}
-        prev_bloom_cols = prev_manifest.get("bloom_cols")
-        if prev_bloom_cols:
-            if not os.path.exists(_bloom_sidecar(new_files[0])):
-                _write_file_blooms(df.sparkSession, new_files, prev_bloom_cols)
-            manifest["bloom_cols"] = prev_bloom_cols
-        prev_schema = prev_manifest.get("schema")
-        if prev_schema is not None:
-            # Re-validate against the manifest we are ACTUALLY rebasing onto
-            # (ADVICE r8): after losing a publish race the winner may have
-            # evolved the schema; without this the {**prev, **new} union
-            # below would silently merge a drop/retype the pre-write check
-            # never saw.
-            dropped = {c for c in prev_schema if c not in new_schema}
-            retyped = {c for c in prev_schema
-                       if c in new_schema and new_schema[c] != prev_schema[c]}
-            if dropped or retyped:
-                raise SchemaEnforcementError(
-                    f"append to {path} rejected at publish (rebased onto "
-                    f"v{prev_v}): dropped columns {sorted(dropped)}, "
-                    f"retyped {sorted(retyped)}"
-                )
-        manifest["schema"] = (
-            new_schema if prev_schema is None else {**prev_schema, **new_schema}
-        )
-        if (dict(prev_manifest.get("column_map", {})) != col_map
-                or set(prev_manifest.get("dropped_physical", [])) != dropped_phys):
-            raise ConcurrentWriteError(
-                f"append to {path}: column mapping changed concurrently "
-                "(a rename/drop landed between write and publish); the "
-                "files were written under the old physical mapping — retry "
-                "the whole commit"
+    prev_v = latest_version(path)
+    prev_manifest = read_manifest(path, prev_v) if prev_v else {}
+    prev_files = prev_manifest.get("files", [])
+    new_v = prev_v + 1
+    os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
+    manifest = {
+        "version": new_v,
+        "mode": "append",
+        "files": sorted(prev_files) + new_files,
+    }
+    prev_rows = prev_manifest.get("rows", {})
+    manifest["rows"] = {
+        **{f: prev_rows[f] for f in prev_files if f in prev_rows},
+        **new_counts,
+    }
+    prev_dv = prev_manifest.get("dv", {})
+    dv = {f: prev_dv[f] for f in prev_files if f in prev_dv}
+    if dv:
+        manifest["dv"] = dv
+    _carry_row_tracking(
+        manifest, prev_manifest, manifest["files"], new_counts, has_row_id
+    )
+    prev_stats = prev_manifest.get("stats", {})
+    if prev_stats:
+        if "stats" not in stats_cache:
+            cols = sorted({c for st in prev_stats.values() for c in st})
+            stats_cache["stats"] = _file_stats(new_files, cols)
+        manifest["stats"] = {**prev_stats, **stats_cache["stats"]}
+    prev_bloom_cols = prev_manifest.get("bloom_cols")
+    if prev_bloom_cols:
+        if not os.path.exists(_bloom_sidecar(new_files[0])):
+            _write_file_blooms(spark, new_files, prev_bloom_cols)
+        manifest["bloom_cols"] = prev_bloom_cols
+    prev_schema = prev_manifest.get("schema")
+    if prev_schema is not None:
+        dropped = {c for c in prev_schema if c not in new_schema}
+        retyped = {c for c in prev_schema
+                   if c in new_schema and new_schema[c] != prev_schema[c]}
+        if dropped or retyped:
+            raise SchemaEnforcementError(
+                f"append to {path} rejected at publish (rebased onto "
+                f"v{prev_v}): dropped columns {sorted(dropped)}, "
+                f"retyped {sorted(retyped)}"
             )
-        if col_map:
-            manifest["column_map"] = col_map
-        if dropped_phys:
-            manifest["dropped_physical"] = sorted(dropped_phys)
-        if dict(prev_manifest.get("constraints", {})) != table_cons:
-            # a concurrent add/drop_table_constraint landed between write
-            # and publish: these rows were validated against the OLD set,
-            # and a silent carry-forward of table_cons would also DROP the
-            # winner's new constraint from the published manifest
-            raise ConcurrentWriteError(
-                f"append to {path}: table constraints changed concurrently "
-                "(a constraint was added/dropped between write and publish); "
-                "the rows were validated against the old set — retry the "
-                "whole commit"
-            )
-        if table_cons:
-            manifest["constraints"] = table_cons
-        try:
-            _publish(path, new_v, manifest)
-            return new_v
-        except ConcurrentWriteError as e:
-            last_err = e
-            continue
-    raise ConcurrentWriteError(
-        f"append to {path} lost the publish race {max_retries} times"
-    ) from last_err
+    manifest["schema"] = (
+        new_schema if prev_schema is None else {**prev_schema, **new_schema}
+    )
+    if (dict(prev_manifest.get("column_map", {})) != col_map
+            or set(prev_manifest.get("dropped_physical", [])) != dropped_phys):
+        raise ConcurrentWriteError(
+            f"append to {path}: column mapping changed concurrently "
+            "(a rename/drop landed between write and publish); the "
+            "files were written under the old physical mapping — retry "
+            "the whole commit"
+        )
+    if col_map:
+        manifest["column_map"] = col_map
+    if dropped_phys:
+        manifest["dropped_physical"] = sorted(dropped_phys)
+    if dict(prev_manifest.get("constraints", {})) != table_cons:
+        # rows were validated against the OLD set, and a silent carry
+        # would also DROP the winner's new constraint from the manifest
+        raise ConcurrentWriteError(
+            f"append to {path}: table constraints changed concurrently "
+            "(a constraint was added/dropped between write and publish); "
+            "the rows were validated against the old set — retry the "
+            "whole commit"
+        )
+    if table_cons:
+        manifest["constraints"] = table_cons
+    return new_v, manifest
 
 
 def commit_rewrite_with_retry(
@@ -1080,6 +1109,225 @@ def commit_rewrite_with_retry(
     raise ConcurrentWriteError(
         f"rewrite of {path} lost the publish race {max_retries} times"
     ) from last_err
+
+
+def _txn_dir(path: str) -> str:
+    return os.path.join(path, _SNAP_DIR, "txn")
+
+
+def _txn_status(status_path: str) -> str:
+    """Read a transaction's status: 'committed' / 'aborted' / 'pending'.
+    A missing file reads as 'pending' (conservative: never surface a
+    version whose transaction outcome is unknown)."""
+    try:
+        with open(status_path) as f:
+            return json.load(f).get("status", "pending")
+    except FileNotFoundError:
+        return "pending"
+
+
+def _write_txn_status(status_path: str, doc: dict) -> None:
+    os.makedirs(os.path.dirname(status_path), exist_ok=True)
+    tmp = f"{status_path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, sort_keys=True)
+    os.replace(tmp, status_path)
+
+
+def commit_transaction(
+    frames: "list[tuple[DataFrame, str]]",
+    *,
+    max_retries: int = 5,
+) -> dict:
+    """MULTI-TABLE ATOMIC TRANSACTION (append-only) — the medallion
+    consistency primitive neither Delta nor per-table Iceberg gives you:
+    land one batch across N tables (fact + derived, bronze + audit) with
+    ALL-OR-NOTHING durability.
+
+    Protocol (two-phase, coordinator = a status file in the FIRST table's
+    log):
+
+    1. STAGE: every table's data files land in a uniquely-named commit
+       directory (schema/constraint/column-map validation exactly as
+       :func:`commit_with_retry`) — no manifest published, nothing visible.
+    2. INTENT: one status file records {txn_id, pending, tables:[...]}
+       atomically, carrying everything recovery needs.
+    3. PUBLISH: each table's manifest publishes through the reconciling
+       append rebase (:func:`_rebase_append_manifest` — concurrent
+       independent appends are absorbed), stamped ``txn: {id, status}``.
+    4. COMMIT: the status file flips to 'committed' (one atomic rename —
+       THE commit point).
+
+    Crash/contention outcomes: nothing published → the transaction aborts
+    cleanly (staged dirs deleted, status 'aborted'); some tables published
+    → the log is repaired FORWARD by :func:`recover_transactions` (data is
+    already durable; the remaining publishes are metadata-only).  Readers
+    wanting transactional visibility use :func:`read_version_committed`,
+    which skips top-of-log versions whose transaction is still pending;
+    plain :func:`read_version` keeps its usual read-latest semantics (the
+    documented read-uncommitted caveat, same as tailing any log store).
+    Independent commits that rebase ON TOP of a pending transaction adopt
+    its files — read-committed, not serializable, stated honestly.
+
+    Returns {"txn_id", "versions": {path: version}}."""
+    if len(frames) < 2:
+        raise ValueError("commit_transaction needs >= 2 tables (use commit)")
+    paths = [p for _, p in frames]
+    if len(set(os.path.realpath(p) for p in paths)) != len(paths):
+        raise ValueError("commit_transaction: duplicate table paths")
+    txn_id = uuid.uuid4().hex[:16]
+    staged = []
+    for df, path in frames:
+        has_row_id = _ROW_ID in df.columns
+        new_schema = {f.name: f.dataType.simpleString()
+                      for f in df.schema.fields if f.name != _ROW_ID}
+        col_map, dropped_phys, table_cons = _append_precheck(path, new_schema)
+        commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
+        _write_commit_checked(df, commit_dir, col_map, table_cons, path)
+        staged.append({
+            "path": path, "commit_dir": commit_dir,
+            "new_schema": new_schema, "has_row_id": has_row_id,
+            "spark": df.sparkSession,
+        })
+    status_path = os.path.join(_txn_dir(paths[0]), f"{txn_id}.json")
+    _write_txn_status(status_path, {
+        "txn_id": txn_id, "status": "pending",
+        "tables": [
+            {"path": s["path"], "commit_dir": s["commit_dir"],
+             "new_schema": s["new_schema"], "has_row_id": s["has_row_id"]}
+            for s in staged
+        ],
+    })
+    versions: "dict[str, int]" = {}
+    for i, s in enumerate(staged):
+        try:
+            versions[s["path"]] = _publish_txn_table(
+                s["spark"], s, txn_id, status_path, max_retries
+            )
+        except (ConcurrentWriteError, SchemaEnforcementError):
+            if i == 0:
+                # nothing visible anywhere: clean abort
+                for t in staged:
+                    shutil.rmtree(t["commit_dir"], ignore_errors=True)
+                _write_txn_status(status_path, {
+                    "txn_id": txn_id, "status": "aborted",
+                })
+            # else: partially published — stays 'pending'; data is durable,
+            # recover_transactions(paths[0]) rolls the log forward
+            raise
+    _write_txn_status(status_path, {"txn_id": txn_id, "status": "committed"})
+    return {"txn_id": txn_id, "versions": versions}
+
+
+def _publish_txn_table(
+    spark, entry: dict, txn_id: str, status_path: str, max_retries: int
+) -> int:
+    """Publish ONE staged transaction table through the reconciling append
+    rebase, stamping the manifest with the transaction marker."""
+    new_counts = _data_files(entry["commit_dir"])
+    col_map, dropped_phys, table_cons = _append_precheck(
+        entry["path"], entry["new_schema"]
+    )
+    stats_cache: dict = {}
+    last_err = None
+    for _ in range(max_retries):
+        new_v, manifest = _rebase_append_manifest(
+            spark, entry["path"],
+            new_counts=new_counts, new_schema=entry["new_schema"],
+            has_row_id=entry["has_row_id"], col_map=col_map,
+            dropped_phys=dropped_phys, table_cons=table_cons,
+            stats_cache=stats_cache,
+        )
+        manifest["txn"] = {"id": txn_id, "status": status_path}
+        try:
+            _publish(entry["path"], new_v, manifest)
+            return new_v
+        except ConcurrentWriteError as e:
+            last_err = e
+            continue
+    raise ConcurrentWriteError(
+        f"txn {txn_id}: table {entry['path']} lost the publish race "
+        f"{max_retries} times"
+    ) from last_err
+
+
+def recover_transactions(spark: SparkSession, coordinator_path: str) -> dict:
+    """Repair the log after a crashed/contended :func:`commit_transaction`
+    whose coordinator lives in ``coordinator_path``'s log: a pending
+    transaction with NO published table aborts (staged dirs deleted); one
+    with SOME published tables rolls FORWARD (the remaining manifests
+    publish from the already-durable staged files, then the status flips
+    committed).  Idempotent; returns {txn_id: outcome}."""
+    d = _txn_dir(coordinator_path)
+    out: "dict[str, str]" = {}
+    if not os.path.isdir(d):
+        return out
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".json"):
+            continue
+        status_path = os.path.join(d, name)
+        with open(status_path) as f:
+            doc = json.load(f)
+        if doc.get("status") != "pending" or "tables" not in doc:
+            continue
+        txn_id = doc["txn_id"]
+        published: "dict[str, int]" = {}
+        unpublished = []
+        for t in doc["tables"]:
+            v = _find_txn_version(t["path"], txn_id)
+            if v:
+                published[t["path"]] = v
+            else:
+                unpublished.append(t)
+        if not published:
+            for t in doc["tables"]:
+                shutil.rmtree(t["commit_dir"], ignore_errors=True)
+            _write_txn_status(status_path, {"txn_id": txn_id, "status": "aborted"})
+            out[txn_id] = "aborted"
+            continue
+        for t in unpublished:
+            entry = {**t, "spark": spark}
+            _publish_txn_table(spark, entry, txn_id, status_path, max_retries=5)
+        _write_txn_status(status_path, {"txn_id": txn_id, "status": "committed"})
+        out[txn_id] = "committed" if unpublished else "already_complete"
+    return out
+
+
+def _find_txn_version(path: str, txn_id: str) -> int:
+    """The version a transaction published at ``path`` (0 if none).  Walks
+    the log newest-first; transaction versions sit near the top by
+    construction (a real catalog would index txn -> version)."""
+    v = latest_version(path)
+    while v >= 1:
+        m = read_manifest(path, v)
+        if (m.get("txn") or {}).get("id") == txn_id:
+            return v
+        v -= 1
+    return 0
+
+
+def latest_committed_version(path: str) -> int:
+    """The newest version whose transaction (if any) is COMMITTED — the
+    anchor for transactionally-consistent reads.  Skips top-of-log versions
+    published by a still-pending :func:`commit_transaction`."""
+    v = latest_version(path)
+    while v >= 1:
+        t = read_manifest(path, v).get("txn")
+        if not t or _txn_status(t["status"]) == "committed":
+            return v
+        v -= 1
+    return 0
+
+
+def read_version_committed(spark: SparkSession, path: str) -> DataFrame:
+    """Read the table at :func:`latest_committed_version` — a consumer that
+    must never observe half of a multi-table transaction reads every
+    participating table through this (all tables' pending versions point at
+    the SAME status file, so the cut is consistent)."""
+    v = latest_committed_version(path)
+    if v == 0:
+        raise ValueError(f"{path} has no committed versions")
+    return read_version(spark, path, v)
 
 
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -1670,10 +1918,19 @@ def merge_upsert(
     delta: DataFrame,
     *,
     key: str,
+    allow_schema_evolution: bool = False,
 ) -> dict:
     """MERGE INTO the latest snapshot (upsert): rows of ``delta`` whose
     ``key`` exists in the table REPLACE the current row; new keys are
     inserted — one copy-on-write commit.
+
+    ``allow_schema_evolution=True`` is Delta's ``withSchemaEvolution()``:
+    a delta carrying NEW columns widens the table schema additively
+    (surviving rows of rewritten files and all carried-over files read the
+    new columns as NULL via :func:`read_version_merged`); a delta MISSING
+    existing columns fills them with NULL on its own rows (whole-row
+    replace semantics).  Without the flag both directions raise — silent
+    widening is how a typo'd producer forks a 100 TB schema.
 
     The Delta-style file pruning is the point at 100 TB: only data files
     that actually CONTAIN a matched key are rewritten.  The touched-file
@@ -1690,8 +1947,13 @@ def merge_upsert(
     m = read_manifest(path, latest_version(path))
     # lineage-bearing scan: __file is the decoded manifest path captured at
     # the leaves (safe across shuffles, DV-aware — deleted rows can neither
-    # match nor survive), replacing the old input_file_name() tagging
-    current = _scan_files(spark, m["files"], m, with_lineage=True)
+    # match nor survive), replacing the old input_file_name() tagging.
+    # merge_schema: on an additively-evolved table the survivors must carry
+    # the FULL table schema, or the rewrite would silently drop the newest
+    # columns from every surviving row (schema sampled from an old file).
+    current = _scan_files(
+        spark, m["files"], m, with_lineage=True, merge_schema=True
+    )
     keys = delta.select(key).distinct()
     touched_set = {
         r["__file"]
@@ -1711,7 +1973,9 @@ def merge_upsert(
         .drop("__file", "__pos")
         .join(keys, key, "left_anti")
     )
-    new_rows = survivors.unionByName(delta)
+    new_rows = survivors.unionByName(
+        delta, allowMissingColumns=allow_schema_evolution
+    )
     v = commit(new_rows, path, replace=lambda f: f in touched_set)
     return {"version": v, "files_total": n_total, "files_rewritten": len(touched_set)}
 

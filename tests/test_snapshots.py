@@ -2573,3 +2573,39 @@ def test_txn_crash_before_any_publish_recovery_aborts(spark, tmp_path, monkeypat
     out = snapshots.recover_transactions(spark, a)
     assert list(out.values()) == ["aborted"]
     assert snapshots.latest_version(a) == 1 and snapshots.latest_version(b) == 1
+
+
+def test_row_tracking_preserved_through_mor_update(spark, tmp_path):
+    """update_where_dv on a tracked table PRESERVES row ids: the post-image
+    files materialize the pre-image ids (Delta preserved row tracking), so
+    a row keeps its identity across the update and the watermark does not
+    grow."""
+    path = str(tmp_path / "t")
+    snapshots.commit(_sorted1(spark.range(0, 10).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS val")), path)
+    snapshots.enable_row_tracking(path)
+    before = dict(
+        (r.id, r._row_id)
+        for r in snapshots.read_version_row_ids(spark, path).collect()
+    )
+    wm0 = snapshots.read_manifest(
+        path, snapshots.latest_version(path))["row_id_watermark"]
+    st = snapshots.update_where_dv(
+        spark, path, F.col("id") % 2 == 0, {"val": F.col("val") + 100}
+    )
+    assert st["rows_updated"] == 5
+    after = {
+        r.id: (r._row_id, r.val)
+        for r in snapshots.read_version_row_ids(spark, path).collect()
+    }
+    for k, rid in before.items():
+        assert after[k][0] == rid  # identity stable through the update
+    assert after[0][1] == 100.0 and after[1][1] == 1.0
+    m = snapshots.read_manifest(path, snapshots.latest_version(path))
+    assert m["row_id_watermark"] == wm0  # no fresh ids minted
+    import pytest
+
+    with pytest.raises(ValueError, match="reserved"):
+        snapshots.update_where_dv(
+            spark, path, F.col("id") == 1, {"_row_id": F.lit(99)}
+        )

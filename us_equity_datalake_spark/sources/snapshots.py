@@ -1395,11 +1395,20 @@ def enable_row_tracking(path: str) -> int:
     return new_v
 
 
-def _attach_row_ids(spark: SparkSession, files: "list[str]", manifest: dict) -> DataFrame:
+def _attach_row_ids(
+    spark: SparkSession,
+    files: "list[str]",
+    manifest: dict,
+    *,
+    with_lineage: bool = False,
+) -> DataFrame:
     """Scan ``files`` with the stable ``_row_id`` attached: position-derived
     files compute base + row position (the base map is manifest-sized and
     broadcast); materialized files read their physical column.  DVs and the
-    column map apply through :func:`_scan_files` as on any other read."""
+    column map apply through :func:`_scan_files` as on any other read.
+    ``with_lineage=True`` additionally keeps ``__file``/``__pos`` — the
+    id-preserving mutators need both the row identity AND the physical
+    address of the pre-image."""
     from pyspark.sql import functions as F
 
     if not manifest.get("row_tracking"):
@@ -1419,14 +1428,20 @@ def _attach_row_ids(spark: SparkSession, files: "list[str]", manifest: dict) -> 
         bdf = spark.createDataFrame(
             [(f, int(base[f])) for f in derived], "__file string, __base long"
         )
+        keyed = df.join(F.broadcast(bdf), "__file").withColumn(
+            _ROW_ID, (F.col("__base") + F.col("__pos")).cast("long")
+        ).drop("__base")
         frames.append(
-            df.join(F.broadcast(bdf), "__file")
-            .withColumn(_ROW_ID, (F.col("__base") + F.col("__pos")).cast("long"))
-            .drop("__file", "__pos", "__base")
+            keyed if with_lineage else keyed.drop("__file", "__pos")
         )
     mat_files = sorted(mat & set(files))
     if mat_files:
-        frames.append(_scan_files(spark, mat_files, manifest, keep_row_id=True))
+        frames.append(
+            _scan_files(
+                spark, mat_files, manifest,
+                keep_row_id=True, with_lineage=with_lineage,
+            )
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -2447,7 +2462,15 @@ def update_where_dv(
     if v0 == 0:
         raise ValueError(f"update_where_dv of {path}: table has no commits")
     m0 = read_manifest(path, v0)
-    live = _scan_files(spark, m0["files"], m0, with_lineage=True)
+    # row tracking: thread _row_id through the pre-image scan so the
+    # post-image files MATERIALIZE the same ids — a row keeps its identity
+    # across an UPDATE (Delta's preserved row tracking), which is what lets
+    # a consumer pair CDF pre/post images by id instead of by key
+    live = (
+        _attach_row_ids(spark, m0["files"], m0, with_lineage=True)
+        if m0.get("row_tracking")
+        else _scan_files(spark, m0["files"], m0, with_lineage=True)
+    )
     matched = live.where(F.coalesce(predicate, F.lit(False)))
     updates = _collect_dv_updates(
         matched.select("__file", "__pos"), set(m0["files"]), "update_where_dv"
@@ -2462,6 +2485,8 @@ def update_where_dv(
         }
     new_images = matched.drop("__file", "__pos")
     existing = {f.name: f.dataType for f in new_images.schema.fields}
+    if _ROW_ID in assignments:
+        raise ValueError(f"update_where_dv: {_ROW_ID!r} is reserved")
     for col, expr in assignments.items():
         # the Delta UPDATE contract: an assignment to an EXISTING column is
         # cast back to that column's type (arithmetic widening — e.g.

@@ -161,6 +161,22 @@ HEAVY = [
     # round 11: two threaded DV deleters through the rebase loop — cost is
     # the two predicate scans + hit-bounded sidecar writes
     "lake_concurrent_dv_report",
+    # round 11: DV carry through the retry writers — a delete + re-insert +
+    # disjoint rewrite; cost is the three commits (hit-bounded sidecars)
+    "lake_dv_retry_append_report",
+    # round 11: row tracking — the id-attach adds one manifest-sized
+    # broadcast join per arm; the OPTIMIZE rewrite materializes ids inline
+    "lake_row_tracking_report",
+    # round 11: two-table transaction + injected crash + roll-forward — all
+    # coordination is manifest/status-file-sized; data cost is the batches
+    "lake_txn_report",
+    # round 11: merge-with-evolution — the same pruned copy-on-write rewrite
+    # as lake_merge_upsert_report plus one mergeSchema survivors scan
+    "lake_merge_evolve_report",
+    # round 11 quant: per-date moments broadcast back over the returns (two
+    # exchanges); the pair matrix is k-bounded and broadcast
+    "xsec_zscore_report",
+    "pairwise_corr_matrix",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

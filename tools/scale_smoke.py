@@ -177,6 +177,12 @@ HEAVY = [
     # exchanges); the pair matrix is k-bounded and broadcast
     "xsec_zscore_report",
     "pairwise_corr_matrix",
+    # round 11: membership turnover (k-bounded book self-join), IC decay
+    # (one window pass for lag + three leads, per-day rank exchanges), and
+    # the id-joined pre/post lineage read (two id-attached scans + one join)
+    "portfolio_turnover_report",
+    "factor_ic_decay",
+    "lake_row_lineage_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

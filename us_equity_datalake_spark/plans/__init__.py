@@ -50,6 +50,9 @@ _GRADING_PRIORITY = [
     "pairwise_corr_matrix",
     "lake_merge_evolve_report",
     "lake_txn_report",
+    "lake_row_lineage_report",
+    "portfolio_turnover_report",
+    "factor_ic_decay",
     "streaming_change_feed_source_sink",
     "streaming_cdc_replica_sink",
     "lake_concurrent_dv_report",

@@ -2861,3 +2861,78 @@ def lake_txn_q(spark, sf_dir):
         snapshots.latest_committed_version(der_p),
     ))
     return pre.unionByName(post)
+
+
+@register(
+    "lake_row_lineage_report",
+    oracle=f"""
+    WITH ids AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders
+    )
+    SELECT bucket, n_rows, pre_sum, post_sum, id_sum FROM (
+      SELECT 'updated' AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {dec_sum_sql('o_totalprice')} AS pre_sum,
+             {dec_sum_sql('o_totalprice * 2')} AS post_sum,
+             CAST(SUM(rid) AS BIGINT) AS id_sum
+      FROM ids WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT 'unchanged', CAST(COUNT(*) AS BIGINT),
+             {dec_sum_sql('o_totalprice')}, {dec_sum_sql('o_totalprice')},
+             CAST(SUM(rid) AS BIGINT)
+      FROM ids WHERE o_orderkey % 10 <> 0
+    )
+    """,
+    doc="ROW LINEAGE ACROSS AN UPDATE (r11; the preserved-row-tracking "
+    "payoff): pre- and post-update snapshots are read with their stable "
+    "_row_id and JOINED ON THE ID — not the business key — pairing each "
+    "row's two states.  update_where_dv materializes the pre-image ids "
+    "into its post-image files, so the id-join pairs every row exactly "
+    "once: updated rows show post = 2x pre, unchanged rows show post = "
+    "pre, and the id sums prove the identity set is THE SAME on both "
+    "sides (no id minted, none lost).  At 100 TB this is the audit-trail "
+    "contract: an incremental consumer keyed on _row_id follows a row "
+    "through updates without knowing the business key.",
+)
+def lake_row_lineage_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_rl_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    snapshots.commit(
+        orders.repartition(1).sortWithinPartitions("o_orderkey"), root
+    )                                                            # v1
+    snapshots.enable_row_tracking(root)                          # v2
+    snapshots.update_where_dv(                                   # v3
+        spark, root, F.col("o_orderkey") % 10 == 0,
+        {"o_totalprice": F.col("o_totalprice") * 2},
+    )
+    pre = snapshots.read_version_row_ids(spark, root, 2).select(
+        "_row_id", F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("pre_price"),
+    )
+    post = snapshots.read_version_row_ids(spark, root, 3).select(
+        "_row_id", F.col("o_totalprice").alias("post_price"),
+    )
+    return (
+        pre.join(post, "_row_id")
+        .withColumn(
+            "bucket",
+            F.when(F.col("k") % 10 == 0, F.lit("updated"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("pre_price")).alias("pre_sum"),
+            dec_sum(F.col("post_price")).alias("post_sum"),
+            F.sum("_row_id").cast("long").alias("id_sum"),
+        )
+    )

@@ -1016,3 +1016,189 @@ def pairwise_corr_q(spark, sf_dir):
             6,
         ).alias("corr"),
     )
+
+
+@register(
+    "portfolio_turnover_report",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    topk AS (
+      SELECT d, security_id FROM (
+        SELECT d, security_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d ORDER BY close DESC, security_id) AS rn
+        FROM daily
+      ) WHERE rn <= 10
+    ),
+    dd AS (SELECT d, DENSE_RANK() OVER (ORDER BY d) AS di
+           FROM (SELECT DISTINCT d FROM topk)),
+    t AS (SELECT dd.di, topk.security_id FROM topk JOIN dd USING (d)),
+    j AS (
+      SELECT COALESCE(a.di, b.di + 1) AS di,
+             a.security_id AS cur, b.security_id AS prev
+      FROM t a FULL JOIN t b
+        ON a.security_id = b.security_id AND a.di = b.di + 1
+    ),
+    g AS (
+      SELECT di,
+             CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_entered,
+             CAST(SUM(CASE WHEN cur IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exited,
+             CAST(SUM(CASE WHEN cur IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+             CAST(SUM(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prev
+      FROM j GROUP BY di
+    )
+    SELECT dd.d, g.n_entered, g.n_exited,
+           ROUND(CAST(g.n_entered + g.n_exited AS DOUBLE)
+                 / (g.n_cur + g.n_prev), 6) AS turnover
+    FROM g JOIN dd ON g.di = dd.di
+    WHERE g.di > 1
+    """,
+    doc="PORTFOLIO MEMBERSHIP TURNOVER — the rebalance-cost staple: each "
+    "day's equal-weight book is the top-10 securities by close "
+    "(deterministic tiebreak); turnover between consecutive trading days "
+    "= (entries + exits) / (|book_t| + |book_t-1|) — pure integer set "
+    "arithmetic, so the grade is exact across engines.  Consecutive days "
+    "pair through a FULL OUTER self-join on (security, day-index): one "
+    "shuffle of the k-bounded membership table, never of the bar table; "
+    "at 100 TB the book is policy-bounded and the join side broadcasts.",
+)
+def portfolio_turnover_q(spark, sf_dir):
+    daily = _daily(spark, sf_dir)
+    wd = Window.partitionBy("d").orderBy(F.desc("close"), "security_id")
+    topk = (
+        daily.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") <= 10).select("d", "security_id")
+    )
+    dd = topk.select("d").distinct().withColumn(
+        "di", F.dense_rank().over(Window.orderBy("d"))
+    )
+    t = topk.join(F.broadcast(dd), "d").select("di", "security_id")
+    a = t.select(F.col("di").alias("dia"), F.col("security_id").alias("cur"))
+    b = t.select((F.col("di") + 1).alias("dib"), F.col("security_id").alias("prev"))
+    j = a.join(
+        b, (a["cur"] == b["prev"]) & (a["dia"] == b["dib"]), "full_outer"
+    ).select(
+        F.coalesce(F.col("dia"), F.col("dib")).alias("di"), "cur", "prev"
+    )
+    g = j.groupBy("di").agg(
+        F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0)).cast("long").alias("n_entered"),
+        F.sum(F.when(F.col("cur").isNull(), 1).otherwise(0)).cast("long").alias("n_exited"),
+        F.sum(F.when(F.col("cur").isNotNull(), 1).otherwise(0)).cast("long").alias("n_cur"),
+        F.sum(F.when(F.col("prev").isNotNull(), 1).otherwise(0)).cast("long").alias("n_prev"),
+    )
+    return (
+        g.where(F.col("di") > 1)
+        .join(F.broadcast(dd), "di")
+        .select(
+            "d", "n_entered", "n_exited",
+            F.round(
+                (F.col("n_entered") + F.col("n_exited")).cast("double")
+                / (F.col("n_cur") + F.col("n_prev")), 6,
+            ).alias("turnover"),
+        )
+    )
+
+
+def _ic_arm_sql(h: int) -> str:
+    return f"""
+      SELECT CAST({h} AS BIGINT) AS horizon,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             {dec_sum_sql('ic')} AS ic_sum,
+             ROUND({dec_sum_sql('ic')} / COUNT(*), 6) AS avg_ic
+      FROM (
+        SELECT d,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                            * CAST((n * syy - sy * sy) AS DOUBLE)), 6) AS ic
+        FROM (
+          SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(rx * ry) AS sxy, SUM(rx) AS sx, SUM(ry) AS sy,
+                 SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+          FROM (
+            SELECT d,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY d ORDER BY factor, security_id) AS BIGINT) AS rx,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY d ORDER BY f{h}, security_id) AS BIGINT) AS ry
+            FROM obs WHERE f{h} IS NOT NULL
+          ) GROUP BY d
+        ) WHERE n >= 5
+      )
+    """
+
+
+@register(
+    "factor_ic_decay",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    rets AS (
+      SELECT security_id, d,
+             close / LAG(close) OVER (PARTITION BY security_id ORDER BY d) - 1 AS ret,
+             LEAD(close, 1) OVER (PARTITION BY security_id ORDER BY d) / close - 1 AS fwd1,
+             LEAD(close, 5) OVER (PARTITION BY security_id ORDER BY d) / close - 1 AS fwd5,
+             LEAD(close, 10) OVER (PARTITION BY security_id ORDER BY d) / close - 1 AS fwd10
+      FROM daily
+    ),
+    obs AS (
+      SELECT d, security_id, ret AS factor,
+             fwd1 AS f1, fwd5 AS f5, fwd10 AS f10
+      FROM rets WHERE ret IS NOT NULL
+    )
+    {_ic_arm_sql(1)} UNION ALL {_ic_arm_sql(5)} UNION ALL {_ic_arm_sql(10)}
+    """,
+    doc="FACTOR IC DECAY — does the signal survive holding horizons? Per "
+    "horizon h in (1, 5, 10) days: the per-day Spearman rank IC between "
+    "the 1-day-return factor and the h-day FORWARD return (total-ordered "
+    "ranks -> exact BIGINT moment sums -> one deterministic double, the "
+    "factor_rank_ic idiom), then the horizon's average IC as a decimal "
+    "sum of the rounded per-day ICs over the day count.  All three "
+    "horizons share ONE returns frame (one security-window pass computes "
+    "the lag and all three leads); each arm adds only a per-day rank "
+    "exchange — the per-name/per-day partitionings a 100 TB backtest "
+    "engine uses anyway.",
+)
+def factor_ic_decay_q(spark, sf_dir):
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("security_id").orderBy("d")
+    rets = daily.select(
+        "security_id", "d",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("factor"),
+        (F.lead("close", 1).over(w) / F.col("close") - 1).alias("f1"),
+        (F.lead("close", 5).over(w) / F.col("close") - 1).alias("f5"),
+        (F.lead("close", 10).over(w) / F.col("close") - 1).alias("f10"),
+    ).filter(F.col("factor").isNotNull())
+
+    def arm(h):
+        col = f"f{h}"
+        obs = rets.filter(F.col(col).isNotNull())
+        rx = F.row_number().over(
+            Window.partitionBy("d").orderBy("factor", "security_id")
+        ).cast("long")
+        ry = F.row_number().over(
+            Window.partitionBy("d").orderBy(col, "security_id")
+        ).cast("long")
+        ranked = obs.select("d", rx.alias("rx"), ry.alias("ry"))
+        sums = ranked.groupBy("d").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+            F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
+            F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+            F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        ).where(F.col("n") >= 5)
+        n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+        ic = F.round(
+            (n * F.col("sxy") - sx * sy).cast("double")
+            / F.sqrt(
+                (n * F.col("sxx") - sx * sx).cast("double")
+                * (n * F.col("syy") - sy * sy).cast("double")
+            ), 6,
+        )
+        per_day = sums.select(ic.alias("ic"))
+        return per_day.agg(
+            F.lit(h).cast("long").alias("horizon"),
+            F.count("*").cast("long").alias("n_days"),
+            dec_sum(F.col("ic")).alias("ic_sum"),
+            F.round(dec_sum(F.col("ic")) / F.count("*"), 6).alias("avg_ic"),
+        ).select("horizon", "n_days", "ic_sum", "avg_ic")
+
+    return arm(1).unionByName(arm(5)).unionByName(arm(10))

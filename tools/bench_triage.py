@@ -147,6 +147,22 @@ WRITE_PATH = {
     "lake_concurrent_dv_report": "8-file commit + two THREADED deletion-vector "
     "commits through the publish-race rebase loop (the loser re-reads the log and "
     "unions per-file vectors); oracle filters the base table with zero writes",
+    # round 11, second half
+    "lake_dv_retry_append_report": "4-file commit + DV delete + a retry-writer "
+    "re-insert + a disjoint rewrite (the DV-carry contract IS the graded "
+    "behavior); oracle aggregates the base table with zero writes",
+    "lake_row_tracking_report": "two sorted commits + metadata enable + DV delete "
+    "+ a z-ordered OPTIMIZE rewrite + a third commit, then three id-attached "
+    "read-backs; oracle recomputes the id assignment analytically with zero writes",
+    "lake_txn_report": "two tables x three commits each incl. a two-table "
+    "transaction, an INJECTED mid-publish crash, and the roll-forward recovery; "
+    "oracle aggregates the base table with zero writes",
+    "lake_merge_evolve_report": "4-file commit + a REJECTED no-flag merge (the "
+    "graded guard) + the evolving copy-on-write merge + a mergeSchema read-back; "
+    "oracle aggregates the base table",
+    "lake_row_lineage_report": "sorted commit + metadata enable + a MoR UPDATE "
+    "materializing preserved ids, then two id-attached snapshots joined on "
+    "_row_id; oracle recomputes the id assignment analytically",
 }
 
 COMPUTE_NOTES_R7 = {

@@ -1069,6 +1069,8 @@ def portfolio_turnover_q(spark, sf_dir):
         daily.withColumn("rn", F.row_number().over(wd))
         .where(F.col("rn") <= 10).select("d", "security_id")
     )
+    # the global window runs on the DISTINCT-DATES dim (bounded: ~250
+    # rows/year regardless of corpus size), never on the bar table
     dd = topk.select("d").distinct().withColumn(
         "di", F.dense_rank().over(Window.orderBy("d"))
     )

@@ -2609,3 +2609,52 @@ def test_row_tracking_preserved_through_mor_update(spark, tmp_path):
         snapshots.update_where_dv(
             spark, path, F.col("id") == 1, {"_row_id": F.lit(99)}
         )
+
+
+def test_change_feed_row_ids_lineage_and_noop_rewrites(spark, tmp_path):
+    """CDF with row lineage: every change row carries the stable _row_id,
+    update pre/post images PAIR by id, an id-preserving OPTIMIZE emits
+    ZERO change rows, and a CoW rewrite that re-mints ids raises."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    snapshots.commit(_sorted1(spark.range(0, 10).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS val")), path)
+    snapshots.enable_row_tracking(path)                         # v2
+    snapshots.commit(_sorted1(spark.range(100, 104).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS val")), path)              # v3
+    snapshots.update_where_dv(
+        spark, path, F.col("id") % 5 == 0, {"val": F.col("val") * 2}
+    )                                                           # v4
+    snapshots.delete_where_dv(spark, path, F.col("id") % 3 == 0)  # v5
+    snapshots.optimize(spark, path, target_files=1)             # v6: id-preserving
+    feed = snapshots.change_feed_row_ids(spark, path, 2, 6)
+    rows = [(r.change_type, r._row_id, r.id, r.val, r._commit_version)
+            for r in feed.collect()]
+    by_type = {}
+    for t, rid, k, v, cv in rows:
+        by_type.setdefault(t, []).append((rid, k, v, cv))
+    assert sorted(by_type["insert"]) == [
+        (10 + i, 100 + i, float(100 + i), 3) for i in range(4)
+    ]
+    pre = {rid: v for rid, k, v, _ in by_type["update_preimage"]}
+    post = {rid: v for rid, k, v, _ in by_type["update_postimage"]}
+    assert set(pre) == set(post) == {0, 5, 10}
+    assert all(post[i] == 2 * pre[i] for i in pre)
+    # delete includes the updated-then-deleted row 0 (post-image id, 0 id)
+    assert sorted(rid for rid, *_ in by_type["delete"]) == [0, 3, 6, 9, 12]
+    # the optimize transition contributed nothing
+    assert {cv for *_, cv in rows} == {3, 4, 5}
+    # a CoW merge re-mints ids -> the by-id feed refuses past it
+    snapshots.merge_upsert(
+        spark, path,
+        spark.range(1, 2).selectExpr("id", "CAST(999 AS DOUBLE) AS val"),
+        key="id",
+    )                                                           # v7
+    with pytest.raises(ValueError, match="re-minted or removed"):
+        snapshots.change_feed_row_ids(spark, path, 2, 7).count()
+    # feed on an untracked table refuses
+    path2 = str(tmp_path / "u")
+    snapshots.commit(spark.range(3), path2)
+    with pytest.raises(ValueError, match="row tracking"):
+        snapshots.change_feed_row_ids(spark, path2, 0, 1)

@@ -183,6 +183,9 @@ HEAVY = [
     "portfolio_turnover_report",
     "factor_ic_decay",
     "lake_row_lineage_report",
+    # round 11: the id-carrying O(Δ) change feed — pre-images open only the
+    # newly-vectored files; the id-preserving OPTIMIZE contributes zero rows
+    "lake_cdf_row_lineage_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

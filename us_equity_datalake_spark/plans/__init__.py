@@ -51,6 +51,7 @@ _GRADING_PRIORITY = [
     "lake_merge_evolve_report",
     "lake_txn_report",
     "lake_row_lineage_report",
+    "lake_cdf_row_lineage_report",
     "portfolio_turnover_report",
     "factor_ic_decay",
     "streaming_change_feed_source_sink",

@@ -2936,3 +2936,102 @@ def lake_row_lineage_q(spark, sf_dir):
             F.sum("_row_id").cast("long").alias("id_sum"),
         )
     )
+
+
+@register(
+    "lake_cdf_row_lineage_report",
+    oracle=f"""
+    WITH a AS (SELECT o_orderkey AS k, o_totalprice AS p,
+                      ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+               FROM orders WHERE o_orderkey % 2 = 0),
+    b AS (SELECT o_orderkey AS k, o_totalprice AS p,
+                 (SELECT COUNT(*) FROM a)
+                 + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+          FROM orders WHERE o_orderkey % 2 = 1),
+    ab AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT change_type, n_rows, id_sum, price_sum FROM (
+      SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(rid) AS BIGINT) AS id_sum,
+             {dec_sum_sql('p')} AS price_sum
+      FROM b
+      UNION ALL
+      SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(rid) AS BIGINT), {dec_sum_sql('p')}
+      FROM ab WHERE k % 10 = 0
+      UNION ALL
+      SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(rid) AS BIGINT), {dec_sum_sql('p * 2')}
+      FROM ab WHERE k % 10 = 0
+      UNION ALL
+      SELECT 'delete', CAST(COUNT(*) AS BIGINT), CAST(SUM(rid) AS BIGINT),
+             {dec_sum_sql("CASE WHEN k % 10 = 0 THEN p * 2 ELSE p END")}
+      FROM ab WHERE k % 7 = 0
+      UNION ALL
+      SELECT 'update_pairing', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(rid) AS BIGINT), CAST(0.0 AS DOUBLE)
+      FROM ab WHERE k % 10 = 0
+    )
+    """,
+    doc="CHANGE FEED WITH ROW LINEAGE (r11 — CDF + row tracking, the "
+    "contract on Delta's roadmap): every O(Δ)-dispatched change row "
+    "carries the stable _row_id, so the consumer pairs an update's pre- "
+    "and post-image BY IDENTITY (the update_pairing arm joins the two "
+    "sides on _row_id and grades post - 2*pre summing to exactly zero), "
+    "follows an updated-then-deleted row across commits (the delete arm's "
+    "price reflects the v4 update for keys hit by both predicates), and "
+    "sees the trailing z-ordered OPTIMIZE as ZERO change rows — layout "
+    "moved, identity did not (graded implicitly: any optimize-emitted row "
+    "would break every arm's counts).  Pre-images are read raw from ONLY "
+    "the newly-vectored files (the _transition_feed discipline) with ids "
+    "attached from the manifest base map or the materialized column.",
+)
+def lake_cdf_row_lineage_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_cfl_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def slice_sorted(r):
+        return (
+            orders.where(F.col("o_orderkey") % 2 == r)
+            .repartition(1).sortWithinPartitions("o_orderkey")
+        )
+
+    snapshots.commit(slice_sorted(0), root)                      # v1
+    snapshots.enable_row_tracking(root)                          # v2
+    snapshots.commit(slice_sorted(1), root)                      # v3
+    snapshots.update_where_dv(                                   # v4
+        spark, root, F.col("o_orderkey") % 10 == 0,
+        {"o_totalprice": F.col("o_totalprice") * 2},
+    )
+    snapshots.delete_where_dv(spark, root, F.col("o_orderkey") % 7 == 0)  # v5
+    snapshots.optimize(spark, root, target_files=2, zorder_by=["o_orderkey"])  # v6
+    feed = snapshots.change_feed_row_ids(spark, root, 2, 6)
+    per_type = feed.groupBy("change_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("_row_id").cast("long").alias("id_sum"),
+        dec_sum(F.col("o_totalprice")).alias("price_sum"),
+    )
+    pre = feed.where(F.col("change_type") == "update_preimage").select(
+        "_row_id", F.col("o_totalprice").alias("pre_p")
+    )
+    post = feed.where(F.col("change_type") == "update_postimage").select(
+        "_row_id", F.col("o_totalprice").alias("post_p")
+    )
+    pairing = (
+        pre.join(post, "_row_id")
+        .agg(
+            F.lit("update_pairing").alias("change_type"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("_row_id").cast("long").alias("id_sum"),
+            dec_sum(F.col("post_p") - 2 * F.col("pre_p")).alias("price_sum"),
+        )
+        .select("change_type", "n_rows", "id_sum", "price_sum")
+    )
+    return per_type.unionByName(pairing)

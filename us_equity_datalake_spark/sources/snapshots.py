@@ -2708,6 +2708,180 @@ def change_feed_deltas(
     return out
 
 
+def _raw_ids_with_lineage(
+    spark: SparkSession, files: "list[str]", manifest: dict
+) -> DataFrame:
+    """Raw (NO deletion vectors applied) scan of ``files`` with ``__file``,
+    ``__pos`` and the stable ``_row_id`` attached — the pre-image reader
+    for the id-carrying change feed, which must see exactly the rows the
+    current vectors killed.  Column map and dropped slots apply as on any
+    scan."""
+    from pyspark.sql import functions as F
+
+    mat = set(manifest.get("row_id_materialized", []))
+    base = manifest.get("base_row_ids", {})
+    cmap = manifest.get("column_map") or {}
+
+    def raw(file_list):
+        return _apply_col_map(
+            _lineage_cols(
+                _drop_dead_cols(spark.read.parquet(*sorted(file_list)), manifest)
+            ),
+            cmap,
+        )
+
+    frames = []
+    d_files = [f for f in files if f not in mat]
+    if d_files:
+        missing = [f for f in d_files if f not in base]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} files lack a base row id — manifest corrupt"
+            )
+        bdf = spark.createDataFrame(
+            [(f, int(base[f])) for f in d_files], "__file string, __base long"
+        )
+        frames.append(
+            raw(d_files)
+            .join(F.broadcast(bdf), "__file")
+            .withColumn(_ROW_ID, (F.col("__base") + F.col("__pos")).cast("long"))
+            .drop("__base")
+        )
+    m_files = [f for f in files if f in mat]
+    if m_files:
+        frames.append(raw(m_files))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def change_feed_row_ids(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """CHANGE FEED WITH ROW LINEAGE: the O(Δ) per-transition change feed
+    carrying the stable ``_row_id`` on every change row — the contract
+    Delta's roadmap calls CDF + row tracking.  A consumer pairs an
+    update's pre- and post-image BY IDENTITY (update_where_dv materializes
+    the pre-image ids into its post-image files), follows a row across
+    commits without knowing the business key, and sees an id-preserving
+    rewrite (OPTIMIZE / compaction / REORG PURGE) as what it logically is:
+    ZERO change rows — the id set is unchanged, only the layout moved.
+
+    Dispatch per transition (the :func:`_transition_feed` discipline):
+    pure append → added files scanned once ('insert'); ``delete_dv`` /
+    ``update_dv`` → pre-images read raw from ONLY the newly-vectored files
+    and semi-joined against the position delta; an id-preserving rewrite
+    (every replacement file carries materialized ids and the watermark did
+    not move) → no rows; anything else (CoW rewrites that re-mint ids,
+    rollbacks, vector shrink) raises — by-id lineage cannot be
+    reconstructed once identity was re-minted.
+
+    Output columns: ``_row_id``, ``change_type``, ``_commit_version``,
+    then every logical column.  Requires a stable schema across the range.
+    """
+    from pyspark.sql import functions as F
+
+    m_to = read_manifest(path, v_to)
+    if not m_to.get("row_tracking"):
+        raise ValueError(f"change_feed_row_ids: {path} has no row tracking")
+    cols = [c for c in m_to.get("schema", {})]
+    out = None
+    legs = 0
+    for v in range(v_from, v_to):
+        m0, m1 = read_manifest(path, v), read_manifest(path, v + 1)
+        if m0.get("schema") != m1.get("schema") or dict(
+            m0.get("column_map", {})
+        ) != dict(m1.get("column_map", {})):
+            raise ValueError(
+                f"change_feed_row_ids: schema evolved at v{v + 1} — "
+                "re-baseline the consumer across the evolution"
+            )
+        old, new = set(m0["files"]), m1["files"]
+        dv0, dv1 = m0.get("dv", {}), m1.get("dv", {})
+        mode = m1.get("mode")
+        removed = old - set(new)
+        replacement = [f for f in new if f not in old]
+        if removed:
+            preserved = (
+                mode in ("overwrite", "replace", "purge_dv")
+                and m1.get("row_id_watermark") == m0.get("row_id_watermark")
+                and replacement
+                and all(
+                    f in set(m1.get("row_id_materialized", []))
+                    for f in replacement
+                )
+            )
+            if preserved:
+                continue  # layout changed, identity did not: zero change rows
+            raise ValueError(
+                f"change_feed_row_ids: v{v + 1} ({mode}) re-minted or removed "
+                "row identities; by-id lineage stops here — use change_feed"
+            )
+        delta: dict = {}
+        bad = False
+        for f, e in dv1.items():
+            if f not in old:
+                continue  # vectored at birth: those rows never appeared
+            n0 = int(dv0.get(f, {}).get("n", 0))
+            if int(e.get("n", 0)) < n0:
+                bad = True
+            elif int(e.get("n", 0)) > n0:
+                delta[f] = e
+        if bad or any(f in old and f not in dv1 for f in dv0):
+            raise ValueError(
+                f"change_feed_row_ids: v{v + 1} shrank a deletion vector "
+                "without a rewrite — outside the feed's invariants"
+            )
+        parts = []
+        if delta:
+            dead_type = {"delete_dv": "delete", "update_dv": "update_preimage"}.get(mode)
+            if dead_type is None:
+                raise ValueError(
+                    f"change_feed_row_ids: v{v + 1} ({mode}) grew vectors "
+                    "outside a DV commit"
+                )
+            pos = _dv_pos_frame(spark, delta)
+            prev = {f: dv0[f] for f in delta if f in dv0}
+            if prev:
+                pos = pos.join(
+                    _dv_pos_frame(spark, prev), ["__file", "__pos"], "left_anti"
+                )
+            if sum(int(e.get("n", 0)) for e in delta.values()) <= DV_BROADCAST_MAX_POSITIONS:
+                pos = F.broadcast(pos)
+            pre = _raw_ids_with_lineage(spark, sorted(delta), m1).join(
+                pos, ["__file", "__pos"], "left_semi"
+            )
+            parts.append(
+                pre.select(
+                    _ROW_ID, F.lit(dead_type).alias("change_type"),
+                    F.lit(v + 1).cast("long").alias("_commit_version"), *cols,
+                )
+            )
+        added = [f for f in new if f not in old]
+        if added:
+            add_type = "update_postimage" if mode == "update_dv" else "insert"
+            parts.append(
+                _attach_row_ids(spark, added, m1).select(
+                    _ROW_ID, F.lit(add_type).alias("change_type"),
+                    F.lit(v + 1).cast("long").alias("_commit_version"), *cols,
+                )
+            )
+        for p in parts:
+            out = p if out is None else out.unionByName(p)
+            legs += 1
+            if legs >= _FEED_FOLD_EVERY:
+                out = out.localCheckpoint(eager=True)
+                legs = 0
+    if out is None:
+        empty = read_version_row_ids(spark, path, v_to).limit(0)
+        out = empty.select(
+            _ROW_ID, F.lit("insert").alias("change_type"),
+            F.lit(v_to).cast("long").alias("_commit_version"), *cols,
+        )
+    return out
+
+
 def optimize(
     spark: SparkSession,
     path: str,

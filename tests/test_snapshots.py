@@ -2658,3 +2658,78 @@ def test_change_feed_row_ids_lineage_and_noop_rewrites(spark, tmp_path):
     snapshots.commit(spark.range(3), path2)
     with pytest.raises(ValueError, match="row tracking"):
         snapshots.change_feed_row_ids(spark, path2, 0, 1)
+
+
+def test_null_count_stats_and_pruning(spark, tmp_path):
+    """NULL-COUNT skipping (Delta nullCount): stats entries widen to
+    [min, max, null_count, file_rows]; an all-null file records
+    [None, None, n, n] (it has NO min/max, so range pruning must keep it);
+    read_version_null_pruned cuts the file list exactly and never a row."""
+    path = str(tmp_path / "t")
+    null_s = F.lit(None).cast("string")
+    all_null = spark.range(0, 100).select("id", null_s.alias("tag"))
+    no_null = spark.range(100, 200).select(
+        "id", F.concat(F.lit("k"), F.col("id")).alias("tag")
+    )
+    mixed = spark.range(200, 300).select(
+        "id",
+        F.when(F.col("id") % 5 == 0, null_s)
+        .otherwise(F.concat(F.lit("k"), F.col("id")))
+        .alias("tag"),
+    )
+    for g in (all_null, no_null, mixed):
+        snapshots.commit(g.coalesce(1), path, stats_cols=["tag", "id"])
+    m = snapshots.read_manifest(path, snapshots.latest_version(path))
+    by_min = sorted(m["files"], key=lambda f: m["stats"][f]["id"][0])
+    s_allnull = m["stats"][by_min[0]]["tag"]
+    s_nonull = m["stats"][by_min[1]]["tag"]
+    s_mixed = m["stats"][by_min[2]]["tag"]
+    assert s_allnull == [None, None, 100, 100]
+    assert s_nonull[2:] == [0, 100] and s_nonull[0] is not None
+    assert s_mixed[2:] == [20, 100]
+
+    df, info = snapshots.read_version_null_pruned(spark, path, "tag", want_null=True)
+    assert (info["files_total"], info["files_scanned"]) == (3, 2)
+    assert df.where(F.col("tag").isNull()).count() == 120
+    df, info = snapshots.read_version_null_pruned(spark, path, "tag", want_null=False)
+    assert (info["files_total"], info["files_scanned"]) == (3, 2)
+    assert df.where(F.col("tag").isNotNull()).count() == 180
+    # range pruning: the all-null file has no range, conservatively kept
+    df, info = snapshots.read_version_pruned(spark, path, "tag", lo="z")
+    assert info["files_scanned"] == 1  # only the rangeless all-null file
+    assert df.where(F.col("tag") >= "z").count() == 0
+    # int column coexists: range pruning on id still exact over widened entries
+    df, info = snapshots.read_version_pruned(spark, path, "id", hi=50)
+    assert info["files_scanned"] == 1
+    assert df.where(F.col("id") <= 50).count() == 51
+
+
+def test_null_pruning_conservative_without_stats(spark, tmp_path):
+    """Files without a recorded null count are KEPT by both null-pruned
+    directions (the no-stats conservative fallback), and a later commit
+    WITHOUT stats_cols maintains the null index for its new file."""
+    path = str(tmp_path / "t")
+    snapshots.commit(spark.range(0, 50).coalesce(1), path)  # no stats at all
+    _, info = snapshots.read_version_null_pruned(spark, path, "id", want_null=True)
+    assert (info["files_total"], info["files_scanned"]) == (1, 1)
+
+    path2 = str(tmp_path / "t2")
+    null_s = F.lit(None).cast("string")
+    snapshots.commit(
+        spark.range(0, 50).select("id", null_s.alias("tag")).coalesce(1),
+        path2,
+        stats_cols=["tag"],
+    )
+    # maintenance: no stats_cols on the second commit, index re-collected
+    snapshots.commit(
+        spark.range(50, 90)
+        .select("id", F.concat(F.lit("k"), F.col("id")).alias("tag"))
+        .coalesce(1),
+        path2,
+    )
+    df, info = snapshots.read_version_null_pruned(spark, path2, "tag", want_null=True)
+    assert (info["files_total"], info["files_scanned"]) == (2, 1)
+    assert df.where(F.col("tag").isNull()).count() == 50
+    df, info = snapshots.read_version_null_pruned(spark, path2, "tag", want_null=False)
+    assert (info["files_total"], info["files_scanned"]) == (2, 1)
+    assert df.where(F.col("tag").isNotNull()).count() == 40

@@ -163,6 +163,19 @@ WRITE_PATH = {
     "lake_row_lineage_report": "sorted commit + metadata enable + a MoR UPDATE "
     "materializing preserved ids, then two id-attached snapshots joined on "
     "_row_id; oracle recomputes the id assignment analytically",
+    "lake_null_skipping_report": "FOUR one-file commits with footer-lifted null-count "
+    "stats + four manifest-cut pruned reads (IS NULL / IS NOT NULL / range-keeps-"
+    "all-null / post-append maintenance); oracle filters the base table with zero "
+    "writes",
+    "lake_cdf_row_lineage_report": "sorted commit + row-tracking enable + DV delete "
+    "+ MoR UPDATE + OPTIMIZE rewrite commits, then the id-carrying O(Δ) change "
+    "feed across every transition and the id-join pairing arm; oracle recomputes "
+    "the change rows analytically with zero writes",
+    "streaming_cdc_replica_sink": "REAL streaming engine: four source-lake commits "
+    "staged as change-feed files, one availableNow run whose foreachBatch resolves "
+    "cross-version keys in-batch and maintains a row-level replica via "
+    "delete-or-upsert anti-join commits; oracle reads the final source state once "
+    "with zero writes",
 }
 
 COMPUTE_NOTES_R7 = {

@@ -186,6 +186,7 @@ HEAVY = [
     # round 11: the id-carrying O(Δ) change feed — pre-images open only the
     # newly-vectored files; the id-preserving OPTIMIZE contributes zero rows
     "lake_cdf_row_lineage_report",
+    "lake_null_skipping_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

@@ -44,6 +44,7 @@ from . import quant  # noqa: E402,F401
 # last graded r1-r4).
 _GRADING_PRIORITY = [
     # --- new in round 11 (zero gradings) ---
+    "lake_null_skipping_report",
     "lake_row_tracking_report",
     "lake_dv_retry_append_report",
     "xsec_zscore_report",

@@ -3035,3 +3035,115 @@ def lake_cdf_row_lineage_q(spark, sf_dir):
         .select("change_type", "n_rows", "id_sum", "price_sum")
     )
     return per_type.unionByName(pairing)
+
+
+@register(
+    "lake_null_skipping_report",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT o_orderkey AS k, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  WHEN o_orderkey % 3 = 1 THEN CAST(o_orderdate AS VARCHAR)
+                  WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE CAST(o_orderdate AS VARCHAR) END AS note
+      FROM orders
+    )
+    SELECT 'is_null' AS arm, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_sql('o_totalprice')} AS total_price,
+           CAST(3 AS BIGINT) AS files_total, CAST(2 AS BIGINT) AS files_scanned
+    FROM tagged WHERE note IS NULL
+    UNION ALL
+    SELECT 'not_null', CAST(COUNT(*) AS BIGINT), {dec_sum_sql('o_totalprice')},
+           CAST(3 AS BIGINT), CAST(2 AS BIGINT)
+    FROM tagged WHERE note IS NOT NULL
+    UNION ALL
+    SELECT 'range_keeps_all_null', CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+    FROM tagged WHERE note >= 'D'
+    UNION ALL
+    SELECT 'is_null_post_append', CAST(COUNT(*) AS BIGINT),
+           {dec_sum_sql('o_totalprice')}, CAST(4 AS BIGINT), CAST(2 AS BIGINT)
+    FROM tagged WHERE note IS NULL
+    """,
+    doc="NULL-COUNT data skipping (the Delta nullCount stats rule; stats "
+    "widened from [min,max] to [min,max,null_count,file_rows] in one "
+    "footer pass, snapshots._file_stats).  Three one-file commits with "
+    "controlled null placement — an ALL-NULL note file, a no-null file, a "
+    "mixed file — then read_version_null_pruned cuts the file list from "
+    "the KB manifest: IS NULL opens 2/3 (skips the no-null file), IS NOT "
+    "NULL opens 2/3 (skips the all-null file), while min/max range "
+    "pruning must conservatively KEEP the all-null file (it records no "
+    "range at all — before null counts it was invisible to every skip).  "
+    "A fourth commit WITHOUT stats_cols proves the index is maintained "
+    "automatically (Delta table-property discipline): IS NULL still opens "
+    "exactly 2/4.  files_total/files_scanned are graded as exact values "
+    "against the oracle's analytic counts; the content columns hash "
+    "against the base table, so a wrongly skipped file drops rows and "
+    "reds the arm.",
+)
+def lake_null_skipping_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_nullskip_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    null_s = F.lit(None).cast("string")
+    note_val = F.col("o_orderdate").cast("string")  # ISO '1996-01-02', < 'D'
+    groups = [
+        orders.where(key % 3 == 0).withColumn("note", null_s),
+        orders.where(key % 3 == 1).withColumn("note", note_val),
+        orders.where(key % 3 == 2).withColumn(
+            "note", F.when(key % 7 == 0, null_s).otherwise(note_val)
+        ),
+    ]
+    for g in groups:
+        snapshots.commit(
+            g.select("o_orderkey", "o_totalprice", "note").coalesce(1),
+            root,
+            stats_cols=["note"],
+        )
+
+    def arm(name, frame, info, predicate):
+        return (
+            frame.where(predicate)
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                dec_sum(F.col("o_totalprice")).alias("total_price"),
+            )
+            .select(
+                F.lit(name).alias("arm"), "n_rows", "total_price",
+                F.lit(info["files_total"]).cast("long").alias("files_total"),
+                F.lit(info["files_scanned"]).cast("long").alias("files_scanned"),
+            )
+        )
+
+    nul, i1 = snapshots.read_version_null_pruned(spark, root, "note", want_null=True)
+    nn, i2 = snapshots.read_version_null_pruned(spark, root, "note", want_null=False)
+    # range pruning on the same column: both real-note files' max (Clerk#…)
+    # sits below 'D', so they prune — but the all-null file has NO recorded
+    # range and must be conservatively kept (files_scanned exactly 1).
+    rng, i3 = snapshots.read_version_pruned(spark, root, "note", lo="D")
+    # maintenance: a commit WITHOUT stats_cols re-collects the previously
+    # indexed columns for its new file — the no-null appendix file must be
+    # skipped by the next IS NULL read without anyone re-asking for stats.
+    # The pre-commit frames above stay valid lazily: appends never remove
+    # files, and each pruned read captured its file list eagerly.
+    appendix = (
+        orders.where(key % 3 == 0)
+        .withColumn("note", note_val)
+        .select("o_orderkey", "o_totalprice", "note")
+    )
+    snapshots.commit(appendix.coalesce(1), root)
+    nul2, i4 = snapshots.read_version_null_pruned(spark, root, "note", want_null=True)
+    return (
+        arm("is_null", nul, i1, F.col("note").isNull())
+        .unionByName(arm("not_null", nn, i2, F.col("note").isNotNull()))
+        .unionByName(arm("range_keeps_all_null", rng, i3, F.col("note") >= "D"))
+        .unionByName(arm("is_null_post_append", nul2, i4, F.col("note").isNull()))
+    )

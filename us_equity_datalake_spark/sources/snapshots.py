@@ -143,11 +143,17 @@ def _json_scalar(v):
 
 
 def _file_stats(files: list[str], cols: list[str]) -> dict:
-    """Per-file column min/max lifted from the parquet FOOTERS into the
-    manifest — the Iceberg/Delta stats-collection step.  Driver-side and
-    file-count-bounded (one footer read per new file, no data scan); a
-    column whose footer lacks min/max in any row group is omitted, which
-    downstream pruning treats as 'cannot prune' (conservative)."""
+    """Per-file column min/max AND null counts lifted from the parquet
+    FOOTERS into the manifest — the Iceberg/Delta stats-collection step.
+    Driver-side and file-count-bounded (one footer read per new file, no
+    data scan).  Entry shape per column: ``[min, max, null_count,
+    file_rows]`` — the Delta stats triple (minValues/maxValues/nullCount)
+    plus the file row count the null-skipping decision needs.  A column
+    whose footer lacks min/max in some row group records ``[None, None,
+    nulls, rows]`` (range pruning treats it as 'cannot prune'; an ALL-NULL
+    file lands here, and before null counts it was invisible to skipping
+    entirely); a column whose footer lacks null_count records ``nulls`` as
+    None (null-predicate pruning keeps the file, conservative)."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -160,16 +166,27 @@ def _file_stats(files: list[str], cols: list[str]) -> dict:
             if i is None:
                 continue
             mn = mx = None
-            ok = True
+            nulls = 0
+            range_ok = nulls_ok = True
             for rg in range(md.num_row_groups):
                 s = md.row_group(rg).column(i).statistics
-                if s is None or not s.has_min_max:
-                    ok = False
+                if s is None:
+                    range_ok = nulls_ok = False
                     break
-                mn = s.min if mn is None else min(mn, s.min)
-                mx = s.max if mx is None else max(mx, s.max)
-            if ok and mn is not None:
-                st[c] = [_json_scalar(mn), _json_scalar(mx)]
+                if not s.has_min_max:
+                    range_ok = False
+                else:
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+                if not s.has_null_count or s.null_count is None:
+                    nulls_ok = False
+                else:
+                    nulls += s.null_count
+            if range_ok and mn is not None:
+                st[c] = [_json_scalar(mn), _json_scalar(mx),
+                         nulls if nulls_ok else None, md.num_rows]
+            elif nulls_ok:
+                st[c] = [None, None, nulls, md.num_rows]
         out[f] = st
     return out
 
@@ -1604,8 +1621,8 @@ def read_version_pruned(
     kept = []
     for f in m["files"]:
         s = stats.get(f, {}).get(col)
-        if s is not None:
-            mn, mx = s
+        if s is not None and s[0] is not None:  # [mn,mx,nulls,rows]; None mn = all-null file, range can't prune
+            mn, mx = s[0], s[1]
             if (hi is not None and mn > hi) or (lo is not None and mx < lo):
                 continue
         kept.append(f)
@@ -1667,14 +1684,57 @@ def read_version_pruned_box(
         drop = False
         for col, (lo, hi) in ranges.items():
             s = fstats.get(col)
-            if s is None:
+            if s is None or s[0] is None:
                 continue
-            mn, mx = s
+            mn, mx = s[0], s[1]
             if (hi is not None and mn > hi) or (lo is not None and mx < lo):
                 drop = True
                 break
         if not drop:
             kept.append(f)
+    info = {"files_total": len(m["files"]), "files_scanned": len(kept)}
+    if not kept:
+        return read_version(spark, path, v).limit(0), info
+    return _scan_files(spark, kept, m), info
+
+
+def read_version_null_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    *,
+    want_null: bool,
+    version: int | None = None,
+) -> "tuple[DataFrame, dict]":
+    """NULL-COUNT file skipping (the Delta ``nullCount`` stats rule): hand
+    Spark only the files that can contain a row matching ``col IS NULL``
+    (``want_null=True``: recorded null_count > 0) or ``col IS NOT NULL``
+    (``want_null=False``: null_count < file rows).  min/max ranges cannot
+    make either cut — an all-null file records NO min/max at all, so before
+    null counts it was conservatively scanned by every point/range read —
+    and at object-store scale the win is the same as range pruning: the
+    non-matching files are never listed, opened, or fetched, decided from
+    the KB-sized manifest on the driver.
+
+    Like :func:`read_version_pruned` this is a FILE-LIST cut, not a row
+    filter — the caller still applies the predicate.  Files without a
+    recorded null count for ``col`` (no stats, pre-widening 2-element
+    stats, or a footer that omitted null_count) are conservatively KEPT.
+    Returns (frame, {"files_total", "files_scanned"})."""
+    v = latest_version(path) if version is None else version
+    m = read_manifest(path, v)
+    stats = m.get("stats", {})
+    col = _physical_col(m, col)  # the stats index is keyed physically
+    kept = []
+    for f in m["files"]:
+        s = stats.get(f, {}).get(col)
+        if s is not None and len(s) >= 4 and s[2] is not None:
+            nulls, rows = s[2], s[3]
+            if want_null and nulls == 0:
+                continue
+            if not want_null and rows is not None and nulls >= rows:
+                continue
+        kept.append(f)
     info = {"files_total": len(m["files"]), "files_scanned": len(kept)}
     if not kept:
         return read_version(spark, path, v).limit(0), info

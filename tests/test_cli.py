@@ -278,7 +278,9 @@ def test_cli_recover_txns(spark, tmp_path, capsys, monkeypatch):
     except snapshots.ConcurrentWriteError:
         pass
     monkeypatch.setattr(snapshots, "_publish_txn_table", orig)
-    assert cli.main(["table", "recover-txns", "--path", a]) == 0
+    # --force: the "crashed" writer is this live test process, so the
+    # owner-liveness lease would rightly skip the pending txn otherwise
+    assert cli.main(["table", "recover-txns", "--path", a, "--force"]) == 0
     out = _json.loads(capsys.readouterr().out.splitlines()[0])
     assert list(out["recovered"].values()) == ["committed"]
     assert snapshots.read_version_committed(spark, b).count() == 3

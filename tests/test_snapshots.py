@@ -2426,7 +2426,7 @@ def test_row_tracking_reserved_name_and_feed_guard(spark, tmp_path):
     import pytest
 
     path = str(tmp_path / "t")
-    with pytest.raises(ValueError, match="row tracking is not enabled"):
+    with pytest.raises(ValueError, match="reserved"):
         snapshots.commit(
             spark.range(3).withColumn("_row_id", F.col("id")), str(tmp_path / "u")
         )
@@ -2434,13 +2434,24 @@ def test_row_tracking_reserved_name_and_feed_guard(spark, tmp_path):
     snapshots.enable_row_tracking(path)
     with pytest.raises(ValueError, match="reserved"):
         snapshots.rename_column(path, "id", "_row_id")
-    # a user-threaded _row_id append materializes; the feed must refuse it
-    snapshots.commit(
-        _sorted1(spark.range(100, 103)).withColumn(
-            "_row_id", (F.col("id") - 100 + 4).cast("long")
-        ),
-        path,
+    # an EXTERNAL commit carrying _row_id is rejected on every entry point:
+    # a round-tripped read_version_row_ids frame would mint duplicate live
+    # identities (the files would be marked materialized and the watermark
+    # never advances past them) — ADVICE r11
+    ext = _sorted1(spark.range(100, 103)).withColumn(
+        "_row_id", (F.col("id") - 100 + 4).cast("long")
     )
+    for op in (
+        lambda: snapshots.commit(ext, path),
+        lambda: snapshots.commit_with_retry(ext, path),
+        lambda: snapshots.commit_rewrite_with_retry(ext, path, replace=lambda f: False),
+    ):
+        with pytest.raises(ValueError, match="reserved"):
+            op()
+    assert snapshots.latest_version(path) == 2  # nothing landed
+    # materialized files (from an INTERNAL id-preserving rewrite) still
+    # refuse the raw-file stream feed
+    snapshots.optimize(spark, path)
     staging = str(tmp_path / "stage")
     state = str(tmp_path / "state.json")
     with pytest.raises(ValueError, match="materialized _row_id"):
@@ -2519,12 +2530,12 @@ def test_txn_all_or_nothing_and_roll_forward(spark, tmp_path, monkeypatch):
     assert snapshots.latest_committed_version(a) == 2
     assert snapshots.read_version_committed(spark, a).count() == 8
     assert snapshots.read_version_committed(spark, b).count() == 5
-    out = snapshots.recover_transactions(spark, a)
+    out = snapshots.recover_transactions(spark, a, force=True)
     assert list(out.values()) == ["committed"]
     assert snapshots.read_version_committed(spark, a).count() == 12
     assert snapshots.read_version_committed(spark, b).count() == 7
     # recovery is idempotent
-    assert snapshots.recover_transactions(spark, a) == {}
+    assert snapshots.recover_transactions(spark, a, force=True) == {}
 
 
 def test_txn_aborts_cleanly_when_nothing_published(spark, tmp_path, monkeypatch):
@@ -2552,6 +2563,93 @@ def test_txn_aborts_cleanly_when_nothing_published(spark, tmp_path, monkeypatch)
     assert snapshots.recover_transactions(spark, a) == {}  # nothing pending
 
 
+def test_txn_stage_time_metadata_drift_guards(spark, tmp_path, monkeypatch):
+    """ADVICE r11: the column-map captured at STAGE time must be what
+    publish (and recovery) compare against — a rename landing between
+    stage and publish aborts cleanly before the intent, and one landing
+    between a crash and recovery refuses the roll-forward (the staged
+    files were written under the old physical mapping)."""
+    import pytest
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshots.commit(spark.range(0, 5).selectExpr("id", "id*2 AS v"), a)
+    snapshots.commit(spark.range(0, 3).selectExpr("id", "id*2 AS v"), b)
+
+    # arm 1: rename lands DURING staging -> the pre-publish recheck aborts
+    # with nothing visible and the staged dirs swept
+    orig_write = snapshots._write_commit_checked
+    calls = {"n": 0}
+
+    def write_then_rename(df, commit_dir, col_map, cons, path):
+        orig_write(df, commit_dir, col_map, cons, path)
+        calls["n"] += 1
+        if calls["n"] == 2:  # after BOTH tables staged under the old map
+            snapshots.rename_column(b, "v", "price")
+
+    monkeypatch.setattr(snapshots, "_write_commit_checked", write_then_rename)
+    # the recheck surfaces the drift either as an explicit metadata-drift
+    # ConcurrentWriteError or as the sharper schema-shadow rejection —
+    # both abort with nothing visible
+    with pytest.raises(
+        (snapshots.ConcurrentWriteError, snapshots.SchemaEnforcementError)
+    ):
+        snapshots.commit_transaction(
+            [(spark.range(10, 12).selectExpr("id", "id*2 AS v"), a),
+             (spark.range(10, 11).selectExpr("id", "id*2 AS v"), b)]
+        )
+    monkeypatch.undo()
+    assert snapshots.latest_version(a) == 1  # nothing published anywhere
+    stray = [d for d in os.listdir(a) if d.startswith("commit_")
+             and not d.startswith("commit_v")]
+    assert stray == []  # staged dirs swept
+    assert not os.path.isdir(snapshots._txn_dir(a))  # no intent written
+
+    # arm 2: crash after table a published; a rename on b lands BEFORE
+    # recovery -> roll-forward must refuse (stage-time map != current)
+    orig_pub = snapshots._publish_txn_table
+    calls2 = {"n": 0}
+
+    def crash_second(sp, entry, txn_id, status_path, max_retries):
+        calls2["n"] += 1
+        if calls2["n"] == 2:
+            raise KeyboardInterrupt  # hard-crash stand-in
+        return orig_pub(sp, entry, txn_id, status_path, max_retries)
+
+    monkeypatch.setattr(snapshots, "_publish_txn_table", crash_second)
+    try:
+        snapshots.commit_transaction(
+            [(spark.range(10, 12).selectExpr("id", "id*2 AS price"), b),
+             (spark.range(10, 12).selectExpr("id", "id*2 AS v"), a)]
+        )
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.undo()
+    # drift before recovery: a constraint the staged rows were NEVER
+    # validated against lands on the unpublished table — the stage-time
+    # constraint set (carried in the status doc) must refuse the publish
+    snapshots.add_table_constraint(spark, a, "v_nonneg", "v >= 0")
+    with pytest.raises(snapshots.ConcurrentWriteError, match="constraints changed"):
+        snapshots.recover_transactions(spark, b, force=True)
+    # the wedged txn is recoverable by the OPERATOR abort: b's published
+    # txn version is still at head, so rollback_published un-publishes it
+    import json as _json
+
+    d = snapshots._txn_dir(b)
+    txn_id = [_json.load(open(os.path.join(d, n)))["txn_id"]
+              for n in sorted(os.listdir(d)) if n.endswith(".json")][-1]
+    with pytest.raises(ValueError, match="rollback_published"):
+        snapshots.abort_transaction(spark, b, txn_id)
+    out = snapshots.abort_transaction(
+        spark, b, txn_id, rollback_published=True
+    )
+    assert out == "aborted"
+    # b reads as if the txn never happened; a's new constraint survives
+    assert snapshots.read_version_committed(spark, b).count() == 3
+    m_a = snapshots.read_manifest(a, snapshots.latest_version(a))
+    assert "v_nonneg" in m_a.get("constraints", {})
+    assert snapshots.abort_transaction(spark, b, txn_id) == "already_aborted"
+
+
 def test_txn_crash_before_any_publish_recovery_aborts(spark, tmp_path, monkeypatch):
     """A hard crash AFTER the intent landed but BEFORE any publish: recovery
     finds zero published tables and aborts — staged dirs deleted."""
@@ -2570,7 +2668,11 @@ def test_txn_crash_before_any_publish_recovery_aborts(spark, tmp_path, monkeypat
     except KeyboardInterrupt:
         pass
     monkeypatch.undo()
+    # without force, the owner-liveness lease skips it (this process IS the
+    # recorded owner and is alive)
     out = snapshots.recover_transactions(spark, a)
+    assert list(out.values()) == ["skipped_owner_alive"]
+    out = snapshots.recover_transactions(spark, a, force=True)
     assert list(out.values()) == ["aborted"]
     assert snapshots.latest_version(a) == 1 and snapshots.latest_version(b) == 1
 
@@ -2658,6 +2760,29 @@ def test_change_feed_row_ids_lineage_and_noop_rewrites(spark, tmp_path):
     snapshots.commit(spark.range(3), path2)
     with pytest.raises(ValueError, match="row tracking"):
         snapshots.change_feed_row_ids(spark, path2, 0, 1)
+
+
+def test_change_feed_row_ids_across_prior_evolution(spark, tmp_path):
+    """ADVICE r11: a DV delete whose newly-vectored files STRADDLE an
+    additive schema evolution that happened BEFORE the feed window must
+    still read pre-images correctly — the raw reader merges footers
+    (mergeSchema) instead of sampling one file's physical column set, so
+    pre-evolution rows surface with the new column null-filled."""
+    path = str(tmp_path / "t")
+    snapshots.commit(_sorted1(spark.range(0, 6).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS val")), path)              # v1: no 'src'
+    snapshots.enable_row_tracking(path)                         # v2
+    snapshots.commit(_sorted1(spark.range(100, 104).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS val", "'late' AS src")), path)  # v3: +src
+    # v4: the delete vectors files on BOTH sides of the evolution
+    snapshots.delete_where_dv(
+        spark, path, (F.col("id") == 2) | (F.col("id") == 101)
+    )
+    feed = snapshots.change_feed_row_ids(spark, path, 3, 4)
+    rows = sorted(
+        (r.change_type, r.id, r.src) for r in feed.collect()
+    )
+    assert rows == [("delete", 2, None), ("delete", 101, "late")]
 
 
 def test_null_count_stats_and_pruning(spark, tmp_path):

@@ -140,6 +140,22 @@ def _build_parser() -> argparse.ArgumentParser:
         help="repair crashed multi-table transactions (roll forward or abort)",
     )
     trx.add_argument("--path", required=True, help="coordinator table root")
+    trx.add_argument("--force", action="store_true",
+                     help="bypass the owner-liveness and age leases "
+                          "(only when the writer is known dead)")
+    trx.add_argument("--min-age", type=float, default=300.0,
+                     help="skip pending txns younger than this many "
+                          "seconds (cross-host lease; default 300)")
+
+    tab = tsub.add_parser(
+        "abort-txn",
+        help="operator abort for a wedged pending transaction",
+    )
+    tab.add_argument("--path", required=True, help="coordinator table root")
+    tab.add_argument("--txn-id", required=True)
+    tab.add_argument("--rollback-published", action="store_true",
+                     help="roll back tables the txn already published "
+                          "(refused if later commits rebased on top)")
 
     trt = tsub.add_parser(
         "enable-row-tracking",
@@ -280,8 +296,16 @@ def _run_table_cmd(spark, args) -> int:
         v = S.drop_table_constraint(args.path, args.name)
         print(json.dumps({"version": v, "dropped_constraint": args.name}))
     elif cmd == "recover-txns":
-        out = S.recover_transactions(spark, args.path)
+        out = S.recover_transactions(
+            spark, args.path, force=args.force, min_age_s=args.min_age
+        )
         print(json.dumps({"recovered": out}))
+    elif cmd == "abort-txn":
+        out = S.abort_transaction(
+            spark, args.path, args.txn_id,
+            rollback_published=args.rollback_published,
+        )
+        print(json.dumps({"txn_id": args.txn_id, "outcome": out}))
     elif cmd == "enable-row-tracking":
         v = S.enable_row_tracking(args.path)
         m = S.read_manifest(args.path, v)

@@ -2850,7 +2850,9 @@ def lake_txn_q(spark, sf_dir):
             snapshots.latest_committed_version(der_p)))
     ).cache()
     pre.count()  # pin the pending-state reads before recovery mutates the log
-    snapshots.recover_transactions(spark, facts_p)
+    # force: the "crashed" writer is THIS live process (injected fault),
+    # so the owner-liveness lease would rightly skip it otherwise
+    snapshots.recover_transactions(spark, facts_p, force=True)
     post = facts_arm(
         "post_recover_facts_committed",
         snapshots.read_version_committed(spark, facts_p),

@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import socket
 import time
 import uuid
 from urllib.parse import unquote, urlparse
@@ -36,6 +37,7 @@ from urllib.parse import unquote, urlparse
 from pyspark.sql import DataFrame, SparkSession
 
 _SNAP_DIR = "_snapshots"
+_HOSTNAME = socket.gethostname()
 
 
 def _local_path(uri: str) -> str:
@@ -497,6 +499,26 @@ def _strip_row_id(df: DataFrame) -> DataFrame:
     return df.drop(_ROW_ID) if _ROW_ID in df.columns else df
 
 
+def _reject_external_row_ids(path: str, op: str) -> None:
+    """Guard every EXTERNAL commit entry point against frames carrying
+    ``_row_id``: row identities are assigned by the table, and
+    :func:`_carry_row_tracking` trusts an id-bearing frame as an internal
+    id-preserving rewrite.  A user who round-trips
+    :func:`read_version_row_ids` output back into :func:`commit` would
+    otherwise mint DUPLICATE live identities (the files are marked
+    materialized, the watermark never advances past them, and every by-id
+    join then multiplies rows).  The id-preserving mutators (optimize /
+    compact_files / materialize_dvs / update_where_dv / merge_upsert)
+    thread an internal trusted flag instead."""
+    raise ValueError(
+        f"{op} to {path} rejected: the frame carries the reserved "
+        f"{_ROW_ID!r} column.  Row identities are assigned by the table "
+        "(id-preserving rewrites are internal to optimize / compact_files "
+        "/ materialize_dvs / update_where_dv / merge_upsert) — drop "
+        f"{_ROW_ID!r} before committing"
+    )
+
+
 def _drop_dead_cols(df: DataFrame, manifest: dict) -> DataFrame:
     """Project out physical columns that were logically DROPPED: the bytes
     stay in the immutable files (old versions still read them), but no
@@ -624,6 +646,7 @@ def commit(
     allow_schema_change: bool = False,
     _mode_label: "str | None" = None,
     _dv_updates: "dict[str, list[int]] | None" = None,
+    _trusted_row_ids: bool = False,
 ) -> int:
     """Write ``df`` as a new immutable commit and a new manifest.
 
@@ -670,6 +693,8 @@ def commit(
     new_v = prev_v + 1
     prev_manifest = read_manifest(path, prev_v) if prev_v else {}
     has_row_id = _ROW_ID in df.columns
+    if has_row_id and not _trusted_row_ids:
+        _reject_external_row_ids(path, "commit")
     new_schema = {
         f.name: f.dataType.simpleString()
         for f in df.schema.fields
@@ -815,6 +840,8 @@ def commit_with_retry(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
     Returns the new version number.
     """
     has_row_id = _ROW_ID in df.columns
+    if has_row_id:
+        _reject_external_row_ids(path, "commit_with_retry")
     new_schema = {f.name: f.dataType.simpleString()
                   for f in df.schema.fields if f.name != _ROW_ID}
     col_map, dropped_phys, table_cons = _append_precheck(path, new_schema)
@@ -982,6 +1009,7 @@ def commit_rewrite_with_retry(
     *,
     replace,
     max_retries: int = 5,
+    _trusted_row_ids: bool = False,
 ) -> int:
     """Copy-on-write partial rewrite that RECONCILES with concurrent
     writers when the touched-file sets are DISJOINT — the Delta conflict
@@ -1011,6 +1039,8 @@ def commit_rewrite_with_retry(
     dropped = {f for f in m0["files"] if replace(f)}
     m0_dv = dict(m0.get("dv", {}))
     has_row_id = _ROW_ID in df.columns
+    if has_row_id and not _trusted_row_ids:
+        _reject_external_row_ids(path, "rewrite")
     new_schema = {f.name: f.dataType.simpleString()
                   for f in df.schema.fields if f.name != _ROW_ID}
     col_map = dict(m0.get("column_map", {}))
@@ -1195,23 +1225,53 @@ def commit_transaction(
     txn_id = uuid.uuid4().hex[:16]
     staged = []
     for df, path in frames:
-        has_row_id = _ROW_ID in df.columns
+        if _ROW_ID in df.columns:
+            _reject_external_row_ids(path, "commit_transaction")
         new_schema = {f.name: f.dataType.simpleString()
-                      for f in df.schema.fields if f.name != _ROW_ID}
+                      for f in df.schema.fields}
         col_map, dropped_phys, table_cons = _append_precheck(path, new_schema)
         commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
         _write_commit_checked(df, commit_dir, col_map, table_cons, path)
+        # the stage-time column map / dropped slots / constraints ride the
+        # entry AND the status doc: publish (and crash recovery) must
+        # compare what the data was WRITTEN under against the manifest it
+        # rebases onto, or the drift guards in _rebase_append_manifest
+        # compare current-vs-current and are vacuous (ADVICE r11)
         staged.append({
             "path": path, "commit_dir": commit_dir,
-            "new_schema": new_schema, "has_row_id": has_row_id,
+            "new_schema": new_schema, "has_row_id": False,
+            "column_map": col_map,
+            "dropped_physical": sorted(dropped_phys),
+            "constraints": table_cons,
             "spark": df.sparkSession,
         })
+    # shrink the schema-wedge window: re-validate EVERY table against the
+    # now-current log right before the first publish — a rename/constraint
+    # that landed during staging aborts cleanly here (nothing visible yet)
+    # instead of wedging the transaction half-published (ADVICE r11)
+    try:
+        for s in staged:
+            cm, dp, tc = _append_precheck(s["path"], s["new_schema"])
+            if (cm != s["column_map"]
+                    or sorted(dp) != s["dropped_physical"]
+                    or tc != s["constraints"]):
+                raise ConcurrentWriteError(
+                    f"txn {txn_id}: table {s['path']} metadata changed "
+                    "between stage and publish (rename/drop/constraint) — "
+                    "the staged files were written under the old mapping"
+                )
+    except (ConcurrentWriteError, SchemaEnforcementError):
+        for t in staged:
+            shutil.rmtree(t["commit_dir"], ignore_errors=True)
+        raise
     status_path = os.path.join(_txn_dir(paths[0]), f"{txn_id}.json")
     _write_txn_status(status_path, {
         "txn_id": txn_id, "status": "pending",
+        "owner": {"pid": os.getpid(), "host": _HOSTNAME, "ts": time.time()},
         "tables": [
-            {"path": s["path"], "commit_dir": s["commit_dir"],
-             "new_schema": s["new_schema"], "has_row_id": s["has_row_id"]}
+            {k: s[k] for k in ("path", "commit_dir", "new_schema",
+                               "has_row_id", "column_map",
+                               "dropped_physical", "constraints")}
             for s in staged
         ],
     })
@@ -1240,11 +1300,20 @@ def _publish_txn_table(
     spark, entry: dict, txn_id: str, status_path: str, max_retries: int
 ) -> int:
     """Publish ONE staged transaction table through the reconciling append
-    rebase, stamping the manifest with the transaction marker."""
+    rebase, stamping the manifest with the transaction marker.  The column
+    map / dropped slots / constraints the data was WRITTEN under come from
+    the staged entry (recorded at stage time, carried in the status doc for
+    recovery) — re-deriving them here would make the drift guards vacuous
+    and publish files under a stale physical mapping (ADVICE r11)."""
     new_counts = _data_files(entry["commit_dir"])
-    col_map, dropped_phys, table_cons = _append_precheck(
-        entry["path"], entry["new_schema"]
-    )
+    if "column_map" in entry:
+        col_map = dict(entry["column_map"])
+        dropped_phys = set(entry.get("dropped_physical", []))
+        table_cons = dict(entry.get("constraints", {}))
+    else:  # legacy pending status doc (pre-r12): best effort, re-derive
+        col_map, dropped_phys, table_cons = _append_precheck(
+            entry["path"], entry["new_schema"]
+        )
     stats_cache: dict = {}
     last_err = None
     for _ in range(max_retries):
@@ -1268,13 +1337,46 @@ def _publish_txn_table(
     ) from last_err
 
 
-def recover_transactions(spark: SparkSession, coordinator_path: str) -> dict:
+def _txn_owner_alive(doc: dict) -> bool:
+    """Best-effort liveness probe of a pending transaction's writer: true
+    only when the status doc records an owner on THIS host whose pid is
+    still running.  A different host is unknowable from here (returns
+    False) — which is exactly why ``min_age_s`` exists as the second
+    guard."""
+    owner = doc.get("owner") or {}
+    if owner.get("host") != _HOSTNAME or not owner.get("pid"):
+        return False
+    try:
+        os.kill(int(owner["pid"]), 0)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
+def recover_transactions(
+    spark: SparkSession,
+    coordinator_path: str,
+    *,
+    force: bool = False,
+    min_age_s: float = 0.0,
+) -> dict:
     """Repair the log after a crashed/contended :func:`commit_transaction`
     whose coordinator lives in ``coordinator_path``'s log: a pending
     transaction with NO published table aborts (staged dirs deleted); one
     with SOME published tables rolls FORWARD (the remaining manifests
     publish from the already-durable staged files, then the status flips
-    committed).  Idempotent; returns {txn_id: outcome}."""
+    committed).  Idempotent; returns {txn_id: outcome}.
+
+    Recovery must only run once the original writer is KNOWN DEAD —
+    running it concurrently with a still-publishing writer would have both
+    publish the same staged commit_dir, landing its files twice (ADVICE
+    r11).  Two guards enforce that: a pending transaction whose recorded
+    owner pid is still alive on this host is skipped (outcome
+    ``skipped_owner_alive``), and one younger than ``min_age_s`` seconds is
+    skipped (outcome ``skipped_young`` — the cross-host lease, since a
+    remote writer's liveness is unknowable here).  ``force=True`` bypasses
+    both, for the operator who has verified the writer is gone (e.g. this
+    very process crashed mid-publish and is now recovering itself)."""
     d = _txn_dir(coordinator_path)
     out: "dict[str, str]" = {}
     if not os.path.isdir(d):
@@ -1288,6 +1390,14 @@ def recover_transactions(spark: SparkSession, coordinator_path: str) -> dict:
         if doc.get("status") != "pending" or "tables" not in doc:
             continue
         txn_id = doc["txn_id"]
+        if not force:
+            if _txn_owner_alive(doc):
+                out[txn_id] = "skipped_owner_alive"
+                continue
+            ts = (doc.get("owner") or {}).get("ts")
+            if ts is not None and (time.time() - float(ts)) < min_age_s:
+                out[txn_id] = "skipped_young"
+                continue
         published: "dict[str, int]" = {}
         unpublished = []
         for t in doc["tables"]:
@@ -1308,6 +1418,66 @@ def recover_transactions(spark: SparkSession, coordinator_path: str) -> dict:
         _write_txn_status(status_path, {"txn_id": txn_id, "status": "committed"})
         out[txn_id] = "committed" if unpublished else "already_complete"
     return out
+
+
+def abort_transaction(
+    spark: SparkSession,
+    coordinator_path: str,
+    txn_id: str,
+    *,
+    rollback_published: bool = False,
+) -> str:
+    """OPERATOR abort for a wedged pending transaction — the escape hatch
+    when roll-forward cannot succeed (e.g. a non-first table's publish
+    fails persistently with a schema conflict, ADVICE r11).  A pending
+    transaction with nothing published aborts cleanly (staged dirs
+    deleted).  One with SOME tables published can only abort when every
+    published transaction version is still at the HEAD of its table's log
+    (``rollback_published=True`` then rolls each back): once an
+    independent commit has rebased ON TOP, it adopted the transaction's
+    files, and un-publishing would corrupt that successor — the abort
+    refuses loudly and the operator must roll forward instead.  Returns
+    the outcome string."""
+    status_path = os.path.join(_txn_dir(coordinator_path), f"{txn_id}.json")
+    with open(status_path) as f:
+        doc = json.load(f)
+    if doc.get("status") == "aborted":
+        return "already_aborted"
+    if doc.get("status") == "committed":
+        raise ValueError(f"txn {txn_id} is committed — cannot abort")
+    published: "list[tuple[dict, int]]" = []
+    for t in doc.get("tables", []):
+        v = _find_txn_version(t["path"], txn_id)
+        if v:
+            published.append((t, v))
+    if published:
+        if not rollback_published:
+            raise ValueError(
+                f"txn {txn_id}: {len(published)} table(s) already "
+                "published — pass rollback_published=True to roll them "
+                "back, or use recover_transactions to roll forward"
+            )
+        not_head = [
+            (t["path"], v) for t, v in published
+            if latest_version(t["path"]) != v
+        ]
+        if not_head:
+            raise ValueError(
+                f"txn {txn_id}: cannot abort — later commits rebased on "
+                f"top of the published version(s) {not_head} and adopted "
+                "their files; roll FORWARD with recover_transactions"
+            )
+        for t, v in published:
+            rollback(t["path"], v - 1)
+    # sweep only UNPUBLISHED stages: a published-then-rolled-back version
+    # stays in history for forensics (the RESTORE contract), so its data
+    # files must survive until vacuum reclaims them
+    published_dirs = {t["commit_dir"] for t, _ in published}
+    for t in doc.get("tables", []):
+        if t["commit_dir"] not in published_dirs:
+            shutil.rmtree(t["commit_dir"], ignore_errors=True)
+    _write_txn_status(status_path, {"txn_id": txn_id, "status": "aborted"})
+    return "aborted"
 
 
 def _find_txn_version(path: str, txn_id: str) -> int:
@@ -2584,7 +2754,8 @@ def materialize_dvs(spark: SparkSession, path: str) -> dict:
         else _scan_files(spark, dvd, m0)
     )
     dvd_set = set(dvd)
-    v = commit(live, path, replace=lambda f: f in dvd_set, _mode_label="purge_dv")
+    v = commit(live, path, replace=lambda f: f in dvd_set,
+               _mode_label="purge_dv", _trusted_row_ids=True)
     return {
         "version": v,
         "files_rewritten": len(dvd),
@@ -2783,9 +2954,18 @@ def _raw_ids_with_lineage(
     cmap = manifest.get("column_map") or {}
 
     def raw(file_list):
+        # mergeSchema: the newly-vectored files may straddle an ADDITIVE
+        # schema evolution that happened before the feed window (the feed
+        # only enforces stability WITHIN [v_from, v_to]) — a single-footer
+        # sample would make the later select(*cols) fail or null-fill
+        # depending on which file Spark sampled (ADVICE r11)
         return _apply_col_map(
             _lineage_cols(
-                _drop_dead_cols(spark.read.parquet(*sorted(file_list)), manifest)
+                _drop_dead_cols(
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*sorted(file_list)),
+                    manifest,
+                )
             ),
             cmap,
         )
@@ -2978,7 +3158,7 @@ def optimize(
         )
     else:
         out = cur.coalesce(target_files)
-    v = commit(out, path, mode="overwrite")
+    v = commit(out, path, mode="overwrite", _trusted_row_ids=True)
     n_after = len(read_manifest(path, v)["files"])
     return {"version": v, "files_before": n_before, "files_after": n_after}
 
@@ -3018,7 +3198,9 @@ def compact_files(
     )
     df = src.coalesce(target_files)
     sel_set = set(sel)
-    v = commit_rewrite_with_retry(df, path, replace=lambda f: f in sel_set)
+    v = commit_rewrite_with_retry(
+        df, path, replace=lambda f: f in sel_set, _trusted_row_ids=True
+    )
     return {"version": v, "files_compacted": len(sel),
             "files_after": len(read_manifest(path, v)["files"])}
 

@@ -1030,6 +1030,30 @@ def test_dv_delete_rewrites_nothing_and_hides_rows(spark, tmp_path):
     assert _ids(snapshots.read_version(spark, path, 1)) == list(range(40))
 
 
+def test_dv_delete_by_keys_frame(spark, tmp_path):
+    """The CDC-apply form: rows selected by a broadcast keys DataFrame
+    instead of a predicate — same DV semantics (zero rewrites, idempotent,
+    absent keys match nothing and burn no version)."""
+    import pytest
+
+    path = _dv_table(spark, tmp_path)
+    keys = spark.range(0, 100).where("id % 7 = 3")  # some beyond the table
+    r = snapshots.delete_where_dv(spark, path, keys=keys, key="id")
+    assert r["files_rewritten"] == 0
+    assert r["rows_deleted"] == len([i for i in range(40) if i % 7 == 3])
+    assert _ids(snapshots.read_version(spark, path)) == [
+        i for i in range(40) if i % 7 != 3
+    ]
+    again = snapshots.delete_where_dv(spark, path, keys=keys, key="id")
+    assert again["rows_deleted"] == 0 and again["version"] == r["version"]
+    with pytest.raises(ValueError, match="exactly one"):
+        snapshots.delete_where_dv(spark, path)
+    with pytest.raises(ValueError, match="exactly one"):
+        snapshots.delete_where_dv(spark, path, F.col("id") < 3, keys=keys, key="id")
+    with pytest.raises(ValueError, match="key="):
+        snapshots.delete_where_dv(spark, path, keys=keys)
+
+
 def test_dv_metadata_count_subtracts_vectors(spark, tmp_path):
     path = _dv_table(spark, tmp_path)
     snapshots.delete_where_dv(spark, path, F.col("id") < 7)

@@ -1416,9 +1416,10 @@ _CRS_UP = 10000.0  # the update_dv bump on o_totalprice (replica arm)
              AS o_totalprice
       FROM live2
     )
-    SELECT * FROM v3
+    SELECT v3.*, 0 AS files_rewritten_total, 0 AS replica_overwrites FROM v3
     UNION ALL
-    SELECT o_orderkey, o_orderstatus, o_totalprice
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           0 AS files_rewritten_total, 0 AS replica_overwrites
     FROM orders WHERE o_orderstatus = 'P'
     """,
     doc="Streaming CDC REPLICATION — the 17th sink and the canonical "
@@ -1430,13 +1431,24 @@ _CRS_UP = 10000.0  # the update_dv bump on o_totalprice (replica arm)
     "versions — so the apply must resolve per-key outcomes ACROSS versions "
     "inside a batch (a row inserted at v1 and deleted at v2 in the same "
     "batch must never reach the replica): per key, argmax by "
-    "(_commit_version, postimage-over-preimage), then delete-or-upsert "
-    "against the replica lake in one anti-join + union commit.  The "
-    "applied-through watermark stays mandatory even though upserts look "
+    "(_commit_version, postimage-over-preimage).  The apply itself is the "
+    "scale-right MERGE-ON-READ shape (r12, retiring the r11 full-overwrite "
+    "weak mark): every batch key's old image is DV-DELETED from the "
+    "replica via a broadcast keys semi-join (zero files rewritten, "
+    "O(batch) sidecars) and the batch's upsert images land as ONE append "
+    "— per-batch I/O is O(Δ), never O(replica), which at a 100 TB replica "
+    "is the difference between a viable consumer and a nightly rewrite.  "
+    "The delete-then-append order makes crash replay idempotent (a "
+    "half-applied batch's appended rows are keys in the batch, so the "
+    "redelivered delete removes them before the re-append).  The "
+    "applied-through watermark stays mandatory even though the apply looks "
     "idempotent: a REDELIVERED v1 insert file applied after v2's delete "
     "would resurrect the row.  Graded at ROW level: the replica's full "
     "content must hash-equal a direct read of source v4 — stronger than "
-    "the aggregate consumers' identities.  Reference anchor: "
+    "the aggregate consumers' identities — PLUS two oracle-pinned "
+    "efficiency columns: files_rewritten_total (sum over every apply "
+    "commit) and replica_overwrites (overwrite-mode commits in the "
+    "replica's history) must both be exactly 0.  Reference anchor: "
     "update/app.py:877-958 read-check-append (SURVEY I4).",
 )
 def streaming_cdc_replica_sink_q(spark, sf_dir):
@@ -1461,6 +1473,7 @@ def streaming_cdc_replica_sink_q(spark, sf_dir):
     snapshots.commit(f_rows.limit(0).coalesce(1), replica)  # empty seed
     with open(applied_path, "w") as fh:
         _json.dump({"version": 0}, fh)
+    rewrites = {"n": 0}  # graded: the whole apply must rewrite ZERO files
 
     def stage():
         return snapshots.stage_change_feed_files(
@@ -1500,14 +1513,18 @@ def streaming_cdc_replica_sink_q(spark, sf_dir):
             ups = win.where(
                 F.col("_change_type").isin("insert", "update_postimage")
             ).select("o_orderkey", "o_orderstatus", "o_totalprice")
-            cur = snapshots.read_version(spark, replica)
-            merged = cur.join(
-                win.select("o_orderkey"), "o_orderkey", "left_anti"
-            ).unionByName(ups)
-            snapshots.commit(
-                merged.repartitionByRange(4, "o_orderkey"), replica,
-                mode="overwrite",
+            # O(Δ) apply: DV-delete every batch key's old image (zero
+            # rewrites; keys that aren't in the replica match nothing and
+            # the no-op burns no version), then append the upsert images.
+            # Delete-first makes a crash-replayed batch idempotent.
+            d = snapshots.delete_where_dv(
+                spark, replica, keys=win, key="o_orderkey"
             )
+            rewrites["n"] += d["files_rewritten"]
+            if not ups.isEmpty():
+                snapshots.commit(
+                    ups.repartitionByRange(4, "o_orderkey"), replica
+                )
         finally:
             win.unpersist()
         tmp = f"{applied_path}.tmp.{os.getpid()}"
@@ -1547,6 +1564,11 @@ def streaming_cdc_replica_sink_q(spark, sf_dir):
     stage()
     run_once(cdf_schema)
 
+    n_overwrites = sum(
+        1 for h in snapshots.history(replica) if h.get("mode") == "overwrite"
+    )
     return snapshots.read_version(spark, replica).select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(rewrites["n"]).cast("int").alias("files_rewritten_total"),
+        F.lit(n_overwrites).cast("int").alias("replica_overwrites"),
     )

@@ -2462,7 +2462,13 @@ def _dv_metadata_drift(m_base: dict, m_cur: dict) -> bool:
 
 
 def delete_where_dv(
-    spark: SparkSession, path: str, predicate, *, max_retries: int = 5
+    spark: SparkSession,
+    path: str,
+    predicate=None,
+    *,
+    keys: "DataFrame | None" = None,
+    key: "str | None" = None,
+    max_retries: int = 5,
 ) -> dict:
     """DELETE FROM ... via DELETION VECTORS (merge-on-read): record the
     matching rows' positions in per-file sidecars and publish a manifest
@@ -2472,20 +2478,36 @@ def delete_where_dv(
     copy-on-write rewrite that touches the file (all of which apply and
     then shed the vectors).
 
+    Rows to delete are selected either by ``predicate`` (a Column
+    expression over the live rows) or by ``keys``/``key`` — a DataFrame of
+    key values matched with a broadcast semi-join.  The keys form is the
+    CDC-apply shape: a change batch carries thousands-to-millions of keys,
+    which as an ``isin`` literal would explode the plan; as a broadcast
+    join it stays one O(Δ)-sized exchange however large the batch.
+
     Same NULL semantics as :func:`delete_where` (NULL predicate = keep).
-    The predicate is evaluated over LIVE rows only, so repeating a delete
+    Selection is evaluated over LIVE rows only, so repeating a delete
     is idempotent and vectors accumulate monotonically until a rewrite.
     Returns {"version", "files_total", "files_with_dv", "rows_deleted",
     "files_rewritten": 0}.
     """
     from pyspark.sql import functions as F
 
+    if (predicate is None) == (keys is None):
+        raise ValueError("delete_where_dv: pass exactly one of predicate / keys")
+    if keys is not None and not key:
+        raise ValueError("delete_where_dv: keys needs key=<column name>")
     v0 = latest_version(path)
     if v0 == 0:
         raise ValueError(f"delete_where_dv of {path}: table has no commits")
     m0 = read_manifest(path, v0)
     live = _scan_files(spark, m0["files"], m0, with_lineage=True)
-    hits = live.where(F.coalesce(predicate, F.lit(False))).select("__file", "__pos")
+    if keys is not None:
+        hits = live.join(
+            F.broadcast(keys.select(key).distinct()), key, "left_semi"
+        ).select("__file", "__pos")
+    else:
+        hits = live.where(F.coalesce(predicate, F.lit(False))).select("__file", "__pos")
     new_v = v0 + 1
     prev_dv = m0.get("dv", {})
     entries, n_deleted = _stage_dv_sidecars(

@@ -2674,6 +2674,164 @@ def test_txn_stage_time_metadata_drift_guards(spark, tmp_path, monkeypatch):
     assert snapshots.abort_transaction(spark, b, txn_id) == "already_aborted"
 
 
+def test_txn_delete_and_rewrite_members(spark, tmp_path, monkeypatch):
+    """r12 members: a DV-delete + a rewrite land atomically; the delete
+    stages Δ-sized position sets in the intent doc (zero data files
+    rewritten), the rewrite stages replacement files; a crash between the
+    publishes rolls FORWARD; an abort before any publish leaves both
+    tables untouched (no vectors, no files)."""
+    import pytest
+
+    facts, der = str(tmp_path / "facts"), str(tmp_path / "der")
+    src = spark.range(0, 40).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v")
+    snapshots.commit(src.repartitionByRange(4, "id"), facts)
+    snapshots.commit(
+        src.selectExpr("id % 4 AS b", "v").groupBy("b").count(), der
+    )
+    files_v1 = set(snapshots.read_manifest(facts, 1)["files"])
+    kept_der = (
+        src.where("id % 5 <> 0").selectExpr("id % 4 AS b", "v")
+        .groupBy("b").count()
+    )
+
+    # happy path: both members in one txn
+    r = snapshots.commit_transaction([
+        {"op": "delete_dv", "path": facts, "predicate": F.col("id") % 5 == 0},
+        {"op": "rewrite", "path": der, "df": kept_der,
+         "replace": lambda f: True},
+    ], spark=spark)
+    assert set(r["versions"]) == {facts, der}
+    got = sorted(r.id for r in snapshots.read_version(spark, facts).collect())
+    assert got == [i for i in range(40) if i % 5 != 0]
+    m2 = snapshots.read_manifest(facts, r["versions"][facts])
+    assert set(m2["files"]) == files_v1  # DV member: zero rewrites
+    assert m2.get("txn", {}).get("id") == r["txn_id"]
+    der_got = {r.b: r["count"] for r in snapshots.read_version(spark, der).collect()}
+    assert der_got == {b: len([i for i in range(40) if i % 4 == b and i % 5]) for b in range(4)}
+
+    # no-op delete member: matches nothing, burns no version
+    v_before = snapshots.latest_version(facts)
+    r2 = snapshots.commit_transaction([
+        {"op": "delete_dv", "path": facts, "predicate": F.col("id") > 999},
+        (spark.range(100, 102).selectExpr("id", "CAST(id AS DOUBLE) AS v"), der.replace("der", "other")),
+    ], spark=spark)
+    assert r2["versions"][facts] == v_before
+    assert snapshots.latest_version(facts) == v_before
+
+    # keys-form delete member validation
+    with pytest.raises(ValueError, match="key="):
+        snapshots.commit_transaction([
+            {"op": "delete_dv", "path": facts, "keys": spark.range(3)},
+            {"op": "delete_dv", "path": der, "predicate": F.col("b") < 0},
+        ], spark=spark)
+
+    # crash with NOTHING published: recovery aborts, no vectors appear
+    def fail_all(sp, entry, txn_id, status_path, max_retries):
+        raise KeyboardInterrupt
+
+    v_facts, v_der = snapshots.latest_version(facts), snapshots.latest_version(der)
+    monkeypatch.setattr(snapshots, "_publish_txn_member", fail_all)
+    try:
+        snapshots.commit_transaction([
+            {"op": "delete_dv", "path": facts, "predicate": F.col("id") % 2 == 0},
+            {"op": "rewrite", "path": der, "df": kept_der,
+             "replace": lambda f: True},
+        ], spark=spark)
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.undo()
+    out = snapshots.recover_transactions(spark, facts, force=True)
+    assert list(out.values()) == ["aborted"]
+    assert snapshots.latest_version(facts) == v_facts
+    assert snapshots.latest_version(der) == v_der
+    assert sorted(r.id for r in snapshots.read_version(spark, facts).collect()) == got
+
+
+def test_read_transaction_cut_holds_pre_txn_state(spark, tmp_path, monkeypatch):
+    """read_transaction_cut resolves ALL tables at the committed cut: with
+    a transaction wedged pending after publishing only its first table,
+    the cut excludes the pending version on that table too — a consumer
+    sees both tables pre-txn, never half."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshots.commit(spark.range(0, 5), a)
+    snapshots.commit(spark.range(0, 3), b)
+    orig = snapshots._publish_txn_member
+    calls = {"n": 0}
+
+    def crash_second(sp, entry, txn_id, status_path, max_retries):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+        return orig(sp, entry, txn_id, status_path, max_retries)
+
+    monkeypatch.setattr(snapshots, "_publish_txn_member", crash_second)
+    try:
+        snapshots.commit_transaction(
+            [(spark.range(10, 14), a), (spark.range(10, 12), b)]
+        )
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.undo()
+    assert snapshots.latest_version(a) == 2  # pending txn version on a
+    cut = snapshots.read_transaction_cut(spark, [a, b])
+    assert cut[a][0] == 1 and cut[b][0] == 1
+    assert cut[a][1].count() == 5 and cut[b][1].count() == 3
+    # after roll-forward the same call advances both together
+    snapshots.recover_transactions(spark, a, force=True)
+    cut2 = snapshots.read_transaction_cut(spark, [a, b])
+    assert cut2[a][0] == 2 and cut2[b][0] == 2
+    assert cut2[a][1].count() == 9 and cut2[b][1].count() == 5
+
+
+def test_txn_rewrite_recovery_conservative_conflict(spark, tmp_path, monkeypatch):
+    """On crash recovery the rewrite member's predicate callable is gone:
+    a file appended to the table AFTER the stage-time snapshot MIGHT match
+    the rewrite, so the roll-forward refuses conservatively (the operator
+    escape is abort_transaction)."""
+    import pytest
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark_df = spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    snapshots.commit(spark_df, a)
+    snapshots.commit(spark_df, b)
+    orig = snapshots._publish_txn_member
+    calls = {"n": 0}
+
+    def crash_second(sp, entry, txn_id, status_path, max_retries):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+        return orig(sp, entry, txn_id, status_path, max_retries)
+
+    monkeypatch.setattr(snapshots, "_publish_txn_member", crash_second)
+    try:
+        snapshots.commit_transaction([
+            (spark.range(20, 22).selectExpr("id", "CAST(id AS DOUBLE) AS v"), a),
+            {"op": "rewrite", "path": b,
+             "df": spark_df.where("id < 5"), "replace": lambda f: True},
+        ], spark=spark)
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.undo()
+    # an independent append lands on b before recovery
+    snapshots.commit_with_retry(
+        spark.range(50, 53).selectExpr("id", "CAST(id AS DOUBLE) AS v"), b
+    )
+    with pytest.raises(snapshots.ConcurrentWriteError, match="possibly"):
+        snapshots.recover_transactions(spark, a, force=True)
+    # the operator aborts: a's published append rolls back (still at head)
+    import json as _json
+
+    d = snapshots._txn_dir(a)
+    txn_id = [_json.load(open(os.path.join(d, n)))["txn_id"]
+              for n in sorted(os.listdir(d)) if n.endswith(".json")][-1]
+    assert snapshots.abort_transaction(
+        spark, a, txn_id, rollback_published=True
+    ) == "aborted"
+    assert snapshots.read_version_committed(spark, a).count() == 10
+    assert snapshots.read_version(spark, b).count() == 13  # append intact
+
+
 def test_txn_crash_before_any_publish_recovery_aborts(spark, tmp_path, monkeypatch):
     """A hard crash AFTER the intent landed but BEFORE any publish: recovery
     finds zero published tables and aborts — staged dirs deleted."""
@@ -2771,14 +2929,40 @@ def test_change_feed_row_ids_lineage_and_noop_rewrites(spark, tmp_path):
     assert sorted(rid for rid, *_ in by_type["delete"]) == [0, 3, 6, 9, 12]
     # the optimize transition contributed nothing
     assert {cv for *_, cv in rows} == {3, 4, 5}
-    # a CoW merge re-mints ids -> the by-id feed refuses past it
+    # r12: a MERGE is id-preserving — matched keys inherit identity, new
+    # keys mint above the watermark, and the by-id feed CROSSES it as a
+    # by-identity diff (update pair for the replaced row, insert for the
+    # new key, nothing for untouched survivors)
+    wm_pre = snapshots.read_manifest(
+        path, snapshots.latest_version(path))["row_id_watermark"]
     snapshots.merge_upsert(
         spark, path,
-        spark.range(1, 2).selectExpr("id", "CAST(999 AS DOUBLE) AS val"),
+        spark.range(1, 2).selectExpr("id", "CAST(999 AS DOUBLE) AS val")
+        .unionByName(spark.range(500, 501).selectExpr(
+            "id", "CAST(1.5 AS DOUBLE) AS val")),
         key="id",
     )                                                           # v7
+    ids_now = dict(
+        (r.id, r._row_id)
+        for r in snapshots.read_version_row_ids(spark, path).collect()
+    )
+    assert ids_now[1] == 1          # matched key kept its identity
+    assert ids_now[500] == wm_pre   # new key minted AT the old watermark
+    m7 = snapshots.read_manifest(path, snapshots.latest_version(path))
+    assert m7["row_id_watermark"] == wm_pre + 1  # advanced past the mint
+    feed7 = snapshots.change_feed_row_ids(spark, path, 6, 7)
+    got7 = sorted(
+        (r.change_type, r._row_id, r.id, r.val) for r in feed7.collect()
+    )
+    assert got7 == [
+        ("insert", wm_pre, 500, 1.5),
+        ("update_postimage", 1, 1, 999.0),
+        ("update_preimage", 1, 1, 1.0),
+    ]
+    # a CoW DELETE still re-mints (documented) -> the feed refuses past it
+    snapshots.delete_where(spark, path, F.col("id") == 2)       # v8
     with pytest.raises(ValueError, match="re-minted or removed"):
-        snapshots.change_feed_row_ids(spark, path, 2, 7).count()
+        snapshots.change_feed_row_ids(spark, path, 2, 8).count()
     # feed on an untracked table refuses
     path2 = str(tmp_path / "u")
     snapshots.commit(spark.range(3), path2)

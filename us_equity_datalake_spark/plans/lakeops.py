@@ -2866,6 +2866,151 @@ def lake_txn_q(spark, sf_dir):
 
 
 @register(
+    "lake_txn_cascade_report",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    kept AS (SELECT * FROM f WHERE o_custkey % 10 <> 3),
+    der_all AS (
+      SELECT o_custkey % 10 AS bucket, {dec_sum_sql('o_totalprice')} AS t
+      FROM f GROUP BY 1
+    ),
+    der_kept AS (
+      SELECT o_custkey % 10 AS bucket, {dec_sum_sql('o_totalprice')} AS t
+      FROM kept GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT 'pre_facts_committed' AS arm, COUNT(*) AS n_rows,
+             {dec_sum_sql('o_totalprice')} AS price_sum FROM f
+      UNION ALL
+      SELECT 'pre_facts_latest_dirty', COUNT(*),
+             {dec_sum_sql('o_totalprice')} FROM kept
+      UNION ALL
+      SELECT 'pre_derived_committed', COUNT(*),
+             {dec_sum_sql('t')} FROM der_all
+      UNION ALL
+      SELECT 'post_facts_committed', COUNT(*),
+             {dec_sum_sql('o_totalprice')} FROM kept
+      UNION ALL
+      SELECT 'post_derived_committed', COUNT(*),
+             {dec_sum_sql('t')} FROM der_kept
+      UNION ALL
+      SELECT 'facts_dv_zero_rewrites', CAST(1 AS BIGINT), CAST(0 AS DOUBLE)
+    )
+    """,
+    doc="ATOMIC DELETE CASCADE across tables (r12 — transactions beyond "
+    "append-only): one commit_transaction carries a merge-on-read "
+    "DV-DELETE member on the fact table (positions resolved at stage "
+    "time, ZERO files rewritten — the facts_dv_zero_rewrites arm pins "
+    "the v1 and post-delete file lists identical) and a copy-on-write "
+    "REWRITE member rebuilding the derived rollup, the right-to-be- "
+    "forgotten shape a medallion lake needs atomic.  The graded run "
+    "injects a crash BETWEEN the two publishes: committed reads of both "
+    "tables hold the pre-cascade cut (the fact table's pending DV "
+    "version is skipped, while the plain latest read already shows the "
+    "deletes — the documented read-uncommitted arm); "
+    "recover_transactions(force) rolls the log FORWARD from the durable "
+    "staged position sets and replacement files, after which the deleted "
+    "customer bucket is gone from BOTH tables together.  Conflict rules "
+    "per member are the standalone ones (delete_where_dv's DV rebase, "
+    "commit_rewrite_with_retry's dropped/unseen checks — conservative "
+    "file-set form on recovery, where the predicate callable is gone).  "
+    "Abort / no-op-member / recovery-conflict arms pinned in "
+    "tests/test_snapshots.py.  Reference anchor: update/app.py:877-958 + "
+    "447-607 (SURVEY I4+I5, done atomically).",
+)
+def lake_txn_cascade_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    facts_p = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_txc_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    der_p = facts_p.replace("_txc_", "_txcd_")
+    shutil.rmtree(facts_p, ignore_errors=True)
+    shutil.rmtree(der_p, ignore_errors=True)
+    f_rows = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    bucket = (F.col("o_custkey") % 10).alias("bucket")
+
+    def derived(src):
+        return src.groupBy(bucket).agg(
+            dec_sum(F.col("o_totalprice")).alias("t")
+        )
+
+    snapshots.commit(f_rows.repartitionByRange(4, "o_orderkey"), facts_p)  # v1
+    snapshots.commit(derived(f_rows).coalesce(1), der_p)                   # v1
+    files_v1 = set(snapshots.read_manifest(facts_p, 1)["files"])
+
+    forget = F.col("o_custkey") % 10 == 3
+    kept = f_rows.where(~forget)
+    orig = snapshots._publish_txn_member
+    calls = {"n": 0}
+
+    def crash_second(sp, entry, txn_id, status_path, max_retries):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise snapshots.ConcurrentWriteError("injected crash")
+        return orig(sp, entry, txn_id, status_path, max_retries)
+
+    snapshots._publish_txn_member = crash_second
+    try:
+        snapshots.commit_transaction([
+            {"op": "delete_dv", "path": facts_p, "predicate": forget},
+            {"op": "rewrite", "path": der_p, "df": derived(kept).coalesce(1),
+             "replace": lambda f: True},
+        ], spark=spark)
+        raise AssertionError("cascade landed despite the injected crash")
+    except snapshots.ConcurrentWriteError:
+        pass
+    finally:
+        snapshots._publish_txn_member = orig
+
+    def facts_arm(name, df):
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("o_totalprice")).alias("price_sum"),
+        ).select(F.lit(name).alias("arm"), "n_rows", "price_sum")
+
+    def derived_arm(name, df):
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dec_sum(F.col("t"), 6).alias("price_sum"),
+        ).select(F.lit(name).alias("arm"), "n_rows", "price_sum")
+
+    pre = (
+        facts_arm("pre_facts_committed",
+                  snapshots.read_version_committed(spark, facts_p))
+        .unionByName(facts_arm(
+            "pre_facts_latest_dirty", snapshots.read_version(spark, facts_p)))
+        .unionByName(derived_arm(
+            "pre_derived_committed",
+            snapshots.read_version_committed(spark, der_p)))
+    ).cache()
+    pre.count()  # pin the pending-state reads before recovery mutates the log
+    # force: the "crashed" writer is THIS live process (injected fault)
+    snapshots.recover_transactions(spark, facts_p, force=True)
+    files_post = set(
+        snapshots.read_manifest(facts_p, snapshots.latest_version(facts_p))["files"]
+    )
+    post = (
+        facts_arm("post_facts_committed",
+                  snapshots.read_version_committed(spark, facts_p))
+        .unionByName(derived_arm(
+            "post_derived_committed",
+            snapshots.read_version_committed(spark, der_p)))
+        .unionByName(spark.createDataFrame(
+            [("facts_dv_zero_rewrites", int(files_post == files_v1), 0.0)],
+            "arm string, n_rows long, price_sum double",
+        ))
+    )
+    return pre.unionByName(post)
+
+
+@register(
     "lake_row_lineage_report",
     oracle=f"""
     WITH ids AS (
@@ -3037,6 +3182,131 @@ def lake_cdf_row_lineage_q(spark, sf_dir):
         .select("change_type", "n_rows", "id_sum", "price_sum")
     )
     return per_type.unionByName(pairing)
+
+
+@register(
+    "lake_cdf_merge_lineage_report",
+    oracle=f"""
+    WITH f AS (SELECT o_orderkey AS k, o_totalprice AS p,
+                      ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+               FROM orders WHERE o_orderstatus = 'F'),
+    newk AS (SELECT o_orderkey AS k, o_totalprice AS p,
+                    (SELECT COUNT(*) FROM f)
+                    + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+             FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 3 = 0),
+    m AS (SELECT * FROM f WHERE k % 5 = 1)
+    SELECT change_type, n_rows, id_sum, price_sum FROM (
+      SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(rid) AS BIGINT) AS id_sum,
+             {dec_sum_sql('p')} AS price_sum
+      FROM newk
+      UNION ALL
+      SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(rid) AS BIGINT), {dec_sum_sql('p')} FROM m
+      UNION ALL
+      SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(rid) AS BIGINT), {dec_sum_sql('p * 3')} FROM m
+      UNION ALL
+      SELECT 'update_pairing', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(rid) AS BIGINT), CAST(0.0 AS DOUBLE) FROM m
+      UNION ALL
+      SELECT 'matched_identity_stable', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(rid) AS BIGINT), {dec_sum_sql('p * 3')} FROM m
+      UNION ALL
+      SELECT 'watermark', CAST(1 AS BIGINT),
+             (SELECT COUNT(*) FROM f) + (SELECT COUNT(*) FROM newk),
+             CAST(0.0 AS DOUBLE)
+    )
+    """,
+    doc="PRESERVED ROW TRACKING THROUGH CoW MERGE (r12 — the Delta "
+    "'preserved' feature bit, closing VERDICT r11 missing #5): "
+    "merge_upsert on a tracked table threads survivor ids through the "
+    "lineage scan, a matched key's delta row INHERITS the pre-image "
+    "identity, and only genuinely new keys mint fresh ids at the "
+    "watermark (in key order — the oracle reproduces the exact id "
+    "values analytically).  change_feed_row_ids CROSSES the merge as a "
+    "by-identity diff of the touched files: unchanged survivors emit "
+    "ZERO rows (graded implicitly — any survivor row breaks every "
+    "count), the replaced rows pair as update pre/post ON THE SAME id "
+    "(update_pairing grades post - 3*pre = 0 by identity join), new "
+    "keys are inserts at analytically-known ids, and the "
+    "matched_identity_stable arm re-reads the LIVE table proving the "
+    "matched keys kept their pre-merge identities.  The watermark arm "
+    "pins the mint advance (|F| + |new|) so racing appenders stay "
+    "disjoint.  Reference: Delta row-tracking 'preserved' contract; "
+    "anchor security_master.py:553-601 (assignment join-back, J7).",
+)
+def lake_cdf_merge_lineage_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_cml_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f_rows = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice"
+    )
+    snapshots.commit(
+        f_rows.repartition(1).sortWithinPartitions("o_orderkey"), root
+    )                                                            # v1
+    snapshots.enable_row_tracking(root)                          # v2
+    delta = (
+        f_rows.where(F.col("o_orderkey") % 5 == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .unionByName(
+            orders.where(
+                (F.col("o_orderstatus") == "P")
+                & (F.col("o_orderkey") % 3 == 0)
+            ).select("o_orderkey", "o_totalprice")
+        )
+    )
+    snapshots.merge_upsert(spark, root, delta, key="o_orderkey")  # v3
+    feed = snapshots.change_feed_row_ids(spark, root, 2, 3)
+    per_type = feed.groupBy("change_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("_row_id").cast("long").alias("id_sum"),
+        dec_sum(F.col("o_totalprice")).alias("price_sum"),
+    )
+    pre = feed.where(F.col("change_type") == "update_preimage").select(
+        "_row_id", F.col("o_totalprice").alias("pre_p")
+    )
+    post = feed.where(F.col("change_type") == "update_postimage").select(
+        "_row_id", F.col("o_totalprice").alias("post_p")
+    )
+    pairing = (
+        pre.join(post, "_row_id")
+        .agg(
+            F.lit("update_pairing").alias("change_type"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("_row_id").cast("long").alias("id_sum"),
+            dec_sum(F.col("post_p") - 3 * F.col("pre_p")).alias("price_sum"),
+        )
+        .select("change_type", "n_rows", "id_sum", "price_sum")
+    )
+    stable = (
+        snapshots.read_version_row_ids(spark, root)
+        .where(F.col("o_orderkey") % 5 == 1)
+        .join(f_rows.select("o_orderkey"), "o_orderkey", "left_semi")
+        .agg(
+            F.lit("matched_identity_stable").alias("change_type"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("_row_id").cast("long").alias("id_sum"),
+            dec_sum(F.col("o_totalprice")).alias("price_sum"),
+        )
+        .select("change_type", "n_rows", "id_sum", "price_sum")
+    )
+    wm = snapshots.read_manifest(
+        root, snapshots.latest_version(root)
+    )["row_id_watermark"]
+    wm_arm = spark.createDataFrame(
+        [("watermark", 1, int(wm), 0.0)],
+        "change_type string, n_rows long, id_sum long, price_sum double",
+    )
+    return per_type.unionByName(pairing).unionByName(stable).unionByName(wm_arm)
 
 
 @register(

@@ -461,6 +461,7 @@ def _carry_row_tracking(
     files: "list[str]",
     new_counts: "dict[str, int]",
     has_row_id: bool,
+    wm_hint: "int | None" = None,
 ) -> None:
     """Thread the row-tracking state through a DATA commit (mutates
     ``manifest``): carried-over files keep their id source; NEW files either
@@ -483,6 +484,11 @@ def _carry_row_tracking(
     fresh = [f for f in files if f not in prev_base and f not in prev_mat]
     if has_row_id:
         mat += fresh  # the writer supplied the ids; they ride the files
+        # an id-carrying writer that MINTED fresh ids for genuinely new
+        # rows (MERGE inserts) declares how far it minted — the watermark
+        # must advance past them or the next append re-mints the same ids
+        if wm_hint is not None:
+            wm = max(wm, int(wm_hint))
     else:
         for f in sorted(fresh):
             base[f] = wm
@@ -647,6 +653,7 @@ def commit(
     _mode_label: "str | None" = None,
     _dv_updates: "dict[str, list[int]] | None" = None,
     _trusted_row_ids: bool = False,
+    _id_watermark_hint: "int | None" = None,
 ) -> int:
     """Write ``df`` as a new immutable commit and a new manifest.
 
@@ -781,7 +788,8 @@ def commit(
         dv[f] = _write_dv_sidecar(path, new_v, f, merged)
     if dv:
         manifest["dv"] = dv
-    _carry_row_tracking(manifest, prev_manifest, files, new_counts, has_row_id)
+    _carry_row_tracking(manifest, prev_manifest, files, new_counts,
+                        has_row_id, wm_hint=_id_watermark_hint)
     manifest["schema"] = (
         new_schema
         if mode == "overwrite" or prev_schema is None
@@ -1048,7 +1056,46 @@ def commit_rewrite_with_retry(
     table_cons = dict(m0.get("constraints", {}))
     commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
     _write_commit_checked(df, commit_dir, col_map, table_cons, path)
-    new_counts = _data_files(commit_dir)
+    return _publish_rewrite_staged(
+        df.sparkSession, path,
+        new_counts=_data_files(commit_dir), dropped=dropped, m0_dv=m0_dv,
+        new_schema=new_schema, has_row_id=has_row_id, col_map=col_map,
+        dropped_phys=dropped_phys, table_cons=table_cons,
+        max_retries=max_retries, match=replace,
+    )
+
+
+def _publish_rewrite_staged(
+    spark: SparkSession,
+    path: str,
+    *,
+    new_counts: "dict[str, int]",
+    dropped: "set[str]",
+    m0_dv: dict,
+    new_schema: dict,
+    has_row_id: bool,
+    col_map: dict,
+    dropped_phys: set,
+    table_cons: dict,
+    max_retries: int = 5,
+    txn: "dict | None" = None,
+    match: "callable | None" = None,
+    base_files: "set[str] | None" = None,
+) -> int:
+    """The publish half of a copy-on-write rewrite whose replacement files
+    are already durable: the :func:`commit_rewrite_with_retry` rebase loop,
+    factored out so a multi-table transaction can stage a rewrite member
+    and publish (or crash-recover) it later with the SAME conflict rules —
+    the dropped-file set and the metadata the data was written under come
+    from stage time, never re-derived.
+
+    The write-after-read check uses ``match`` (the rewrite predicate) when
+    the caller still holds it; on CRASH RECOVERY the callable is gone (a
+    predicate does not serialize into the status doc), so the check falls
+    back to ``base_files`` — any file that appeared since the stage-time
+    snapshot MIGHT contain rows this rewrite should have read, and the
+    rebase refuses conservatively (the Delta rule: unknown overlap is a
+    conflict; the operator escape is abort_transaction)."""
     new_files = list(new_counts)
     new_stats: dict | None = None
     last_err: ConcurrentWriteError | None = None
@@ -1064,13 +1111,18 @@ def commit_rewrite_with_retry(
                 "already removed (overlapping rewrite) — rerun the "
                 "transaction against the new snapshot"
             )
-        unseen = [f for f in prev_files if f not in dropped and replace(f)]
+        if match is not None:
+            unseen = [f for f in prev_files if f not in dropped and match(f)]
+        else:
+            known = (base_files or set()) | set(new_files)
+            unseen = [f for f in prev_files
+                      if f not in dropped and f not in known]
         if unseen:
             raise ConcurrentWriteError(
                 f"rewrite of {path} conflicts with a concurrent commit: "
-                f"{len(unseen)} files matching the rewrite predicate were "
-                "added after this transaction's snapshot — rerun against "
-                "the new snapshot"
+                f"{len(unseen)} files matching (or, on recovery, possibly "
+                "matching) the rewrite predicate were added after this "
+                "transaction's snapshot — rerun against the new snapshot"
             )
         new_v = prev_v + 1
         os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
@@ -1113,7 +1165,7 @@ def commit_rewrite_with_retry(
         prev_bloom_cols = prev_manifest.get("bloom_cols")
         if prev_bloom_cols:
             if not os.path.exists(_bloom_sidecar(new_files[0])):
-                _write_file_blooms(df.sparkSession, new_files, prev_bloom_cols)
+                _write_file_blooms(spark, new_files, prev_bloom_cols)
             manifest["bloom_cols"] = prev_bloom_cols
         prev_schema = prev_manifest.get("schema")
         if prev_schema is not None:
@@ -1147,6 +1199,8 @@ def commit_rewrite_with_retry(
             )
         if table_cons:
             manifest["constraints"] = table_cons
+        if txn is not None:
+            manifest["txn"] = txn
         try:
             _publish(path, new_v, manifest)
             return new_v
@@ -1181,27 +1235,58 @@ def _write_txn_status(status_path: str, doc: dict) -> None:
     os.replace(tmp, status_path)
 
 
+_TXN_DOC_KEYS = (
+    "op", "path", "commit_dir", "new_schema", "has_row_id", "column_map",
+    "dropped_physical", "constraints", "updates", "base_dv", "n_deleted",
+    "dropped", "base_dv_dropped", "base_files",
+)
+
+
 def commit_transaction(
-    frames: "list[tuple[DataFrame, str]]",
+    frames: "list",
     *,
     max_retries: int = 5,
+    spark: "SparkSession | None" = None,
 ) -> dict:
-    """MULTI-TABLE ATOMIC TRANSACTION (append-only) — the medallion
-    consistency primitive neither Delta nor per-table Iceberg gives you:
-    land one batch across N tables (fact + derived, bronze + audit) with
-    ALL-OR-NOTHING durability.
+    """MULTI-TABLE ATOMIC TRANSACTION — the medallion consistency
+    primitive neither Delta nor per-table Iceberg gives you: land one
+    logical change across N tables (fact + derived, bronze + audit) with
+    ALL-OR-NOTHING durability.  Three member kinds (r12 extends beyond
+    append-only):
+
+    - ``(df, path)`` — an APPEND (the original form).
+    - ``{"op": "delete_dv", "path": p, "predicate": col}`` (or
+      ``"keys": df, "key": name``) — a merge-on-read DELETE: positions
+      are resolved against the stage-time snapshot and ride the intent
+      doc; the publish rebases them through :func:`_rebase_dv_entries`
+      with the same conflict rules as :func:`delete_where_dv`.
+    - ``{"op": "rewrite", "path": p, "df": df, "replace": f -> bool}`` —
+      a copy-on-write rewrite (``replace=lambda f: True`` is a full
+      logical overwrite): replacement files stage durably, the dropped
+      set is decided once against the stage-time snapshot, and the
+      publish runs the :func:`commit_rewrite_with_retry` conflict rules.
+
+    Together these cover the DELETE CASCADE a real lake needs atomic: DV
+    the rows out of the fact table and rewrite the derived rollup in ONE
+    transaction — a reader through :func:`read_version_committed` sees
+    both or neither (the I4+I5 read-check-append/overwrite pairing of the
+    reference's update/app.py:877-958 + 447-607, done atomically).
 
     Protocol (two-phase, coordinator = a status file in the FIRST table's
     log):
 
-    1. STAGE: every table's data files land in a uniquely-named commit
-       directory (schema/constraint/column-map validation exactly as
-       :func:`commit_with_retry`) — no manifest published, nothing visible.
+    1. STAGE: append/rewrite members write their data files to
+       uniquely-named commit directories (schema/constraint/column-map
+       validation exactly as :func:`commit_with_retry`); delete members
+       resolve their stage-time position sets — no manifest published,
+       nothing visible.
     2. INTENT: one status file records {txn_id, pending, tables:[...]}
-       atomically, carrying everything recovery needs.
-    3. PUBLISH: each table's manifest publishes through the reconciling
-       append rebase (:func:`_rebase_append_manifest` — concurrent
-       independent appends are absorbed), stamped ``txn: {id, status}``.
+       atomically, carrying everything recovery needs (including each
+       member's stage-time column map / constraints and, for deletes,
+       the Δ-sized position sets — a production log would pack these as
+       roaring bitmaps; the structure is identical).
+    3. PUBLISH: each member publishes through its reconciling rebase,
+       stamped ``txn: {id, status}``.
     4. COMMIT: the status file flips to 'committed' (one atomic rename —
        THE commit point).
 
@@ -1217,41 +1302,135 @@ def commit_transaction(
     its files — read-committed, not serializable, stated honestly.
 
     Returns {"txn_id", "versions": {path: version}}."""
-    if len(frames) < 2:
+    members: "list[dict]" = []
+    for item in frames:
+        if isinstance(item, (tuple, list)) and len(item) == 2:
+            members.append({"op": "append", "df": item[0], "path": item[1]})
+        elif isinstance(item, dict):
+            m = dict(item)
+            m.setdefault("op", "append")
+            if m["op"] not in ("append", "delete_dv", "rewrite"):
+                raise ValueError(f"commit_transaction: unknown op {m['op']!r}")
+            members.append(m)
+        else:
+            raise ValueError(
+                "commit_transaction members are (df, path) tuples or "
+                "{'op': ...} dicts"
+            )
+    if len(members) < 2:
         raise ValueError("commit_transaction needs >= 2 tables (use commit)")
-    paths = [p for _, p in frames]
+    paths = [m["path"] for m in members]
     if len(set(os.path.realpath(p) for p in paths)) != len(paths):
         raise ValueError("commit_transaction: duplicate table paths")
+    for m in members:
+        if "df" in m:
+            spark = spark or m["df"].sparkSession
+    if spark is None:
+        raise ValueError(
+            "commit_transaction: pass spark= when no member carries a frame"
+        )
     txn_id = uuid.uuid4().hex[:16]
     staged = []
-    for df, path in frames:
-        if _ROW_ID in df.columns:
-            _reject_external_row_ids(path, "commit_transaction")
-        new_schema = {f.name: f.dataType.simpleString()
-                      for f in df.schema.fields}
-        col_map, dropped_phys, table_cons = _append_precheck(path, new_schema)
-        commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
-        _write_commit_checked(df, commit_dir, col_map, table_cons, path)
-        # the stage-time column map / dropped slots / constraints ride the
-        # entry AND the status doc: publish (and crash recovery) must
-        # compare what the data was WRITTEN under against the manifest it
-        # rebases onto, or the drift guards in _rebase_append_manifest
-        # compare current-vs-current and are vacuous (ADVICE r11)
-        staged.append({
-            "path": path, "commit_dir": commit_dir,
-            "new_schema": new_schema, "has_row_id": False,
-            "column_map": col_map,
-            "dropped_physical": sorted(dropped_phys),
-            "constraints": table_cons,
-            "spark": df.sparkSession,
-        })
-    # shrink the schema-wedge window: re-validate EVERY table against the
+    for m in members:
+        path = m["path"]
+        if m["op"] == "append":
+            df = m["df"]
+            if _ROW_ID in df.columns:
+                _reject_external_row_ids(path, "commit_transaction")
+            new_schema = {f.name: f.dataType.simpleString()
+                          for f in df.schema.fields}
+            col_map, dropped_phys, table_cons = _append_precheck(path, new_schema)
+            commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
+            _write_commit_checked(df, commit_dir, col_map, table_cons, path)
+            # the stage-time column map / dropped slots / constraints ride
+            # the entry AND the status doc: publish (and crash recovery)
+            # must compare what the data was WRITTEN under against the
+            # manifest it rebases onto, or the drift guards in
+            # _rebase_append_manifest compare current-vs-current and are
+            # vacuous (ADVICE r11)
+            staged.append({
+                "op": "append", "path": path, "commit_dir": commit_dir,
+                "new_schema": new_schema, "has_row_id": False,
+                "column_map": col_map,
+                "dropped_physical": sorted(dropped_phys),
+                "constraints": table_cons,
+            })
+        elif m["op"] == "delete_dv":
+            v0 = latest_version(path)
+            if v0 == 0:
+                raise ValueError(f"txn delete_dv of {path}: table has no commits")
+            m0 = read_manifest(path, v0)
+            live = _scan_files(spark, m0["files"], m0, with_lineage=True)
+            if m.get("keys") is not None:
+                from pyspark.sql import functions as F
+
+                if not m.get("key"):
+                    raise ValueError("txn delete_dv: keys needs key=<column>")
+                hits = live.join(
+                    F.broadcast(m["keys"].select(m["key"]).distinct()),
+                    m["key"], "left_semi",
+                )
+            else:
+                from pyspark.sql import functions as F
+
+                hits = live.where(F.coalesce(m["predicate"], F.lit(False)))
+            updates = _collect_dv_updates(
+                hits.select("__file", "__pos"), set(m0["files"]),
+                "commit_transaction",
+            )
+            staged.append({
+                "op": "delete_dv", "path": path,
+                "updates": {f: [int(p) for p in ps]
+                            for f, ps in updates.items()},
+                "base_dv": {f: m0["dv"][f] for f in updates
+                            if f in m0.get("dv", {})},
+                "n_deleted": sum(len(ps) for ps in updates.values()),
+                "column_map": dict(m0.get("column_map", {})),
+                "dropped_physical": sorted(m0.get("dropped_physical", [])),
+                "constraints": dict(m0.get("constraints", {})),
+            })
+        else:  # rewrite
+            df = m["df"]
+            if _ROW_ID in df.columns:
+                _reject_external_row_ids(path, "commit_transaction")
+            v0 = latest_version(path)
+            if v0 == 0:
+                raise ValueError(f"txn rewrite of {path}: table has no commits")
+            m0 = read_manifest(path, v0)
+            dropped = sorted(f for f in m0["files"] if m["replace"](f))
+            new_schema = {f.name: f.dataType.simpleString()
+                          for f in df.schema.fields}
+            col_map = dict(m0.get("column_map", {}))
+            dropped_phys = set(m0.get("dropped_physical", []))
+            table_cons = dict(m0.get("constraints", {}))
+            commit_dir = os.path.join(path, f"commit_{uuid.uuid4().hex[:12]}")
+            _write_commit_checked(df, commit_dir, col_map, table_cons, path)
+            staged.append({
+                "op": "rewrite", "path": path, "commit_dir": commit_dir,
+                "new_schema": new_schema, "has_row_id": False,
+                "dropped": dropped,
+                "base_dv_dropped": {
+                    f: m0.get("dv", {}).get(f) for f in dropped
+                },
+                "base_files": sorted(m0["files"]),
+                "column_map": col_map,
+                "dropped_physical": sorted(dropped_phys),
+                "constraints": table_cons,
+                "match": m["replace"],  # in-memory only, not serialized
+            })
+    # shrink the schema-wedge window: re-validate EVERY member against the
     # now-current log right before the first publish — a rename/constraint
     # that landed during staging aborts cleanly here (nothing visible yet)
     # instead of wedging the transaction half-published (ADVICE r11)
     try:
         for s in staged:
-            cm, dp, tc = _append_precheck(s["path"], s["new_schema"])
+            if s["op"] == "append":
+                cm, dp, tc = _append_precheck(s["path"], s["new_schema"])
+            else:
+                m_now = read_manifest(s["path"], latest_version(s["path"]))
+                cm = dict(m_now.get("column_map", {}))
+                dp = set(m_now.get("dropped_physical", []))
+                tc = dict(m_now.get("constraints", {}))
             if (cm != s["column_map"]
                     or sorted(dp) != s["dropped_physical"]
                     or tc != s["constraints"]):
@@ -1262,30 +1441,29 @@ def commit_transaction(
                 )
     except (ConcurrentWriteError, SchemaEnforcementError):
         for t in staged:
-            shutil.rmtree(t["commit_dir"], ignore_errors=True)
+            if t.get("commit_dir"):
+                shutil.rmtree(t["commit_dir"], ignore_errors=True)
         raise
     status_path = os.path.join(_txn_dir(paths[0]), f"{txn_id}.json")
     _write_txn_status(status_path, {
         "txn_id": txn_id, "status": "pending",
         "owner": {"pid": os.getpid(), "host": _HOSTNAME, "ts": time.time()},
         "tables": [
-            {k: s[k] for k in ("path", "commit_dir", "new_schema",
-                               "has_row_id", "column_map",
-                               "dropped_physical", "constraints")}
-            for s in staged
+            {k: s[k] for k in _TXN_DOC_KEYS if k in s} for s in staged
         ],
     })
     versions: "dict[str, int]" = {}
     for i, s in enumerate(staged):
         try:
-            versions[s["path"]] = _publish_txn_table(
-                s["spark"], s, txn_id, status_path, max_retries
+            versions[s["path"]] = _publish_txn_member(
+                spark, s, txn_id, status_path, max_retries
             )
         except (ConcurrentWriteError, SchemaEnforcementError):
             if i == 0:
                 # nothing visible anywhere: clean abort
                 for t in staged:
-                    shutil.rmtree(t["commit_dir"], ignore_errors=True)
+                    if t.get("commit_dir"):
+                        shutil.rmtree(t["commit_dir"], ignore_errors=True)
                 _write_txn_status(status_path, {
                     "txn_id": txn_id, "status": "aborted",
                 })
@@ -1294,6 +1472,94 @@ def commit_transaction(
             raise
     _write_txn_status(status_path, {"txn_id": txn_id, "status": "committed"})
     return {"txn_id": txn_id, "versions": versions}
+
+
+def _publish_txn_member(
+    spark, entry: dict, txn_id: str, status_path: str, max_retries: int
+) -> int:
+    """Dispatch one staged transaction member to its op-specific publish
+    (append rebase / DV rebase / rewrite conflict loop)."""
+    op = entry.get("op", "append")
+    if op == "delete_dv":
+        return _publish_txn_delete_dv(
+            spark, entry, txn_id, status_path, max_retries
+        )
+    if op == "rewrite":
+        return _publish_rewrite_staged(
+            spark, entry["path"],
+            new_counts=_data_files(entry["commit_dir"]),
+            dropped=set(entry["dropped"]),
+            m0_dv={f: e for f, e in entry.get("base_dv_dropped", {}).items()
+                   if e is not None},
+            new_schema=entry["new_schema"], has_row_id=False,
+            col_map=dict(entry.get("column_map", {})),
+            dropped_phys=set(entry.get("dropped_physical", [])),
+            table_cons=dict(entry.get("constraints", {})),
+            max_retries=max_retries,
+            txn={"id": txn_id, "status": status_path},
+            match=entry.get("match"),
+            base_files=set(entry.get("base_files", [])),
+        )
+    return _publish_txn_table(spark, entry, txn_id, status_path, max_retries)
+
+
+def _publish_txn_delete_dv(
+    spark, entry: dict, txn_id: str, status_path: str, max_retries: int
+) -> int:
+    """Publish a staged DV-delete transaction member: rebase the
+    stage-time position sets onto the CURRENT manifest with the same
+    conflict rules as :func:`delete_where_dv`'s race path (disjoint
+    concurrent vectors merge, overlapping rows / rewritten files /
+    metadata drift raise).  A member that matched nothing is a no-op —
+    no version burned, the table's current version reported."""
+    path = entry["path"]
+    ours_new = {f: ps for f, ps in entry.get("updates", {}).items()}
+    if not ours_new:
+        return latest_version(path)
+    base_dv = entry.get("base_dv", {})
+    pseudo_base = {
+        "column_map": entry.get("column_map", {}),
+        "dropped_physical": entry.get("dropped_physical", []),
+        "constraints": entry.get("constraints", {}),
+    }
+    last_err: "ConcurrentWriteError | None" = None
+    for _ in range(max_retries):
+        v_cur = latest_version(path)
+        m_cur = read_manifest(path, v_cur)
+        if _dv_metadata_drift(pseudo_base, m_cur):
+            raise ConcurrentWriteError(
+                f"txn {txn_id} delete_dv of {path}: table metadata changed "
+                "concurrently (rename/drop/constraint) — rerun the "
+                "transaction against the new snapshot"
+            )
+        new_v = v_cur + 1
+        merged = _rebase_dv_entries(
+            path, new_v, base_dv, m_cur.get("dv", {}), ours_new,
+            set(m_cur["files"]), "txn delete_dv",
+        )
+        dv = {**m_cur.get("dv", {}), **merged}
+        manifest = {
+            k: m_cur[k]
+            for k in ("files", "schema", "rows", "stats", "bloom_cols",
+                      "column_map", "dropped_physical", "constraints",
+                      *_RT_KEYS)
+            if k in m_cur
+        }
+        manifest.update({
+            "version": new_v, "mode": "delete_dv", "dv": dv,
+            "dv_rows_deleted": int(entry.get("n_deleted", 0)),
+            "txn": {"id": txn_id, "status": status_path},
+        })
+        try:
+            _publish(path, new_v, manifest)
+            return new_v
+        except ConcurrentWriteError as e:
+            last_err = e
+            continue
+    raise ConcurrentWriteError(
+        f"txn {txn_id} delete_dv of {path} lost the publish race "
+        f"{max_retries} times"
+    ) from last_err
 
 
 def _publish_txn_table(
@@ -1408,13 +1674,14 @@ def recover_transactions(
                 unpublished.append(t)
         if not published:
             for t in doc["tables"]:
-                shutil.rmtree(t["commit_dir"], ignore_errors=True)
+                if t.get("commit_dir"):
+                    shutil.rmtree(t["commit_dir"], ignore_errors=True)
             _write_txn_status(status_path, {"txn_id": txn_id, "status": "aborted"})
             out[txn_id] = "aborted"
             continue
         for t in unpublished:
-            entry = {**t, "spark": spark}
-            _publish_txn_table(spark, entry, txn_id, status_path, max_retries=5)
+            _publish_txn_member(spark, dict(t), txn_id, status_path,
+                                max_retries=5)
         _write_txn_status(status_path, {"txn_id": txn_id, "status": "committed"})
         out[txn_id] = "committed" if unpublished else "already_complete"
     return out
@@ -1472,9 +1739,9 @@ def abort_transaction(
     # sweep only UNPUBLISHED stages: a published-then-rolled-back version
     # stays in history for forensics (the RESTORE contract), so its data
     # files must survive until vacuum reclaims them
-    published_dirs = {t["commit_dir"] for t, _ in published}
+    published_dirs = {t["commit_dir"] for t, _ in published if t.get("commit_dir")}
     for t in doc.get("tables", []):
-        if t["commit_dir"] not in published_dirs:
+        if t.get("commit_dir") and t["commit_dir"] not in published_dirs:
             shutil.rmtree(t["commit_dir"], ignore_errors=True)
     _write_txn_status(status_path, {"txn_id": txn_id, "status": "aborted"})
     return "aborted"
@@ -1517,6 +1784,27 @@ def read_version_committed(spark: SparkSession, path: str) -> DataFrame:
     return read_version(spark, path, v)
 
 
+def read_transaction_cut(
+    spark: SparkSession, paths: "list[str]"
+) -> "dict[str, tuple[int, DataFrame]]":
+    """One TRANSACTIONALLY-CONSISTENT cut across N tables: each table
+    pinned at its :func:`latest_committed_version`, resolved in one pass so
+    a consumer never hand-rolls :func:`read_version_committed` per table.
+    The cut is consistent by construction — every version a pending
+    :func:`commit_transaction` published points at the SAME status file,
+    so either the transaction's status flipped committed (all its versions
+    are visible) or it didn't (none are); the frames returned are pinned
+    file lists, immune to commits that land after this call.  Returns
+    {path: (version, DataFrame)}."""
+    out: "dict[str, tuple[int, DataFrame]]" = {}
+    for p in paths:
+        v = latest_committed_version(p)
+        if v == 0:
+            raise ValueError(f"{p} has no committed versions")
+        out[p] = (v, read_version(spark, p, v))
+    return out
+
+
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Time-travel read: the table exactly as of ``version`` (default:
     latest).  Spark receives the explicit immutable file list, so later
@@ -1537,10 +1825,12 @@ def enable_row_tracking(path: str) -> int:
     physical column for files produced by id-preserving rewrites), ids are
     NEVER reused (the watermark is monotonic across deletes and rollbacks),
     and :func:`optimize` / :func:`compact_files` / :func:`materialize_dvs`
-    preserve ids across layout changes.  Copy-on-write row mutations
-    (merge_upsert / delete_where) assign fresh ids to rewritten files — the
-    Delta default without the `preserved` feature bit; DV deletes and
-    updates keep untouched rows' ids by construction."""
+    preserve ids across layout changes.  :func:`merge_upsert` is also
+    id-preserving (r12, the Delta `preserved` feature bit): survivors keep
+    their ids, matched delta rows inherit the pre-image identity, only new
+    keys mint fresh ids.  The remaining re-minting path is the CoW
+    :func:`delete_where` (use delete_where_dv on tracked tables); DV
+    deletes and updates keep untouched rows' ids by construction."""
     v0 = latest_version(path)
     if v0 == 0:
         raise ValueError(f"enable_row_tracking of {path}: table has no commits")
@@ -1588,6 +1878,7 @@ def _attach_row_ids(
     manifest: dict,
     *,
     with_lineage: bool = False,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Scan ``files`` with the stable ``_row_id`` attached: position-derived
     files compute base + row position (the base map is manifest-sized and
@@ -1611,7 +1902,10 @@ def _attach_row_ids(
         )
     frames = []
     if derived:
-        df = _scan_files(spark, derived, manifest, with_lineage=True)
+        df = _scan_files(
+            spark, derived, manifest, with_lineage=True,
+            merge_schema=merge_schema,
+        )
         bdf = spark.createDataFrame(
             [(f, int(base[f])) for f in derived], "__file string, __base long"
         )
@@ -1627,11 +1921,12 @@ def _attach_row_ids(
             _scan_files(
                 spark, mat_files, manifest,
                 keep_row_id=True, with_lineage=with_lineage,
+                merge_schema=merge_schema,
             )
         )
     out = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f)
+        out = out.unionByName(f, allowMissingColumns=merge_schema)
     return out
 
 
@@ -2185,19 +2480,36 @@ def merge_upsert(
     (``repartitionByRange`` on the key at write time, or the z-order
     writer) a localized delta touches O(delta) files, not the table.
 
+    On a ROW-TRACKED table the MERGE is ID-PRESERVING (the Delta
+    ``preserved`` row-tracking contract, r12): surviving rows of rewritten
+    files keep their ``_row_id`` (threaded through the lineage scan into
+    the replacement files as a physical column), a matched key's delta row
+    INHERITS the pre-image's id (the row changed value, not identity — the
+    same rule as update_where_dv), and only genuinely NEW keys mint fresh
+    ids above the watermark (declared to the manifest so racing appenders
+    stay disjoint).  The id-carrying change feed
+    (:func:`change_feed_row_ids`) crosses such a merge as a by-identity
+    diff of the touched files.  Requires a key-unique delta — inheriting
+    one identity into two delta rows would mint a duplicate.
+
     Returns {"version", "files_total", "files_rewritten"}.
     """
     from pyspark.sql import functions as F
 
     m = read_manifest(path, latest_version(path))
+    tracked = bool(m.get("row_tracking"))
     # lineage-bearing scan: __file is the decoded manifest path captured at
     # the leaves (safe across shuffles, DV-aware — deleted rows can neither
     # match nor survive), replacing the old input_file_name() tagging.
     # merge_schema: on an additively-evolved table the survivors must carry
     # the FULL table schema, or the rewrite would silently drop the newest
     # columns from every surviving row (schema sampled from an old file).
-    current = _scan_files(
-        spark, m["files"], m, with_lineage=True, merge_schema=True
+    current = (
+        _attach_row_ids(spark, m["files"], m, with_lineage=True,
+                        merge_schema=True)
+        if tracked
+        else _scan_files(spark, m["files"], m, with_lineage=True,
+                         merge_schema=True)
     )
     keys = delta.select(key).distinct()
     touched_set = {
@@ -2213,15 +2525,54 @@ def merge_upsert(
         )
     n_total = len(manifest_files)
 
+    touched_rows = current.where(F.col("__file").isin(list(touched_set)))
     survivors = (
-        current.where(F.col("__file").isin(list(touched_set)))
-        .drop("__file", "__pos")
-        .join(keys, key, "left_anti")
+        touched_rows.drop("__file", "__pos").join(keys, key, "left_anti")
     )
+    wm_hint = None
+    if tracked:
+        if _ROW_ID in delta.columns:
+            _reject_external_row_ids(path, "merge_upsert delta")
+        dup = (
+            delta.groupBy(key).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_upsert of {path}: the delta has duplicate {key!r} "
+                "values — on a row-tracked table each matched key's delta "
+                "row inherits ONE pre-image identity; dedup the delta first"
+            )
+        # matched delta rows inherit the pre-image id (min over the key's
+        # rows: a multi-row key collapses to one row, the smallest id
+        # survives and the others surface as 'delete' in the by-id feed)
+        pre_ids = (
+            touched_rows.join(keys, key, "left_semi")
+            .groupBy(key).agg(F.min(_ROW_ID).alias(_ROW_ID))
+        )
+        delta_ids = delta.join(pre_ids, key, "left")
+        wm = int(m.get("row_id_watermark", 0))
+        from pyspark.sql import Window
+
+        # fresh ids for genuinely new keys: watermark + dense order over
+        # the new keys.  The global window runs over the NEW-KEY SUBSET of
+        # one merge batch (Δ-sized by definition), not the table.
+        new_part = delta_ids.where(F.col(_ROW_ID).isNull()).withColumn(
+            _ROW_ID,
+            (F.lit(wm - 1) + F.row_number().over(Window.orderBy(key)))
+            .cast("long"),
+        )
+        matched_part = delta_ids.where(F.col(_ROW_ID).isNotNull())
+        n_new = new_part.count()
+        wm_hint = wm + n_new
+        delta = matched_part.unionByName(new_part)
     new_rows = survivors.unionByName(
         delta, allowMissingColumns=allow_schema_evolution
     )
-    v = commit(new_rows, path, replace=lambda f: f in touched_set)
+    v = commit(
+        new_rows, path, replace=lambda f: f in touched_set,
+        _mode_label="merge", _trusted_row_ids=tracked,
+        _id_watermark_hint=wm_hint,
+    )
     return {"version": v, "files_total": n_total, "files_rewritten": len(touched_set)}
 
 
@@ -3035,9 +3386,13 @@ def change_feed_row_ids(
     ``update_dv`` → pre-images read raw from ONLY the newly-vectored files
     and semi-joined against the position delta; an id-preserving rewrite
     (every replacement file carries materialized ids and the watermark did
-    not move) → no rows; anything else (CoW rewrites that re-mint ids,
-    rollbacks, vector shrink) raises — by-id lineage cannot be
-    reconstructed once identity was re-minted.
+    not move) → no rows; an id-preserving MERGE (r12: mode ``merge``,
+    every replacement file materialized) → a by-identity diff of the
+    touched files only (unchanged survivors vanish, replaced rows pair as
+    update pre/post on their inherited id, fresh keys are inserts);
+    anything else (CoW rewrites that re-mint ids, rollbacks, vector
+    shrink) raises — by-id lineage cannot be reconstructed once identity
+    was re-minted.
 
     Output columns: ``_row_id``, ``change_type``, ``_commit_version``,
     then every logical column.  Requires a stable schema across the range.
@@ -3076,10 +3431,52 @@ def change_feed_row_ids(
             )
             if preserved:
                 continue  # layout changed, identity did not: zero change rows
-            raise ValueError(
-                f"change_feed_row_ids: v{v + 1} ({mode}) re-minted or removed "
-                "row identities; by-id lineage stops here — use change_feed"
+            mat1 = set(m1.get("row_id_materialized", []))
+            if not (mode == "merge" and replacement
+                    and all(f in mat1 for f in replacement)):
+                raise ValueError(
+                    f"change_feed_row_ids: v{v + 1} ({mode}) re-minted or "
+                    "removed row identities; by-id lineage stops here — "
+                    "use change_feed"
+                )
+            # ID-PRESERVING MERGE (r12): the touched files' pre- and
+            # post-images diff BY IDENTITY — survivors (same id, same
+            # content) vanish from the feed, a matched key's replaced row
+            # pairs as update pre/post on ITS id, collapsed multi-row keys
+            # surface their lost ids as deletes, and fresh-minted ids are
+            # inserts.  O(touched files), never O(table).
+            ver = F.lit(v + 1).cast("long").alias("_commit_version")
+            o_side = _attach_row_ids(
+                spark, sorted(removed), m0, merge_schema=True
+            ).select(_ROW_ID, F.struct(*cols).alias("__pre"))
+            n_side = _attach_row_ids(
+                spark, replacement, m1, merge_schema=True
+            ).select(_ROW_ID, F.struct(*cols).alias("__post"))
+            j = o_side.join(n_side, _ROW_ID, "full_outer")
+            changed = j.where(
+                F.col("__pre").isNotNull() & F.col("__post").isNotNull()
+                & ~F.col("__pre").eqNullSafe(F.col("__post"))
             )
+            for p in (
+                j.where(F.col("__pre").isNull()).select(
+                    _ROW_ID, F.lit("insert").alias("change_type"), ver,
+                    "__post.*"),
+                j.where(F.col("__post").isNull()).select(
+                    _ROW_ID, F.lit("delete").alias("change_type"), ver,
+                    "__pre.*"),
+                changed.select(
+                    _ROW_ID, F.lit("update_preimage").alias("change_type"),
+                    ver, "__pre.*"),
+                changed.select(
+                    _ROW_ID, F.lit("update_postimage").alias("change_type"),
+                    ver, "__post.*"),
+            ):
+                out = p if out is None else out.unionByName(p)
+                legs += 1
+                if legs >= _FEED_FOLD_EVERY:
+                    out = out.localCheckpoint(eager=True)
+                    legs = 0
+            continue
         delta: dict = {}
         bad = False
         for f, e in dv1.items():

@@ -2993,6 +2993,67 @@ def test_change_feed_row_ids_across_prior_evolution(spark, tmp_path):
     assert rows == [("delete", 2, None), ("delete", 101, "late")]
 
 
+def test_read_version_where_composes_all_cuts(spark, tmp_path):
+    """The unified planner intersects range + null-count + bloom cuts in
+    one pass, attributes each dropped file to the first rejecting atom,
+    applies the implied NOT-NULL cut inside range/eq atoms, keeps files
+    conservatively when stats are missing, and resolves logical names
+    through the column map."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    # 3 files: ids 0-9 (note='x', tag='a'), 10-19 (note all-NULL, tag='b'),
+    # 20-29 (note='x', tag='c')
+    for lo, note, tag in ((0, "x", "a"), (10, None, "b"), (20, "x", "c")):
+        note_sql = "CAST(NULL AS STRING)" if note is None else repr(note)
+        df = spark.range(lo, lo + 10).selectExpr(
+            "id", f"{note_sql} AS note", f"'{tag}' AS tag",
+        )
+        snapshots.commit(
+            df.coalesce(1), path,
+            stats_cols=["id", "note"] if lo == 0 else None,
+            bloom_cols=["tag"] if lo == 0 else None,
+        )
+    # range alone keeps files 2+3; + not_null cuts the all-null file
+    _, i = snapshots.read_version_where(spark, path, [
+        {"col": "id", "op": "between", "lo": 10, "hi": 29},
+        {"col": "note", "op": "not_null"},
+    ])
+    assert (i["files_total"], i["files_scanned"]) == (3, 1)
+    assert sorted(i["cut_by"].values()) == [1, 1]  # one file per atom
+    # eq atom: range + bloom + implied not-null in one atom
+    df, i2 = snapshots.read_version_where(spark, path, [
+        {"col": "tag", "op": "eq", "value": "c"},
+        {"col": "note", "op": "not_null"},
+    ])
+    assert i2["files_scanned"] == 1
+    assert sorted(r.id for r in df.where("tag = 'c'").collect()) == list(range(20, 30))
+    # a BETWEEN on the all-null column drops the all-null file (implied
+    # NOT NULL) even though it records no range at all
+    _, i3 = snapshots.read_version_where(spark, path, [
+        {"col": "note", "op": "between", "lo": "a", "hi": "z"},
+    ])
+    assert i3["files_scanned"] == 2
+    # is_null keeps only files that can hold a null
+    _, i4 = snapshots.read_version_where(spark, path, [
+        {"col": "note", "op": "is_null"},
+    ])
+    assert i4["files_scanned"] == 1
+    # unknown op refuses; missing stats keep conservatively
+    with pytest.raises(ValueError, match="unknown atom"):
+        snapshots.read_version_where(spark, path, [{"col": "id", "op": "lt"}])
+    _, i5 = snapshots.read_version_where(spark, path, [
+        {"col": "tag", "op": "between", "lo": "zz", "hi": "zz"},  # no stats on tag
+    ])
+    assert i5["files_scanned"] == 3
+    # column map: rename id -> key, the planner resolves the logical name
+    snapshots.rename_column(path, "id", "key")
+    _, i6 = snapshots.read_version_where(spark, path, [
+        {"col": "key", "op": "between", "lo": 0, "hi": 9},
+    ])
+    assert i6["files_scanned"] == 1
+
+
 def test_null_count_stats_and_pruning(spark, tmp_path):
     """NULL-COUNT skipping (Delta nullCount): stats entries widen to
     [min, max, null_count, file_rows]; an all-null file records

@@ -43,72 +43,76 @@ from . import quant  # noqa: E402,F401
 # of the least-recently-graded queries (TPC-H head + asof/reshape family,
 # last graded r1-r4).
 _GRADING_PRIORITY = [
-    # --- new in round 11 (zero gradings) ---
-    "lake_null_skipping_report",
-    "lake_row_tracking_report",
-    "lake_dv_retry_append_report",
-    "xsec_zscore_report",
-    "pairwise_corr_matrix",
+    # --- new in round 12 (zero gradings): the txn cascade, the
+    # id-preserving MERGE lineage feed, the unified skipping planner ---
+    "lake_txn_cascade_report",
+    "lake_cdf_merge_lineage_report",
+    "lake_skipping_matrix_report",
+    # --- code paths round 12 REWROTE: the O(delta) CDC replica apply
+    # (delete_where_dv keys-form + append instead of full overwrite), the
+    # merge family (id-preserving merge, mode label, watermark hint), the
+    # txn family (stage-time metadata, member staging, recovery leases),
+    # the DV/rewrite publish loops (_publish_rewrite_staged factor-out),
+    # the row-tracking guards (external _row_id rejection), the lineage
+    # feed (merge crossing + mergeSchema pre-images), factor_ic_decay
+    # (persisted shared frame) ---
+    "streaming_cdc_replica_sink",
+    "lake_merge_upsert_report",
     "lake_merge_evolve_report",
+    "streaming_merge_upsert_sink",
     "lake_txn_report",
+    "lake_row_tracking_report",
     "lake_row_lineage_report",
     "lake_cdf_row_lineage_report",
-    "portfolio_turnover_report",
-    "factor_ic_decay",
-    "streaming_change_feed_source_sink",
-    "streaming_cdc_replica_sink",
-    "lake_concurrent_dv_report",
-    # --- second gradings for the once-graded round-10 queries ---
-    "lake_dv_change_feed_report",
-    "lake_clone_pin_report",
-    "streaming_cdf_apply_sink",
-    "lake_column_rename_report",
-    "lake_column_drop_report",
-    "lake_constraint_report",
-    # --- code paths rewritten this round: DV writers + change feed ---
     "lake_deletion_vector_report",
     "lake_mor_update_report",
     "streaming_dv_delete_sink",
+    "lake_dv_retry_append_report",
+    "lake_concurrent_dv_report",
+    "lake_dv_change_feed_report",
+    "lake_history_report",
+    "lake_lifecycle_report",
+    "lake_log_replay_agg",
+    "lake_null_skipping_report",
     "lake_change_feed_report",
     "lake_cdf_incremental_agg",
-    "lake_log_replay_agg",
-    "streaming_from_snapshot_sink",
-    "lake_lifecycle_report",
-    "lake_roundtrip_report",
-    "lake_merge_upsert_report",
-    "lake_quarantine_report",
-    # --- similarity family: corpus-spread + pq fixes ---
-    "emb_pq_topk",
-    "emb_near_dup_pairs",
-    "near_dup_components",
-    "dedup_keep_best_report",
-    "emb_semdedup_report",
-    # --- rotation tail: least-recently-graded (r1-r4 last gradings) ---
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_by_month",
-    "tpch_q14_promo_revenue",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_shipments",
-    "tpch_q22_global_sales_opportunity",
-    "auto_resolve_nearest_interval",
-    "asof_backward_join",
-    "asof_forward_join",
-    "asof_nearest_join",
-    "calendar_align_nulls",
-    "latest_wins_dedup",
-    "keep_first_dedup",
-    "pivot_long_to_wide",
-    "unpivot_wide_to_long",
+    "streaming_change_feed_source_sink",
+    "streaming_cdf_apply_sink",
+    "factor_ic_decay",
+    # --- second driver passes for the once-graded round-11 quant tier ---
+    "xsec_zscore_report",
+    "pairwise_corr_matrix",
+    "portfolio_turnover_report",
+    # --- rotation tail: least-recently-graded families (not in the r11
+    # window; PIT/sentiment/fundamentals last graded r1-r5) ---
+    "pit_interval_lookup",
+    "cusip_substring_interval_join",
+    "cik_resolver_ladder",
+    "filing_window_filter",
+    "filing_sentiment_agg",
+    "mdna_extraction_report",
+    "doc_fixed_chunks",
+    "fiscal_inference",
+    "q4_derivation",
+    "safe_ratio_metrics",
+    "market_hours_et_rollup",
+    "schema_merge_union",
+    "universe_snapshot_diff",
+    "running_id_assignment",
+    "lag_growth_metrics",
+    "ttm_rolling_4q",
+    "topk_by_avg_value",
+    "trailing_range_liquidity",
+    "period_rollup_collect",
+    "common_stock_name_filter",
+    "null_bar_discipline",
+    "derived_metrics_pipeline",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_waiting_supplier",
 ]
 
 

@@ -3419,3 +3419,127 @@ def lake_null_skipping_q(spark, sf_dir):
         .unionByName(arm("range_keeps_all_null", rng, i3, F.col("note") >= "D"))
         .unionByName(arm("is_null_post_append", nul2, i4, F.col("note").isNull()))
     )
+
+
+@register(
+    "lake_skipping_matrix_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey % 1000 AS kb, o_totalprice AS p,
+             CASE WHEN o_orderkey % 1000 BETWEEN 250 AND 499 THEN NULL
+                  ELSE 'x' END AS note,
+             'f' || CAST((o_orderkey % 1000) // 250 + 1 AS VARCHAR) || '_'
+                 || CAST((o_orderkey % 1000) % 7 AS VARCHAR) AS tag
+      FROM orders
+    )
+    SELECT arm, files_total, files_scanned, n_rows, total_price FROM (
+      SELECT 'range_only' AS arm, CAST(4 AS BIGINT) AS files_total,
+             CAST(2 AS BIGINT) AS files_scanned,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {dec_sum_sql('p')} AS total_price
+      FROM t WHERE kb BETWEEN 300 AND 600
+      UNION ALL
+      SELECT 'notnull_only', 4, 3, CAST(COUNT(*) AS BIGINT), {dec_sum_sql('p')}
+      FROM t WHERE note IS NOT NULL
+      UNION ALL
+      SELECT 'bloom_only', 4, 1, CAST(COUNT(*) AS BIGINT), {dec_sum_sql('p')}
+      FROM t WHERE tag = 'f3_2'
+      UNION ALL
+      SELECT 'composed_range_null', 4, 1, CAST(COUNT(*) AS BIGINT),
+             {dec_sum_sql('p')}
+      FROM t WHERE kb BETWEEN 300 AND 600 AND note IS NOT NULL
+      UNION ALL
+      SELECT 'composed_all', 4, 1, CAST(COUNT(*) AS BIGINT), {dec_sum_sql('p')}
+      FROM t WHERE kb BETWEEN 300 AND 999 AND note IS NOT NULL
+                   AND tag = 'f4_3'
+    )
+    """,
+    doc="UNIFIED DATA-SKIPPING PLANNER (r12 — VERDICT r11 #5): "
+    "read_version_where composes every manifest cut — min/max range, "
+    "null-count, bloom — CONJUNCTIVELY in one driver pass before any "
+    "file opens, where the standalone readers each apply one cut.  Four "
+    "one-file commits with controlled key ranges (kb quartiles), null "
+    "placement (one all-null-note file), and a bloom-indexed per-file "
+    "tag.  Graded files_scanned per arm: range alone keeps 2/4, "
+    "null-count alone 3/4, bloom alone 1/4 — and the COMPOSED range+"
+    "not-null cut keeps exactly 1/4, strictly beating both of its "
+    "component cuts (the compound-predicate win the three separate "
+    "entry points could not express); the 3-atom arm threads a bloom "
+    "probe through the same conjunction.  Every arm's content columns "
+    "hash against the oracle's full-table filter, so a wrongly skipped "
+    "file drops rows and reds the arm.  The between/eq atoms also apply "
+    "the implied NOT-NULL cut (SQL range semantics) — range stats alone "
+    "cannot drop an all-null file because it records no range at all.",
+)
+def lake_skipping_matrix_q(spark, sf_dir):
+    from us_equity_datalake_spark.sources import snapshots
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"quantlake_skipmx_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    kb = (F.col("o_orderkey") % 1000).alias("kb")
+    t = orders.select(
+        kb, F.col("o_totalprice").alias("p")
+    ).withColumn(
+        "note",
+        F.when(F.col("kb").between(250, 499), F.lit(None).cast("string"))
+        .otherwise(F.lit("x")),
+    ).withColumn(
+        "tag",
+        F.concat(
+            F.lit("f"), (F.floor(F.col("kb") / 250) + 1).cast("int").cast("string"),
+            F.lit("_"), (F.col("kb") % 7).cast("string"),
+        ),
+    )
+    for i in range(4):
+        part = t.where(F.floor(F.col("kb") / 250) == i).coalesce(1)
+        snapshots.commit(
+            part, root,
+            stats_cols=["kb", "note"] if i == 0 else None,
+            bloom_cols=["tag"] if i == 0 else None,
+        )
+
+    def arm(name, pruned, info, row_pred):
+        return (
+            pruned.where(row_pred)
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                dec_sum(F.col("p")).alias("total_price"),
+            )
+            .select(
+                F.lit(name).alias("arm"),
+                F.lit(info["files_total"]).cast("long").alias("files_total"),
+                F.lit(info["files_scanned"]).cast("long").alias("files_scanned"),
+                "n_rows", "total_price",
+            )
+        )
+
+    rng, i1 = snapshots.read_version_pruned(spark, root, "kb", lo=300, hi=600)
+    nn, i2 = snapshots.read_version_null_pruned(spark, root, "note", want_null=False)
+    blm, i3 = snapshots.read_version_point(spark, root, "tag", "f3_2")
+    c1, i4 = snapshots.read_version_where(spark, root, [
+        {"col": "kb", "op": "between", "lo": 300, "hi": 600},
+        {"col": "note", "op": "not_null"},
+    ])
+    c2, i5 = snapshots.read_version_where(spark, root, [
+        {"col": "kb", "op": "between", "lo": 300, "hi": 999},
+        {"col": "note", "op": "not_null"},
+        {"col": "tag", "op": "eq", "value": "f4_3"},
+    ])
+    in_range = F.col("kb").between(300, 600)
+    return (
+        arm("range_only", rng, i1, in_range)
+        .unionByName(arm("notnull_only", nn, i2, F.col("note").isNotNull()))
+        .unionByName(arm("bloom_only", blm, i3, F.col("tag") == "f3_2"))
+        .unionByName(arm("composed_range_null", c1, i4,
+                         in_range & F.col("note").isNotNull()))
+        .unionByName(arm("composed_all", c2, i5,
+                         F.col("kb").between(300, 999)
+                         & F.col("note").isNotNull()
+                         & (F.col("tag") == "f4_3")))
+    )

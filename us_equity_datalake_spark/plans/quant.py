@@ -1169,6 +1169,12 @@ def factor_ic_decay_q(spark, sf_dir):
         (F.lead("close", 5).over(w) / F.col("close") - 1).alias("f5"),
         (F.lead("close", 10).over(w) / F.col("close") - 1).alias("f10"),
     ).filter(F.col("factor").isNotNull())
+    # the three horizon arms share this scan + per-security window; without
+    # the persist each arm re-executes it (3 scans, VERDICT r11 #7) — the
+    # frame is (securities x days)-sized, comfortably cacheable, and the
+    # per-day rank exchanges below remain each arm's real cost
+    rets = rets.persist()
+    rets.count()
 
     def arm(h):
         col = f"f{h}"

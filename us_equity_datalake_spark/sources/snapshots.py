@@ -2206,6 +2206,94 @@ def read_version_null_pruned(
     return _scan_files(spark, kept, m), info
 
 
+def read_version_where(
+    spark: SparkSession,
+    path: str,
+    atoms: "list[dict]",
+    *,
+    version: int | None = None,
+) -> "tuple[DataFrame, dict]":
+    """UNIFIED data-skipping planner (r12): compose EVERY manifest-level
+    cut — min/max range, null-count, per-file bloom — conjunctively over
+    one predicate before any file opens.  The three standalone readers
+    (:func:`read_version_pruned`, :func:`read_version_null_pruned`,
+    :func:`read_version_point`) each apply ONE cut; a compound predicate
+    like ``v BETWEEN a AND b AND k = x AND note IS NOT NULL`` deserves the
+    intersection, decided in one driver pass over the KB-sized manifest.
+
+    ``atoms`` is a conjunction (AND) of predicate atoms:
+
+    - ``{"col", "op": "between", "lo", "hi"}`` — range cut from recorded
+      [min, max]; either bound may be absent/None.  SQL range semantics
+      imply NOT NULL, so the atom also drops files whose every row is
+      null in ``col`` (the null-count cut range stats alone cannot make).
+    - ``{"col", "op": "eq", "value"}`` — range cut at lo=hi=value, PLUS
+      the bloom-sidecar probe when the column is bloom-indexed, PLUS the
+      all-null cut.
+    - ``{"col", "op": "is_null"}`` / ``{"col", "op": "not_null"}`` —
+      the null-count cuts of :func:`read_version_null_pruned`.
+
+    Missing stats/filters keep the file (conservative, per cut).  Pruning
+    is a FILE-LIST cut, not a row filter — the caller still applies the
+    row predicate.  Returns (frame, {"files_total", "files_scanned",
+    "cut_by": {op-col label: files dropped by that atom first}}); a file
+    is attributed to the FIRST atom that rejects it, so cut_by sums to
+    files_total - files_scanned."""
+    v = latest_version(path) if version is None else version
+    m = read_manifest(path, v)
+    stats = m.get("stats", {})
+    bloom_cols = set(m.get("bloom_cols", []))
+    norm = []
+    for a in atoms:
+        a = dict(a)
+        a["col"] = _physical_col(m, a["col"])
+        if a.get("op") not in ("between", "eq", "is_null", "not_null"):
+            raise ValueError(f"read_version_where: unknown atom op {a.get('op')!r}")
+        norm.append(a)
+
+    def _all_null(s) -> bool:
+        return (s is not None and len(s) >= 4 and s[2] is not None
+                and s[3] is not None and s[2] >= s[3])
+
+    def rejects(a: dict, f: str) -> bool:
+        s = stats.get(f, {}).get(a["col"])
+        op = a["op"]
+        if op == "is_null":
+            return s is not None and len(s) >= 4 and s[2] == 0
+        if op == "not_null":
+            return _all_null(s)
+        # between / eq imply NOT NULL: an all-null file can't match
+        if _all_null(s):
+            return True
+        lo = a.get("value") if op == "eq" else a.get("lo")
+        hi = a.get("value") if op == "eq" else a.get("hi")
+        if s is not None and s[0] is not None:
+            mn, mx = s[0], s[1]
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                return True
+        if op == "eq" and a["col"] in bloom_cols:
+            return not _bloom_might_contain(f, a["col"], a["value"])
+        return False
+
+    kept = []
+    cut_by: "dict[str, int]" = {}
+    for f in m["files"]:
+        dropped = False
+        for a in norm:
+            if rejects(a, f):
+                label = f"{a['op']}:{a['col']}"
+                cut_by[label] = cut_by.get(label, 0) + 1
+                dropped = True
+                break
+        if not dropped:
+            kept.append(f)
+    info = {"files_total": len(m["files"]), "files_scanned": len(kept),
+            "cut_by": cut_by}
+    if not kept:
+        return read_version(spark, path, v).limit(0), info
+    return _scan_files(spark, kept, m), info
+
+
 def history(path: str) -> "list[dict]":
     """DESCRIBE HISTORY: one row per surviving manifest — version, mode,
     commit timestamp, file count, and the mode-specific extras (rollback

@@ -284,3 +284,34 @@ def test_cli_recover_txns(spark, tmp_path, capsys, monkeypatch):
     out = _json.loads(capsys.readouterr().out.splitlines()[0])
     assert list(out["recovered"].values()) == ["committed"]
     assert snapshots.read_version_committed(spark, b).count() == 3
+
+
+def test_cli_where_planner(spark, tmp_path, capsys, monkeypatch):
+    """The 'where' verb reports the composed skip decision (and with
+    --count runs the pruned scan)."""
+    import json as _json
+
+    import us_equity_datalake_spark.cli as cli
+    from us_equity_datalake_spark.sources import snapshots
+
+    monkeypatch.setattr(
+        "us_equity_datalake_spark.session.get_spark", lambda name: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    path = str(tmp_path / "t")
+    for lo in (0, 10, 20):
+        snapshots.commit(
+            spark.range(lo, lo + 10).selectExpr(
+                "id", "CASE WHEN id >= 10 AND id < 20 THEN "
+                      "CAST(NULL AS STRING) ELSE 'x' END AS note"
+            ).coalesce(1),
+            path, stats_cols=["id", "note"] if lo == 0 else None,
+        )
+    atoms = ('[{"col":"id","op":"between","lo":10,"hi":29},'
+             '{"col":"note","op":"not_null"}]')
+    assert cli.main(
+        ["table", "where", "--path", path, "--atoms", atoms, "--count"]
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.splitlines()[0])
+    assert out["files_total"] == 3 and out["files_scanned"] == 1
+    assert out["n_rows"] == 10

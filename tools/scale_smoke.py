@@ -187,6 +187,16 @@ HEAVY = [
     # newly-vectored files; the id-preserving OPTIMIZE contributes zero rows
     "lake_cdf_row_lineage_report",
     "lake_null_skipping_report",
+    # round 12: the delete-cascade transaction (one DV-delete member with
+    # Δ-sized staged positions + one derived rewrite; coordination stays
+    # status-file-sized), the id-preserving merge lineage feed (by-identity
+    # diff of the touched files only), the unified skipping planner (all
+    # cuts decided from the KB manifest; scan cost is the kept files), and
+    # the re-shaped O(Δ) CDC replica apply (DV-delete batch keys + append,
+    # zero rewrites per batch)
+    "lake_txn_cascade_report",
+    "lake_cdf_merge_lineage_report",
+    "lake_skipping_matrix_report",
 ]
 
 # measured but excluded from the over-15x gate, each with its measured reason

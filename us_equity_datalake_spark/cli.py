@@ -163,6 +163,18 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     trt.add_argument("--path", required=True)
 
+    twh = tsub.add_parser(
+        "where",
+        help="unified data-skipping plan: compose range/null/bloom cuts "
+        "over a conjunctive predicate, report the file-list decision",
+    )
+    twh.add_argument("--path", required=True)
+    twh.add_argument("--atoms", required=True,
+                     help='JSON list, e.g. \'[{"col":"v","op":"between",'
+                          '"lo":1,"hi":9},{"col":"k","op":"not_null"}]\'')
+    twh.add_argument("--count", action="store_true",
+                     help="also run the pruned scan and print its row count")
+
     tcf = tsub.add_parser(
         "change-feed",
         help="row-level change feed between versions (O(Δ) dispatch; one "
@@ -306,6 +318,13 @@ def _run_table_cmd(spark, args) -> int:
             rollback_published=args.rollback_published,
         )
         print(json.dumps({"txn_id": args.txn_id, "outcome": out}))
+    elif cmd == "where":
+        df, info = S.read_version_where(
+            spark, args.path, json.loads(args.atoms)
+        )
+        if args.count:
+            info = {**info, "n_rows": df.count()}
+        print(json.dumps(info))
     elif cmd == "enable-row-tracking":
         v = S.enable_row_tracking(args.path)
         m = S.read_manifest(args.path, v)

@@ -3127,3 +3127,37 @@ def test_null_pruning_conservative_without_stats(spark, tmp_path):
     df, info = snapshots.read_version_null_pruned(spark, path2, "tag", want_null=False)
     assert (info["files_total"], info["files_scanned"]) == (2, 1)
     assert df.where(F.col("tag").isNotNull()).count() == 40
+
+
+def test_latest_version_pointer_is_hint_not_truth(spark, tmp_path):
+    """The O(1) `_latest` pointer (Delta _last_checkpoint discipline):
+    publishes keep it current; a STALE pointer costs upward probes, a
+    corrupt/missing/ahead pointer falls back to the listing — never a
+    wrong answer."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        snapshots.commit(spark.range(i * 10, i * 10 + 5), path)
+    ptr = snapshots._latest_pointer(path)
+    assert _json.load(open(ptr))["version"] == 3
+    assert snapshots.latest_version(path) == 3
+    # stale pointer (crash between manifest create and pointer write)
+    with open(ptr, "w") as f:
+        _json.dump({"version": 1}, f)
+    assert snapshots.latest_version(path) == 3  # probed upward
+    # corrupt pointer
+    with open(ptr, "w") as f:
+        f.write("not json")
+    assert snapshots.latest_version(path) == 3  # listing fallback
+    # pointer ahead of reality (manifest missing) -> fallback, not a lie
+    with open(ptr, "w") as f:
+        _json.dump({"version": 99}, f)
+    assert snapshots.latest_version(path) == 3
+    # missing pointer (pre-r12 table)
+    os.unlink(ptr)
+    assert snapshots.latest_version(path) == 3
+    # next publish restores it
+    snapshots.commit(spark.range(100, 102), path)
+    assert _json.load(open(ptr))["version"] == 4
+    assert snapshots.latest_version(path) == 4

@@ -55,9 +55,35 @@ def _snap_path(path: str, version: int) -> str:
     return os.path.join(path, _SNAP_DIR, f"v{version:06d}.json")
 
 
+def _latest_pointer(path: str) -> str:
+    return os.path.join(path, _SNAP_DIR, "_latest")
+
+
 def latest_version(path: str) -> int:
-    """0 when the table has no commits yet."""
+    """0 when the table has no commits yet.
+
+    Resolution is O(1), not O(#versions) (r12 — the Delta
+    ``_last_checkpoint`` discipline): every publish updates an atomic
+    ``_latest`` pointer file, and this read takes the pointer as a HINT —
+    never as truth — probing upward with existence checks until the first
+    missing manifest.  A pointer left stale by a crash between manifest
+    create and pointer write (or by two racing publishers whose pointer
+    writes landed out of order) costs a few probes, never a wrong answer;
+    a missing/corrupt pointer falls back to the full directory listing.
+    At a million commits the listing is the dominant metadata cost on an
+    object store (LIST vs a single GET) — every read/commit calls this."""
     d = os.path.join(path, _SNAP_DIR)
+    hint = 0
+    try:
+        with open(_latest_pointer(path)) as f:
+            hint = int(json.load(f).get("version", 0))
+    except (FileNotFoundError, ValueError, json.JSONDecodeError):
+        hint = 0
+    if hint > 0 and os.path.exists(_snap_path(path, hint)):
+        v = hint
+        while os.path.exists(_snap_path(path, v + 1)):
+            v += 1
+        return v
     if not os.path.isdir(d):
         return 0
     vs = [int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")]
@@ -135,6 +161,17 @@ def _publish(path: str, new_v: int, manifest: dict) -> None:
         ) from None
     finally:
         os.unlink(tmp)
+    # advance the O(1) latest-version pointer (best-effort HINT — see
+    # latest_version: a crash right here, or two racers' pointer writes
+    # landing out of order, costs upward probes, never correctness)
+    ptr = _latest_pointer(path)
+    ptmp = f"{ptr}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    try:
+        with open(ptmp, "w") as f:
+            json.dump({"version": new_v}, f)
+        os.replace(ptmp, ptr)
+    except OSError:
+        pass
 
 
 

@@ -25,9 +25,11 @@ bound — availableNow is the reference's daily micro-batch cadence
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
@@ -58,6 +60,68 @@ def _scratch(sf_dir: str, tag: str) -> str:
     )
     shutil.rmtree(path, ignore_errors=True)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Scale-adaptive streaming state partitioning (optimization guide §2.4/§2.2).
+#
+# AQE is DISABLED inside Structured Streaming ("spark.sql.adaptive.enabled is
+# not supported in streaming DataFrames"), so every stateful micro-batch stage
+# (window aggs, dropDuplicates, stream-stream joins) runs exactly
+# ``spark.sql.shuffle.partitions`` tasks and commits that many state-store
+# partitions PER BATCH — a fixed 32 at any input size.  Event-log profiling
+# (plans/r12) showed each such batch spending 1-3 s almost entirely on the
+# 32-way state-store open/commit + sink-file overhead while the data itself
+# is KBs.  The count is therefore derived from the INPUT VOLUME the sink
+# consumes (one state partition per ~16 MiB of source, floor 2), capped at
+# ``defaultParallelism``: locally the partition count is data-proportional
+# (2 at sf0.1, growing with sf — also what the sf1 ladder measures), while on
+# a production cluster the cores cap binds and the topology is identical to
+# the previous fixed-conf behavior.  ``SPARK_GRAFT_STREAM_PARTITIONS``
+# overrides for operators who know their key cardinality; the session's conf
+# is restored on exit so batch queries are untouched.  State-partition count
+# is pinned per checkpoint by the engine, so both availableNow runs of a sink
+# (fresh checkpoint per invocation) see a consistent value.
+# ---------------------------------------------------------------------------
+_STREAM_PARTITION_TARGET_BYTES = 16 << 20  # source bytes per state partition
+
+
+def _stream_state_partitions(spark, sf_dir: str) -> int:
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    total = 0
+    try:
+        for f in os.listdir(sf_dir):
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(sf_dir, f))
+    except OSError:
+        total = 0
+    need = max(2, -(-total // _STREAM_PARTITION_TARGET_BYTES))
+    return int(min(spark.sparkContext.defaultParallelism, need))
+
+
+@contextmanager
+def _scaled_state_partitions(spark, sf_dir: str):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_stream_state_partitions(spark, sf_dir))
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _stream_scaled(fn):
+    """Run a sink query under the scale-adaptive state-partition count."""
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        with _scaled_state_partitions(spark, sf_dir):
+            return fn(spark, sf_dir)
+
+    return wrapped
 
 
 def run_events_tumbling_stream(spark, sf_dir: str, *, watermark_s: int = _WATERMARK_S,
@@ -114,6 +178,7 @@ def run_events_tumbling_stream(spark, sf_dir: str, *, watermark_s: int = _WATERM
     "trailing windows stay in state, exactly like the reference's "
     "late-filing lookback holding a day open until its window closes.",
 )
+@_stream_scaled
 def streaming_tumbling_sink_q(spark, sf_dir):
     sink = run_events_tumbling_stream(spark, sf_dir)
     out = spark.read.parquet(sink)
@@ -154,6 +219,7 @@ def streaming_tumbling_sink_q(spark, sf_dir):
     "in the sink — trailing sessions stay in state.  Timestamps are compared "
     "at full microsecond precision (unix_micros vs epoch_us).",
 )
+@_stream_scaled
 def streaming_session_sink_q(spark, sf_dir):
     """Session windows (gap 2 h) over the events stream via the real engine.
 
@@ -211,6 +277,7 @@ def streaming_session_sink_q(spark, sf_dir):
     "dropped once the right watermark passes ts + 24 h), the semantics the "
     "batch form never has to prove.",
 )
+@_stream_scaled
 def streaming_interval_join_sink_q(spark, sf_dir):
     root = _scratch(sf_dir, "ssjoin")
     sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
@@ -274,6 +341,7 @@ def streaming_interval_join_sink_q(spark, sf_dir):
     "-> parquet sink; the oracle assigns each event to both windows and "
     "keeps only those whose END the final watermark passed.",
 )
+@_stream_scaled
 def streaming_sliding_sink_q(spark, sf_dir):
     root = _scratch(sf_dir, "sliding")
     sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
@@ -322,6 +390,7 @@ def streaming_sliding_sink_q(spark, sf_dir):
     "oracle replicates append-mode emission: only windows the final "
     "watermark passed reach the sink.",
 )
+@_stream_scaled
 def streaming_enrich_join_sink_q(spark, sf_dir):
     root = _scratch(sf_dir, "enrich")
     sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
@@ -448,6 +517,7 @@ _LIFECYCLE_SNAPSHOT_SQL = f"""
     "is lag_date > prev_present + 14 days — each transition class is one "
     "window-predicate arm of a UNION ALL.",
 )
+@_stream_scaled
 def streaming_lifecycle_sink_q(spark, sf_dir):
     root = _scratch(sf_dir, "lifecycle")
     src = os.path.join(root, "src")
@@ -494,6 +564,7 @@ def streaming_lifecycle_sink_q(spark, sf_dir):
     "(keys older than max event time - 2 h are evicted — the re-emission "
     "contract past eviction is pinned in tests/test_streaming.py).",
 )
+@_stream_scaled
 def streaming_dedup_sink_q(spark, sf_dir):
     """I4's anti-join freshness gate (reference update/app.py accession-number
     existence probe) as a streaming dedup: the production topology for a feed
@@ -615,6 +686,7 @@ _TIMEOUT_PRESENCE_SQL = """
     "The oracle replays both paths: gap delists are LAG gaps > 14 days, "
     "timeout delists are tail absences the final watermark outlived.",
 )
+@_stream_scaled
 def streaming_lifecycle_timeout_sink_q(spark, sf_dir):
     root = _scratch(sf_dir, "lifetimeout")
     src = os.path.join(root, "src")
@@ -683,6 +755,7 @@ def streaming_lifecycle_timeout_sink_q(spark, sf_dir):
     "strictly passed.  Two availableNow runs; the second run's no-data "
     "batch performs the final eviction flush.",
 )
+@_stream_scaled
 def streaming_interval_join_outer_sink_q(spark, sf_dir):
     root = _scratch(sf_dir, "ssjoin_outer")
     sink, ckpt = os.path.join(root, "sink"), os.path.join(root, "ckpt")
@@ -818,6 +891,7 @@ def streaming_merge_upsert_sink_q(spark, sf_dir):
     "oracle models the final append-mode state: every 2-hour bucket whose "
     "end the final ms-truncated watermark (max ts - 2 h) has passed.",
 )
+@_stream_scaled
 def streaming_from_snapshot_sink_q(spark, sf_dir):
     from us_equity_datalake_spark.sources import snapshots
 
@@ -907,6 +981,7 @@ def _cms_stream_oracle(n_shards: int = 4) -> str:
     "computes with the same md5 universal-hash family — bit-exact, "
     "including the overestimates.",
 )
+@_stream_scaled
 def streaming_cms_heavy_hitters_sink_q(spark, sf_dir):
     from pyspark.sql import Window
 

@@ -48,6 +48,8 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", evdir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
     )
     for k, v in sess._DEFAULTS.items():
         builder = builder.config(k, v)

@@ -443,7 +443,12 @@ _ADJ_SYLL = (
     "regex expressions — no Python UDF, embarrassingly parallel per row.",
 )
 def lm_readability_q(spark, sf_dir):
-    docs = load_table(spark, "documents", sf_dir)
+    from us_equity_datalake_spark.sources.registry import parallelize_small_input
+
+    # the regex/array projections are the cost; a small documents file is ONE
+    # input split, serializing them on one core (guide §2.5 input skew) —
+    # spread first (guarded no-op at production split counts): 3.8 s -> 0.8 s
+    docs = parallelize_small_input(load_table(spark, "documents", sf_dir), "doc_id")
     return docs.select(
         "doc_id",
         *[v.alias(k) for k, v in lm_ratio_columns(F.col("text")).items()],

@@ -260,53 +260,56 @@ def _write_file_blooms(spark: SparkSession, files: list[str], cols: list[str]) -
     width is sized from ITS distinct count at 16 bits/key."""
     import base64
 
+    import numpy as np
     from pyspark.sql import functions as F
 
     from us_equity_datalake_spark.functions.hashing import (
-        md5_long32, minhash_perm, perm_coefficients,
+        MERSENNE_P, md5_long32, perm_coefficients,
     )
 
+    # ONE distributed pass for ALL columns (was 2 jobs PER column: a distinct
+    # count, then a K-positions-per-key collect).  Per (file, column) we pull
+    # the exact distinct VALUE count (sizes m, identical to before) and the
+    # distinct 32-bit key hashes (1 per key, vs K=5 positions per key before
+    # — 5x fewer rows to the driver); the K probe positions are then derived
+    # driver-side with the same (a*h+b) % P % m family the driver-side probe
+    # (_bloom_might_contain) already replicates, so the sidecar BYTES are
+    # bit-identical.  Guide §1.2/§2.3: fewer passes, fewer shuffled/collected
+    # bytes, same artifact.
     df = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
+    stacked = df.select(
+        "__file",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("c"), F.col(c).cast("string").alias("v")
+                )
+                for c in cols
+            ])
+        ).alias("p"),
+    ).where(F.col("p.v").isNotNull())
+    agg_rows = (
+        stacked.groupBy("__file", F.col("p.c").alias("c"))
+        .agg(
+            F.countDistinct("p.v").alias("nd"),
+            F.collect_set(md5_long32(F.col("p.v"))).alias("hs"),
+        )
+        .collect()
+    )
+    coeffs = perm_coefficients(_BLOOM_K, _BLOOM_SEED)
     per_file: dict[str, dict] = {}
-    for c in cols:
-        nd_rows = (
-            df.where(F.col(c).isNotNull())
-            .groupBy("__file")
-            .agg(F.countDistinct(c).alias("nd"))
-            .collect()
-        )
-        m_by_uri = {r["__file"]: _bloom_m_for(r["nd"]) for r in nd_rows}
-        m_by_file = {_local_path(u): m for u, m in m_by_uri.items()}
-        import pandas as pd
-
-        m_map = spark.createDataFrame(
-            pd.DataFrame({"__file": list(m_by_uri), "__m": list(m_by_uri.values())}),
-            schema="__file string, __m long",
-        )
-        h = md5_long32(F.col(c).cast("string"))
-        pos = F.array(
-            *[minhash_perm(h, a, b) % F.col("__m")
-              for a, b in perm_coefficients(_BLOOM_K, _BLOOM_SEED)]
-        )
-        rows = (
-            df.join(F.broadcast(m_map), "__file")
-            .where(F.col(c).isNotNull())
-            .select("__file", F.explode(pos).alias("pos"))
-            .distinct()
-            .collect()
-        )
-        bits_by_file: dict[str, set] = {}
-        for r in rows:
-            bits_by_file.setdefault(_local_path(r["__file"]), set()).add(r["pos"])
-        for f, bits in bits_by_file.items():
-            m = m_by_file[f]
-            buf = bytearray(m // 8)
-            for p in bits:
-                buf[p >> 3] |= 1 << (p & 7)
-            per_file.setdefault(f, {})[c] = {
-                "m": m,
-                "bitmap": base64.b64encode(bytes(buf)).decode(),
-            }
+    for r in agg_rows:
+        f = _local_path(r["__file"])
+        m = _bloom_m_for(r["nd"])
+        harr = np.asarray(r["hs"], dtype=np.int64)
+        buf = np.zeros(m // 8, dtype=np.uint8)
+        for a, b in coeffs:
+            p = (harr * a + b) % MERSENNE_P % m
+            np.bitwise_or.at(buf, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        per_file.setdefault(f, {})[r["c"]] = {
+            "m": m,
+            "bitmap": base64.b64encode(buf.tobytes()).decode(),
+        }
     for f, d in per_file.items():
         with open(_bloom_sidecar(f), "w") as fh:
             json.dump(d, fh)

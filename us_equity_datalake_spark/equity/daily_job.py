@@ -27,6 +27,7 @@ from us_equity_datalake_spark.equity.ttm import compute_ttm_long
 from us_equity_datalake_spark.equity.universe import filter_universe, universe_transition
 from us_equity_datalake_spark.sources.lake import overwrite_partition, read_check_append, write_partitioned
 from us_equity_datalake_spark.sources.ingest import read_json_state, write_json_state
+from us_equity_datalake_spark.sources.registry import local_frame
 
 
 @dataclass(frozen=True)
@@ -82,7 +83,8 @@ def update_universe(spark: SparkSession, lake: LakePaths, snapshot: DataFrame, *
         # ticker list (a zero-ticker day must not abort the next day's run)
         from pyspark.sql import types as T
 
-        prev = spark.createDataFrame(
+        prev = local_frame(
+            spark,
             [(t,) for t in prev_state["tickers"]],
             T.StructType([T.StructField("ticker", T.StringType())]),
         )
@@ -345,7 +347,7 @@ def update_security_master(
         updated = master  # bootstrap day: no diff to apply yet
         n_changes = 0
     else:
-        prev = spark.createDataFrame([(s,) for s in prev_syms], "symbol string")
+        prev = local_frame(spark, [(s,) for s in prev_syms], "symbol string")
         updated = _apply(
             master,
             prev,

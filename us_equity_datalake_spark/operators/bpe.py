@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from us_equity_datalake_spark.functions import text
+from us_equity_datalake_spark.sources.registry import local_frame
 
 END = "</w>"
 
@@ -100,8 +101,8 @@ def bpe_train(
     pair_count) — the ordered merge table.  Each step costs one vocab-sized
     aggregation plus a 1-row collect; the corpus is scanned once."""
     merges, _ = _train(docs, text_col, n_merges)
-    return docs.sparkSession.createDataFrame(
-        merges, "step long, merge_left string, merge_right string, pair_count long"
+    return local_frame(
+        docs.sparkSession, merges, "step long, merge_left string, merge_right string, pair_count long"
     )
 
 

@@ -29,6 +29,7 @@ Scale notes (100 TB / 1000 executors):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from us_equity_datalake_spark.sources.registry import local_frame
 
 
 def connected_components(
@@ -101,7 +102,7 @@ def connected_components(
         rows = [(n, find(n)) for n in parent]
         sym.unpersist()
         schema = sym.select(F.col("u").alias("node"), F.col("u").alias("component")).schema
-        return spark.createDataFrame(rows, schema)
+        return local_frame(spark, rows, schema)
 
     # seed labels with min(node, min neighbor): the same shuffle the node-list
     # distinct would cost, but it already IS the first propagation round
@@ -264,12 +265,19 @@ def pagerank(
     n = deg.count()
     if n == 0:
         raise ValueError("pagerank: empty graph")
+    # hoist the loop-invariant degree join OUT of the iterations (it re-ran
+    # per round: one join shuffle x iters on the widest table) and persist
+    # the fused edge table PRE-PARTITIONED on the join key, so each round's
+    # edge side comes out of the cache already hash-distributed by src and
+    # only the (n_nodes x 2) rank vector moves per iteration
+    e_deg = _cache.track(
+        e.join(deg, "src").repartition("src").persist()
+    )
     pr = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
     base = F.lit((1.0 - damping) / n)
     for _ in range(iters):
         contrib = (
-            e.join(pr, e["src"] == pr["node"])
-            .join(deg, "src")
+            e_deg.join(pr, e_deg["src"] == pr["node"])
             .select(
                 "dst",
                 (F.col("pr") / F.col("outdeg")).cast(f"decimal(30,{sum_scale})").alias("c"),
@@ -409,7 +417,8 @@ def triangle_count(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> D
         F.sum(F.expr("deg * (deg - 1) div 2")).cast("long")
     ).collect()[0][0] or 0
     clustering_ppm = (3 * n_tri * 1_000_000) // open_wedges if open_wedges else 0
-    return edges.sparkSession.createDataFrame(
+    return local_frame(
+        edges.sparkSession,
         [(n_vertices, n_edges, n_tri, clustering_ppm)],
         "n_vertices long, n_edges long, n_triangles long, clustering_ppm long",
     )

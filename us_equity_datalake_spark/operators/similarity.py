@@ -31,6 +31,7 @@ from . import _cache  # noqa: E402
 from pyspark.sql import DataFrame, Window, functions as F
 
 from us_equity_datalake_spark.functions import vector
+from us_equity_datalake_spark.sources.registry import local_frame
 
 
 def _exact_dot(a, b):
@@ -243,7 +244,7 @@ def cosine_topk_arrow(
         T.StructField("cosine", T.DoubleType()),
     ])
     if not q_rows:  # empty query set: no work, a well-typed empty result
-        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        empty = local_frame(corpus.sparkSession, [], out_schema)
         return empty.withColumn("rank", F.lit(1)).limit(0).select(
             query_id, "neighbor_id", "cosine", "rank"
         )
@@ -361,7 +362,7 @@ def assign_to_centroids(
         )
         out_schema = T.StructType([corpus.schema[id_col], centroids.schema[centroid_id]])
         if not cent_rows:
-            return corpus.join(corpus.sparkSession.createDataFrame([], out_schema), id_col)
+            return corpus.join(local_frame(corpus.sparkSession, [], out_schema), id_col)
         cids = np.array([r[0] for r in cent_rows])
         cmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
         cn_exact = _exact_norm(cmat)
@@ -557,7 +558,7 @@ def lsh_topk(
         ])
         if not q_rows:
             return (
-                corpus.sparkSession.createDataFrame([], out_schema)
+                local_frame(corpus.sparkSession, [], out_schema)
                 .withColumn("rank", F.lit(1)).limit(0)
                 .select(query_id, "neighbor_id", "cosine", "rank")
             )
@@ -903,8 +904,8 @@ def kmeans_assign(
             # unusable when k grows with the corpus (SemDeDup's regime);
             # near-ties exact-rescored, so results are bit-identical to hof
             return _euclid_assign(pts, rows, id_col="vec_id", vec_col="e")
-        centroids = pts.sparkSession.createDataFrame(
-            rows, "cid long, c array<double>"
+        centroids = local_frame(
+            pts.sparkSession, rows, "cid long, c array<double>"
         )
         pairs = pts.crossJoin(F.broadcast(centroids))
         d2 = F.aggregate(
@@ -1195,7 +1196,8 @@ def pq_topk(
         # degrade gracefully (the HOF form's behavior): an empty query frame
         # yields an empty result with the contract schema — the 1-D
         # np.array([]) below would otherwise IndexError on the 2-D slice
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             [],
             "query_id long, neighbor_id long, adc_d2 double, "
             "cosine double, rank long",

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from us_equity_datalake_spark.functions.safe_math import dec_sum, dec_sum_sql
 from us_equity_datalake_spark.sources import lake
-from us_equity_datalake_spark.sources.registry import load_table
+from us_equity_datalake_spark.sources.registry import load_table, local_frame
 from .base import register
 
 _CUT_A = 30000  # initial overwrite slice: o_orderkey < _CUT_A
@@ -90,7 +90,7 @@ def lake_roundtrip_q(spark, sf_dir):
     # before returning — the caller collects a local relation, not a plan
     # that still reads the deleted path.
     rows = report.collect()
-    out = spark.createDataFrame(rows, schema=report.schema)
+    out = local_frame(spark, rows, schema=report.schema)
     shutil.rmtree(path, ignore_errors=True)
     return out
 
@@ -140,7 +140,7 @@ def bucketed_smj_q(spark, sf_dir):
             dec_sum(F.col("o_totalprice")).alias("total_price"),
         )
         rows = report.collect()
-        out = spark.createDataFrame(rows, schema=report.schema)
+        out = local_frame(spark, rows, schema=report.schema)
     finally:
         for t in (t_orders, t_cust):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -268,7 +268,7 @@ def incremental_derived_q(spark, sf_dir):
         )
         report = part1.unionByName(part2)
         rows = report.collect()
-        out = spark.createDataFrame(rows, schema=report.schema)
+        out = local_frame(spark, rows, schema=report.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -330,7 +330,7 @@ def pipe_directory_q(spark, sf_dir):
             F.col("`Security Name`").alias("security_name"),
         )
         rows = report.collect()
-        out = spark.createDataFrame(rows, schema=report.schema)
+        out = local_frame(spark, rows, schema=report.schema)
     finally:
         os.remove(path)
     return out
@@ -433,7 +433,7 @@ def top3000_text_sink_q(spark, sf_dir):
         with open(path, encoding="utf-8") as fh:
             lines = [ln for ln in fh.read().splitlines() if ln]
         assert len(lines) == n
-        out = spark.createDataFrame(
+        out = local_frame(spark, 
             [(i + 1, s) for i, s in enumerate(lines)], schema="rank bigint, symbol string"
         )
     finally:
@@ -489,7 +489,7 @@ def fulltext_roundtrip_q(spark, sf_dir):
             F.md5("text").alias("text_md5"),
         )
         rows = report.collect()
-        out = spark.createDataFrame(rows, schema=report.schema)
+        out = local_frame(spark, rows, schema=report.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -541,13 +541,13 @@ def universe_state_roundtrip_q(spark, sf_dir):
     try:
         write_json_state(path, {"asof": "2024-06-09", "tickers": sorted(r.ticker for r in day1.collect())})
         state = read_json_state(path)
-        prev = spark.createDataFrame(
+        prev = local_frame(spark, 
             [(t,) for t in state["tickers"]],
             T.StructType([T.StructField("ticker", T.StringType())]),
         )
         out = universe_transition(prev, day2, key="ticker").select("ticker", "status")
         rows = out.collect()
-        res = spark.createDataFrame(rows, schema=out.schema)
+        res = local_frame(spark, rows, schema=out.schema)
     finally:
         if os.path.exists(path):
             os.remove(path)
@@ -1013,7 +1013,7 @@ def lake_lifecycle_q(spark, sf_dir):
     removed = snapshots.vacuum(root, keep_last=1)
     rows += [tuple(r) for r in row("post_vacuum", snapshots.latest_version(root)).collect()]
     rows.append(("vacuum_removed", 0, 0, 0.0, len(removed)))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "stage string, version long, n_rows long, total_price double, n_files long",
     )
@@ -1264,7 +1264,7 @@ def lake_metadata_count_q(spark, sf_dir):
     snapshots.commit(orders.where(F.col("o_orderstatus") == "O"), root)
     snapshots.delete_where(spark, root, F.col("o_totalprice") >= F.lit(_MC_DEL))
     rows = [(v, snapshots.table_count(root, v)) for v in (1, 2, 3)]
-    return spark.createDataFrame(rows, "version long, n_rows long")
+    return local_frame(spark, rows, "version long, n_rows long")
 
 
 @register(
@@ -1569,7 +1569,7 @@ def lake_schema_clone_q(spark, sf_dir):
     removed_owned = snapshots.vacuum(dst_b, keep_last=1)
     rows.append(("cloneB_vacuum_owned", 0, len(removed_owned), 0, 0.0))
 
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "arm string, version long, n_rows long, n_cols long, acctbal_sum double",
     )
@@ -1706,7 +1706,7 @@ def lake_history_q(spark, sf_dir):
                     snapshots.table_count(path, h["version"]),
                 )
             )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "tbl string, version long, mode string, n_files long, "
         "extra_version long, n_rows long",
@@ -1812,7 +1812,7 @@ def lake_deletion_vector_q(spark, sf_dir):
     v5 = snapshots.commit(orders.where(F.col("o_orderkey") <= 1000), root)
     arm("append_no_resurrect", v5, snapshots.read_version(spark, root))
 
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "arm string, version long, n_rows long, price_sum double, rewritten long",
     )
@@ -1892,7 +1892,7 @@ def lake_mor_update_q(spark, sf_dir):
     arm("meta_count", ru["version"], cur, n_rows=snapshots.table_count(root))
     arm("travel_v1", 1, snapshots.read_version(spark, root, 1))
 
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "arm string, version long, n_rows long, price_sum double, rewritten long",
     )
@@ -1997,7 +1997,7 @@ def lake_partition_evolution_q(spark, sf_dir):
     )
     arm("prune_on_new_spec", pruned_c.where(F.col("o_custkey") <= mk // 4), info_c)
 
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "arm string, files_total long, files_scanned long, n_rows long, price_sum double",
     )
@@ -3002,7 +3002,7 @@ def lake_txn_cascade_q(spark, sf_dir):
         .unionByName(derived_arm(
             "post_derived_committed",
             snapshots.read_version_committed(spark, der_p)))
-        .unionByName(spark.createDataFrame(
+        .unionByName(local_frame(spark, 
             [("facts_dv_zero_rewrites", int(files_post == files_v1), 0.0)],
             "arm string, n_rows long, price_sum double",
         ))
@@ -3302,7 +3302,7 @@ def lake_cdf_merge_lineage_q(spark, sf_dir):
     wm = snapshots.read_manifest(
         root, snapshots.latest_version(root)
     )["row_id_watermark"]
-    wm_arm = spark.createDataFrame(
+    wm_arm = local_frame(spark, 
         [("watermark", 1, int(wm), 0.0)],
         "change_type string, n_rows long, id_sum long, price_sum double",
     )

@@ -18,6 +18,7 @@ from us_equity_datalake_spark.functions.safe_math import dec_sum, dec_sum_sql
 from us_equity_datalake_spark.operators import dedup, pit, reshape, setops, topk, windows
 from us_equity_datalake_spark.sources.registry import load_table
 from .base import register
+from us_equity_datalake_spark.sources.registry import local_frame
 
 # ---------------------------------------------------------------------------
 # J1 — point-in-time interval lookup (security_master.get_security_id analog)
@@ -120,8 +121,8 @@ def auto_resolve_nearest(spark, sf_dir):
         .filter(F.col("c_custkey") < 200)
         .select(F.col("c_custkey").alias("custkey"))
         .crossJoin(
-            spark.createDataFrame(
-                [("1994-06-15",), ("1997-07-04",), ("2003-01-01",)], "probe_date string"
+            local_frame(
+                spark, [("1994-06-15",), ("1997-07-04",), ("2003-01-01",)], "probe_date string"
             ).select(F.col("probe_date").cast("date"))
         )
     )

@@ -30,6 +30,7 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from us_equity_datalake_spark.sources.ingest import TokenBucket, retry_with_backoff
+from us_equity_datalake_spark.sources.registry import local_frame
 
 # ---------------------------------------------------------------------------
 # P10 — input sanitization at the SQL edge (the one place it still matters:
@@ -296,7 +297,7 @@ def figi_map_df(spark: SparkSession, mapping: dict[str, str | None]) -> DataFram
     ``detect_rebrands`` consumes; unmapped tickers are dropped (a None FIGI
     can never match anything)."""
     rows = [(t, f) for t, f in sorted(mapping.items()) if f is not None]
-    return spark.createDataFrame(rows, FIGI_SCHEMA)
+    return local_frame(spark, rows, FIGI_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -343,7 +344,8 @@ def universe_rows_to_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
             T.StructField("permno", T.LongType()),
         ]
     )
-    df = spark.createDataFrame(
+    df = local_frame(
+        spark,
         [
             {"ticker": (r.get("tsymbol") or "").upper(), "name": r.get("comnam"), "permno": r.get("permno")}
             for r in rows

@@ -26,6 +26,7 @@ from collections.abc import Callable, Iterator
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from us_equity_datalake_spark.sources.registry import local_frame
 
 # ---------------------------------------------------------------------------
 # §2.13 — token-bucket rate limiter + retry with exponential backoff
@@ -150,7 +151,7 @@ def fetch_paginated(
 def rows_to_df(spark: SparkSession, rows: list[dict], schema: T.StructType) -> DataFrame:
     """Land driver-fetched records with an explicit schema (S5/S7 pattern:
     small snapshot fetches → broadcast dimensions)."""
-    return spark.createDataFrame(rows, schema=schema)
+    return local_frame(spark, rows, schema=schema)
 
 
 def fanout_fetch(

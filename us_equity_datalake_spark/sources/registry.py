@@ -49,6 +49,51 @@ def parallelize_small_input(df: DataFrame, key: str, target: int | None = None) 
     return df
 
 
+def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """Arrow-backed local relation from driver-held rows.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes PICKLED rows into
+    ``defaultParallelism`` slices — every job that consumes the frame (each
+    broadcast build, each noop write) then runs that many Python-worker
+    tasks just to re-read driver constants: measured ~300 ms wall per task
+    at ~0 CPU (worker fork + pickle round-trip).  Routing the same rows
+    through pandas hits the Arrow path instead: batches decoded JVM-side
+    (``PythonSQLUtils.toDataFrame``), no Python workers at execution time,
+    one partition per 10k rows.  Type conversion is schema-driven either
+    way; anything Arrow cannot convert falls back to the legacy path.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if not isinstance(schema, StructType):
+        raise TypeError(f"local_frame needs a struct schema, got {schema!r}")
+    rows = list(rows)
+    fields = schema.fields
+
+    def cell(r, i, f):
+        return r.get(f.name) if isinstance(r, dict) else r[i]
+
+    # object dtype end-to-end: pandas must not coerce (None -> NaN,
+    # int -> float) before Arrow applies the declared Spark types
+    pdf = pd.DataFrame(
+        {
+            f.name: pd.Series([cell(r, i, f) for r in rows], dtype="object")
+            for i, f in enumerate(fields)
+        },
+        columns=[f.name for f in fields],
+    )
+    try:
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        # nested/exotic types the Arrow converter rejects: legacy pickled path
+        return spark.createDataFrame(rows, schema=schema)
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: list[str] | None = None) -> list[str]:
     """Expose the lake tables as temp views so users can drive the engine
     through plain ``spark.sql(...)`` — the SQL twin of :func:`load_tables`

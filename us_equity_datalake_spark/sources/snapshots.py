@@ -1946,8 +1946,10 @@ def _attach_row_ids(
             spark, derived, manifest, with_lineage=True,
             merge_schema=merge_schema,
         )
-        bdf = spark.createDataFrame(
-            [(f, int(base[f])) for f in derived], "__file string, __base long"
+        from us_equity_datalake_spark.sources.registry import local_frame
+
+        bdf = local_frame(
+            spark, [(f, int(base[f])) for f in derived], "__file string, __base long"
         )
         keyed = df.join(F.broadcast(bdf), "__file").withColumn(
             _ROW_ID, (F.col("__base") + F.col("__pos")).cast("long")
@@ -3479,8 +3481,10 @@ def _raw_ids_with_lineage(
             raise ValueError(
                 f"{len(missing)} files lack a base row id — manifest corrupt"
             )
-        bdf = spark.createDataFrame(
-            [(f, int(base[f])) for f in d_files], "__file string, __base long"
+        from us_equity_datalake_spark.sources.registry import local_frame
+
+        bdf = local_frame(
+            spark, [(f, int(base[f])) for f in d_files], "__file string, __base long"
         )
         frames.append(
             raw(d_files)

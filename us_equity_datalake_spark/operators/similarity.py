@@ -31,7 +31,7 @@ from . import _cache  # noqa: E402
 from pyspark.sql import DataFrame, Window, functions as F
 
 from us_equity_datalake_spark.functions import vector
-from us_equity_datalake_spark.sources.registry import local_frame
+from us_equity_datalake_spark.sources.registry import local_frame, parallelize_small_input
 
 
 def _exact_dot(a, b):
@@ -982,7 +982,10 @@ def semdedup(
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .join(assign.withColumnRenamed("vec_id", "id"), "id")
     )
-    t = _cache.track(t.persist())
+    # spread before persist: the within-cluster candidate join broadcasts the
+    # small side and so inherits THIS side's partitioning — off a single
+    # input split the exact-cosine kernel would run on one core
+    t = _cache.track(parallelize_small_input(t, "id").persist())
     left = t.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster_id")
     right = t.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster_id")
     cand = left.join(right, ["cluster_id"]).filter(F.col("id_a") < F.col("id_b"))

@@ -28,6 +28,7 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--jobs", type=int, default=12, help="top-N jobs to print per query")
+    ap.add_argument("--gaps", action="store_true", help="chronological job list with driver gaps")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -144,6 +145,19 @@ def main() -> None:
         last = d["runs"][sorted(d["runs"])[-1]]
         for dur, jid, cs, nt in sorted(last["jobs"], reverse=True)[: args.jobs]:
             print(f"    job {jid:4d}  {dur/1000.0:7.3f}s  tasks={nt:4d}  {cs}")
+        if args.gaps:
+            # chronological: driver gap BEFORE each job (plan/commit/listing
+            # time between actions — the part task metrics never show)
+            chron = sorted(last["jobs"], key=lambda t: t[1])
+            prev_end = None
+            print("    --- chronological with driver gaps ---")
+            for dur, jid, cs, nt in chron:
+                t0, t1 = jobs[jid]["t0"], jobs[jid].get("t1", jobs[jid]["t0"])
+                gap = (t0 - prev_end) / 1000.0 if prev_end is not None else 0.0
+                prev_end = t1
+                print(
+                    f"    gap {gap:6.3f}s | job {jid:4d} {dur/1000.0:7.3f}s tasks={nt:4d}  {cs}"
+                )
     if "__untagged__" in per_q:
         n = sum(len(r["jobs"]) for r in per_q["__untagged__"]["runs"].values())
         print(f"\n(untagged jobs: {n})")

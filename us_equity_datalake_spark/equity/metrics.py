@@ -54,49 +54,52 @@ def join_stock_asof(ttm_wide: DataFrame, stock_long: DataFrame) -> DataFrame:
 
 
 def compute_metric_columns(wide: DataFrame) -> DataFrame:
-    """The 24 formulas with the reference's exact null discipline."""
+    """The 24 formulas with the reference's exact null discipline.
+
+    Batched into THREE ``withColumns`` calls by dependency level (base-only,
+    needs-level-1, needs-level-2): a 24-deep ``withColumn`` chain re-analyzes
+    the whole (already join-deep) plan once per column — measured ~0.5 s of
+    pure driver time per invocation on the incremental-maintenance plan; the
+    3-batch form is one analysis pass per level.  The expressions themselves
+    are byte-identical to the chained form, so results (and the unpivoted
+    column set) are unchanged."""
     c = F.col
     w = Window.partitionBy("symbol").orderBy("as_of_date")
-    df = wide
-    df = df.withColumn("grs_pft", safe_sub(c("rev"), c("cor")))
-    df = (
-        df.withColumn("grs_mgn", safe_div(c("grs_pft"), c("rev")))
-        .withColumn("op_mgn", safe_div(c("op_inc"), c("rev")))
-        .withColumn("net_mgn", safe_div(c("net_inc"), c("rev")))
-        .withColumn("ebitda", safe_add(c("op_inc"), c("dna")))
+    # level 1: only base concepts (incl. the W2 lag-4 averages / W3 lag-1 diffs)
+    df = wide.withColumns(
+        {
+            "grs_pft": safe_sub(c("rev"), c("cor")),
+            "op_mgn": safe_div(c("op_inc"), c("rev")),
+            "net_mgn": safe_div(c("net_inc"), c("rev")),
+            "ebitda": safe_add(c("op_inc"), c("dna")),
+            "ttl_dbt": safe_add(c("std"), c("ltd")),
+            "wc": safe_sub(c("ca"), c("cl")),
+            "fcf": safe_sub(c("cfo"), c("capex")),
+            "capex_ratio": safe_div(c("capex"), c("ta")),
+            "avg_ast": (c("ta") + F.lag("ta", 4).over(w)) / 2,
+            "avg_eqt": (c("te") + F.lag("te", 4).over(w)) / 2,
+            "etr": safe_div(c("inc_tax_exp"), c("ibt")),
+            "rev_grw": c("rev") - F.lag("rev", 1).over(w),
+            "ast_grw": c("ta") - F.lag("ta", 1).over(w),
+            "inv_rt": safe_div(c("capex"), c("ta")),
+            "acc": safe_sub(c("net_inc"), c("cfo")),
+        }
     )
-    df = df.withColumn("ttl_dbt", safe_add(c("std"), c("ltd")))
-    df = df.withColumn("net_dbt", safe_sub(c("ttl_dbt"), c("cce"))).withColumn(
-        "wc", safe_sub(c("ca"), c("cl"))
+    # level 2: formulas over level-1 columns
+    df = df.withColumns(
+        {
+            "grs_mgn": safe_div(c("grs_pft"), c("rev")),
+            "net_dbt": safe_sub(c("ttl_dbt"), c("cce")),
+            "fcf_mgn": safe_div(c("fcf"), c("rev")),
+            "roa": safe_div(c("net_inc"), c("avg_ast")),
+            "roe": safe_div(c("net_inc"), c("avg_eqt")),
+            "nopat": safe_mul(c("op_inc"), F.lit(1) - c("etr")),
+            "inv_cap": safe_sub(safe_add(c("te"), c("ttl_dbt")), c("cce")),
+            "wc_acc": safe_sub(c("wc") - F.lag("wc", 1).over(w), c("dna")),
+        }
     )
-    df = df.withColumn("fcf", safe_sub(c("cfo"), c("capex")))
-    df = df.withColumn("fcf_mgn", safe_div(c("fcf"), c("rev"))).withColumn(
-        "capex_ratio", safe_div(c("capex"), c("ta"))
-    )
-    # W2: lag-4 two-point averages (4 quarters ≈ 1 year); plain arithmetic —
-    # null propagates exactly like the reference's shift(4) form.
-    df = (
-        df.withColumn("avg_ast", (c("ta") + F.lag("ta", 4).over(w)) / 2)
-        .withColumn("avg_eqt", (c("te") + F.lag("te", 4).over(w)) / 2)
-        .withColumn("etr", safe_div(c("inc_tax_exp"), c("ibt")))
-    )
-    df = (
-        df.withColumn("roa", safe_div(c("net_inc"), c("avg_ast")))
-        .withColumn("roe", safe_div(c("net_inc"), c("avg_eqt")))
-        .withColumn("nopat", safe_mul(c("op_inc"), F.lit(1) - c("etr")))
-    )
-    df = df.withColumn("inv_cap", safe_sub(safe_add(c("te"), c("ttl_dbt")), c("cce")))
-    df = df.withColumn("roic", safe_div(c("nopat"), c("inv_cap")))
-    # W3: lag-1 growth diffs
-    df = (
-        df.withColumn("rev_grw", c("rev") - F.lag("rev", 1).over(w))
-        .withColumn("ast_grw", c("ta") - F.lag("ta", 1).over(w))
-        .withColumn("inv_rt", safe_div(c("capex"), c("ta")))
-    )
-    df = df.withColumn("acc", safe_sub(c("net_inc"), c("cfo"))).withColumn(
-        "wc_acc", safe_sub(c("wc") - F.lag("wc", 1).over(w), c("dna"))
-    )
-    return df
+    # level 3: needs nopat + inv_cap
+    return df.withColumn("roic", safe_div(c("nopat"), c("inv_cap")))
 
 
 def compute_metrics_long(ttm_long: DataFrame, stock_long: DataFrame | None = None) -> DataFrame:

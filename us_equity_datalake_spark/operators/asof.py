@@ -41,23 +41,35 @@ def _tag_union(
     value_cols = value_cols or [c for c in right.columns if c not in by and c != right_on]
     lcols = left.columns
 
-    l_tag = left.withColumn("__t", F.col(left_on)).withColumn("__side", F.lit(1))
+    # single-select construction (NOT per-column withColumn loops: each
+    # withColumn is a full analysis pass over the whole input plan — on a
+    # join/pivot-deep left side the loops cost ~0.4 s of pure driver time
+    # per as-of join; the one-shot selects are one pass each and produce the
+    # identical projection)
     for c in value_cols:
-        if c in l_tag.columns:
+        if c in lcols:
             raise ValueError(f"value column {c!r} collides with a left column")
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    l_tag = l_tag.withColumn("__rt", F.lit(None).cast(right.schema[right_on].dataType))
+    l_tag = left.select(
+        *lcols,
+        F.col(left_on).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[right_on].dataType).alias("__rt"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
 
+    r_base_cols = set(by) | {"__t", "__side", "__rt"} | set(value_cols)
     r_tag = right.select(
         *by,
         F.col(right_on).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.col(c) for c in value_cols],
         F.col(right_on).alias("__rt"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in r_base_cols
+        ],
     )
-    for c in lcols:
-        if c not in r_tag.columns:
-            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
     unioned = l_tag.select(*lcols, "__t", "__side", "__rt", *value_cols).unionByName(
         r_tag.select(*lcols, "__t", "__side", "__rt", *value_cols)

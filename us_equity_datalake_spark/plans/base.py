@@ -31,6 +31,38 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def collect_batched(frames: "list[DataFrame]") -> "list[list]":
+    """Collect N small same-schema frames in ONE Spark action.
+
+    The multi-arm lake reports used to run one tiny aggregate + collect per
+    arm — with AQE each is 2-3 stage-jobs plus a driver round-trip, ~0.2 s
+    of scheduling for microseconds of compute, times 5-8 arms per report
+    (guide §1.2: fewer passes / fewer actions).  Version-pinned lake scans
+    make the arms safely deferrable: ``read_version`` resolves its manifest
+    and file list EAGERLY at call time, so an arm frame built mid-sequence
+    still reads exactly its version's files when collected at the end
+    (earlier versions' files are immutable until a vacuum, which none of
+    the batched reports performs before collecting).
+
+    Returns one list of Rows per input frame, in input order.
+    """
+    from pyspark.sql import functions as F
+
+    if not frames:
+        return []
+    tagged = frames[0].select(F.lit(0).alias("__arm_i"), "*")
+    for i, f in enumerate(frames[1:], 1):
+        tagged = tagged.unionByName(f.select(F.lit(i).alias("__arm_i"), "*"))
+    from pyspark.sql import Row
+
+    fields = [c for c in tagged.columns if c != "__arm_i"]
+    make = Row(*fields)
+    out: "list[list]" = [[] for _ in frames]
+    for r in tagged.collect():
+        out[r["__arm_i"]].append(make(*[r[c] for c in fields]))
+    return out
+
+
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from us_equity_datalake_spark.functions.safe_math import dec_sum, dec_sum_sql
 from us_equity_datalake_spark.sources import lake
 from us_equity_datalake_spark.sources.registry import load_table, local_frame
-from .base import register
+from .base import collect_batched, register
 
 _CUT_A = 30000  # initial overwrite slice: o_orderkey < _CUT_A
 _CUT_B = 60000  # append slice: o_orderkey < _CUT_B (overlaps [0, _CUT_A))
@@ -1008,8 +1008,13 @@ def lake_lifecycle_q(spark, sf_dir):
         )
 
     # materialize the matrix BEFORE vacuum: the frames are lazy, and vacuum
-    # deletes v3's file — a post-vacuum collect of the v3 read would fail
-    rows = [tuple(r) for v in (1, 2, 3, 4) for r in row("pre_vacuum", v).collect()]
+    # deletes v3's file — a post-vacuum collect of the v3 read would fail.
+    # One batched action for the four version arms (collect_batched).
+    rows = [
+        tuple(r)
+        for rs in collect_batched([row("pre_vacuum", v) for v in (1, 2, 3, 4)])
+        for r in rs
+    ]
     removed = snapshots.vacuum(root, keep_last=1)
     rows += [tuple(r) for r in row("post_vacuum", snapshots.latest_version(root)).collect()]
     rows.append(("vacuum_removed", 0, 0, 0.0, len(removed)))
@@ -1783,11 +1788,16 @@ def lake_deletion_vector_q(spark, sf_dir):
         orders.repartitionByRange(8, "o_orderkey"), root, stats_cols=["o_orderkey"]
     )
 
-    rows = []
+    # arms are DEFERRED and collected in one batched action at the end —
+    # read_version pins its file list eagerly, so each arm still aggregates
+    # exactly its version's content (collect_batched docstring)
+    pend = []
 
     def arm(name, version, df, n_rows=None, rewritten=0):
-        got_n, s = df.agg(F.count("*"), dec_sum(F.col("o_totalprice"))).collect()[0]
-        rows.append((name, version, got_n if n_rows is None else n_rows, s, rewritten))
+        pend.append(
+            (name, version, n_rows, rewritten,
+             df.agg(F.count("*").alias("n"), dec_sum(F.col("o_totalprice")).alias("s")))
+        )
 
     arm("v1_full", 1, snapshots.read_version(spark, root, 1))
 
@@ -1812,7 +1822,14 @@ def lake_deletion_vector_q(spark, sf_dir):
     v5 = snapshots.commit(orders.where(F.col("o_orderkey") <= 1000), root)
     arm("append_no_resurrect", v5, snapshots.read_version(spark, root))
 
-    return local_frame(spark, 
+    rows = []
+    for (name, version, n_rows, rewritten, _), rs in zip(
+        pend, collect_batched([p[4] for p in pend])
+    ):
+        got_n, s = rs[0]["n"], rs[0]["s"]
+        rows.append((name, version, got_n if n_rows is None else n_rows, s, rewritten))
+
+    return local_frame(spark,
         rows,
         "arm string, version long, n_rows long, price_sum double, rewritten long",
     )
@@ -1875,9 +1892,13 @@ def lake_mor_update_q(spark, sf_dir):
 
     rows = []
 
+    pend = []  # deferred arms, one batched collect (collect_batched docstring)
+
     def arm(name, version, df, n_rows=None, rewritten=0):
-        got_n, s = df.agg(F.count("*"), dec_sum(F.col("o_totalprice"))).collect()[0]
-        rows.append((name, version, got_n if n_rows is None else n_rows, s, rewritten))
+        pend.append(
+            (name, version, n_rows, rewritten,
+             df.agg(F.count("*").alias("n"), dec_sum(F.col("o_totalprice")).alias("s")))
+        )
 
     arm("pre", 1, snapshots.read_version(spark, root, 1))
 
@@ -1892,7 +1913,13 @@ def lake_mor_update_q(spark, sf_dir):
     arm("meta_count", ru["version"], cur, n_rows=snapshots.table_count(root))
     arm("travel_v1", 1, snapshots.read_version(spark, root, 1))
 
-    return local_frame(spark, 
+    for (name, version, n_rows, rewritten, _), rs in zip(
+        pend, collect_batched([p[4] for p in pend])
+    ):
+        got_n, s = rs[0]["n"], rs[0]["s"]
+        rows.append((name, version, got_n if n_rows is None else n_rows, s, rewritten))
+
+    return local_frame(spark,
         rows,
         "arm string, version long, n_rows long, price_sum double, rewritten long",
     )
@@ -1978,11 +2005,13 @@ def lake_partition_evolution_q(spark, sf_dir):
             .coalesce(1),
             root,
         )
-    rows = []
+    pend = []  # deferred arms, one batched collect (collect_batched docstring)
 
     def arm(name, df, info):
-        n, s = df.agg(F.count("*"), dec_sum(F.col("o_totalprice"))).collect()[0]
-        rows.append((name, info["files_total"], info["files_scanned"], n, s))
+        pend.append(
+            (name, info,
+             df.agg(F.count("*").alias("n"), dec_sum(F.col("o_totalprice")).alias("s")))
+        )
 
     full = snapshots.read_version(spark, root)
     n_files = len(snapshots.read_manifest(root, snapshots.latest_version(root))["files"])
@@ -1997,7 +2026,11 @@ def lake_partition_evolution_q(spark, sf_dir):
     )
     arm("prune_on_new_spec", pruned_c.where(F.col("o_custkey") <= mk // 4), info_c)
 
-    return local_frame(spark, 
+    rows = []
+    for (name, info, _), rs in zip(pend, collect_batched([p[2] for p in pend])):
+        rows.append((name, info["files_total"], info["files_scanned"], rs[0]["n"], rs[0]["s"]))
+
+    return local_frame(spark,
         rows,
         "arm string, files_total long, files_scanned long, n_rows long, price_sum double",
     )

@@ -2787,10 +2787,18 @@ def _stage_dv_sidecars(
 
     hits = hits.persist()
     try:
-        per_file = {
-            r["__file"]: int(r["n"])
-            for r in hits.groupBy("__file").agg(F.count("*").alias("n")).collect()
-        }
+        # ONE grouped pass for both the routing count and the (capped)
+        # positions: the old shape ran a count aggregate, then a second
+        # collect_list aggregate over the same persisted hits — two shuffle
+        # jobs per DV op where one suffices.  ``slice`` caps the per-file
+        # DRIVER transfer at the routing threshold, so a huge sweep still
+        # reaches the driver as bounded rows and takes the executor-side
+        # sidecar path below on the exact counts.
+        rows = hits.groupBy("__file").agg(
+            F.count("*").alias("n"),
+            F.slice(F.collect_list("__pos"), 1, DV_DRIVER_MAX_POSITIONS + 1).alias("ps"),
+        ).collect()
+        per_file = {r["__file"]: int(r["n"]) for r in rows}
         unknown = set(per_file) - manifest_files
         if unknown:
             raise ValueError(
@@ -2801,10 +2809,8 @@ def _stage_dv_sidecars(
         if n_new == 0:
             return {}, 0
         if n_new <= DV_DRIVER_MAX_POSITIONS:
+            # every per-file list is complete: n_file <= n_new <= the cap
             entries: dict = {}
-            rows = hits.groupBy("__file").agg(
-                F.collect_list("__pos").alias("ps")
-            ).collect()
             for r in rows:
                 f = r["__file"]
                 merged = {int(p) for p in r["ps"]}

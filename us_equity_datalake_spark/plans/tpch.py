@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from us_equity_datalake_spark.functions.safe_math import dec_sum, dec_sum_sql
-from us_equity_datalake_spark.sources.registry import load_table
+from us_equity_datalake_spark.sources.registry import load_table, parallelize_small_input
 from .base import register
 
 _D = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))"
@@ -37,8 +37,13 @@ def q1(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # the six DECIMAL(30,6) sums are the cost (~10x double arithmetic) and a
+    # single-row-group input is ONE split — spread before the agg so the
+    # decimal work parallelizes; no-op at production split counts
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        parallelize_small_input(
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")), None
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum(F.col("l_quantity")).alias("sum_qty"),

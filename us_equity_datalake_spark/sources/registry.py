@@ -45,7 +45,11 @@ def parallelize_small_input(df: DataFrame, key: str, target: int | None = None) 
     """
     target = target or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, key)
+        # key=None -> round-robin: right for spreading a CPU-heavy aggregate
+        # over a single-row-group input where no join/grouping key benefits
+        # from co-location (the shuffle is distribution-neutral for the
+        # downstream groupBy; partial aggregation still runs map-side)
+        df = df.repartition(target, key) if key is not None else df.repartition(target)
     return df
 
 

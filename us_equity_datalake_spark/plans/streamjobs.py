@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from us_equity_datalake_spark.functions.hashing import md5_long32, md5_long32_sql
 from us_equity_datalake_spark.functions.safe_math import dec_sum_sql
-from us_equity_datalake_spark.sources.registry import load_table
+from us_equity_datalake_spark.sources.registry import load_table, local_frame
 from us_equity_datalake_spark.streaming.stateful import (
     universe_lifecycle,
     universe_lifecycle_timeout,
@@ -1389,17 +1389,27 @@ def streaming_change_feed_source_sink_q(spark, sf_dir):
         pend = pend.dropDuplicates(
             ["_commit_version", "_change_type", "o_orderkey"]
         )
-        hi = pend.agg(F.max("_commit_version")).first()[0]
-        if hi is None:
-            return  # everything in this batch already folded in
         w = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
-        delta = pend.withColumn("__w", w).groupBy("o_orderstatus").agg(
+        # ONE pass over the batch: the status-sized delta AND the applied-
+        # through watermark come from the same grouped collect — the old
+        # shape ran a max() action and then re-executed the whole
+        # dedup+aggregate pipeline inside the fold's commit write
+        drows = pend.withColumn("__w", w).groupBy("o_orderstatus").agg(
             F.sum("__w").cast("long").alias("dn"),
             F.sum(
                 F.col("o_totalprice").cast("decimal(30,6)") * F.col("__w")
             ).alias("dt"),
+            F.max("_commit_version").alias("hi"),
+        ).collect()
+        if not drows:
+            return  # everything in this batch already folded in
+        hi = max(r["hi"] for r in drows)
+        delta = local_frame(
+            spark,
+            [(r["o_orderstatus"], r["dn"], r["dt"]) for r in drows],
+            "o_orderstatus string, dn long, dt decimal(30,6)",
         )
         cur = snapshots.read_version(spark, down_lake)
         folded = (

@@ -1571,9 +1571,6 @@ def streaming_cdc_replica_sink_q(spark, sf_dir):
         pend = batch_df.where(F.col("_commit_version") > applied).dropDuplicates(
             ["_commit_version", "_change_type", "o_orderkey"]
         )
-        hi = pend.agg(F.max("_commit_version")).first()[0]
-        if hi is None:
-            return
         # per-key outcome across every version in the batch: the HIGHEST
         # (version, postimage-over-preimage) row wins; 'delete' wins its
         # version alone (a key cannot be both deleted and updated in one
@@ -1589,15 +1586,28 @@ def streaming_cdc_replica_sink_q(spark, sf_dir):
             ).alias("w")
         ).select(
             "o_orderkey",
+            F.col("w._commit_version").alias("__v"),
             F.col("w._change_type").alias("_change_type"),
             F.col("w.o_orderstatus").alias("o_orderstatus"),
             F.col("w.o_totalprice").alias("o_totalprice"),
         )
         win = win.persist()
         try:
-            ups = win.where(
-                F.col("_change_type").isin("insert", "update_postimage")
-            ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+            # ONE key-set-sized aggregate yields the applied-through
+            # watermark AND the upsert count — the old shape ran a max()
+            # action over the whole batch pipeline, built win as a second
+            # execution of it, and probed isEmpty as a third action.  The
+            # winner rows carry per-key max versions, whose max IS the
+            # batch's max version (that version's keys have it as winner).
+            is_up = F.col("_change_type").isin("insert", "update_postimage")
+            hi, n_ups = win.agg(
+                F.max("__v"), F.sum(is_up.cast("int"))
+            ).first()
+            if hi is None:
+                return
+            ups = win.where(is_up).select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            )
             # O(Δ) apply: DV-delete every batch key's old image (zero
             # rewrites; keys that aren't in the replica match nothing and
             # the no-op burns no version), then append the upsert images.
@@ -1606,7 +1616,7 @@ def streaming_cdc_replica_sink_q(spark, sf_dir):
                 spark, replica, keys=win, key="o_orderkey"
             )
             rewrites["n"] += d["files_rewritten"]
-            if not ups.isEmpty():
+            if n_ups:
                 snapshots.commit(
                     ups.repartitionByRange(4, "o_orderkey"), replica
                 )

@@ -3192,7 +3192,18 @@ def lake_cdf_row_lineage_q(spark, sf_dir):
     )
     snapshots.delete_where_dv(spark, root, F.col("o_orderkey") % 7 == 0)  # v5
     snapshots.optimize(spark, root, target_files=2, zorder_by=["o_orderkey"])  # v6
-    feed = snapshots.change_feed_row_ids(spark, root, 2, 6)
+    # the feed pipeline (manifest-dispatched per-transition scans + by-id
+    # diffs) has THREE consumers below (per_type, pre, post), which the
+    # final plan runs as CONCURRENT stage-jobs — without materialization
+    # each consumer re-executes the whole feed (measured as 3x ~1 s
+    # single-task jobs).  Eager localCheckpoint materializes the Δ-sized
+    # feed ONCE through the normal AQE path; a lazy persist() instead makes
+    # the racing consumers each compute the cold cache (6.1 -> 39 s), and
+    # persist+count materializes WITHOUT AQE coalescing
+    # (canChangeCachedPlanOutputPartitioning) — 66-task stages, 24 s.
+    feed = snapshots.change_feed_row_ids(spark, root, 2, 6).localCheckpoint(
+        eager=True
+    )
     per_type = feed.groupBy("change_type").agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum("_row_id").cast("long").alias("id_sum"),
@@ -3298,7 +3309,13 @@ def lake_cdf_merge_lineage_q(spark, sf_dir):
         )
     )
     snapshots.merge_upsert(spark, root, delta, key="o_orderkey")  # v3
-    feed = snapshots.change_feed_row_ids(spark, root, 2, 3)
+    # three consumers of the Δ-sized feed (per_type, pre, post) run as
+    # concurrent stage-jobs: eager localCheckpoint materializes the
+    # by-identity merge diff ONCE instead of once per racing consumer
+    # (persist() variants measured and rejected — see the row-lineage twin)
+    feed = snapshots.change_feed_row_ids(spark, root, 2, 3).localCheckpoint(
+        eager=True
+    )
     per_type = feed.groupBy("change_type").agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum("_row_id").cast("long").alias("id_sum"),

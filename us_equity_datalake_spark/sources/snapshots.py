@@ -2663,15 +2663,6 @@ def merge_upsert(
     if tracked:
         if _ROW_ID in delta.columns:
             _reject_external_row_ids(path, "merge_upsert delta")
-        dup = (
-            delta.groupBy(key).count().where(F.col("count") > 1).limit(1).count()
-        )
-        if dup:
-            raise ValueError(
-                f"merge_upsert of {path}: the delta has duplicate {key!r} "
-                "values — on a row-tracked table each matched key's delta "
-                "row inherits ONE pre-image identity; dedup the delta first"
-            )
         # matched delta rows inherit the pre-image id (min over the key's
         # rows: a multi-row key collapses to one row, the smallest id
         # survives and the others surface as 'delete' in the by-id feed)
@@ -2683,6 +2674,22 @@ def merge_upsert(
         wm = int(m.get("row_id_watermark", 0))
         from pyspark.sql import Window
 
+        # ONE Δ-sized aggregate yields both pre-commit probes: the
+        # key-uniqueness guard (rows > distinct keys; the struct wrapper
+        # keeps NULL keys countable, matching the old groupBy semantics)
+        # and the fresh-id count for the watermark advance — the old shape
+        # ran a limit(1).count() and then a separate new_part.count().
+        st = delta_ids.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct(key)).alias("nk"),
+            F.sum(F.col(_ROW_ID).isNull().cast("long")).alias("n_new"),
+        ).collect()[0]
+        if int(st["n"]) != int(st["nk"]):
+            raise ValueError(
+                f"merge_upsert of {path}: the delta has duplicate {key!r} "
+                "values — on a row-tracked table each matched key's delta "
+                "row inherits ONE pre-image identity; dedup the delta first"
+            )
         # fresh ids for genuinely new keys: watermark + dense order over
         # the new keys.  The global window runs over the NEW-KEY SUBSET of
         # one merge batch (Δ-sized by definition), not the table.
@@ -2692,7 +2699,7 @@ def merge_upsert(
             .cast("long"),
         )
         matched_part = delta_ids.where(F.col(_ROW_ID).isNotNull())
-        n_new = new_part.count()
+        n_new = int(st["n_new"] or 0)
         wm_hint = wm + n_new
         delta = matched_part.unionByName(new_part)
     new_rows = survivors.unionByName(

@@ -175,10 +175,15 @@ def update_fundamentals(
         "sym_bucket", _sym_bucket(F.col("symbol"), n_buckets)
     )
     # fund_long has up to three consumers (the touched-buckets collect, the
-    # append's anti-join probe, the append write) — persist so the
+    # append's anti-join probe, the append write) — materialize so the
     # normalize+dedup lineage runs once per day, not once per consumer
-    # (ADVICE r5); released in the finally below.
-    fund_long = fund_long.persist()
+    # (ADVICE r5).  Eager localCheckpoint, NOT persist: the cache manager
+    # compiles the cached plan without AQE partition coalescing
+    # (canChangeCachedPlanOutputPartitioning), so a persist materialized
+    # the whole normalize chain at full shuffle width on a day-sized batch;
+    # the checkpoint runs it once through the normal AQE path and the
+    # consumers read the day-sized blocks.
+    fund_long = fund_long.localCheckpoint(eager=True)
     # Pre-migration guard: a fundamental lake written before bucket
     # partitioning carries no sym_bucket column, and a lake written with a
     # DIFFERENT bucket count (ADVICE r4: pmod(hash,16) rows appended into a
@@ -232,18 +237,15 @@ def update_fundamentals(
     # existing_filter contract in read_check_append) and the derived rebuild.
     # Skipped on a fresh lake (nothing to probe, full rebuild anyway).
     touched: list | None = None
-    try:
-        if _exists(lake.fundamental):
-            touched = sorted(
-                r.sym_bucket for r in fund_long.select("sym_bucket").distinct().collect()
-            )
-        appended = read_check_append(
-            spark, fund_long, lake.fundamental, keys=["symbol", "concept", "frame", "accn"],
-            partition_by=["sym_bucket"],
-            existing_filter=F.col("sym_bucket").isin(touched) if touched else None,
+    if _exists(lake.fundamental):
+        touched = sorted(
+            r.sym_bucket for r in fund_long.select("sym_bucket").distinct().collect()
         )
-    finally:
-        fund_long.unpersist()  # last consumer of the normalized batch
+    appended = read_check_append(
+        spark, fund_long, lake.fundamental, keys=["symbol", "concept", "frame", "accn"],
+        partition_by=["sym_bucket"],
+        existing_filter=F.col("sym_bucket").isin(touched) if touched else None,
+    )
     if _exists(lake.fundamental):
         # stamp the layout modulus the lake was (re)written with — the guard
         # above validates against this on every subsequent call
@@ -271,21 +273,19 @@ def update_fundamentals(
     # ttm has TWO consumers — the lake write and the metrics derivation — and
     # without materialization each re-runs the rolling-window chain over the
     # (pruned) fundamental scan: 2x the heaviest compute of the rebuild at
-    # any scale.  Persist across the two, unpersist before returning.
-    ttm = ttm.persist()
-    try:
-        metrics = compute_metrics_long(
-            ttm.select("symbol", "as_of_date", "concept", "value"), stock
-        ).withColumn("sym_bucket", _sym_bucket(F.col("symbol"), n_buckets))
-        if do_incremental:
-            # dynamic overwrite replaces exactly the recomputed buckets
-            overwrite_partition(spark, ttm, lake.ttm, partition_by=["sym_bucket"])
-            overwrite_partition(spark, metrics, lake.metrics, partition_by=["sym_bucket"])
-        else:
-            write_partitioned(ttm, lake.ttm, partition_by=["sym_bucket"])
-            write_partitioned(metrics, lake.metrics, partition_by=["sym_bucket"])
-    finally:
-        ttm.unpersist()
+    # any scale.  Eager localCheckpoint (not persist — same AQE-on-cache
+    # rationale as fund_long above) materializes it once for both.
+    ttm = ttm.localCheckpoint(eager=True)
+    metrics = compute_metrics_long(
+        ttm.select("symbol", "as_of_date", "concept", "value"), stock
+    ).withColumn("sym_bucket", _sym_bucket(F.col("symbol"), n_buckets))
+    if do_incremental:
+        # dynamic overwrite replaces exactly the recomputed buckets
+        overwrite_partition(spark, ttm, lake.ttm, partition_by=["sym_bucket"])
+        overwrite_partition(spark, metrics, lake.metrics, partition_by=["sym_bucket"])
+    else:
+        write_partitioned(ttm, lake.ttm, partition_by=["sym_bucket"])
+        write_partitioned(metrics, lake.metrics, partition_by=["sym_bucket"])
     def _count(path: str) -> int:
         # a zero-row partitioned write leaves no schema-bearing files, so the
         # readback cannot infer a schema — that is simply 0 rows

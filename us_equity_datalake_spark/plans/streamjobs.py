@@ -1616,37 +1616,38 @@ def streaming_cdc_replica_sink_q(spark, sf_dir):
             F.col("w.o_orderstatus").alias("o_orderstatus"),
             F.col("w.o_totalprice").alias("o_totalprice"),
         )
-        win = win.persist()
-        try:
-            # ONE key-set-sized aggregate yields the applied-through
-            # watermark AND the upsert count — the old shape ran a max()
-            # action over the whole batch pipeline, built win as a second
-            # execution of it, and probed isEmpty as a third action.  The
-            # winner rows carry per-key max versions, whose max IS the
-            # batch's max version (that version's keys have it as winner).
-            is_up = F.col("_change_type").isin("insert", "update_postimage")
-            hi, n_ups = win.agg(
-                F.max("__v"), F.sum(is_up.cast("int"))
-            ).first()
-            if hi is None:
-                return
-            ups = win.where(is_up).select(
-                "o_orderkey", "o_orderstatus", "o_totalprice"
+        # eager localCheckpoint, not persist: the cache manager materializes
+        # a cached plan without AQE coalescing (full-shuffle-width stages on
+        # a batch-sized key set); the checkpoint runs the batch pipeline
+        # once through the normal AQE path
+        win = win.localCheckpoint(eager=True)
+        # ONE key-set-sized aggregate yields the applied-through
+        # watermark AND the upsert count — the old shape ran a max()
+        # action over the whole batch pipeline, built win as a second
+        # execution of it, and probed isEmpty as a third action.  The
+        # winner rows carry per-key max versions, whose max IS the
+        # batch's max version (that version's keys have it as winner).
+        is_up = F.col("_change_type").isin("insert", "update_postimage")
+        hi, n_ups = win.agg(
+            F.max("__v"), F.sum(is_up.cast("int"))
+        ).first()
+        if hi is None:
+            return
+        ups = win.where(is_up).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        # O(Δ) apply: DV-delete every batch key's old image (zero
+        # rewrites; keys that aren't in the replica match nothing and
+        # the no-op burns no version), then append the upsert images.
+        # Delete-first makes a crash-replayed batch idempotent.
+        d = snapshots.delete_where_dv(
+            spark, replica, keys=win, key="o_orderkey"
+        )
+        rewrites["n"] += d["files_rewritten"]
+        if n_ups:
+            snapshots.commit(
+                ups.repartitionByRange(4, "o_orderkey"), replica
             )
-            # O(Δ) apply: DV-delete every batch key's old image (zero
-            # rewrites; keys that aren't in the replica match nothing and
-            # the no-op burns no version), then append the upsert images.
-            # Delete-first makes a crash-replayed batch idempotent.
-            d = snapshots.delete_where_dv(
-                spark, replica, keys=win, key="o_orderkey"
-            )
-            rewrites["n"] += d["files_rewritten"]
-            if n_ups:
-                snapshots.commit(
-                    ups.repartitionByRange(4, "o_orderkey"), replica
-                )
-        finally:
-            win.unpersist()
         tmp = f"{applied_path}.tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
             _json.dump({"version": int(hi)}, fh)

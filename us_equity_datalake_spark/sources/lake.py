@@ -117,18 +117,18 @@ def read_check_append(
     else:
         fresh = new_rows
     if cache_fresh:
-        fresh = fresh.persist()
-    try:
-        n = fresh.count()
-        if n:
-            out = _cluster_for_write(fresh, partition_by or [], 1)
-            w = out.write.mode("append")
-            if partition_by:
-                w = w.partitionBy(*partition_by)
-            w.parquet(path)
-    finally:
-        if cache_fresh:
-            fresh.unpersist()
+        # eager localCheckpoint, not persist: a cached plan materializes
+        # WITHOUT AQE partition coalescing (full shuffle width on a
+        # day-sized batch); the checkpoint runs the upstream pipeline once
+        # through the normal AQE path and both consumers read the blocks
+        fresh = fresh.localCheckpoint(eager=True)
+    n = fresh.count()
+    if n:
+        out = _cluster_for_write(fresh, partition_by or [], 1)
+        w = out.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
     return n
 
 

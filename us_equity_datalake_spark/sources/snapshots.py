@@ -3292,7 +3292,14 @@ def change_feed(
     'insert' rows carry the new image, 'delete' rows the old image, and an
     updated key emits BOTH 'update_preimage' and 'update_postimage'.
     One shuffle join of two manifest-pinned reads; downstream consumers
-    (incremental aggregates, replication, audit) never rescan the table."""
+    (incremental aggregates, replication, audit) never rescan the table.
+
+    The change rows come from ONE pass over the join via a typed-event
+    explode — the previous four-branch filter+union shape re-executed the
+    full-outer join once PER BRANCH (Spark does not share the common
+    subtree across union arms; profiled as 4 concurrent ~1 s stage-jobs
+    per transition at sf0.1, r13), which at 100 TB would be four shuffles
+    of both snapshots instead of one."""
     from pyspark.sql import functions as F
 
     a = read_version(spark, path, v_from)
@@ -3302,25 +3309,26 @@ def change_feed(
     pre = a.select(key, F.struct(*cols).alias("__pre"))
     post = b.select(key, F.struct(*cols).alias("__post"))
     j = pre.join(post, key, "full_outer")
-    inserts = j.where(F.col("__pre").isNull()).select(
-        key, F.lit("insert").alias("change_type"), F.col("__post").alias("__img")
+
+    def ev(t, img):
+        return F.struct(F.lit(t).alias("t"), F.col(img).alias("img"))
+
+    # unchanged keys fall through every branch to NULL, which explode drops;
+    # the struct inequality is the same expression (and NULL-field
+    # semantics) the old `changed` filter used
+    events = (
+        F.when(F.col("__pre").isNull(), F.array(ev("insert", "__post")))
+        .when(F.col("__post").isNull(), F.array(ev("delete", "__pre")))
+        .when(
+            F.col("__pre") != F.col("__post"),
+            F.array(ev("update_preimage", "__pre"), ev("update_postimage", "__post")),
+        )
     )
-    deletes = j.where(F.col("__post").isNull()).select(
-        key, F.lit("delete").alias("change_type"), F.col("__pre").alias("__img")
+    return j.select(key, F.explode(events).alias("__e")).select(
+        key,
+        F.col("__e.t").alias("change_type"),
+        *[F.col(f"__e.img.{c}").alias(c) for c in cols],
     )
-    changed = j.where(
-        F.col("__pre").isNotNull()
-        & F.col("__post").isNotNull()
-        & (F.col("__pre") != F.col("__post"))
-    )
-    upd_pre = changed.select(
-        key, F.lit("update_preimage").alias("change_type"), F.col("__pre").alias("__img")
-    )
-    upd_post = changed.select(
-        key, F.lit("update_postimage").alias("change_type"), F.col("__post").alias("__img")
-    )
-    out = inserts.unionByName(deletes).unionByName(upd_pre).unionByName(upd_post)
-    return out.select(key, "change_type", *[F.col(f"__img.{c}").alias(c) for c in cols])
 
 
 def _transition_feed(
@@ -3598,29 +3606,32 @@ def change_feed_row_ids(
                 spark, replacement, m1, merge_schema=True
             ).select(_ROW_ID, F.struct(*cols).alias("__post"))
             j = o_side.join(n_side, _ROW_ID, "full_outer")
-            changed = j.where(
-                F.col("__pre").isNotNull() & F.col("__post").isNotNull()
-                & ~F.col("__pre").eqNullSafe(F.col("__post"))
+
+            # one pass over the by-identity join via the typed-event
+            # explode (same shape as change_feed): the old four-branch
+            # filter+union re-executed the full-outer join per branch
+            def _ev(t, img):
+                return F.struct(F.lit(t).alias("t"), F.col(img).alias("img"))
+
+            events = (
+                F.when(F.col("__pre").isNull(), F.array(_ev("insert", "__post")))
+                .when(F.col("__post").isNull(), F.array(_ev("delete", "__pre")))
+                .when(
+                    ~F.col("__pre").eqNullSafe(F.col("__post")),
+                    F.array(
+                        _ev("update_preimage", "__pre"),
+                        _ev("update_postimage", "__post"),
+                    ),
+                )
             )
-            for p in (
-                j.where(F.col("__pre").isNull()).select(
-                    _ROW_ID, F.lit("insert").alias("change_type"), ver,
-                    "__post.*"),
-                j.where(F.col("__post").isNull()).select(
-                    _ROW_ID, F.lit("delete").alias("change_type"), ver,
-                    "__pre.*"),
-                changed.select(
-                    _ROW_ID, F.lit("update_preimage").alias("change_type"),
-                    ver, "__pre.*"),
-                changed.select(
-                    _ROW_ID, F.lit("update_postimage").alias("change_type"),
-                    ver, "__post.*"),
-            ):
-                out = p if out is None else out.unionByName(p)
-                legs += 1
-                if legs >= _FEED_FOLD_EVERY:
-                    out = out.localCheckpoint(eager=True)
-                    legs = 0
+            p = j.select(_ROW_ID, F.explode(events).alias("__e")).select(
+                _ROW_ID, F.col("__e.t").alias("change_type"), ver, "__e.img.*"
+            )
+            out = p if out is None else out.unionByName(p)
+            legs += 1
+            if legs >= _FEED_FOLD_EVERY:
+                out = out.localCheckpoint(eager=True)
+                legs = 0
             continue
         delta: dict = {}
         bad = False

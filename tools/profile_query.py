@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--jobs", type=int, default=12, help="top-N jobs to print per query")
     ap.add_argument("--gaps", action="store_true", help="chronological job list with driver gaps")
+    ap.add_argument("--all", action="store_true",
+                    help="include untagged jobs (streaming engine batches set "
+                    "their own description) in the chronological view")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -149,6 +152,18 @@ def main() -> None:
             # chronological: driver gap BEFORE each job (plan/commit/listing
             # time between actions — the part task metrics never show)
             chron = sorted(last["jobs"], key=lambda t: t[1])
+            if args.all and chron:
+                # pull in every untagged job (streaming micro-batches) that
+                # ran inside this run's job-id window, with its own desc
+                lo, hi = chron[0][1], chron[-1][1]
+                extra = [
+                    (j.get("t1", j["t0"]) - j["t0"], jid,
+                     (j.get("desc", "") or j.get("callsite", ""))[:80],
+                     j.get("ntasks", 0))
+                    for jid, j in jobs.items()
+                    if lo < jid < hi and not j.get("desc", "").startswith("PROF:")
+                ]
+                chron = sorted(chron + extra, key=lambda t: t[1])
             prev_end = None
             print("    --- chronological with driver gaps ---")
             for dur, jid, cs, nt in chron:

@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from us_equity_datalake_spark.equity.fundamentals import normalize_fundamental
+from us_equity_datalake_spark.operators._cache import materialize_once
 from us_equity_datalake_spark.equity.metrics import compute_metrics_long
 from us_equity_datalake_spark.equity.sentiment import aggregate_filing_sentiment, chunk_text_udf, score_chunks
 from us_equity_datalake_spark.equity.ttm import compute_ttm_long
@@ -177,13 +178,13 @@ def update_fundamentals(
     # fund_long has up to three consumers (the touched-buckets collect, the
     # append's anti-join probe, the append write) — materialize so the
     # normalize+dedup lineage runs once per day, not once per consumer
-    # (ADVICE r5).  Eager localCheckpoint, NOT persist: the cache manager
-    # compiles the cached plan without AQE partition coalescing
-    # (canChangeCachedPlanOutputPartitioning), so a persist materialized
-    # the whole normalize chain at full shuffle width on a day-sized batch;
-    # the checkpoint runs it once through the normal AQE path and the
-    # consumers read the day-sized blocks.
-    fund_long = fund_long.localCheckpoint(eager=True)
+    # (ADVICE r5).  materialize_once, NOT a bare persist: the cache manager
+    # compiles cached plans without AQE partition coalescing, so a persist
+    # materialized the whole normalize chain at full shuffle width on a
+    # day-sized batch; this runs it once through the normal AQE path and
+    # the consumers read the day-sized blocks (cluster-safe fallback
+    # inside the helper — ADVICE r12).
+    fund_long = materialize_once(fund_long)
     # Pre-migration guard: a fundamental lake written before bucket
     # partitioning carries no sym_bucket column, and a lake written with a
     # DIFFERENT bucket count (ADVICE r4: pmod(hash,16) rows appended into a
@@ -273,9 +274,9 @@ def update_fundamentals(
     # ttm has TWO consumers — the lake write and the metrics derivation — and
     # without materialization each re-runs the rolling-window chain over the
     # (pruned) fundamental scan: 2x the heaviest compute of the rebuild at
-    # any scale.  Eager localCheckpoint (not persist — same AQE-on-cache
-    # rationale as fund_long above) materializes it once for both.
-    ttm = ttm.localCheckpoint(eager=True)
+    # any scale.  materialize_once (same AQE-on-cache rationale as
+    # fund_long above) materializes it once for both.
+    ttm = materialize_once(ttm)
     metrics = compute_metrics_long(
         ttm.select("symbol", "as_of_date", "concept", "value"), stock
     ).withColumn("sym_bucket", _sym_bucket(F.col("symbol"), n_buckets))

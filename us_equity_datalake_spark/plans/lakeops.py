@@ -26,6 +26,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from us_equity_datalake_spark.functions.safe_math import dec_sum, dec_sum_sql
+from us_equity_datalake_spark.operators._cache import materialize_once
 from us_equity_datalake_spark.sources import lake
 from us_equity_datalake_spark.sources.registry import load_table, local_frame
 from .base import collect_batched, register
@@ -3196,14 +3197,12 @@ def lake_cdf_row_lineage_q(spark, sf_dir):
     # diffs) has THREE consumers below (per_type, pre, post), which the
     # final plan runs as CONCURRENT stage-jobs — without materialization
     # each consumer re-executes the whole feed (measured as 3x ~1 s
-    # single-task jobs).  Eager localCheckpoint materializes the Δ-sized
-    # feed ONCE through the normal AQE path; a lazy persist() instead makes
-    # the racing consumers each compute the cold cache (6.1 -> 39 s), and
-    # persist+count materializes WITHOUT AQE coalescing
-    # (canChangeCachedPlanOutputPartitioning) — 66-task stages, 24 s.
-    feed = snapshots.change_feed_row_ids(spark, root, 2, 6).localCheckpoint(
-        eager=True
-    )
+    # single-task jobs).  materialize_once runs the Δ-sized feed ONCE
+    # through the normal AQE path (r13: cluster-safe persist fallback); a
+    # lazy persist() instead makes the racing consumers each compute the
+    # cold cache (6.1 -> 39 s), and bare persist+count materializes
+    # WITHOUT AQE coalescing — 66-task stages, 24 s.
+    feed = materialize_once(snapshots.change_feed_row_ids(spark, root, 2, 6))
     per_type = feed.groupBy("change_type").agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum("_row_id").cast("long").alias("id_sum"),
@@ -3310,12 +3309,10 @@ def lake_cdf_merge_lineage_q(spark, sf_dir):
     )
     snapshots.merge_upsert(spark, root, delta, key="o_orderkey")  # v3
     # three consumers of the Δ-sized feed (per_type, pre, post) run as
-    # concurrent stage-jobs: eager localCheckpoint materializes the
-    # by-identity merge diff ONCE instead of once per racing consumer
-    # (persist() variants measured and rejected — see the row-lineage twin)
-    feed = snapshots.change_feed_row_ids(spark, root, 2, 3).localCheckpoint(
-        eager=True
-    )
+    # concurrent stage-jobs: materialize_once runs the by-identity merge
+    # diff ONCE instead of once per racing consumer (persist() variants
+    # measured and rejected — see the row-lineage twin)
+    feed = materialize_once(snapshots.change_feed_row_ids(spark, root, 2, 3))
     per_type = feed.groupBy("change_type").agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum("_row_id").cast("long").alias("id_sum"),

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from us_equity_datalake_spark.functions.hashing import md5_long32, md5_long32_sql
 from us_equity_datalake_spark.functions.safe_math import dec_sum_sql
+from us_equity_datalake_spark.operators._cache import materialize_once
 from us_equity_datalake_spark.sources.registry import load_table, local_frame
 from us_equity_datalake_spark.streaming.stateful import (
     universe_lifecycle,
@@ -1616,11 +1617,14 @@ def streaming_cdc_replica_sink_q(spark, sf_dir):
             F.col("w.o_orderstatus").alias("o_orderstatus"),
             F.col("w.o_totalprice").alias("o_totalprice"),
         )
-        # eager localCheckpoint, not persist: the cache manager materializes
-        # a cached plan without AQE coalescing (full-shuffle-width stages on
-        # a batch-sized key set); the checkpoint runs the batch pipeline
-        # once through the normal AQE path
-        win = win.localCheckpoint(eager=True)
+        # materialize_once, not a bare persist: the cache manager
+        # materializes a cached plan without AQE coalescing
+        # (full-shuffle-width stages on a batch-sized key set); this runs
+        # the batch pipeline once through the normal AQE path.  A
+        # CONTINUOUS (non-availableNow) deployment should also unpersist
+        # the materialized frame at end of batch (ADVICE r12) — these
+        # short availableNow runs leave it to the ContextCleaner.
+        win = materialize_once(win)
         # ONE key-set-sized aggregate yields the applied-through
         # watermark AND the upsert count — the old shape ran a max()
         # action over the whole batch pipeline, built win as a second

@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from us_equity_datalake_spark.operators._cache import materialize_once
 
 
 def _cluster_for_write(df: DataFrame, partition_by: list[str], files_per_partition: int | None) -> DataFrame:
@@ -117,11 +118,11 @@ def read_check_append(
     else:
         fresh = new_rows
     if cache_fresh:
-        # eager localCheckpoint, not persist: a cached plan materializes
+        # materialize_once, not a bare persist: a cached plan materializes
         # WITHOUT AQE partition coalescing (full shuffle width on a
-        # day-sized batch); the checkpoint runs the upstream pipeline once
-        # through the normal AQE path and both consumers read the blocks
-        fresh = fresh.localCheckpoint(eager=True)
+        # day-sized batch); this runs the upstream pipeline once through
+        # the normal AQE path and both consumers read the blocks
+        fresh = materialize_once(fresh)
     n = fresh.count()
     if n:
         out = _cluster_for_write(fresh, partition_by or [], 1)

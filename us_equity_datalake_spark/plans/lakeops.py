@@ -1518,13 +1518,20 @@ def lake_schema_clone_q(spark, sf_dir):
         "c_custkey", "c_acctbal", F.col("c_nationkey").cast("long").alias("c_nationkey")
     ).coalesce(1)
 
+    # every content arm defers its tiny aggregate into ONE collect_batched
+    # action (r13; the old shape ran one collect PER ARM — 9 driver
+    # round-trips of 2-3 stage-jobs each).  Deferral is safe through the
+    # two interleaved vacuums because BOTH are graded to reclaim ZERO
+    # files (the ownership/pin guards under test: if a guard regressed,
+    # the recorded removal count reds the row regardless); the one vacuum
+    # that DOES reclaim bytes (cloneB's final owned-file sweep) happens
+    # strictly after the batch collect below.
     rows = []
+    pending = []  # (row-index in rows, agg frame)
 
     def arm(name, version, df):
-        n_rows, s = df.agg(
-            F.count("*"), dec_sum(F.col("c_acctbal"))
-        ).collect()[0]
-        rows.append((name, version, n_rows, len(df.columns), s))
+        pending.append((len(rows), df.agg(F.count("*"), dec_sum(F.col("c_acctbal")))))
+        rows.append([name, version, None, len(df.columns), None])
 
     snapshots.commit(two("BUILDING"), src)                              # v1
     t_v1 = snapshots.read_manifest(src, 1)["committed_at"]
@@ -1568,15 +1575,20 @@ def lake_schema_clone_q(spark, sf_dir):
     arm("source_overwrite", 3, snapshots.read_version(spark, src, 3))
 
     removed_s = snapshots.vacuum(src, keep_last=1)
-    rows.append(("source_vacuum_pinned", 0, len(removed_s), 0, 0.0))
+    rows.append(["source_vacuum_pinned", 0, len(removed_s), 0, 0.0])
     arm("cloneA_after_source_vacuum", 1, snapshots.read_version_merged(spark, dst_a))
+
+    # ONE action for all nine content arms — before the final vacuum, the
+    # only one that reclaims bytes (cloneB_diverged reads the file it sweeps)
+    for (i, _), got in zip(pending, collect_batched([f for _, f in pending])):
+        rows[i][2], rows[i][4] = got[0][0], got[0][1]
 
     snapshots.commit(two("HOUSEHOLD"), dst_b, mode="overwrite")         # B v3
     removed_owned = snapshots.vacuum(dst_b, keep_last=1)
-    rows.append(("cloneB_vacuum_owned", 0, len(removed_owned), 0, 0.0))
+    rows.append(["cloneB_vacuum_owned", 0, len(removed_owned), 0, 0.0])
 
-    return local_frame(spark, 
-        rows,
+    return local_frame(spark,
+        [tuple(r) for r in rows],
         "arm string, version long, n_rows long, n_cols long, acctbal_sum double",
     )
 
@@ -2204,9 +2216,15 @@ def lake_clone_pin_q(spark, sf_dir):
     before_src = arm(
         "source_before_vacuum", snapshots.read_version(spark, src_root), 0
     )
-    # force both BEFORE arms to materialize before history expires
-    before = before_clone.unionByName(before_src).cache()
-    before.count()
+    # the BEFORE arms must materialize before history expires — ONE
+    # collect (collect_batched) into an Arrow local relation, instead of
+    # the old cache()+count() (same action count, but no cached-plan fill
+    # at uncoalesced shuffle width and no cache-manager entry to leak)
+    b_rows = collect_batched([before_clone, before_src])
+    before = local_frame(
+        spark, [tuple(r) for rs in b_rows for r in rs],
+        "arm string, n_rows long, price_sum double, n_files_removed long",
+    )
 
     removed = snapshots.vacuum(src_root, keep_last=1)
     n_removed = sum(1 for p in removed if p.endswith(".parquet"))
@@ -2584,8 +2602,12 @@ def lake_dv_retry_append_q(spark, sf_dir):
             )
         )
 
-    a1 = arm("after_retry_append", 3).cache()
-    a1.count()  # pin before v4 lands
+    # no pin needed (r13): read_version(3) resolved its file list eagerly,
+    # and a rewrite only drops files from the MANIFEST — the bytes stay on
+    # disk for older versions (no vacuum here), so the arm collects fine
+    # after v4 lands.  The old cache()+count() both cost an extra action
+    # and materialized through the no-AQE-coalescing cached-plan path.
+    a1 = arm("after_retry_append", 3)
     snapshots.commit_rewrite_with_retry(                                 # v4
         orders.where(slice_pred).coalesce(1), root,
         replace=lambda f: "commit_" in f and "commit_v0000" not in f,

@@ -14,6 +14,7 @@ from pyspark.sql import Window, functions as F
 from us_equity_datalake_spark.functions import hashing, text
 from us_equity_datalake_spark.functions.hashing import MERSENNE_P, perm_coefficients
 from us_equity_datalake_spark.operators import dedup, lm, sampling
+from us_equity_datalake_spark.operators._cache import materialize_once
 from us_equity_datalake_spark.sources.registry import load_table, parallelize_small_input
 from .base import register
 
@@ -258,6 +259,15 @@ def curation_funnel(docs):
         )
         .withColumn("pass_lang", F.col("pass_q") & (F.col("pred_lang") == F.col("lang")))
     )
+    # staged has TWO consumers (the dedup window side and the rollup join's
+    # stream side), which the final plan runs as racing stage-jobs — without
+    # materialization the whole corpus pass (tokenize + per-language
+    # stopword hits + quality + md5) executes once PER consumer (profiled
+    # r13: duplicated 1-task scan and 33-task projection jobs).  staged is
+    # the guide-§8 'decision table' — per-doc METADATA, no text — so
+    # materializing it once is exactly the decide-with-small-rows shape at
+    # any scale.
+    staged = materialize_once(staged)
     w = Window.partitionBy("hh").orderBy("doc_id")
     kept = (
         staged.where(F.col("pass_lang"))

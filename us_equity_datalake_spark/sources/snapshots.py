@@ -3217,7 +3217,13 @@ def update_where_dv(
         if m0.get("row_tracking")
         else _scan_files(spark, m0["files"], m0, with_lineage=True)
     )
-    matched = live.where(F.coalesce(predicate, F.lit(False)))
+    # matched is Δ-sized and has TWO consumers — the position collect below
+    # and the post-image commit write — each of which would otherwise
+    # execute the full live scan (two table scans per UPDATE at any scale);
+    # materialize it once (r13)
+    from us_equity_datalake_spark.operators._cache import materialize_once
+
+    matched = materialize_once(live.where(F.coalesce(predicate, F.lit(False))))
     updates = _collect_dv_updates(
         matched.select("__file", "__pos"), set(m0["files"]), "update_where_dv"
     )

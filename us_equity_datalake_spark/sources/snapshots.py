@@ -2656,6 +2656,15 @@ def merge_upsert(
     n_total = len(manifest_files)
 
     touched_rows = current.where(F.col("__file").isin(list(touched_set)))
+    if tracked:
+        # the touched-file scan has FOUR consumers on the tracked path
+        # (survivors, pre_ids, the Δ probe via delta_ids, and the commit
+        # write re-running all of them) — materialize the O(touched-files)
+        # rows once (r13).  Untracked merges read touched_rows exactly once
+        # (inside the write), so they skip the checkpoint.
+        from us_equity_datalake_spark.operators._cache import materialize_once
+
+        touched_rows = materialize_once(touched_rows)
     survivors = (
         touched_rows.drop("__file", "__pos").join(keys, key, "left_anti")
     )

@@ -4175,7 +4175,13 @@ def stage_change_feed_files(
         scratch = os.path.join(
             staging_dir, f".stage.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         )
-        out.write.mode("error").parquet(scratch)
+        # REBALANCE (guide §6): without it the staged write emits one file
+        # per upstream task (profiled: 17 tiny files per advance at sf0.1),
+        # which the file-source stream then pays as 17 splits per batch.
+        # The AQE-sized exchange coalesces a Δ-sized advance to one file
+        # locally while a large advance still splits at the advisory size —
+        # scale-adaptive, not a constant.
+        out.hint("rebalance").write.mode("error").parquet(scratch)
         for name in sorted(os.listdir(scratch)):
             p = os.path.join(scratch, name)
             if not name.endswith(".parquet") or name.startswith((".", "_")):

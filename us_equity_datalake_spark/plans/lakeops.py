@@ -2904,8 +2904,14 @@ def lake_txn_q(spark, sf_dir):
             "pre_recover_derived_committed",
             snapshots.read_version_committed(spark, der_p),
             snapshots.latest_committed_version(der_p)))
-    ).cache()
-    pre.count()  # pin the pending-state reads before recovery mutates the log
+    )
+    # pin the pending-state reads before recovery mutates the LOG (bytes
+    # are never deleted by a roll-forward): ONE collect into an Arrow
+    # local relation instead of the old cache()+count() fill (r13)
+    pre = local_frame(
+        spark, [tuple(r) for rs in collect_batched([pre]) for r in rs],
+        "arm string, version long, n_rows long, price_sum double",
+    )
     # force: the "crashed" writer is THIS live process (injected fault),
     # so the owner-liveness lease would rightly skip it otherwise
     snapshots.recover_transactions(spark, facts_p, force=True)
@@ -3045,8 +3051,14 @@ def lake_txn_cascade_q(spark, sf_dir):
         .unionByName(derived_arm(
             "pre_derived_committed",
             snapshots.read_version_committed(spark, der_p)))
-    ).cache()
-    pre.count()  # pin the pending-state reads before recovery mutates the log
+    )
+    # pin the pending-state reads before recovery mutates the LOG (bytes
+    # are never deleted by a roll-forward): ONE collect into an Arrow
+    # local relation instead of the old cache()+count() fill (r13)
+    pre = local_frame(
+        spark, [tuple(r) for rs in collect_batched([pre]) for r in rs],
+        "arm string, n_rows long, price_sum double",
+    )
     # force: the "crashed" writer is THIS live process (injected fault)
     snapshots.recover_transactions(spark, facts_p, force=True)
     files_post = set(

@@ -391,6 +391,12 @@ def assign_to_centroids(
                     best_idx[i] = cand[np.argmax(e)]  # cid-sorted: argmax tiebreak = lowest cid
                 yield pd.DataFrame({id_col: ids, centroid_id: cids[best_idx]})
 
+        # NOT spread before the kernel: a single-split corpus serializes the
+        # BLAS matmul on one core, but the A/B (r13) measured the spread
+        # WORSE (0.29 -> 0.38 s per assignment: 32 Python-worker fan-out +
+        # Arrow round-trips cost more than the one-core matmul saves) — the
+        # same verdict r12 recorded for the kmeans/textops spreads.  At
+        # scale the corpus arrives with many splits and parallelizes anyway.
         assigned = corpus.select(id_col, vec_col).mapInPandas(akernel, out_schema)
         return corpus.join(assigned, id_col)
     if corpus.rdd.getNumPartitions() < 16:

@@ -201,10 +201,14 @@ def ivf_persisted_topk_q(spark, sf_dir):
     )
     shutil.rmtree(root, ignore_errors=True)
     # build once: cluster the corpus by nearest centroid, lay it out
-    # bucket-per-partition (the 100 TB layout: a probe touches nprobe dirs)
-    similarity.assign_to_centroids(emb, centroids).write.partitionBy(
+    # bucket-per-partition (the 100 TB layout: a probe touches nprobe dirs).
+    # The pre-write hash distribution by the partition column is the
+    # write.distribution-mode=hash discipline (guide §6): each bucket's rows
+    # land in ONE task, so the build writes one file per bucket instead of
+    # (tasks x buckets) fragments the probe would re-pay on every query.
+    similarity.assign_to_centroids(emb, centroids).repartition(
         "centroid_id"
-    ).parquet(os.path.join(root, "index"))
+    ).write.partitionBy("centroid_id").parquet(os.path.join(root, "index"))
     centroids.write.parquet(os.path.join(root, "centroids"))
     # query time: read the index back; partition column returns as int32
     idx = spark.read.parquet(os.path.join(root, "index")).withColumn(
@@ -284,14 +288,17 @@ def ivf_incremental_topk_q(spark, sf_dir):
     idx_path = os.path.join(root, "index")
     base = emb.filter(F.col("vec_id") % 5 != 0)
     delta = emb.filter(F.col("vec_id") % 5 == 0)
-    # build on the base slice; centroids are a fixed parameter table
-    similarity.assign_to_centroids(base, centroids).write.partitionBy(
+    # build on the base slice; centroids are a fixed parameter table.
+    # Hash-distribute by the partition column before each partitionBy write
+    # (guide §6 write.distribution-mode=hash): one file per bucket per
+    # commit at ANY upstream width, instead of (tasks x buckets) fragments.
+    similarity.assign_to_centroids(base, centroids).repartition(
         "centroid_id"
-    ).parquet(idx_path)
+    ).write.partitionBy("centroid_id").parquet(idx_path)
     # the delta assigns against the FROZEN centroids and APPENDS in place
-    similarity.assign_to_centroids(delta, centroids).write.mode(
-        "append"
-    ).partitionBy("centroid_id").parquet(idx_path)
+    similarity.assign_to_centroids(delta, centroids).repartition(
+        "centroid_id"
+    ).write.mode("append").partitionBy("centroid_id").parquet(idx_path)
     idx = spark.read.parquet(idx_path).withColumn(
         "centroid_id", F.col("centroid_id").cast("long")
     )

@@ -280,13 +280,42 @@ def update_fundamentals(
     metrics = compute_metrics_long(
         ttm.select("symbol", "as_of_date", "concept", "value"), stock
     ).withColumn("sym_bucket", _sym_bucket(F.col("symbol"), n_buckets))
+    # The ttm write and the metrics derive+write are INDEPENDENT once ttm is
+    # materialized (metrics reads ttm's blocks, both land at different
+    # paths): submit them from two driver threads so the metrics plan build
+    # + write overlaps the ttm write's tail instead of waiting it out
+    # (guide §2.6).  The partitionOverwriteMode conf is session-wide, NOT
+    # thread-local, so ONE dynamic-mode scope wraps both concurrent writes —
+    # per-thread enter/exit could restore "static" mid-write and turn the
+    # racing overwrite into a whole-table replace.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    from us_equity_datalake_spark.sources.lake import _partition_overwrite_dynamic
+
+    @inheritable_thread_target
+    def _land(df, path):
+        # inheritable_thread_target: the worker thread inherits the caller's
+        # JVM-thread-local properties (job description/group), so these jobs
+        # stay attributable in the UI/event log
+        write_partitioned(df, path, partition_by=["sym_bucket"])
+
+    def _land_both():
+        # pool INSIDE any conf scope: pool-exit joins both threads BEFORE the
+        # scope restores the conf, so a failure in one write can never flip
+        # the other, still-running overwrite back to static mid-flight
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_land, ttm, lake.ttm),
+                    pool.submit(_land, metrics, lake.metrics)]
+        for f in futs:
+            f.result()
+
     if do_incremental:
-        # dynamic overwrite replaces exactly the recomputed buckets
-        overwrite_partition(spark, ttm, lake.ttm, partition_by=["sym_bucket"])
-        overwrite_partition(spark, metrics, lake.metrics, partition_by=["sym_bucket"])
+        with _partition_overwrite_dynamic(spark):
+            _land_both()
     else:
-        write_partitioned(ttm, lake.ttm, partition_by=["sym_bucket"])
-        write_partitioned(metrics, lake.metrics, partition_by=["sym_bucket"])
+        _land_both()
     def _count(path: str) -> int:
         # a zero-row partitioned write leaves no schema-bearing files, so the
         # readback cannot infer a schema — that is simply 0 rows

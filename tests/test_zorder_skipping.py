@@ -76,6 +76,26 @@ def layouts(spark, tmp_path_factory):
     return paths
 
 
+def _layout_diag(path: str) -> str:
+    """Per-file (rows, x/y min-max) from the footers — enough to tell a
+    degenerate WRITE (bad range boundaries / fragmented files) from a
+    non-pruning READ when the bound assert trips in a long suite session."""
+    lines = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        rows = md.num_rows
+        sx = [md.row_group(i).column(0).statistics for i in range(md.num_row_groups)]
+        sy = [md.row_group(i).column(1).statistics for i in range(md.num_row_groups)]
+        lines.append(
+            f"{f}: rows={rows} rgs={md.num_row_groups} "
+            f"x=[{min(s.min for s in sx)},{max(s.max for s in sx)}] "
+            f"y=[{min(s.min for s in sy)},{max(s.max for s in sy)}]"
+        )
+    return "\n".join(lines)
+
+
 def test_scan_row_group_pruning_orders_the_three_layouts(spark, layouts):
     got = {}
     for k, p in layouts.items():
@@ -85,13 +105,15 @@ def test_scan_row_group_pruning_orders_the_three_layouts(spark, layouts):
         got[k] = (n_files, scanned)
     total = N_SIDE * N_SIDE
     # unclustered: every row group overlaps the box -> full scan
-    assert got["random"][1] == total
+    assert got["random"][1] == total, got
     # x-sorted: prunes to the x < 64 stripe (~1/8 of rows), all y inside it
-    assert got["xsort"][1] <= total // 4
+    assert got["xsort"][1] <= total // 4, got
     # z-ordered: the box is a contiguous z-range -> at most ~3 of 32 files
-    assert got["zorder"][1] <= 3 * (total // N_FILES)
+    assert got["zorder"][1] <= 3 * (total // N_FILES), (
+        f"{got}\nzorder layout:\n{_layout_diag(layouts['zorder'])}"
+    )
     # and z-order must beat the single-dimension sort on the 2-D predicate
-    assert got["zorder"][1] < got["xsort"][1]
+    assert got["zorder"][1] < got["xsort"][1], got
 
 
 def test_file_footer_stats_give_file_level_skipping(layouts):
